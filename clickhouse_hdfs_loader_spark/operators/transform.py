@@ -1,0 +1,194 @@
+"""Row-transformation dataflow (reference operators T1–T10, SURVEY §2.A).
+
+The reference applies, per input line: decode/tokenize → positional column
+exclusion → null normalization → field sanitization → hive-partition
+append → additional constant columns → row-width validation → serialize
+(AbstractClickhouseLoaderMapper.java:128-248). Here each step is a pure
+``DataFrame -> DataFrame`` function; Catalyst fuses the whole chain into a
+single whole-stage-codegen projection, so at 100 TB the pipeline is one
+scan + one narrow map stage with zero shuffles.
+
+Positional semantics: the reference has no column names in flight — all
+ops are index arithmetic (RowRecordDecoderConfigurable.java:22-27,65-78).
+We keep named columns (so Catalyst can prune/push down) but expose
+index-based APIs that resolve through ``df.columns`` ordering.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Hive partition path segment, e.g. ``dt=2017-01-07`` — same charset as the
+# reference's pattern (AbstractClickhouseLoaderMapper.java:40,658-676).
+HIVE_PARTITION_RE = r"([0-9a-zA-Z_]+)=([0-9a-zA-Z_\-]+)"
+
+
+def tokenize_lines(df: DataFrame, sep: str = "|", line_col: str = "value",
+                   num_fields: int | None = None,
+                   prefix: str = "c") -> DataFrame:
+    """T1 — split a line column on a single-char delimiter.
+
+    Matches TextRecordDecoder.java:19-46: no quoting/escaping, and a
+    trailing delimiter yields a final empty field — hence ``limit=-1``
+    (``str.split``-style trailing-empty dropping would be wrong).
+
+    If ``num_fields`` is given, fields are projected out as columns
+    ``{prefix}0..{prefix}{n-1}`` (missing → null), mirroring the decoder's
+    fixed-width iteration.
+    """
+    toks = F.split(F.col(line_col), re.escape(sep), -1)
+    if num_fields is None:
+        return df.withColumn("fields", toks)
+    cols = [toks.getItem(i).alias(f"{prefix}{i}") for i in range(num_fields)]
+    return df.select(*cols)
+
+
+def exclude_columns(df: DataFrame, exclude_indexes: tuple[int, ...]) -> DataFrame:
+    """T3 — drop columns by 0-based source index, keep order dense.
+
+    Mirrors RowRecordDecoderConfigurable.java:36-42,65-78 (cursor /
+    target-column-cursor re-numbering). Catalyst turns this into column
+    pruning at the scan — excluded columns are never read from parquet/ORC.
+    """
+    keep = [c for i, c in enumerate(df.columns) if i not in set(exclude_indexes)]
+    return df.select(*keep)
+
+
+def null_normalize(df: DataFrame, string_cols: set[str] | None = None,
+                   null_string: str = "", null_non_string: str = "0",
+                   escape_null: bool = True) -> DataFrame:
+    """T4 — three-way null rule (AbstractClickhouseLoaderMapper.java:189-199).
+
+    null / literal ``\\N`` → ``null_string`` for string-typed target columns,
+    ``null_non_string`` otherwise; with ``escape_null=False`` the literal
+    ``\\N`` marker is preserved (ClickHouse-native NULL). "Is string" is
+    decided by the *target* column type in the reference
+    (ClickhouseLoaderContext.java:98-111); callers pass that set, defaulting
+    to the DataFrame's own string columns.
+    """
+    if string_cols is None:
+        string_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "string"}
+    out = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        if f_.dataType.typeName() != "string":
+            out.append(F.when(c.isNull(), F.lit(None if not escape_null else null_non_string)
+                              .cast(f_.dataType)).otherwise(c).alias(f_.name)
+                       if escape_null else c.alias(f_.name))
+            continue
+        is_null = c.isNull() | (c == F.lit("\\N"))
+        subst = null_string if f_.name in string_cols else null_non_string
+        if escape_null:
+            out.append(F.when(is_null, F.lit(subst)).otherwise(c).alias(f_.name))
+        else:
+            out.append(F.when(is_null, F.lit("\\N")).otherwise(c).alias(f_.name))
+    return df.select(*out)
+
+
+def sanitize_fields(df: DataFrame, sep: str = "|", replace_char: str = " ",
+                    cols: list[str] | None = None) -> DataFrame:
+    """T5 — replace in-field delimiter with ``replace_char`` and ``\\``→``/``
+    (AbstractClickhouseLoaderMapper.java:201). Only needed when serializing
+    to a delimited wire format; a typed writer escapes on its own.
+    """
+    targets = cols or [f.name for f in df.schema.fields
+                       if f.dataType.typeName() == "string"]
+    out = df
+    for name in targets:
+        out = out.withColumn(name, F.translate(F.col(name), sep + "\\", replace_char + "/"))
+    return out
+
+
+def extract_hive_partitions(path: str) -> list[tuple[str, str]]:
+    """T6 (driver side) — ordered ``k=v`` pairs parsed from an input path,
+    same regex walk as AbstractClickhouseLoaderMapper.java:658-676.
+    """
+    return re.findall(HIVE_PARTITION_RE + r"(?=/|$)", path)
+
+
+def append_hive_partitions(df: DataFrame, path: str) -> DataFrame:
+    """T6 — append each path partition value as a trailing constant column
+    (AbstractClickhouseLoaderMapper.java:210-226). For real partitioned
+    datasets prefer ``spark.read.option('basePath', ...)`` which lets
+    Catalyst *prune* partitions; this literal form is for parity.
+    """
+    out = df
+    for k, v in extract_hive_partitions(path):
+        out = out.withColumn(k, F.lit(v))
+    return out
+
+
+def append_additional_columns(df: DataFrame, values: tuple[str, ...],
+                              prefix: str = "addcol") -> DataFrame:
+    """T7 — constant columns appended after hive partitions
+    (AbstractClickhouseLoaderMapper.java:227-240). The reference appends
+    *values* only (no names); we synthesize names for Spark.
+    """
+    out = df
+    for i, v in enumerate(values):
+        out = out.withColumn(f"{prefix}{i}", F.lit(v))
+    return out
+
+
+def validate_width(df: DataFrame, expected: int) -> DataFrame:
+    """T9 — the produced column count must equal the target table width or
+    the load aborts (AbstractClickhouseLoaderMapper.java:207,242-245; the
+    per-row "Illegal format records" counter is :133-139). With a typed
+    DataFrame this is a plan-time check, not a per-row one — malformed rows
+    are handled at the source (PERMISSIVE mode + corrupt-record column).
+    """
+    if len(df.columns) != expected:
+        raise ValueError(
+            f"Illegal format: produced {len(df.columns)} columns, target "
+            f"table expects {expected} (reference: 'clickhouse table column "
+            f"size must be equal to the size of output fields')")
+    return df
+
+
+def serialize_rows(df: DataFrame, fmt: str = "TabSeparated") -> DataFrame:
+    """T10 — newline-payload serialization for ClickHouse ``INSERT … FORMAT``
+    (ConfigurationOptions.java:47-71: TabSeparated* → ``\\t``, CSV* → ``,``).
+    Returns a single ``line`` string column; the writer prepends the INSERT
+    header per batch (AbstractClickhouseLoaderMapper.java:288-298).
+    """
+    sep = "\t" if fmt.startswith("TabSeparated") else ","
+    return df.select(F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+                     .alias("line"))
+
+
+@dataclass
+class RejectStats:
+    """W6 — load accounting (AbstractClickhouseLoaderMapper.java:133-139)."""
+    total: int = 0
+    rejected: int = 0
+
+
+def count_malformed(df: DataFrame, corrupt_col: str = "_corrupt_record") -> RejectStats:
+    """Count PERMISSIVE-mode rejects in one pass (distributed, no collect)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.col(corrupt_col)).alias("rejected"),
+    ).first()
+    return RejectStats(total=row["total"], rejected=row["rejected"])
+
+
+def transform_pipeline(df: DataFrame, *, exclude: tuple[int, ...] = (),
+                       input_path: str = "", additional: tuple[str, ...] = (),
+                       target_width: int | None = None,
+                       null_string: str = "", null_non_string: str = "0",
+                       escape_null: bool = True) -> DataFrame:
+    """The full reference dataflow T3→T4→T6→T7→T9 as one fused projection."""
+    out = exclude_columns(df, exclude)
+    out = null_normalize(out, null_string=null_string,
+                         null_non_string=null_non_string, escape_null=escape_null)
+    if input_path:
+        out = append_hive_partitions(out, input_path)
+    if additional:
+        out = append_additional_columns(out, additional)
+    if target_width is not None:
+        validate_width(out, target_width)
+    return out
