@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing = full query execution to a count()-materialized result (collect
+would bottleneck on driver transfer for the wide outputs; count forces
+every operator including sinks of the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
+    from clickhouse_hdfs_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_specs = [s for s in REGISTRY.values() if s.bench]
+    # warm the JVM + file listing once so per-query numbers measure the
+    # queries, not session startup
+    REGISTRY["filtered_projection"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Text-analysis column expressions ([EXT] — SURVEY §2.C / BASELINE.json
+north star: LLM-data-pipeline operators at 100 TB scale).
+
+Everything here is a **native Column expression** (JVM whole-stage
+codegen, zero Python in the hot path) unless noted. Each expression has a
+1:1 ANSI-SQL twin used by the DuckDB oracle — see plans/queries.py — so
+regexes are restricted to the dialect intersection of Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "de", "que", "y", "en", "un", "es", "una", "por"),
+}
+
+WORD_RE = "[A-Za-z0-9]+"
+# BPE-ish subword splitter: runs of letters, runs of digits, or single
+# non-space symbols — approximates byte-pair tokenizer segmentation.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def whitespace_token_count(c: Column) -> Column:
+    """Tokens = maximal non-space runs. SQL twin:
+    ``len(regexp_extract_all(s, '[^ ]+'))``."""
+    return F.regexp_count(c, F.lit("[^ ]+"))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Approximate BPE token count. SQL twin uses the same pattern."""
+    return F.regexp_count(c, F.lit(BPE_RE))
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language."""
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def lang_id(c: Column) -> Column:
+    """n-gram-heuristic language ID: argmax of stopword hit counts with a
+    deterministic precedence (en > de > fr > es > unknown on ties/zero)."""
+    en, de = stopword_hits(c, "en"), stopword_hits(c, "de")
+    fr, es = stopword_hits(c, "fr"), stopword_hits(c, "es")
+    best = F.greatest(en, de, fr, es)
+    return (F.when(best == 0, F.lit("unknown"))
+            .when(en == best, F.lit("en"))
+            .when(de == best, F.lit("de"))
+            .when(fr == best, F.lit("fr"))
+            .otherwise(F.lit("es")))
+
+
+def punct_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def alpha_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit("[A-Za-z]"))
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length band + alpha ratio −
+    punctuation ratio. Mirrors the length/punct/stopword-ratio scoring used
+    by LLM corpus filters; exact arithmetic so the oracle hash-matches."""
+    n = F.length(c).cast("double")
+    words = whitespace_token_count(c).cast("double")
+    alpha_ratio = alpha_count(c).cast("double") / F.greatest(n, F.lit(1.0))
+    punct_ratio = punct_count(c).cast("double") / F.greatest(n, F.lit(1.0))
+    len_band = F.when((n >= 100) & (n <= 2000), F.lit(1.0)) \
+                .when(n < 100, n / F.lit(100.0)) \
+                .otherwise(F.lit(2000.0) / n)
+    mean_word_len = n / F.greatest(words, F.lit(1.0))
+    word_band = F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)) \
+                 .otherwise(F.lit(0.5))
+    score = (F.lit(0.4) * len_band + F.lit(0.3) * alpha_ratio
+             + F.lit(0.3) * word_band - F.lit(0.2) * punct_ratio)
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def normalize_text(c: Column) -> Column:
+    """Fingerprint normalization: lowercase, strip non-alnum to single
+    spaces, trim. SQL twin: ``trim(regexp_replace(lower(s), '[^a-z0-9]+',
+    ' ', 'g'))``."""
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def md5_fingerprint(c: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (exact-dedup key)."""
+    return F.md5(normalize_text(c))
+
+
+def words_array(c: Column) -> Column:
+    """Lowercased word tokens as an array (shingling input)."""
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word ``k``-gram shingles, joined by single spaces.
+
+    Built from native array ops: ``sequence`` over start offsets +
+    ``transform``/``slice`` — no UDF, fully codegen'd.
+    """
+    ws = words_array(c)
+    n = F.size(ws)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    return F.array_distinct(grams)

@@ -1,0 +1,213 @@
+"""Deduplication operators ([EXT] — LLM-corpus dedup at 100 TB scale).
+
+Five dedup families, all engineered for the inverted-index / banding
+pattern that scales linearly with corpus size instead of O(n²) pairwise:
+
+- exact (hash-groupBy on text / md5 fingerprint),
+- MinHash + LSH banding (shingle → minhash sig → band buckets → bucket join),
+- SimHash (64-bit sign-random-projection over token hashes + banded
+  hamming join),
+- n-gram Jaccard (exact, via shingle inverted index self-join),
+- embedding cosine near-dup (exact threshold join; LSH-blocked variant in
+  operators/similarity.py).
+
+Everything is native DataFrame ops — explode/groupBy/join — so Catalyst
+gets partial aggregation and AQE skew handling; no Python UDFs anywhere.
+Shuffle keys are (shingle|band-hash|bucket), which are high-cardinality and
+well distributed; hot shingles (stopword n-grams) are capped via document
+frequency pruning (``max_df``), the standard trick to stop posting-list
+skew from dominating the bucket join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, shingles, words_array
+
+# 64-bit Mersenne prime modulus keeps (a*h+b) mod p well mixed while
+# staying in long range after the bit trims below.
+_MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: keeper = min id per identical text.
+    One hash-aggregate; at scale this is the cheapest pass and always runs
+    first to shrink the corpus before fuzzy passes."""
+    return (docs.groupBy(text_col)
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("copies"))
+            .select("keeper_id", "copies"))
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text md5 — catches whitespace/punct/case
+    variants that byte-exact dedup misses."""
+    return (docs.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies")))
+
+
+def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle_hash) exploded pairs; hash = xxhash64 (JVM built-in)."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), k).alias("sh"))
+    return (sh.select("id", F.explode("sh").alias("shingle"))
+            .select("id", F.xxhash64("shingle").alias("h")))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 32, seed: int = 42) -> DataFrame:
+    """MinHash signature per document: sig[j] = min over shingles of
+    (a_j·h + b_j mod M61). Coefficients are fixed by ``seed`` so signatures
+    are reproducible across runs/clusters.
+
+    Plan shape: explode shingles → map-side partial min per (id) →
+    single shuffle on id. num_hashes agg expressions, all codegen.
+    """
+    import random
+    rnd = random.Random(seed)
+    # a < 2^31 and h masked to 32 bits keeps a*h+b < 2^63 — no ANSI
+    # long-overflow while staying well mixed under the Mersenne modulus.
+    coeffs = [(rnd.randrange(1, 1 << 31), rnd.randrange(0, 1 << 31))
+              for _ in range(num_hashes)]
+    hashed = _shingle_hashes(docs, text_col, id_col, k)
+    h = F.col("h").bitwiseAND(F.lit((1 << 32) - 1))
+    aggs = [F.min(((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE61))).alias(f"m{j}")
+            for j, (a, b) in enumerate(coeffs)]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: split the signature
+    into ``bands`` bands of ``num_hashes//bands`` rows; docs sharing any
+    band hash collide. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Scale: the only shuffles are the signature groupBy and the band-bucket
+    self-join; bucket sizes follow collision probability, and the
+    ``groupBy(band, bh)`` + size cap below bounds worst-case buckets.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)])
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")))
+    grouped = (buckets.groupBy("band", "bh")
+               .agg(F.collect_list("id").alias("ids"))
+               .where(F.size("ids") > 1)
+               .where(F.size("ids") <= 1000))  # degenerate-bucket cap
+    pairs = grouped.select(
+        F.explode(F.expr(
+            "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+            " p -> p.a < p.b)")).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    return pairs
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via shingle inverted index.
+
+    |A∩B| comes from the posting-list self-join; |A∪B| = |A|+|B|−|A∩B|.
+    ``max_df`` drops shingles appearing in more than that many docs
+    (stopword-gram skew control — at 100 TB this is what keeps the join
+    from quadratic blowup on boilerplate).
+    """
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(shingles(F.col(text_col), k)).alias("s")))
+    if max_df is not None:
+        df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.where(F.col("df") <= max_df).select("s"), "s")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    shared = (a.join(b, "s")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    out = (shared
+           .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+           .withColumn("jaccard",
+                       F.col("shared").cast("double")
+                       / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def simhash_bits(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, fully native.
+
+    tokens → xxhash64(token) rows → for each bit position a signed vote
+    (+1/−1) → sum per doc → sign bits packed into a long. The 64 per-bit
+    sums are plain agg expressions: one shuffle on doc id with map-side
+    partial aggregation.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(words_array(F.col(text_col))).alias("w"))
+            .select("id", F.xxhash64("w").alias("h")))
+    votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                          F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+             for i in range(64)]
+    sums = toks.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63
+                           else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ ``max_hamming`` via 4×16-bit
+    band join (pigeonhole: ≤3 differing bits ⇒ at least one of 4 bands
+    identical), then exact popcount filter — the standard SimHash index."""
+    sims = simhash_bits(docs, text_col, id_col)
+    bands = [((F.shiftrightunsigned("simhash", 16 * b)).bitwiseAND(F.lit(0xFFFF)))
+             .alias(f"band{b}") for b in range(4)]
+    sb = sims.select("id", "simhash", *bands)
+    candidates = None
+    for b in range(4):
+        a = sb.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                      F.col(f"band{b}").alias("bk"))
+        c = sb.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                      F.col(f"band{b}").alias("bk"))
+        cand = a.join(c, "bk").where(F.col("id_a") < F.col("id_b")) \
+                .select("id_a", "id_b", "sh_a", "sh_b")
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    return (candidates.distinct()
+            .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-dup pairs (brute-force O(n²) — correctness
+    baseline; the LSH-blocked scale path is
+    similarity.lsh_near_dup_pairs)."""
+    from ..functions.vectors import cosine
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))

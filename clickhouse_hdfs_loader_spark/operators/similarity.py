@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns ([EXT] — ANN for LLM-data
+pipelines, SURVEY §2.C).
+
+Three tiers:
+
+- ``brute_force_topk`` — exact cosine top-k; the correctness baseline and
+  the right plan when the query set is small (queries are broadcast, the
+  corpus is scanned once, no shuffle of the big side).
+- ``lsh_topk`` — random-hyperplane LSH bucketing: corpus hashed once into
+  b-band sign buckets, candidates = bucket collisions only. Approximate;
+  recall is tested in tests/test_similarity.py.
+- ``ivf_topk`` — IVF-lite: deterministic coarse centroids, vectors
+  assigned to nearest centroid (one scan), queries probe ``nprobe``
+  closest centroid buckets. The bucket assignment is the 100 TB path: the
+  corpus shuffle is by centroid id (bounded cardinality), and each query
+  touches a small fraction of partitions.
+
+All cosine math is native ``zip_with``/``aggregate`` (functions/vectors).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, random_hyperplane_bits
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "id", F.round("cos", 4).alias("cos"), "rank"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus.
+    Ties broken by ascending corpus id for determinism."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("id"))
+              .withColumn("cos", cosine(F.col("qv"), F.col("v"))))
+    return _ranked_topk(scored, k)
+
+
+def _planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             num_planes: int = 16, bands: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 7) -> DataFrame:
+    """ANN top-k via sign-LSH banding: signature = ``num_planes`` sign bits;
+    split into ``bands`` bands; candidate = shares ≥1 band with the query.
+    One equi-join per band key — no cross join anywhere."""
+    planes = _planes(num_planes, dim, seed)
+    rows = num_planes // bands
+    mask = (1 << rows) - 1
+
+    def with_bands(df: DataFrame, idc: str, vc: str, prefix: str) -> DataFrame:
+        sig = random_hyperplane_bits(F.col(vc), planes)
+        out = df.select(F.col(idc).alias(f"{prefix}id"), F.col(vc).alias(f"{prefix}v"),
+                        sig.alias("sig"))
+        bandcols = [F.struct(F.lit(b).alias("band"),
+                             F.shiftrightunsigned("sig", b * rows)
+                             .bitwiseAND(F.lit(mask)).alias("bh"))
+                    for b in range(bands)]
+        return (out.select(f"{prefix}id", f"{prefix}v",
+                           F.explode(F.array(*bandcols)).alias("bk"))
+                .select(f"{prefix}id", f"{prefix}v",
+                        F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")))
+
+    cb = with_bands(corpus, id_col, vec_col, "")
+    qb = with_bands(queries, id_col, vec_col, "q")
+    cand = (cb.join(F.broadcast(qb), ["band", "bh"])
+            .where(F.col("qid") != F.col("id"))
+            .select(F.col("qid").alias("query_id"), "id", "qv", F.col("v"))
+            .distinct())
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    return _ranked_topk(scored, k)
+
+
+def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its max-cosine centroid (single scan, codegen).
+    ``centroids`` are driver-side constants: (centroid_id, vector)."""
+    best_id, best_cos = F.lit(-1), F.lit(-2.0)
+    v = F.col(vec_col)
+    for cid, cv in centroids:
+        cvec = F.array(*[F.lit(float(x)) for x in cv])
+        cs = cosine(v, cvec)
+        improved = cs > best_cos
+        best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
+        best_cos = F.when(improved, cs).otherwise(best_cos)
+    return corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                         best_id.alias("centroid"))
+
+
+def seed_centroids(corpus: DataFrame, m: int = 8, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the ``m`` lowest-id vectors (no
+    iterative k-means — reproducibility beats optimality for a correctness
+    harness; swap in k-means|| offline for production quality)."""
+    rows = (corpus.orderBy(F.asc(id_col)).limit(m)
+            .select(id_col, vec_col).collect())
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
+             nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF search: corpus bucketed by nearest centroid; each query probes
+    its ``nprobe`` nearest centroid buckets only."""
+    cents = seed_centroids(corpus, m, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_structs = []
+    for cid, cv in cents:
+        cvec = F.array(*[F.lit(float(x)) for x in cv])
+        probe_structs.append(F.struct(cosine(F.col("qv"), cvec).alias("cos"),
+                                      F.lit(cid).alias("centroid")))
+    probes = (q.withColumn("probe", F.explode(
+                  F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe)))
+              .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
+
+    cand = (assigned.join(F.broadcast(probes), "centroid")
+            .where(F.col("query_id") != F.col("id")))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    return _ranked_topk(scored, k)
+
+
+def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
+                       num_planes: int = 16, bands: int = 4,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       seed: int = 7) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucket candidates, then exact
+    cosine filter — replaces dedup.embedding_near_dup_pairs' cross join."""
+    planes = _planes(num_planes, dim, seed)
+    rows = num_planes // bands
+    mask = (1 << rows) - 1
+    sig = random_hyperplane_bits(F.col(vec_col), planes)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      sig.alias("sig"))
+    bandcols = [F.struct(F.lit(b).alias("band"),
+                         F.shiftrightunsigned("sig", b * rows)
+                         .bitwiseAND(F.lit(mask)).alias("bh")) for b in range(bands)]
+    bucketed = (base.select("id", "v", F.explode(F.array(*bandcols)).alias("bk"))
+                .select("id", "v", F.col("bk.band").alias("band"),
+                        F.col("bk.bh").alias("bh")))
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bh")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bh")
+    return (a.join(b, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "v_a", "v_b").distinct()
+            .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))

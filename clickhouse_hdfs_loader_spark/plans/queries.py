@@ -1,0 +1,903 @@
+"""Query registry: every operator from SURVEY §2 as a ``(spark, sf_dir) →
+DataFrame`` callable plus (where SQL-expressible) a DuckDB oracle twin.
+
+Contract (driver, ``__spark_entry__.py``): the driver runs each Spark
+query and its oracle side-by-side at sf0.01 and compares row count,
+schema, and an order-insensitive value hash with columns sorted by name —
+so every computed column is aliased identically on both sides, doubles
+are rounded explicitly, timestamps are emitted as strings/epochs, and
+top-k queries carry deterministic tie-breaks.
+
+Sections mirror SURVEY §2:
+  [2.B]  the SQL shapes the reference itself issues against ClickHouse
+  [2.A]  the dataflow pipeline (tokenize/exclude/null/append/width/shard)
+  [EXT-REL]  joins/aggs/windows/sorts/set-ops (SURVEY §2.C extensions)
+  [EXT-LLM]  dedup, similarity search, text analysis, multimodal
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import cosine
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import transform as T
+from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
+from ..sources.tables import read_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = ()
+    bench: bool = False
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+          bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, bench)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# [2.B] SQL shapes the reference itself executes (SURVEY §2.B)
+# ---------------------------------------------------------------------------
+
+@query("filtered_projection", oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+""")
+def filtered_projection(spark, sf_dir):
+    """`select engine from system.tables where database=… and name=…`
+    (AbstractClickhouseLoaderMapper.java:499) — filtered projection."""
+    return (_t(spark, sf_dir, "nation")
+            .where(F.col("n_regionkey") == 1)
+            .select("n_nationkey", "n_name"))
+
+
+@query("agg_count_filter", oracle="""
+    SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F'
+""")
+def agg_count_filter(spark, sf_dir):
+    """`select count(*) from system.columns where …`
+    (AbstractClickhouseLoaderMapper.java:490)."""
+    return (_t(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@query("groupby_grouparray", oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           count(*) AS cnt
+    FROM nation GROUP BY n_regionkey
+""")
+def groupby_grouparray(spark, sf_dir):
+    """`select cluster, shard_num, shard_weight, groupArray(host_address)
+    … group by … order by shard_num desc` (ClickhouseClient.java:124).
+    groupArray ≙ collect_list; sorted inside so the hash is stable."""
+    return (_t(spark, sf_dir, "nation")
+            .groupBy("n_regionkey")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+@query("grouparray_topology", oracle="""
+    SELECT s_nationkey % 4 AS shard_num,
+           array_to_string(list_sort(list('host-' || CAST(s_suppkey AS VARCHAR))), ',')
+             AS hosts,
+           count(*) AS replicas
+    FROM supplier GROUP BY s_nationkey % 4
+""")
+def grouparray_topology(spark, sf_dir):
+    """The topology read verbatim: shard groups with host arrays
+    (ClickhouseClient.java:121-132), emulated over supplier."""
+    s = _t(spark, sf_dir, "supplier")
+    return (s.withColumn("shard_num", F.col("s_nationkey") % 4)
+            .withColumn("host", F.concat(F.lit("host-"),
+                                         F.col("s_suppkey").cast("string")))
+            .groupBy("shard_num")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("host"))).alias("hosts"),
+                 F.count(F.lit(1)).alias("replicas")))
+
+
+@query("distinct_projection", oracle="""
+    SELECT DISTINCT c_mktsegment AS segment FROM customer
+""")
+def distinct_projection(spark, sf_dir):
+    """`select distinct host_address …` (ClickhouseClient.java:112)."""
+    return (_t(spark, sf_dir, "customer")
+            .select(F.col("c_mktsegment").alias("segment")).distinct())
+
+
+@query("concat_qualified", oracle="""
+    SELECT n_nationkey, concat(n_name, '.', r_name) AS qualified
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+""")
+def concat_qualified(spark, sf_dir):
+    """`select concat(database,'.',name) as tablename`
+    (ClickhouseHdfsLoader.java:497)."""
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("n_nationkey",
+                    F.concat_ws(".", "n_name", "r_name").alias("qualified")))
+
+
+@query("like_prefix", oracle="""
+    SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'
+""")
+def like_prefix(spark, sf_dir):
+    """`… name like '<prefix>%'` — temp-table GC scan
+    (ClickhouseHdfsLoader.java:497)."""
+    return (_t(spark, sf_dir, "part")
+            .where(F.col("p_name").like("small%"))
+            .select("p_partkey", "p_name"))
+
+
+@query("rlike_range", oracle=r"""
+    SELECT o_orderkey, 't_' || strftime(o_orderdate, '%Y%m%d') AS tname
+    FROM orders
+    WHERE regexp_matches('t_' || strftime(o_orderdate, '%Y%m%d'), '_\d{8}$')
+      AND 't_' || strftime(o_orderdate, '%Y%m%d') < 't_19970101'
+""")
+def rlike_range(spark, sf_dir):
+    """Daily-expiry scan: `match(name,'<t>_\\d{8}$') and name < '<t>_<dt>'`
+    (OldDailyMergeTask.java:86,113)."""
+    o = _t(spark, sf_dir, "orders")
+    tname = F.concat(F.lit("t_"), F.date_format("o_orderdate", "yyyyMMdd"))
+    return (o.withColumn("tname", tname)
+            .where(F.col("tname").rlike(r"_\d{8}$") & (F.col("tname") < "t_19970101"))
+            .select("o_orderkey", "tname"))
+
+
+@query("insert_select_union", oracle="""
+    SELECT c_custkey AS entity_key, 'cust' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supp' AS src FROM supplier
+""")
+def insert_select_union(spark, sf_dir):
+    """`INSERT INTO tgt SELECT * FROM src` append semantics
+    (ClickhouseLoaderReducer.java:224-229) ≙ unionByName."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"), F.lit("cust").alias("src"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"), F.lit("supp").alias("src"))
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# [2.A] Dataflow pipeline operators (SURVEY §2.A T1–T10, P1)
+# ---------------------------------------------------------------------------
+
+@query("transform_chain", oracle="""
+    SELECT l_returnflag, l_linestatus, '2017-01-07' AS dt, 'batch9' AS addcol0,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+""", bench=True)
+def transform_chain(spark, sf_dir):
+    """Flagship: the reference's full mapper dataflow T3→T4→T6→T7→T9
+    (AbstractClickhouseLoaderMapper.java:159-248) on lineitem — exclude
+    positional columns {1,2}, null-normalize, append hive-partition ``dt``
+    from the input path and one additional constant column, validate
+    width, then aggregate. Catalyst fuses the chain into the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = T.transform_pipeline(
+        li, exclude=(1, 2),  # l_partkey, l_suppkey
+        input_path="/data/lineitem/dt=2017-01-07",
+        additional=("batch9",),
+        target_width=11)     # 11 data − 2 excl + dt + addcol0 = 11
+    return (out.groupBy("l_returnflag", "l_linestatus", "dt", "addcol0")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@query("tokenize_pipe", oracle="""
+    SELECT doc_id,
+           len(string_split(source || '|' || lang || '|', '|')) AS n_fields,
+           CAST(string_split(source || '|' || lang || '|', '|')[-1] = ''
+                AS INT) AS trailing_empty
+    FROM documents
+""")
+def tokenize_pipe(spark, sf_dir):
+    """T1 delimiter tokenize with trailing-empty-field parity
+    (TextRecordDecoder.java:41-44): a line ending in the delimiter keeps
+    its final empty field."""
+    d = _t(spark, sf_dir, "documents")
+    line = F.concat_ws("|", "source", "lang", F.lit(""))
+    toks = F.split(line, r"\|", -1)
+    return d.select("doc_id", F.size(toks).alias("n_fields"),
+                    (F.element_at(toks, -1) == "").cast("int")
+                    .alias("trailing_empty"))
+
+
+@query("null_normalize_rules", oracle=r"""
+    SELECT event_id,
+           CASE WHEN (CASE WHEN event_type = 'error' THEN '\N'
+                           ELSE event_type END) = '\N' THEN ''
+                ELSE event_type END AS s_norm,
+           coalesce(CASE WHEN value < 0.1 THEN NULL ELSE user_id END, 0)
+             AS v_norm
+    FROM events
+""")
+def null_normalize_rules(spark, sf_dir):
+    """T4 three-way null rule (AbstractClickhouseLoaderMapper.java:189-199):
+    nulls/literal \\N → '' for string cols, '0' for non-string cols.
+    Nulls are injected deterministically since fixtures are null-free."""
+    e = _t(spark, sf_dir, "events")
+    seeded = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("\\N"))
+         .otherwise(F.col("event_type")).alias("s"),
+        F.when(F.col("value") < 0.1, F.lit(None).cast("long"))
+         .otherwise(F.col("user_id")).alias("v"))
+    normed = T.null_normalize(seeded, null_string="", null_non_string="0")
+    return normed.select("event_id", F.col("s").alias("s_norm"),
+                         F.col("v").alias("v_norm"))
+
+
+@query("width_validation", oracle="""
+    SELECT count(*) AS total_rows,
+           sum(CASE WHEN len(string_split(source || '|' || lang, '|')) = 2
+                    THEN 1 ELSE 0 END) AS valid_rows
+    FROM documents
+""")
+def width_validation(spark, sf_dir):
+    """T9 row-width validation (AbstractClickhouseLoaderMapper.java:207,
+    242-245) as a distributed counter — 'Illegal format records'."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.concat_ws("|", "source", "lang"), r"\|", -1)
+    return d.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.size(toks) == 2, 1).otherwise(0)).alias("valid_rows"))
+
+
+@query("shard_assign", tags=("no-oracle",))
+def shard_assign(spark, sf_dir):
+    """P1 weighted murmur3_128 shard routing
+    (AbstractClickhouseLoaderMapper.java:270-299). Guava-hash parity is
+    pytest-verified against golden vectors; SQL-inexpressible → rows-only
+    driver check."""
+    topo = ClusterTopology([ShardNode(1, 2, ("h0",)), ShardNode(2, 1, ("h1",)),
+                            ShardNode(3, 1, ("h2",))])
+    c = _t(spark, sf_dir, "customer")
+    return (assign_shard(c, "c_name", topo)
+            .select("c_custkey", "shard"))
+
+
+@query("serialize_tsv", oracle="""
+    SELECT n_nationkey,
+           n_name || CHR(9) || CAST(n_regionkey AS VARCHAR) AS line
+    FROM nation
+""")
+def serialize_tsv(spark, sf_dir):
+    """T10 TabSeparated wire serialization
+    (ConfigurationOptions.java:47-71)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_nationkey",
+                    F.concat_ws("\t", "n_name",
+                                F.col("n_regionkey").cast("string")).alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT-REL] Full relational surface (SURVEY §2.C extensions)
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+""", bench=True)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy group-by with arithmetic — the
+    whole-stage-codegen benchmark anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@query("q3_shipping_priority", oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+""", bench=True)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+@query("q5_region_revenue", oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                             AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+""", bench=True)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join. Dims (region/nation/supplier) are
+    broadcast; the orders⋈lineitem fact join shuffles on the key."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (s.s_nationkey == c.c_nationkey))
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query("orderby_topk", oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def orderby_topk(spark, sf_dir):
+    """Sort + limit → Spark plans TakeOrderedAndProject (no full sort at
+    scale)."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("total")))
+
+
+@query("join_semi", oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+""")
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey"))
+
+
+@query("join_anti", oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey"))
+
+
+@query("broadcast_join_agg", oracle="""
+    SELECT n_name, count(*) AS customers, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+""")
+def broadcast_join_agg(spark, sf_dir):
+    """Explicit broadcast-hash join — the dim side never shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("customers"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+
+@query("set_intersect", oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+""")
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersect(s)
+
+
+@query("set_except", oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+""")
+def set_except(spark, sf_dir):
+    """Set-semantics EXCEPT (``subtract`` — not ``exceptAll``, whose
+    multiset semantics keep values that merely outnumber the right side)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.subtract(s)
+
+
+@query("window_topk_per_customer", oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 2
+""", bench=True)
+def window_topk_per_customer(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (_t(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("total"), "rn"))
+
+
+@query("window_running_sum", oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM events
+""")
+def window_running_sum(spark, sf_dir):
+    w = (Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.round(F.sum("value").over(w), 2).alias("running")))
+
+
+@query("sessionize", oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+""", bench=True)
+def sessionize(spark, sf_dir):
+    """Sessionization: a session break is a >30 min gap per user — the
+    classic lag+cumsum pattern; one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull()
+                   | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1) \
+             .otherwise(0)
+    return (_t(spark, sf_dir, "events")
+            .withColumn("new_session", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@query("count_distinct_exact", oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS users FROM events
+    GROUP BY event_type
+""")
+def count_distinct_exact(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("users")))
+
+
+@query("approx_count_distinct", tags=("no-oracle",))
+def approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ sketch — engine-specific estimates differ by design,
+    so rows-only check here; the exact twin above is the oracle-checked
+    one."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users")))
+
+
+@query("rollup_agg", oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "cnt"))
+
+
+@query("pivot_status", oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status(spark, sf_dir):
+    piv = (_t(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .count())
+    return piv.select("o_orderpriority",
+                      F.coalesce("F", F.lit(0)).alias("f_cnt"),
+                      F.coalesce("O", F.lit(0)).alias("o_cnt"),
+                      F.coalesce("P", F.lit(0)).alias("p_cnt"))
+
+
+@query("scalar_functions", oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 5) AS sub5,
+           instr(p_name, 'e') AS pos_e,
+           translate(p_name, 'aeiou', 'AEIOU') AS consonantized,
+           upper(p_brand) AS brand_up,
+           length(p_name) AS name_len
+    FROM part
+""")
+def scalar_functions(spark, sf_dir):
+    """Scalar string surface (SURVEY §2.C): substring/instr/translate —
+    the exact functions the reference uses for splitting/sanitizing."""
+    return (_t(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.substring("p_name", 1, 5).alias("sub5"),
+                    F.instr("p_name", "e").alias("pos_e"),
+                    F.translate("p_name", "aeiou", "AEIOU").alias("consonantized"),
+                    F.upper("p_brand").alias("brand_up"),
+                    F.length("p_name").alias("name_len")))
+
+
+@query("date_arithmetic", oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d') AS d_minus7,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+""")
+def date_arithmetic(spark, sf_dir):
+    """Date arithmetic surface — `dt − N days` via Calendar.add in the
+    reference (OldDailyMergeTask.java:70-74)."""
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.date_format(F.date_sub("o_orderdate", 7), "yyyy-MM-dd")
+                    .alias("d_minus7"),
+                    F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                    F.year("o_orderdate").cast("int").alias("yr"),
+                    F.unix_timestamp("o_orderdate").alias("epoch_s")))
+
+
+@query("json_extract", oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+""")
+def json_extract(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k")))
+
+
+@query("events_hourly_windows", oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+""", bench=True)
+def events_hourly_windows(spark, sf_dir):
+    """Tumbling-window aggregation (batch form; the Structured Streaming
+    twin is streaming_hourly_windows with the same oracle)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("win_start"),
+                    "event_type", "cnt", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT-LLM] Dedup / similarity / text analysis / multimodal (build brief)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle="""
+    SELECT min(doc_id) AS keeper_id, count(*) AS copies
+    FROM documents GROUP BY text
+""", bench=True)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-aggregate on the text (operators/dedup.py)."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_fingerprint", oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS copies
+    FROM documents GROUP BY 1
+""")
+def dedup_fingerprint(spark, sf_dir):
+    """Normalized-md5 dedup — catches case/punct/whitespace variants."""
+    return DD.fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(w) - 2)])) AS s
+      FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2
+""", bench=True)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity join via shingle inverted index —
+    the non-approximate near-dup baseline."""
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query("dedup_minhash_lsh", tags=("no-oracle",), bench=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands) — approximate by
+    construction; recall vs exact Jaccard is pytest-verified."""
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash", tags=("no-oracle",))
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit band index)."""
+    return DD.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_embedding_cosine", oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+             4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.4
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: exact cosine ≥ 0.4 pairs (brute-force baseline;
+    threshold fits the fixture's cosine range — max pairwise ≈ 0.51; the
+    LSH-blocked scale path is ann_lsh_near_dup)."""
+    return DD.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                       threshold=0.4)
+
+
+@query("ann_lsh_near_dup", tags=("no-oracle",))
+def ann_lsh_near_dup(spark, sf_dir):
+    """Scale path for dedup_embedding_cosine: sign-LSH bucket candidates,
+    exact cosine confirm — no cross join."""
+    return SIM.lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                  threshold=0.4, bands=8)
+
+
+@query("similarity_topk", oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS id,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+             AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, id, round(cos, 4) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, id, cos, rank FROM ranked WHERE rank <= 5
+""", bench=True)
+def similarity_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+@query("ann_lsh_topk", tags=("no-oracle",))
+def ann_lsh_topk(spark, sf_dir):
+    """ANN top-5 via random-hyperplane LSH banding (recall pytest-checked
+    against brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+@query("ann_ivf_topk", tags=("no-oracle",))
+def ann_ivf_topk(spark, sf_dir):
+    """ANN top-5 via IVF-lite coarse quantizer (nprobe=2)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+@query("text_token_counts", oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^ ]+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS bpe_tokens
+    FROM documents
+""", bench=True)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword segments."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+                    TX.bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+@query("text_quality", oracle="""
+    SELECT doc_id,
+           round(least(greatest(
+             0.4 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                         WHEN length(text) < 100 THEN length(text) / 100.0
+                         ELSE 2000.0 / length(text) END)
+           + 0.3 * (len(regexp_extract_all(text, '[A-Za-z]'))
+                    / greatest(CAST(length(text) AS DOUBLE), 1.0))
+           + 0.3 * (CASE WHEN length(text)
+                              / greatest(CAST(len(regexp_extract_all(text, '[^ ]+'))
+                                              AS DOUBLE), 1.0)
+                              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+           - 0.2 * (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                    / greatest(CAST(length(text) AS DOUBLE), 1.0)),
+           0.0), 1.0), 4) AS quality
+    FROM documents
+""")
+def text_quality(spark, sf_dir):
+    """Quality scoring: length band + alpha ratio + word-length band −
+    punctuation ratio (functions/text.py quality_score)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.round(TX.quality_score(F.col("text")), 4).alias("quality"))
+
+
+@query("text_langid", oracle=r"""
+    WITH hits AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text),
+          '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS en,
+        len(regexp_extract_all(lower(text),
+          '\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\b')) AS de,
+        len(regexp_extract_all(lower(text),
+          '\b(le|la|les|et|des|est|une|dans|que|pour)\b')) AS fr,
+        len(regexp_extract_all(lower(text),
+          '\b(el|los|de|que|y|en|un|es|una|por)\b')) AS es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+                WHEN en = greatest(en, de, fr, es) THEN 'en'
+                WHEN de = greatest(en, de, fr, es) THEN 'de'
+                WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM hits
+""")
+def text_langid(spark, sf_dir):
+    """n-gram-heuristic language ID (stopword hit argmax)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query("text_fingerprint", oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    """Normalized md5 document fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.md5_fingerprint(F.col("text")).alias("fp"))
+
+
+@query("winnow_fingerprint", tags=("no-oracle",))
+def winnow_fingerprint(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (SIGMOD'03) — pandas-UDF
+    iterative op, determinism pytest-checked."""
+    from ..functions.fingerprint import winnow_udf
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.size(winnow_udf()(F.col("text"))).alias("n_fingerprints"))
+
+
+@query("multimodal_decode", oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT) AS height
+    FROM documents
+""")
+def multimodal_decode(spark, sf_dir):
+    """Binary-column plumbing: text→bytes payload, mapInPandas stub decode
+    to typed metadata (operators/multimodal.py; real decode is stubbed —
+    no media libs in container)."""
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return (MM.decode_image_batch(d, fake=True)
+            .select("doc_id", "n_bytes", "width", "height"))
+
+
+@query("streaming_hourly_windows", oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+""")
+def streaming_hourly_windows(spark, sf_dir):
+    """Structured Streaming twin of events_hourly_windows: file-source
+    stream over the same parquet, tumbling window + watermark, availableNow
+    trigger, memory sink — checked against the identical SQL oracle."""
+    from ..streaming.events import hourly_windows_streaming
+    return hourly_windows_streaming(spark, sf_dir)

@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.speculation", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long ns and normalize in sources.tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

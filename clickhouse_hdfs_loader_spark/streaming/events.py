@@ -1,0 +1,61 @@
+"""Structured Streaming over the events table ([EXT] — SURVEY §2.C).
+
+The reference is pure batch; its incremental axis is the per-day ``--dt``
+load with daily tables (D2/D3). The streaming mirror: a file-source stream
+with tumbling windows + watermark, which at scale becomes the
+Kafka-sourced continuous variant of the same daily-load semantics.
+
+``availableNow`` processes the current table content and stops — that
+makes the streaming path deterministically testable against the same
+DuckDB oracle as the batch query.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-source streams take a directory; glob-filter to the events table
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    # nanosAsLong (see sources.tables): normalize ns-long → µs timestamp so
+    # watermarks/windows see real event time
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.typeName() in ("long", "bigint"):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def hourly_window_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows with late-data watermark: the canonical
+    `readStream → withWatermark → window → agg` shape."""
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("win_start"),
+                    "event_type", "cnt", "total_value"))
+
+
+def hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed agg as an actual stream (availableNow → memory
+    sink), return the materialized result. Complete output mode because the
+    sink is the full aggregate state."""
+    sink = f"evt_hourly_{uuid.uuid4().hex[:8]}"
+    q = (hourly_window_agg(events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(sink)

@@ -1,0 +1,74 @@
+"""Driver-mimicking correctness gate: run every registered query on Spark
+and its oracle on DuckDB over the same parquet, compare row count, column
+names, and an order-insensitive value hash (columns sorted by name) — the
+same comparison shape the driver records in CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
+from clickhouse_hdfs_loader_spark.sources.tables import TABLES
+
+ORACLE_SPECS = [s for s in REGISTRY.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # normalize -0.0 and integral floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _value_multiset(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_parity(spark, sf_dir, duck, spec):
+    sdf = spec.fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    res = duck.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), \
+        f"{spec.name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), \
+        f"{spec.name}: row count {len(srows)} vs {len(orows)}"
+    sm = _value_multiset(scols, [tuple(r) for r in srows])
+    om = _value_multiset(ocols, orows)
+    if sm != om:
+        diff = [(a, b) for a, b in zip(sm, om) if a != b][:5]
+        pytest.fail(f"{spec.name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_queries_run(spark, sf_dir, spec):
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
