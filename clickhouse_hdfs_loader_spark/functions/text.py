@@ -108,6 +108,9 @@ def shingles(c: Column, k: int = 3) -> Column:
     """
     ws = words_array(c)
     n = F.size(ws)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # sequence(1, 0) would DESCEND through 0 (invalid slice start) — docs
+    # shorter than k words get an explicitly empty shingle set
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+              .otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
     return F.array_distinct(grams)

@@ -1,0 +1,66 @@
+"""In-process mock ClickHouse HTTP endpoint for writer/staging/lifecycle
+tests: records every statement it receives, answers canned queries, and
+can simulate failures. One port == one 'host'."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class MockClickHouse:
+    def __init__(self, fail_first: int = 0):
+        self.statements: list[str] = []
+        self.fail_first = fail_first
+        self._failures = 0
+        self.canned: dict[str, str] = {}  # substring → TSV response
+        self._lock = threading.Lock()
+
+        mock = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"Ok.\n")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8")
+                with mock._lock:
+                    mock.statements.append(body)
+                    if mock._failures < mock.fail_first:
+                        mock._failures += 1
+                        self.send_response(500)
+                        self.end_headers()
+                        self.wfile.write(b"simulated failure")
+                        return
+                reply = ""
+                for key, resp in mock.canned.items():
+                    if key in body:
+                        reply = resp
+                        break
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(reply.encode("utf-8"))
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(target=self.server.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    @property
+    def host(self) -> str:
+        return "127.0.0.1"
+
+    def inserts(self) -> list[str]:
+        return [s for s in self.statements if s.upper().startswith("INSERT")]
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()

@@ -1,0 +1,231 @@
+"""Distribution-layer tests against the mock ClickHouse HTTP endpoint:
+W1 batching, W2 direct insert + fan-out, W3/W4 staged load + promote,
+W5 retries, D1 GC, D2/D3 lifecycle, D6 resolution."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_hdfs_loader_spark.clickhouse import staging
+from clickhouse_hdfs_loader_spark.clickhouse.client import (
+    ClickHouseError,
+    get_client,
+    with_retries,
+)
+from clickhouse_hdfs_loader_spark.clickhouse.lifecycle import (
+    LifecycleManager,
+    daily_table_name,
+    resolve_distributed,
+    sharding_key_index,
+)
+from clickhouse_hdfs_loader_spark.clickhouse.staging import (
+    rewrite_ddl_to_striplog,
+    temp_table_name,
+)
+from clickhouse_hdfs_loader_spark.clickhouse.writer import insert_header, write_direct
+from clickhouse_hdfs_loader_spark.config import LoaderConfig
+from clickhouse_hdfs_loader_spark.operators.sharding import (
+    ClusterTopology,
+    ShardNode,
+)
+
+from .mock_clickhouse import MockClickHouse
+
+
+@pytest.fixture()
+def mocks():
+    servers = [MockClickHouse() for _ in range(3)]
+    yield servers
+    for s in servers:
+        s.stop()
+
+
+def topo_of(servers, weights=None) -> ClusterTopology:
+    weights = weights or [1] * len(servers)
+    return ClusterTopology([
+        ShardNode(i + 1, w, (f"{s.host}:{s.port}",))
+        for i, (s, w) in enumerate(zip(servers, weights))])
+
+
+def test_client_roundtrip_and_ping(mocks):
+    m = mocks[0]
+    m.canned["SELECT 1"] = "1\n"
+    cli = get_client(f"{m.host}:{m.port}")
+    assert cli.ping()
+    assert cli.query_rows("SELECT 1") == [["1"]]
+
+
+def test_retry_ladder_recovers(mocks):
+    m = mocks[0]
+    m.fail_first = 2
+    cli = get_client(f"{m.host}:{m.port}")
+    with_retries(lambda: cli.execute("SELECT 'x'"), tier="ddl",
+                 max_tries=3, backoff_scale=0.001)
+    assert len(m.statements) == 3  # two failures + success
+
+
+def test_retry_ladder_exhausts(mocks):
+    m = mocks[0]
+    m.fail_first = 99
+    cli = get_client(f"{m.host}:{m.port}")
+    with pytest.raises(ClickHouseError):
+        with_retries(lambda: cli.execute("SELECT 'x'"), tier="ddl",
+                     max_tries=3, backoff_scale=0.001)
+
+
+def test_write_direct_batches_and_routes(spark, mocks):
+    """W1/W2: every row lands on exactly one shard (non-replicated,
+    single-replica shards), payload under an INSERT header, flush at
+    batch_size."""
+    cfg = LoaderConfig(batch_size=40, clickhouse_format="TabSeparated")
+    topo = topo_of(mocks)
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(200)], ["k", "v"])
+    stats = write_direct(df, "k", topo, cfg, database="db", table="t",
+                         replicated=False, backoff_scale=0.001)
+    assert stats == {"success_records": 200, "failed_records": 0}
+    total = 0
+    for m in mocks:
+        for ins in m.inserts():
+            header, _, payload = ins.partition("\n")
+            assert header == insert_header("db", "t", "TabSeparated")
+            rows = payload.splitlines()
+            assert 0 < len(rows) <= 40
+            total += len(rows)
+    assert total == 200
+
+
+def test_write_direct_routing_matches_reference_hash(spark, mocks):
+    """Rows land on the shard the Guava murmur3 walk picks."""
+    from clickhouse_hdfs_loader_spark.functions.murmur import guava_shard_code
+    cfg = LoaderConfig(batch_size=1000)
+    topo = topo_of(mocks, weights=[2, 1, 1][:len(mocks)])
+    keys = [f"key-{i}" for i in range(60)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    write_direct(df, "k", topo, cfg, database="db", table="t",
+                 backoff_scale=0.001)
+    table = topo.slot_to_shard_index()
+    expected_by_shard = {i: set() for i in range(len(mocks))}
+    for k in keys:
+        expected_by_shard[table[guava_shard_code(k) % topo.total_weight]].add(k)
+    for i, m in enumerate(mocks):
+        got = set()
+        for ins in m.inserts():
+            got.update(line.split("\t")[0] for line in ins.splitlines()[1:])
+        assert got == expected_by_shard[i], f"shard {i}"
+
+
+def test_staged_load_two_phase(spark, mocks):
+    """W3: temp StripeLog tables created + loaded on executors; promote
+    runs INSERT…SELECT then DROP on the driver; D1 GC always runs."""
+    cfg = LoaderConfig(batch_size=50)
+    topo = topo_of(mocks)
+    ddl = "CREATE TABLE db.t (k String, v Int32) ENGINE = MergeTree ORDER BY k"
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(120)], ["k", "v"])
+    plan = staging.staged_load(df, "k", topo, cfg, create_ddl=ddl,
+                               target_database="db", target_table="t",
+                               dt="2017-01-07", backoff_scale=0.001)
+    assert plan.temp_tables  # something was staged
+    all_stmts = [s for m in mocks for s in m.statements]
+    creates = [s for s in all_stmts if s.startswith("CREATE TABLE temp.")]
+    assert creates and all("ENGINE = StripeLog" in s for s in creates)
+    promotes = [s for s in all_stmts
+                if s.startswith("INSERT INTO db.t SELECT * FROM temp.")]
+    assert len(promotes) == len(plan.temp_tables)
+    drops = [s for s in all_stmts if s.startswith("DROP TABLE IF EXISTS temp.")]
+    assert len(drops) >= len(plan.temp_tables)
+    # every staged row is covered by exactly one promoted temp table
+    staged_rows = sum(len(s.splitlines()) - 1 for s in all_stmts
+                      if s.startswith("INSERT INTO temp."))
+    assert staged_rows == 120
+
+
+def test_staged_replica_replay(spark, mocks):
+    """W4: non-replicated shard with 2 replicas — promote replays via
+    remote() on the sibling."""
+    a, b = mocks[0], mocks[1]
+    topo = ClusterTopology([
+        ShardNode(1, 1, (f"{a.host}:{a.port}", f"{b.host}:{b.port}"))])
+    cfg = LoaderConfig(batch_size=50)
+    ddl = "CREATE TABLE db.t (k String) ENGINE = MergeTree ORDER BY k"
+    df = spark.createDataFrame([(f"k{i}",) for i in range(10)], ["k"])
+    staging.staged_load(df, "k", topo, cfg, create_ddl=ddl,
+                        target_database="db", target_table="t",
+                        replicated=False, backoff_scale=0.001)
+    replays = [s for s in b.statements if "FROM remote(" in s]
+    assert len(replays) == len(
+        [s for s in a.statements if s.startswith("INSERT INTO db.t SELECT")])
+
+
+def test_ddl_rewrite_to_striplog():
+    ddl = ("CREATE TABLE test_local.t1 (a String, b Int32) "
+           "ENGINE = ReplicatedMergeTree('/ch/t1', 'r1') "
+           "PARTITION BY b ORDER BY a")
+    out = rewrite_ddl_to_striplog(ddl, "temp", "t1_x_p000001_0")
+    assert out.startswith("CREATE TABLE temp.t1_x_p000001_0 ")
+    assert out.endswith("ENGINE = StripeLog")
+    assert "Replicated" not in out
+
+
+def test_temp_table_name_shape():
+    assert temp_table_name("t_20170107_123_", 7, 0) == "t_20170107_123_p000007_0"
+
+
+def test_resolve_distributed_and_key_index():
+    ddl = ("CREATE TABLE test.t1 (plat Int8, h_did String) "
+           "ENGINE = Distributed(ck_cluster, test_local, t1, cityHash64(h_did))")
+    t = resolve_distributed(ddl)
+    assert (t.cluster, t.local_database, t.local_table) == \
+        ("ck_cluster", "test_local", "t1")
+    assert t.sharding_key == "h_did"
+    rows = [["plat", "Int8"], ["h_did", "String"]]
+    assert sharding_key_index(rows, "h_did") == 1
+    assert resolve_distributed("CREATE TABLE x (a Int8) ENGINE = MergeTree") is None
+
+
+def test_lifecycle_daily_create_and_expire(mocks):
+    m = mocks[0]
+    topo = topo_of([m])
+    lm = LifecycleManager(topo, backoff_scale=0.001)
+    ddl = "CREATE TABLE db.t (a String) ENGINE = MergeTree ORDER BY a"
+    daily = lm.create_daily_tables(ddl, "db", "t", "2017-01-07", mode="drop")
+    assert daily == daily_table_name("t", "2017-01-07") == "t_20170107"
+    assert any(s.startswith("DROP TABLE IF EXISTS db.t_20170107")
+               for s in m.statements)
+    assert any("CREATE TABLE IF NOT EXISTS db.t_20170107" in s
+               for s in m.statements)
+
+    # expiry: the mock reports two old dailies; merge → INSERT+DROP each
+    m.canned["system.tables"] = "t_20170101\nt_20170102\n"
+    expired = lm.expire_daily_tables("db", "t", "2017-01-07", expires=3,
+                                     process="merge")
+    assert expired == ["t_20170101", "t_20170102"]
+    assert any(s == "INSERT INTO db.t SELECT * FROM db.t_20170101"
+               for s in m.statements)
+    assert any(s == "DROP TABLE IF EXISTS db.t_20170102" for s in m.statements)
+
+
+def test_lifecycle_partition_drop_gate_and_fanout(mocks):
+    topo = ClusterTopology([ShardNode(1, 1, (f"{mocks[0].host}:{mocks[0].port}",
+                                             f"{mocks[1].host}:{mocks[1].port}"))])
+    lm = LifecycleManager(topo, backoff_scale=0.001)
+    with pytest.raises(ValueError):
+        lm.drop_partition("db", "t", "'2017-01-07'", engine="StripeLog",
+                          replicated=False)
+    lm.drop_partition("db", "t", "'2017-01-07'", engine="MergeTree",
+                      replicated=False)
+    for m in mocks[:2]:  # every replica when non-replicated
+        assert any("DROP PARTITION '2017-01-07'" in s for s in m.statements)
+    before = len(mocks[1].statements)
+    lm.drop_partition("db", "t", "'2017-01-08'", engine="ReplicatedMergeTree",
+                      replicated=True)
+    assert any("DROP PARTITION '2017-01-08'" in s for s in mocks[0].statements)
+    assert len(mocks[1].statements) == before  # one replica suffices
+
+
+def test_clean_temp_tables(mocks):
+    m = mocks[0]
+    m.canned["system.tables"] = "temp.t_x_p000001_0\ntemp.t_x_p000002_0\n"
+    lm = LifecycleManager(topo_of([m]), backoff_scale=0.001)
+    lm.clean_temp_tables("t_x_")
+    drops = [s for s in m.statements if s.startswith("DROP TABLE IF EXISTS temp.")]
+    assert len(drops) == 2

@@ -1,0 +1,136 @@
+"""LLM-pipeline operator tests: planted near-duplicates for the fuzzy
+dedup family, ANN recall floors vs brute force, winnowing determinism,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_hdfs_loader_spark.functions.fingerprint import winnow
+from clickhouse_hdfs_loader_spark.operators import dedup as DD
+from clickhouse_hdfs_loader_spark.operators import multimodal as MM
+from clickhouse_hdfs_loader_spark.operators import similarity as SIM
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill and the birds sing in the "
+        "garden under a bright morning sun near the old oak tree")
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Docs 0/1 near-identical, 2 a shuffled distant variant, 3-9 unrelated."""
+    variant = BASE.replace("lazy dog", "sleepy dog").replace("old oak", "tall oak")
+    rows = [(0, BASE), (1, variant),
+            (2, "garden birds sing while oak trees watch the bright sun"),
+            (3, "completely different text about spark query engines and "
+                "distributed columnar execution at petabyte scale"),
+            (4, "yet another unrelated document mentioning clickhouse "
+                "sharding replication and weighted murmur hash routing"),
+            (5, BASE),  # exact duplicate of 0
+            (6, "short doc"),
+            (7, "numbers 123 456 789 and symbols tokens for the splitter"),
+            (8, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+            (9, "final filler document with some shared words like spark")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(planted_docs):
+    out = {r["keeper_id"]: r["copies"]
+           for r in DD.exact_dedup(planted_docs).collect()}
+    assert out[0] == 2          # doc 5 deduped into doc 0
+    assert 5 not in out
+    assert sum(out.values()) == 10
+
+
+def test_fingerprint_dedup_catches_case_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"])
+    out = {r["keeper_id"]: r["copies"]
+           for r in DD.fingerprint_dedup(df).collect()}
+    assert out[1] == 2 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(planted_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.ngram_jaccard_pairs(planted_docs, threshold=0.3).collect()}
+    assert (0, 5) in pairs and pairs[(0, 5)] == 1.0   # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5   # near dup
+    assert (0, 3) not in pairs                        # unrelated
+
+
+def test_minhash_lsh_finds_planted_pair(planted_docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DD.minhash_lsh_pairs(planted_docs).collect()}
+    assert (0, 5) in pairs and (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_minhash_signature_deterministic(planted_docs):
+    a = DD.minhash_signatures(planted_docs).orderBy("id").collect()
+    b = DD.minhash_signatures(planted_docs).orderBy("id").collect()
+    assert a == b
+
+
+def test_simhash_near_pair_and_distance(spark):
+    """The 4×16-band index GUARANTEES recall only for hamming ≤ 3
+    (pigeonhole); plant a 1-bit-distance variant (suffix append) and an
+    identical copy — measured distances: +' extra' → 1, unrelated → ~30."""
+    rows = [(0, BASE), (1, BASE + " extra"), (2, BASE),
+            (3, "completely different text about spark query engines"),
+            (4, "clickhouse sharding replication weighted murmur routing")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in DD.simhash_pairs(df, max_hamming=3).collect()}
+    assert pairs[(0, 2)] == 0        # identical text
+    assert pairs[(0, 1)] == 1        # 1-bit variant guaranteed found
+    assert (3, 4) not in pairs       # unrelated pair excluded
+
+
+def test_lsh_topk_recall_vs_brute(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["id"])
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    lsh = {(r["query_id"], r["id"])
+           for r in SIM.lsh_topk(emb, q, k=5, bands=8).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.5, f"LSH recall {recall}"
+
+
+def test_ivf_topk_recall_vs_brute(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["id"])
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r["query_id"], r["id"])
+           for r in SIM.ivf_topk(emb, q, k=5, m=4, nprobe=2).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
+def test_winnow_determinism_and_locality():
+    fp1 = winnow(BASE)
+    fp2 = winnow(BASE)
+    assert fp1 == fp2 and len(fp1) > 0
+    # local change perturbs only some fingerprints (winnowing guarantee)
+    fp3 = winnow(BASE.replace("lazy", "hazy"))
+    overlap = len(set(fp1) & set(fp3)) / len(set(fp1))
+    assert overlap > 0.5
+    assert winnow("tiny") == []   # shorter than k
+
+
+def test_multimodal_decode_stub_and_frames(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "x" * 200)],
+                               ["doc_id", "text"])
+    payload = MM.with_binary_payload(df)
+    meta = {r["doc_id"]: r for r in MM.decode_image_batch(payload).collect()}
+    assert meta[1]["n_bytes"] == 11
+    assert meta[1]["width"] == 64 + 11 % 577
+    assert meta[2]["n_bytes"] == 200
+    frames = MM.frame_sample(payload, every_n_bytes=64).collect()
+    assert len([f for f in frames if f["doc_id"] == 2]) == 4  # offsets 0,64,128,192
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        MM.decode_image_batch(payload, fake=False).collect()
