@@ -180,10 +180,21 @@ def transform_pipeline(df: DataFrame, *, exclude: tuple[int, ...] = (),
                        input_path: str = "", additional: tuple[str, ...] = (),
                        target_width: int | None = None,
                        null_string: str = "", null_non_string: str = "0",
-                       escape_null: bool = True) -> DataFrame:
-    """The full reference dataflow T3→T4→T6→T7→T9 as one fused projection."""
+                       escape_null: bool = True,
+                       target_string_positions: set[int] | None = None) -> DataFrame:
+    """The full reference dataflow T3→T4→T6→T7→T9 as one fused projection.
+
+    ``target_string_positions``: 0-based positions (post-exclusion) whose
+    TARGET column type is String/Nullable(String) — the reference picks the
+    null substitution by target type, not source type
+    (ClickhouseLoaderContext.java:98-111).
+    """
     out = exclude_columns(df, exclude)
-    out = null_normalize(out, null_string=null_string,
+    string_cols = None
+    if target_string_positions is not None:
+        string_cols = {c for i, c in enumerate(out.columns)
+                       if i in target_string_positions}
+    out = null_normalize(out, string_cols=string_cols, null_string=null_string,
                          null_non_string=null_non_string, escape_null=escape_null)
     if input_path:
         out = append_hive_partitions(out, input_path)
