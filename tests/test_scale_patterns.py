@@ -1,0 +1,68 @@
+"""Scale-pattern tests: salted aggregation/join exactness, native
+hive-partition pruning, stateful streaming sessionization vs batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_hdfs_loader_spark.operators.skew import (
+    salted_aggregation,
+    salted_broadcast_left,
+)
+
+
+def test_salted_aggregation_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {(r["l_returnflag"],): (r["cnt"], round(r["qty"], 6))
+             for r in li.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("qty"))
+             .collect()}
+    salted = {(r["l_returnflag"],): (r["cnt"], round(r["qty"], 6))
+              for r in salted_aggregation(
+                  li, ["l_returnflag"], num_salts=8,
+                  cnt=("count", "l_returnflag"), qty=("sum", "l_quantity"))
+              .collect()}
+    assert plain == salted
+
+
+def test_salted_broadcast_join_matches_plain(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = c.join(n, "c_nationkey").groupBy("n_name").count()
+    salted = salted_broadcast_left(c, n, "c_nationkey").groupBy("n_name").count()
+    assert {(r["n_name"], r["count"]) for r in plain.collect()} == \
+           {(r["n_name"], r["count"]) for r in salted.collect()}
+
+
+def test_hive_partition_pruning(spark, tmp_path, sf_dir):
+    """T6 native path: partitioned write + basePath read → the dt filter
+    must become a PartitionFilter (pruned at planning, zero data read from
+    other partitions), not a post-scan filter."""
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    root = str(tmp_path / "events_part")
+    ev = read_table(spark, sf_dir, "events") \
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    ev.write.partitionBy("dt").parquet(root)
+
+    df = spark.read.option("basePath", root).parquet(root) \
+        .where(F.col("dt") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    # partition value arrives as a column without being stored in files
+    assert df.count() > 0
+    # partition values are type-inferred on read (string 'YYYY-MM-DD' → date)
+    assert str(df.select("dt").distinct().collect()[0]["dt"]) == "2024-01-05"
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
+    from clickhouse_hdfs_loader_spark.streaming.stateful import (
+        run_sessionize_stream,
+    )
+    batch = {r["user_id"]: (r["n_sessions"], r["n_events"])
+             for r in REGISTRY["sessionize"].fn(spark, sf_dir).collect()}
+    stream = {r["user_id"]: (r["n_sessions"], r["n_events"])
+              for r in run_sessionize_stream(spark, sf_dir).collect()}
+    assert stream == batch
