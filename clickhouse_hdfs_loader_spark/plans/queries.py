@@ -901,3 +901,165 @@ def streaming_hourly_windows(spark, sf_dir):
     trigger, memory sink — checked against the identical SQL oracle."""
     from ..streaming.events import hourly_windows_streaming
     return hourly_windows_streaming(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# [EXT-REL 2] SQL-API surface, multi-dim aggregates, subqueries, array ops
+# ---------------------------------------------------------------------------
+
+@query("sql_api_q6", oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+""")
+def sql_api_q6(spark, sf_dir):
+    """TPC-H Q6 via the SQL API (spark.sql over registered views) — same
+    Catalyst plan as the DataFrame form; demonstrates the engine's full
+    SQL entry point."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""")
+
+
+@query("cube_agg", oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_agg(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "cnt"))
+
+
+@query("grouping_sets", oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def grouping_sets(spark, sf_dir):
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+
+
+@query("having_filter", oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15
+""")
+def having_filter(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .where(F.col("n_orders") >= 15))
+
+
+@query("correlated_exists", oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 57000)
+""")
+def correlated_exists(spark, sf_dir):
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 57000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query("scalar_subquery_agg", oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+""")
+def scalar_subquery_agg(spark, sf_dir):
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders
+        WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)""")
+
+
+@query("case_when_bucketing", oracle="""
+    SELECT CASE WHEN o_totalprice < 20000 THEN 'small'
+                WHEN o_totalprice < 45000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+""")
+def case_when_bucketing(spark, sf_dir):
+    bucket = (F.when(F.col("o_totalprice") < 20000, "small")
+              .when(F.col("o_totalprice") < 45000, "medium")
+              .otherwise("large"))
+    return (_t(spark, sf_dir, "orders")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_price")))
+
+
+@query("union_distinct", oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+""")
+def union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.union(s).distinct()
+
+
+@query("array_ops", oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm2,
+           round(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE))), 4) AS head_sum
+    FROM embeddings
+""")
+def array_ops(spark, sf_dir):
+    """Array-column surface: size/slice/aggregate over array<float> —
+    the embedding-column manipulation vocabulary."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id", F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4)
+         .alias("norm2"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("head_sum"))
+
+
+@query("regexp_extract_groups", oracle="""
+    SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str
+    FROM events
+""")
+def regexp_extract_groups(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str")))
