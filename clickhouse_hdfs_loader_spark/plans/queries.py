@@ -1063,3 +1063,82 @@ def regexp_extract_groups(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .select("event_id",
                     F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str")))
+
+
+# ---------------------------------------------------------------------------
+# [EXT-TS] Time-series joins + composite corpus pipeline
+# ---------------------------------------------------------------------------
+
+@query("asof_join_events", oracle="""
+    SELECT c.event_id,
+           round(coalesce(p.value, -1.0), 2) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+""", bench=True)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event carries the most
+    recent prior purchase value of the same user. Spark has no ASOF JOIN;
+    this is the union+window composition, oracled against DuckDB's native
+    ASOF JOIN."""
+    from ..operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, key="user_id", ts="ts",
+                    value_cols=["value"])
+    return out.select("event_id",
+                      F.round(F.coalesce("asof_value", F.lit(-1.0)), 2)
+                      .alias("last_purchase_value"))
+
+
+@query("range_join_events", oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND epoch(e.ts) - epoch(p.ts) >= 0
+     AND epoch(e.ts) - epoch(p.ts) < 3600
+""")
+def range_join_events(spark, sf_dir):
+    """Range join: errors within 1h after a purchase by the same user."""
+    from ..operators.asof import range_join
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    errors = e.where(F.col("event_type") == "error")
+    out = range_join(purchases, errors, key="user_id",
+                     left_ts="ts", right_ts="ts", lower_s=0, upper_s=3600)
+    return out.select(F.col("l.event_id").alias("purchase_id"),
+                      F.col("r.event_id").alias("error_id"))
+
+
+@query("corpus_prep_pipeline", oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(regexp_extract_all(text, '[^ ]+')) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE n_chars BETWEEN 50 AND 1500),
+    deduped AS (
+      SELECT lang, min(doc_id) AS keeper, max(n_tokens) AS n_tokens
+      FROM scored GROUP BY fp, lang)
+    SELECT lang, count(*) AS docs, sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM deduped GROUP BY lang
+""", bench=True)
+def corpus_prep_pipeline(spark, sf_dir):
+    """Composite LLM-corpus preparation: length filter → fingerprint dedup
+    (keep min id per normalized text per lang) → per-language token
+    accounting. The end-to-end shape of a training-data prep job."""
+    d = _t(spark, sf_dir, "documents")
+    scored = (d.where(F.col("n_chars").between(50, 1500))
+              .select("doc_id", "lang",
+                      TX.whitespace_token_count(F.col("text")).alias("n_tokens"),
+                      TX.md5_fingerprint(F.col("text")).alias("fp")))
+    deduped = (scored.groupBy("fp", "lang")
+               .agg(F.min("doc_id").alias("keeper"),
+                    F.max("n_tokens").alias("n_tokens")))
+    return (deduped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens")))
