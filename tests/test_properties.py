@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the transform core and hash
+parity invariants — cheap distribution-wide guarantees on the operators
+whose unit tests only probe single examples."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clickhouse_hdfs_loader_spark.functions.murmur import (
+    guava_shard_code,
+    guava_shard_index,
+    murmur3_128,
+)
+from clickhouse_hdfs_loader_spark.operators.sharding import (
+    ClusterTopology,
+    ShardNode,
+)
+from clickhouse_hdfs_loader_spark.operators.transform import (
+    extract_hive_partitions,
+)
+
+# plain text without the delimiter or backslash — field-safe alphabet
+field_text = st.text(
+    alphabet=st.characters(blacklist_characters="|\\\n\r", codec="utf-8"),
+    max_size=30)
+
+
+@given(st.text(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_murmur_digest_shape_and_determinism(s):
+    d1 = murmur3_128(s.encode("utf-16-le"))
+    d2 = murmur3_128(s.encode("utf-16-le"))
+    assert d1 == d2 and len(d1) == 16
+    assert 0 <= guava_shard_code(s) <= 0x7FFFFFFF
+
+
+@given(st.text(max_size=32), st.integers(min_value=1, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_shard_index_in_range(s, total_weight):
+    assert 0 <= guava_shard_index(s, total_weight) < total_weight
+
+
+@given(st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_weight_walk_covers_all_slots(weights):
+    t = ClusterTopology([ShardNode(i + 1, w) for i, w in enumerate(weights)])
+    table = t.slot_to_shard_index()
+    assert len(table) == t.total_weight
+    # cumulative walk agrees with the dense table for every slot
+    for slot in range(t.total_weight):
+        assert t.nodes[table[slot]] is t.shard_for_slot(slot)
+    # each shard owns exactly `weight` slots
+    for i, w in enumerate(weights):
+        assert table.count(i) == w
+
+
+@given(st.lists(field_text, min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_tokenize_serialize_roundtrip_logic(fields):
+    """Python-level model of T1: splitting a joined line on the delimiter
+    with keep-trailing-empty semantics recovers the fields exactly."""
+    line = "|".join(fields)
+    assert line.split("|") == fields
+
+
+# the reference's pattern is ASCII-only: [0-9a-zA-Z_]+=[0-9a-zA-Z_\-]+
+# (AbstractClickhouseLoaderMapper.java:40) — non-ASCII keys are skipped
+_key_alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+
+
+@given(st.dictionaries(
+    st.text(alphabet=_key_alpha, min_size=1, max_size=8),
+    st.text(alphabet=_key_alpha + "-", min_size=1, max_size=8),
+    max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_hive_partition_extraction_total(parts):
+    path = "/data/" + "/".join(f"{k}={v}" for k, v in parts.items()) + "/f"
+    assert extract_hive_partitions(path) == list(parts.items())
