@@ -1142,3 +1142,44 @@ def corpus_prep_pipeline(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.round(F.avg("n_tokens"), 4).alias("avg_tokens")))
+
+
+@query("from_json_struct", oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+""")
+def from_json_struct(spark, sf_dir):
+    """Typed JSON parsing: from_json into a struct column (vs the
+    path-extraction twin json_extract)."""
+    parsed = F.from_json("props", "k INT")
+    return (_t(spark, sf_dir, "events")
+            .withColumn("j", parsed)
+            .select("event_id", F.col("j.k").alias("k"),
+                    (F.col("j.k") % 10).alias("k_mod")))
+
+
+@query("embedding_label_centroids", oracle="""
+    WITH per_dim AS (
+      SELECT label, i.i AS dim_idx,
+             avg(CAST(embedding[i.i] AS DOUBLE)) AS mu
+      FROM embeddings, generate_series(1, 4) i(i)
+      GROUP BY label, i.i)
+    SELECT label, round(sum(mu * mu), 4) AS centroid_head_norm2,
+           count(*) AS dims
+    FROM per_dim GROUP BY label
+""")
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid statistics over the first 4 embedding dims —
+    the grouped-vector-mean shape of IVF training, expressed natively
+    (posexplode + avg per (label, dim))."""
+    e = _t(spark, sf_dir, "embeddings")
+    head = F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 4)
+    per_dim = (e.select("label", F.posexplode(head).alias("dim_pos", "x"))
+               .groupBy("label", (F.col("dim_pos") + 1).alias("dim_idx"))
+               .agg(F.avg("x").alias("mu")))
+    return (per_dim.groupBy("label")
+            .agg(F.round(F.sum(F.col("mu") * F.col("mu")), 4)
+                 .alias("centroid_head_norm2"),
+                 F.count(F.lit(1)).alias("dims")))
