@@ -1183,3 +1183,47 @@ def embedding_label_centroids(spark, sf_dir):
             .agg(F.round(F.sum(F.col("mu") * F.col("mu")), 4)
                  .alias("centroid_head_norm2"),
                  F.count(F.lit(1)).alias("dims")))
+
+
+@query("loader_throughput", tags=("no-oracle",), bench=True)
+def loader_throughput(spark, sf_dir):
+    """The reference's actual workload, end-to-end minus the network:
+    lineitem → transform chain (exclude/null/append/width) → weighted
+    murmur3_128 shard routing (Guava-parity UDF) → TabSeparated wire
+    serialization. Returns (shard, line) rows ready for the batch writer —
+    benches the full load path at fixture scale."""
+    from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
+    li = _t(spark, sf_dir, "lineitem")
+    out = T.transform_pipeline(
+        li, exclude=(1, 2), input_path="/data/lineitem/dt=2017-01-07",
+        additional=("batch9",), target_width=11)
+    topo = ClusterTopology([ShardNode(1, 2), ShardNode(2, 1), ShardNode(3, 1)])
+    routed = assign_shard(out, "l_orderkey", topo)
+    data_cols = [c for c in routed.columns if c != "shard"]
+    line = F.concat_ws("\t", *[F.col(c).cast("string") for c in data_cols])
+    # aggregate over the produced columns so a count() action cannot prune
+    # the routing/serialization work away — benches the real load path
+    return (routed.select("shard", line.alias("line"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum("shard").alias("shard_sum"),
+                 F.sum(F.length("line")).alias("bytes_out")))
+
+
+@query("loader_throughput_jvm", tags=("no-oracle",), bench=True)
+def loader_throughput_jvm(spark, sf_dir):
+    """Same load path with parity=False routing (JVM xxhash64) — the
+    all-codegen variant; the delta vs loader_throughput is the cost of
+    Guava hash parity."""
+    from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
+    li = _t(spark, sf_dir, "lineitem")
+    out = T.transform_pipeline(
+        li, exclude=(1, 2), input_path="/data/lineitem/dt=2017-01-07",
+        additional=("batch9",), target_width=11)
+    topo = ClusterTopology([ShardNode(1, 2), ShardNode(2, 1), ShardNode(3, 1)])
+    routed = assign_shard(out, "l_orderkey", topo, parity=False)
+    data_cols = [c for c in routed.columns if c != "shard"]
+    line = F.concat_ws("\t", *[F.col(c).cast("string") for c in data_cols])
+    return (routed.select("shard", line.alias("line"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum("shard").alias("shard_sum"),
+                 F.sum(F.length("line")).alias("bytes_out")))
