@@ -16,6 +16,12 @@ Three tiers:
   touches a small fraction of partitions.
 
 All cosine math is native ``zip_with``/``aggregate`` (functions/vectors).
+
+Background (PAPERS.md corpus): distributed top-k similarity search with
+local pruning follows REPOSE (ICDE 2021, local reference-point tries =
+our centroid buckets) and the incremental top-k framework of EDBT 2020;
+the LSH design is the standard sign-random-projection family surveyed in
+"Continuously Adaptive Similarity Search" (SIGMOD 2020).
 """
 
 from __future__ import annotations

@@ -1227,3 +1227,57 @@ def loader_throughput_jvm(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("rows"),
                  F.sum("shard").alias("shard_sum"),
                  F.sum(F.length("line")).alias("bytes_out")))
+
+
+@query("stats_agg", oracle="""
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 4) AS var,
+           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 4) AS cv,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+           arg_max(o_orderkey, o_totalprice) AS top_order,
+           arg_min(o_orderkey, o_totalprice) AS bottom_order
+    FROM orders GROUP BY o_orderstatus
+""")
+def stats_agg(spark, sf_dir):
+    """Statistical aggregate surface: stddev/variance/corr/covar, exact
+    interpolated median, arg-max/arg-min."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+                 F.round(F.var_samp("o_totalprice"), 4).alias("var"),
+                 F.round(F.corr("o_totalprice", "o_custkey"), 6)
+                  .alias("price_cust_corr"),
+                 F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias("cv"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.5)), 4)
+                  .alias("median"),
+                 F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+                 F.min_by("o_orderkey", "o_totalprice").alias("bottom_order")))
+
+
+@query("window_functions_sampler", oracle="""
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           ntile(4) OVER w AS quartile,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_functions_sampler(spark, sf_dir):
+    """Window-function surface: lag/lead/first_value/ntile + a value-RANGE
+    frame (trailing 1h sum per user)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wr = (Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+          .rangeBetween(-3600, 0))
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.lag("event_id").over(w).alias("prev_event"),
+                    F.lead("event_id").over(w).alias("next_event"),
+                    F.first("event_id").over(w).alias("first_event"),
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.sum("value").over(wr), 2).alias("value_1h")))
