@@ -1281,3 +1281,49 @@ def window_functions_sampler(spark, sf_dir):
                     F.first("event_id").over(w).alias("first_event"),
                     F.ntile(4).over(w).alias("quartile"),
                     F.round(F.sum("value").over(wr), 2).alias("value_1h")))
+
+
+@query("dedup_materialize", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(w) - 2)])) AS s
+      FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.35),
+    losers AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+""")
+def dedup_materialize(spark, sf_dir):
+    """Materialized greedy dedup: drop the higher id of every near-dup
+    pair (jaccard ≥ 0.35), return the surviving corpus ids. The
+    component-correct variant is dedup_connected_components."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.35)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+@query("dedup_connected_components", tags=("no-oracle",))
+def dedup_connected_components(spark, sf_dir):
+    """Component-correct dedup keeper assignment: connected components
+    (iterative min-label propagation, operators/components.py) over the
+    jaccard near-dup graph — genuinely non-SQL-expressible (iterative),
+    hence rows-only here with pytest fixpoint checks."""
+    from ..operators.components import dedup_components
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.35)
+    return dedup_components(d, pairs)
