@@ -90,7 +90,8 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
     routed = repartition_by_shard(df, key_col, topology,
                                   config.loader_task_executor)
     data_cols = [c for c in routed.columns if c != "shard"]
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in data_cols])
+    line = F.concat_ws(sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                               for c in data_cols])  # nulls → \N, never dropped
     serialized = routed.select("shard", line.alias("line"))
 
     def stage_one(rows):

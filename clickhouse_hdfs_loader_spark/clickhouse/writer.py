@@ -102,7 +102,8 @@ def write_direct(df: DataFrame, key_col: str, topology: ClusterTopology,
     data_cols = [c for c in routed.columns if c != "shard"]
     sep = "\t" if fmt.startswith("TabSeparated") else ","
     from pyspark.sql import functions as F
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in data_cols])
+    line = F.concat_ws(sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                               for c in data_cols])  # nulls → \N, never dropped
     serialized = routed.select("shard", line.alias("line"))
 
     def write_partition(rows) -> None:

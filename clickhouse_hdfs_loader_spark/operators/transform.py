@@ -156,8 +156,12 @@ def serialize_rows(df: DataFrame, fmt: str = "TabSeparated") -> DataFrame:
     header per batch (AbstractClickhouseLoaderMapper.java:288-298).
     """
     sep = "\t" if fmt.startswith("TabSeparated") else ","
-    return df.select(F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
-                     .alias("line"))
+    # concat_ws SKIPS null columns, which would silently shift the row
+    # width on the wire — any null surviving to serialization (e.g.
+    # escape_null=False on a non-string column) must serialize as the
+    # ClickHouse NULL marker \N, like the reference's raw passthrough
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns]
+    return df.select(F.concat_ws(sep, *cols).alias("line"))
 
 
 @dataclass

@@ -229,3 +229,21 @@ def test_clean_temp_tables(mocks):
     lm.clean_temp_tables("t_x_")
     drops = [s for s in m.statements if s.startswith("DROP TABLE IF EXISTS temp.")]
     assert len(drops) == 2
+
+
+def test_drop_partition_cli_tool(mocks):
+    """D4 CLI: resolve Distributed → gate engine → fan out ALTER."""
+    from clickhouse_hdfs_loader_spark.tools import drop_partition
+    entry = mocks[0]
+    entry.canned["SHOW CREATE TABLE db.t1"] = (
+        "CREATE TABLE db.t1 (a Int8) ENGINE = Distributed(ck, db_local, t1, rand())")
+    entry.canned["SHOW CREATE TABLE db_local.t1"] = (
+        "CREATE TABLE db_local.t1 (a Int8) ENGINE = MergeTree ORDER BY a")
+    entry.canned["system.clusters"] = (
+        f"1\t1\t['{mocks[0].host}:{mocks[0].port}']\n"
+        f"2\t1\t['{mocks[1].host}:{mocks[1].port}']\n")
+    drop_partition(f"jdbc:clickhouse://{entry.host}:{entry.port}/db",
+                   "t1", "'2017-01-07'", backoff_scale=0.001)
+    for m in mocks[:2]:
+        assert any("ALTER TABLE db_local.t1 DROP PARTITION '2017-01-07'" in s
+                   for s in m.statements)

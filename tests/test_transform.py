@@ -96,3 +96,12 @@ def test_count_malformed(spark):
         ["v", "_corrupt_record"])
     stats = T.count_malformed(df)
     assert (stats.total, stats.rejected) == (3, 1)
+
+
+def test_serialize_nulls_as_marker(spark):
+    # concat_ws drops nulls by default — serialization must emit \N and
+    # keep the column count stable (wire-format width invariant)
+    df = spark.createDataFrame([("a", None, 1), (None, "b", None)],
+                               ["s1", "s2", "i"])
+    lines = sorted(r["line"] for r in T.serialize_rows(df).collect())
+    assert lines == ["\\N\tb\t\\N", "a\t\\N\t1"]
