@@ -20,15 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .clickhouse.client import ClickHouseClient, get_client
+from .clickhouse.client import get_client
 from .clickhouse.lifecycle import LifecycleManager, resolve_distributed
 from .clickhouse.staging import staged_load, temp_table_prefix
 from .clickhouse.writer import write_direct
 from .config import LoaderConfig, parse_args
 from .operators.transform import transform_pipeline
 from .sources import catalog
-from .sources.tables import read_orc_stringly
-from .sources.text import read_delimited
 
 
 def _parse_connect(connect: str) -> tuple[str, int, str]:
@@ -41,20 +39,20 @@ def _parse_connect(connect: str) -> tuple[str, int, str]:
 
 def read_input(spark: SparkSession, config: LoaderConfig,
                num_fields: int | None = None) -> DataFrame:
-    if config.input_format == "text":
-        if num_fields is None:
-            # infer the source width from the first line (the reference
-            # decodes per-row with no declared width; a DataFrame needs a
-            # fixed projection) — trailing-empty-field semantics included
-            first = spark.read.text(config.export_dir).first()
-            sep = config.fields_terminated_by
-            num_fields = (first["value"].count(sep) + 1) if first else 1
-        return read_delimited(spark, config.export_dir,
-                              sep=config.fields_terminated_by,
-                              num_fields=num_fields)
-    if config.input_format == "orc":
-        return read_orc_stringly(spark, config.export_dir)
-    return spark.read.parquet(config.export_dir)
+    """Decode via the pluggable format registry (sources/registry.py) —
+    the Spark analogue of getRowRecordDecoder
+    (AbstractClickhouseLoaderMapper.java:147-150)."""
+    from .sources.registry import get_decoder
+    if config.input_format == "text" and num_fields is None:
+        # infer the source width from the first line (the reference
+        # decodes per-row with no declared width; a DataFrame needs a
+        # fixed projection) — trailing-empty-field semantics included
+        first = spark.read.text(config.export_dir).first()
+        sep = config.fields_terminated_by
+        num_fields = (first["value"].count(sep) + 1) if first else 1
+    return get_decoder(config.input_format)(
+        spark, config.export_dir, sep=config.fields_terminated_by,
+        num_fields=num_fields)
 
 
 def run_load(config: LoaderConfig, spark: SparkSession,

@@ -1327,3 +1327,27 @@ def dedup_connected_components(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, threshold=0.35)
     return dedup_components(d, pairs)
+
+
+@query("sanitize_fields", oracle="""
+    SELECT doc_id,
+           replace(replace(source || '|' || lang, '|', ' '), '\\', '/')
+             AS sanitized
+    FROM documents
+""")
+def sanitize_fields_query(spark, sf_dir):
+    """T5 field sanitization (AbstractClickhouseLoaderMapper.java:201):
+    in-field delimiter → replace-char, backslash → slash."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat_ws("|", "source", "lang")
+    return d.select("doc_id",
+                    F.translate(dirty, "|\\", " /").alias("sanitized"))
+
+
+@query("multimodal_frame_sample", tags=("no-oracle",))
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque binary payloads (video-decode shape):
+    one row per sampled offset with an 8-byte frame slice."""
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return (MM.frame_sample(d, every_n_bytes=128)
+            .select("doc_id", "frame_off"))

@@ -7,6 +7,9 @@ from __future__ import annotations
 
 import os
 import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
 from clickhouse_hdfs_loader_spark.session import get_spark
