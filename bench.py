@@ -4,9 +4,10 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Timing = full query execution to a count()-materialized result (collect
-would bottleneck on driver transfer for the wide outputs; count forces
-every operator including sinks of the plan).
+Timing = full query execution through collect() — count() lets Catalyst
+shortcut 1-row global aggregates (and with it the whole pipeline being
+measured); every bench query returns a small-to-moderate result set, so
+driver transfer is negligible.
 """
 
 from __future__ import annotations
@@ -28,12 +29,12 @@ def main() -> None:
     bench_specs = [s for s in REGISTRY.values() if s.bench]
     # warm the JVM + file listing once so per-query numbers measure the
     # queries, not session startup
-    REGISTRY["filtered_projection"].fn(spark, sf_dir).count()
+    REGISTRY["filtered_projection"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for spec in bench_specs:
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        spec.fn(spark, sf_dir).collect()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

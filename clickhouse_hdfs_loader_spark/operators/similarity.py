@@ -167,3 +167,51 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
             .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
+
+
+def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul (``mapInPandas``).
+
+    The native expression-tree cosine (brute_force_topk) is the right plan
+    for small probes, but dense similarity over millions of vectors wants
+    BLAS: each partition computes ``corpus_block @ Q.T`` in one sgemm call
+    and emits only its local top-k per query, so the shuffle carries
+    k·queries rows per partition instead of the full score matrix. Same
+    results as brute_force_topk (ties broken by ascending id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids_q, Q = bq.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = M @ Q.T                       # (block × queries) in one gemm
+            for qi, qid in enumerate(ids_q):
+                col = S[:, qi]
+                mask = ids != qid
+                cids, scores = ids[mask], col[mask]
+                take = min(k, len(cids))
+                if take == 0:
+                    continue
+                part = np.argpartition(-scores, take - 1)[:take]
+                yield pd.DataFrame({"query_id": qid, "id": cids[part],
+                                    "cos": scores[part]})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "id", F.round("cos", 4).alias("cos"), "rank"))

@@ -1191,9 +1191,14 @@ def loader_throughput(spark, sf_dir):
     lineitem → transform chain (exclude/null/append/width) → weighted
     murmur3_128 shard routing (Guava-parity UDF) → TabSeparated wire
     serialization. Returns (shard, line) rows ready for the batch writer —
-    benches the full load path at fixture scale."""
+    benches the full load path at fixture scale.
+
+    The sf0.1 fixture is ONE 40 MB parquet split; a 100 TB load arrives in
+    thousands of splits with the routing UDF running per split. The
+    repartition below restores that per-core parallelism locally so the
+    bench measures the hash path, not a single-worker artifact."""
     from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").repartition(32)
     out = T.transform_pipeline(
         li, exclude=(1, 2), input_path="/data/lineitem/dt=2017-01-07",
         additional=("batch9",), target_width=11)
@@ -1215,7 +1220,7 @@ def loader_throughput_jvm(spark, sf_dir):
     all-codegen variant; the delta vs loader_throughput is the cost of
     Guava hash parity."""
     from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").repartition(32)
     out = T.transform_pipeline(
         li, exclude=(1, 2), input_path="/data/lineitem/dt=2017-01-07",
         additional=("batch9",), target_width=11)
@@ -1351,3 +1356,29 @@ def multimodal_frame_sample(spark, sf_dir):
     d = MM.with_binary_payload(_t(spark, sf_dir, "documents"))
     return (MM.frame_sample(d, every_n_bytes=128)
             .select("doc_id", "frame_off"))
+
+
+@query("similarity_topk_blas", oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS id,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+             AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, id, round(cos, 4) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, id, cos, rank FROM ranked WHERE rank <= 5
+""", bench=True)
+def similarity_topk_blas(spark, sf_dir):
+    """Exact top-5 via Arrow+numpy sgemm per partition
+    (similarity.brute_force_topk_numpy) — the dense-math scale path;
+    identical results (and oracle) as the native-expression twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk_numpy(emb, emb.where(F.col("vec_id") < 5), k=5)

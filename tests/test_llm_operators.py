@@ -134,3 +134,11 @@ def test_multimodal_decode_stub_and_frames(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         MM.decode_image_batch(payload, fake=False).collect()
+
+
+def test_numpy_topk_matches_native(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    native = sorted(map(tuple, SIM.brute_force_topk(emb, q, k=5).collect()))
+    blas = sorted(map(tuple, SIM.brute_force_topk_numpy(emb, q, k=5).collect()))
+    assert native == blas
