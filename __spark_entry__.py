@@ -12,9 +12,14 @@ from SURVEY.md §2 plus the [EXT] LLM-pipeline operators.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# resolvable regardless of the driver's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
 
