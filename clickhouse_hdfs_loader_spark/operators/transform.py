@@ -172,7 +172,12 @@ class RejectStats:
 
 
 def count_malformed(df: DataFrame, corrupt_col: str = "_corrupt_record") -> RejectStats:
-    """Count PERMISSIVE-mode rejects in one pass (distributed, no collect)."""
+    """Count PERMISSIVE-mode rejects in one pass (distributed, no collect).
+
+    Spark forbids aggregating the internal corrupt-record column straight
+    off a CSV/JSON scan (SPARK-21610) — persist the parsed frame first
+    (``df.cache()``) when the frame comes directly from a reader.
+    """
     row = df.select(
         F.count(F.lit(1)).alias("total"),
         F.count(F.col(corrupt_col)).alias("rejected"),

@@ -105,3 +105,17 @@ def test_serialize_nulls_as_marker(spark):
                                ["s1", "s2", "i"])
     lines = sorted(r["line"] for r in T.serialize_rows(df).collect())
     assert lines == ["\\N\tb\t\\N", "a\t\\N\t1"]
+
+
+def test_permissive_csv_reject_accounting(spark, tmp_path):
+    # source-level reject counter: PERMISSIVE typed read marks rows whose
+    # fields don't parse; count_malformed mirrors the reference's
+    # "Illegal format records" counter (W6)
+    from clickhouse_hdfs_loader_spark.sources.text import read_delimited
+    p = tmp_path / "in.txt"
+    p.write_text("1|a\n2|b\nxx|c\n3|d\n")
+    df = read_delimited(spark, str(p), sep="|",
+                        schema="id INT, name STRING, _corrupt_record STRING")
+    df = df.cache()  # SPARK-21610: corrupt-col-only queries need persisted input
+    stats = T.count_malformed(df)
+    assert (stats.total, stats.rejected) == (4, 1)
