@@ -11,9 +11,9 @@ def _register_portable_pickling() -> None:
     try:
         from pyspark import cloudpickle
 
-        from .functions import fingerprint, murmur
+        from .functions import fingerprint, murmur, murmur_np
         from .operators import multimodal
-        for mod in (murmur, fingerprint, multimodal):
+        for mod in (murmur, murmur_np, fingerprint, multimodal):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:  # pragma: no cover — best-effort portability shim
         pass

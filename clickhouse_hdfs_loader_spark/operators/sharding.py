@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
 from ..functions.murmur import guava_shard_code
+from ..functions.murmur_np import guava_shard_codes
 
 
 @dataclass
@@ -66,18 +67,21 @@ def shard_slot_udf(total_weight: int) -> "F.pandas_udf":
     per-row random route exactly like the reference's UUID fallback."""
     import uuid
 
+    # captured in the closure (NOT imported inside the UDF) so by-value
+    # cloudpickle ships it to workers that can't import this package
+    vectorized_codes = guava_shard_codes
+
     @F.pandas_udf(IntegerType())
     def _slot(keys: pd.Series) -> pd.Series:
-        # hash each DISTINCT key once per Arrow batch — real sharding keys
-        # (device/user ids) repeat heavily, so this cuts Python hash calls
-        # by the duplication factor (~4× on the lineitem fixture)
-        mapping = {k: guava_shard_code(str(k)) % total_weight
-                   for k in keys.dropna().unique() if k != ""}
-        def one(k):
-            if k is None or k == "":
-                return guava_shard_code(str(uuid.uuid4())) % total_weight
-            return mapping[k]
-        return keys.map(one).astype("int32")
+        # vectorized Guava-parity murmur (functions/murmur_np: numpy uint64
+        # wrap-around arithmetic, keys grouped by byte length — ~6× the
+        # scalar hash); blank/null keys get the UUID random route
+        vals = keys.to_numpy(dtype=object)
+        blank = pd.isna(keys).to_numpy() | (vals == "")
+        filled = [str(uuid.uuid4()) if b else str(v)
+                  for v, b in zip(vals, blank)]
+        codes = vectorized_codes(filled)
+        return pd.Series((codes % total_weight).astype("int32"))
 
     return _slot
 

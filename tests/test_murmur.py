@@ -58,3 +58,32 @@ def test_sharding_test_constant():
 def test_shard_code_non_negative():
     for key, _, _ in GOLDEN:
         assert 0 <= guava_shard_code(key) <= 0x7FFFFFFF
+
+
+def test_numpy_parity_with_scalar_hypothesis():
+    """Vectorized murmur (functions/murmur_np) is bit-exact with the
+    golden-verified scalar implementation across arbitrary unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.functions.murmur_np import (
+        guava_shard_codes,
+    )
+
+    @given(st.lists(st.text(max_size=48), min_size=1, max_size=50))
+    @settings(max_examples=150, deadline=None)
+    def check(keys):
+        got = list(guava_shard_codes(keys))
+        want = [guava_shard_code(k) for k in keys]
+        assert got == want
+
+    check()
+
+
+def test_numpy_parity_on_goldens():
+    from clickhouse_hdfs_loader_spark.functions.murmur_np import (
+        guava_shard_codes,
+    )
+    keys = [k for k, _, _ in GOLDEN]
+    got = list(guava_shard_codes(keys))
+    assert got == [a & 0x7FFFFFFF for _, a, _ in GOLDEN]
