@@ -1382,3 +1382,34 @@ def similarity_topk_blas(spark, sf_dir):
     identical results (and oracle) as the native-expression twin."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk_numpy(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+@query("limit_offset", oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+""")
+def limit_offset(spark, sf_dir):
+    """Deterministic pagination: ORDER BY + OFFSET + LIMIT."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .offset(20).limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("total")))
+
+
+@query("nulls_ordering", oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN NULL
+                ELSE round(o_totalprice, 2) END AS maybe_total
+    FROM orders
+    ORDER BY maybe_total ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+""")
+def nulls_ordering(spark, sf_dir):
+    """Explicit NULLS FIRST ordering with injected nulls."""
+    maybe = (F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("double"))
+             .otherwise(F.round("o_totalprice", 2)))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", maybe.alias("maybe_total"))
+            .orderBy(F.asc_nulls_first("maybe_total"), F.asc("o_orderkey"))
+            .limit(50))

@@ -247,3 +247,26 @@ def test_drop_partition_cli_tool(mocks):
     for m in mocks[:2]:
         assert any("ALTER TABLE db_local.t1 DROP PARTITION '2017-01-07'" in s
                    for s in m.statements)
+
+
+def test_staged_cleanup_on_promote_failure(spark, mocks):
+    """Abort path (CleanupTempTableOutputCommitter parity): when promote
+    fails permanently, the staged temp tables are still dropped."""
+    import pytest as _pytest
+
+    from clickhouse_hdfs_loader_spark.clickhouse.client import ClickHouseError
+    cfg = LoaderConfig(batch_size=50, max_tries=2)
+    topo = topo_of(mocks[:1])
+    ddl = "CREATE TABLE db.t (k String) ENGINE = MergeTree ORDER BY k"
+    df = spark.createDataFrame([(f"k{i}",) for i in range(10)], ["k"])
+    plan = staging.stage_partitions(df, "k", topo, cfg, create_ddl=ddl,
+                                    target_database="db", target_table="t",
+                                    dt="2017-01-07", backoff_scale=0.001)
+    assert plan.temp_tables
+    m = mocks[0]
+    m.fail_first = 99  # every subsequent statement fails...
+    with _pytest.raises(ClickHouseError):
+        staging.promote(plan, topo, cfg, backoff_scale=0.001)
+    # ...yet the cleanup DROPs were attempted for every staged table
+    drops = [s for s in m.statements if s.startswith("DROP TABLE IF EXISTS temp.")]
+    assert len(drops) >= len(plan.temp_tables)
