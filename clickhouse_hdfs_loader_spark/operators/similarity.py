@@ -215,3 +215,57 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "id", F.round("cos", 4).alias("cos"), "rank"))
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means for IVF coarse centroids.
+
+    Seeds = the ``k`` lowest-id vectors; each iteration assigns every
+    vector to its max-cosine centroid (one codegen scan — ivf_assign) and
+    recomputes centroid means (posexplode + avg per (centroid, dim), one
+    shuffle). Centroids live on the driver between rounds (k×dim floats),
+    so iteration cost is 2 jobs × iters — the distributed-iterative
+    pattern the IVF quality path needs, kept reproducible (fixed seeds, no
+    randomness) for the correctness harness.
+    """
+    cents = seed_centroids(corpus, k, vec_col, id_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col, id_col)
+        per_dim = (assigned
+                   .select("centroid", F.posexplode(
+                       F.transform("v", lambda x: x.cast("double")))
+                       .alias("dim", "x"))
+                   .groupBy("centroid", "dim").agg(F.avg("x").alias("mu")))
+        rows = (per_dim.groupBy("centroid")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "mu")))
+                     .alias("dims"))
+                .collect())
+        new_cents = dict(cents)
+        for r in rows:
+            new_cents[r["centroid"]] = [d["mu"] for d in r["dims"]]
+        cents = sorted(new_cents.items())
+    return cents
+
+
+def ivf_topk_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     m: int = 8, nprobe: int = 2, iters: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """IVF search over k-means-trained centroids (vs the seed-centroid
+    ivf_topk): better-balanced buckets → higher recall at equal nprobe."""
+    cents = kmeans_fit(corpus, m, iters, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_structs = []
+    for cid, cv in cents:
+        cvec = F.array(*[F.lit(float(x)) for x in cv])
+        probe_structs.append(F.struct(cosine(F.col("qv"), cvec).alias("cos"),
+                                      F.lit(cid).alias("centroid")))
+    probes = (q.withColumn("probe", F.explode(
+                  F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe)))
+              .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
+    cand = (assigned.join(F.broadcast(probes), "centroid")
+            .where(F.col("query_id") != F.col("id")))
+    return _ranked_topk(cand.withColumn("cos", cosine(F.col("qv"), F.col("v"))), k)

@@ -1413,3 +1413,13 @@ def nulls_ordering(spark, sf_dir):
             .select("o_orderkey", maybe.alias("maybe_total"))
             .orderBy(F.asc_nulls_first("maybe_total"), F.asc("o_orderkey"))
             .limit(50))
+
+
+@query("ann_ivf_trained_topk", tags=("no-oracle",))
+def ann_ivf_trained_topk(spark, sf_dir):
+    """ANN top-5 via k-means-trained IVF (Lloyd iterations on the
+    cluster, centroids on the driver) — the quality path over
+    ann_ivf_topk's seed centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk_trained(emb, emb.where(F.col("vec_id") < 5), k=5,
+                                m=8, nprobe=2, iters=2)

@@ -142,3 +142,20 @@ def test_numpy_topk_matches_native(spark, sf_dir):
     native = sorted(map(tuple, SIM.brute_force_topk(emb, q, k=5).collect()))
     blas = sorted(map(tuple, SIM.brute_force_topk_numpy(emb, q, k=5).collect()))
     assert native == blas
+
+
+def test_kmeans_deterministic_and_improves_recall_path(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = SIM.kmeans_fit(emb, k=4, iters=2)
+    c2 = SIM.kmeans_fit(emb, k=4, iters=2)
+    assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+    assert all(abs(a - b) < 1e-12 for (_, v1), (_, v2) in zip(c1, c2)
+               for a, b in zip(v1, v2))
+
+    q = emb.where(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["id"])
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    trained = {(r["query_id"], r["id"])
+               for r in SIM.ivf_topk_trained(emb, q, k=5, m=4, nprobe=2,
+                                             iters=2).collect()}
+    assert len(brute & trained) / len(brute) >= 0.4
