@@ -1423,3 +1423,27 @@ def ann_ivf_trained_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk_trained(emb, emb.where(F.col("vec_id") < 5), k=5,
                                 m=8, nprobe=2, iters=2)
+
+
+@query("set_except_all", oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+""")
+def set_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (bag semantics — keeps surplus duplicates)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.exceptAll(s)
+
+
+@query("set_intersect_all", oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+""")
+def set_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersectAll(s)

@@ -130,3 +130,27 @@ def test_daily_mode_creates_and_expires(spark, tmp_path, cluster):
     # direct insert goes to the daily table
     assert any(s.startswith("INSERT INTO test_local.t1_20170107 FORMAT")
                for s in all_stmts)
+
+
+def test_hive_partition_and_additional_cols_load(spark, tmp_path, cluster):
+    """T6+T7 through the CLI: partition value from the path and a constant
+    column both count toward the target width (5 data − 2 excl + dt +
+    const = 5 target columns)."""
+    entry = cluster[0]
+    entry.canned["DESC test_local.t1"] = \
+        "plat\tInt8\nh_did\tString\nv\tInt32\ndt\tString\nsrc\tString\n"
+    lines = [f"{i % 3}|x|did_{i}|y|{i}" for i in range(12)]
+    export_dir = _write_input(tmp_path, lines)
+    cfg = parse_args([
+        "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
+        "--table", "t1", "--export-dir", export_dir,
+        "--exclude-fields", "1,3", "--direct", "true",
+        "--extract-hive-partitions", "true",
+        "--additional-cols", "batch7",
+    ])
+    stats = run_load(cfg, spark, backoff_scale=0.001)
+    assert stats["success_records"] == 12
+    rows = [line for s in cluster for ins in s.inserts()
+            for line in ins.splitlines()[1:]]
+    # every wire row carries the path partition value and the constant
+    assert all(line.endswith("\t2017-01-07\tbatch7") for line in rows)
