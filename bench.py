@@ -30,6 +30,15 @@ def main() -> None:
     # warm the JVM + file listing once so per-query numbers measure the
     # queries, not session startup
     REGISTRY["filtered_projection"].fn(spark, sf_dir).collect()
+    # warm the Python UDF worker pool (process fork + pandas/numpy import)
+    # so pandas-UDF queries measure steady-state, not one-time worker spawn
+    from pyspark.sql import functions as F
+
+    from clickhouse_hdfs_loader_spark.functions.text import shingles_udf
+    (spark.range(2048)
+     .select(F.concat(F.lit("warm up worker pool token "),
+                      F.col("id").cast("string")).alias("t"))
+     .select(F.explode(shingles_udf(3)(F.col("t")))).count())
 
     timings: dict[str, float] = {}
     for spec in bench_specs:

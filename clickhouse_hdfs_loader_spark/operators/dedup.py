@@ -53,13 +53,15 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
 
 def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, h) exploded pairs: string shingles exploded to rows, then ONE
-    row-level ``xxhash64`` per shingle. The hash runs post-explode in
-    whole-stage codegen (hashing inside array lambdas is interpreted
-    per-element and benches ~4× slower); downstream shuffle/join keys are
-    8-byte longs instead of shingle strings."""
-    from ..functions.text import shingles
+    row-level ``xxhash64`` per shingle. Shingle generation is the
+    Arrow-vectorized ``shingles_udf`` (7× the interpreted higher-order
+    array expression chain — see its docstring); the hash runs
+    post-explode in whole-stage codegen (hashing inside array lambdas is
+    interpreted per-element and benches ~4× slower), so downstream
+    shuffle/join keys are 8-byte longs instead of shingle strings."""
+    from ..functions.text import shingles_udf
     return (docs.select(F.col(id_col).alias("id"),
-                        F.explode(shingles(F.col(text_col), k)).alias("s"))
+                        F.explode(shingles_udf(k)(F.col(text_col))).alias("s"))
             .select("id", F.xxhash64("s").alias("h")))
 
 

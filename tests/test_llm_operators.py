@@ -159,3 +159,25 @@ def test_kmeans_deterministic_and_improves_recall_path(spark, sf_dir):
                for r in SIM.ivf_topk_trained(emb, q, k=5, m=4, nprobe=2,
                                              iters=2).collect()}
     assert len(brute & trained) / len(brute) >= 0.4
+
+
+def test_shingles_udf_matches_expression(planted_docs):
+    """The Arrow-vectorized shingle UDF must emit the exact shingle SET the
+    native expression chain does (dedup correctness hangs on this)."""
+    from clickhouse_hdfs_loader_spark.functions.text import shingles, shingles_udf
+    for k in (2, 3):
+        a = planted_docs.select("doc_id",
+                                F.explode(shingles(F.col("text"), k)).alias("s"))
+        b = planted_docs.select("doc_id",
+                                F.explode(shingles_udf(k)(F.col("text"))).alias("s"))
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
+def test_shingles_udf_short_and_empty(spark):
+    from clickhouse_hdfs_loader_spark.functions.text import shingles_udf
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, None), (3, "a b c")], ["doc_id", "text"])
+    got = {r.doc_id: r.s for r in
+           df.select("doc_id", shingles_udf(3)(F.col("text")).alias("s")).collect()}
+    assert got[0] == [] and got[1] == [] and got[2] == [] and got[3] == ["a b c"]
