@@ -214,6 +214,30 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "hamming"))
 
 
+def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             max_norm_dist: float = 0.4) -> DataFrame:
+    """Exact edit-distance verification of candidate near-dup pairs — the
+    standard second stage after a cheap candidate generator (LSH banding /
+    shingle jaccard): join texts back onto the (id_a, id_b) candidates and
+    keep pairs whose normalized Levenshtein distance
+    (``lev / max(len_a, len_b)``) is ≤ ``max_norm_dist``.
+
+    Scale: candidates are tiny relative to the corpus (LSH keeps them
+    near-linear), so the two text joins shuffle only candidate rows plus
+    one pass over doc texts; ``F.levenshtein`` is JVM-native codegen —
+    O(len²) per pair but pairs are bounded by the generator."""
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    return (pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+            .withColumn("lev", F.levenshtein("t_a", "t_b"))
+            .withColumn("norm_lev",
+                        F.round(F.col("lev") /
+                                F.greatest(F.length("t_a"), F.length("t_b")), 6))
+            .where(F.col("norm_lev") <= max_norm_dist)
+            .select("id_a", "id_b", "lev", "norm_lev"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              threshold: float = 0.95) -> DataFrame:

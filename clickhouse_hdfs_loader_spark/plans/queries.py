@@ -700,6 +700,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+@query("dedup_levenshtein", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(w) - 2)])) AS s
+      FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2)
+    SELECT id_a, id_b, levenshtein(da.text, db.text) AS lev,
+           round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / greatest(length(da.text), length(db.text)), 6) AS norm_lev
+    FROM cand JOIN documents da ON da.doc_id = id_a
+              JOIN documents db ON db.doc_id = id_b
+    WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+          / greatest(length(da.text), length(db.text)) <= 0.4
+""")
+def dedup_levenshtein(spark, sf_dir):
+    """Two-stage fuzzy dedup: exact shingle-jaccard candidate pairs
+    re-verified by normalized Levenshtein edit distance — the standard
+    candidate-generate → exact-verify pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = DD.ngram_jaccard_pairs(docs, threshold=0.2)
+    return DD.levenshtein_verify_pairs(docs, cand)
+
+
 @query("dedup_minhash_lsh", tags=("no-oracle",), bench=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs (32 hashes, 8 bands) — approximate by

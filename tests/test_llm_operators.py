@@ -181,3 +181,14 @@ def test_shingles_udf_short_and_empty(spark):
     got = {r.doc_id: r.s for r in
            df.select("doc_id", shingles_udf(3)(F.col("text")).alias("s")).collect()}
     assert got[0] == [] and got[1] == [] and got[2] == [] and got[3] == ["a b c"]
+
+
+def test_levenshtein_verify_pairs(planted_docs, spark):
+    """Candidate (0,1) is a 2-edit variant → survives; a planted far pair
+    (0,3) must be rejected by the normalized-distance gate."""
+    cand = spark.createDataFrame([(0, 1), (0, 3), (0, 5)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): (r.lev, r.norm_lev)
+           for r in DD.levenshtein_verify_pairs(planted_docs, cand).collect()}
+    assert (0, 5) in out and out[(0, 5)][0] == 0  # exact dup: distance 0
+    assert (0, 1) in out and 0 < out[(0, 1)][0] <= 12
+    assert (0, 3) not in out  # unrelated text: rejected
