@@ -1485,3 +1485,89 @@ def set_intersect_all(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
     return c.intersectAll(s)
+
+
+@query("train_val_test_split", oracle="""
+    WITH b AS (
+      SELECT n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS docs, sum(n_chars) AS total_chars
+    FROM b GROUP BY 1
+""")
+def train_val_test_split(spark, sf_dir):
+    """Deterministic hash-based corpus split (80/10/10): bucket =
+    md5(doc_id) first 16 bits mod 100 — reproducible across runs and
+    engines, the standard held-out-split assignment for training data.
+    Pure narrow projection + one aggregate; no shuffle besides the agg."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                     16, 10).cast("int") % 100)
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (d.select(split.alias("split"), "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+@query("events_gap_fill", oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS cnt,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds)
+    SELECT CAST(epoch(spine.h) AS BIGINT) AS hour_epoch,
+           coalesce(cnt, 0) AS cnt,
+           coalesce(total_value, 0.0) AS total_value
+    FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+""")
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap fill: hourly counts joined onto a generated date
+    spine so empty hours appear as zero rows (sequence + explode — the
+    scale-safe spine is generated, never collected)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    return (spine.join(hourly, "h", "left")
+            .select(F.col("h").cast("long").alias("hour_epoch"),
+                    F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                    F.coalesce("total_value", F.lit(0.0)).alias("total_value")))
+
+
+@query("unpivot_doc_metrics", oracle="""
+    WITH m AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                  AS DOUBLE) AS bpe_tokens
+      FROM documents)
+    SELECT metric, round(avg(value), 4) AS avg_value,
+           round(max(value), 2) AS max_value
+    FROM (UNPIVOT m ON n_chars, ws_tokens, bpe_tokens
+          INTO NAME metric VALUE value)
+    GROUP BY metric
+""")
+def unpivot_doc_metrics(spark, sf_dir):
+    """Unpivot (wide metrics → long form) + per-metric aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select("doc_id",
+                 F.col("n_chars").cast("double").alias("n_chars"),
+                 TX.whitespace_token_count(F.col("text")).cast("double")
+                  .alias("ws_tokens"),
+                 TX.bpe_token_count(F.col("text")).cast("double")
+                  .alias("bpe_tokens"))
+    return (m.unpivot("doc_id", ["n_chars", "ws_tokens", "bpe_tokens"],
+                      "metric", "value")
+            .groupBy("metric")
+            .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.round(F.max("value"), 2).alias("max_value")))
