@@ -154,3 +154,34 @@ def test_hive_partition_and_additional_cols_load(spark, tmp_path, cluster):
             for line in ins.splitlines()[1:]]
     # every wire row carries the path partition value and the constant
     assert all(line.endswith("\t2017-01-07\tbatch7") for line in rows)
+
+
+def test_orc_input_direct_load(spark, tmp_path, cluster):
+    """S2+T2 through the CLI: ORC source decoded stringly (every field
+    coerced to string, OrcRecordDecoder.java:32-45 semantics), excluded
+    positionally, null-normalized per target type, sharded and written."""
+    orc_dir = str(tmp_path / "orc_in" / "dt=2017-01-07")
+    rows = [(i % 7, "junk", f"did_{i}", "junk2", i) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, ["plat", "skip1", "h_did", "skip2", "v"])
+    # one ORC file with a null in a non-string target column
+    df = df.union(spark.createDataFrame(
+        [(None, "junk", "did_x", "junk2", None)], df.schema))
+    df.coalesce(1).write.orc(orc_dir)
+    entry = cluster[0]
+    cfg = parse_args([
+        "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
+        "--table", "t1", "--export-dir", orc_dir,
+        "--exclude-fields", "1,3", "--direct", "true",
+        "--input-format", "orc",
+    ])
+    stats = run_load(cfg, spark, backoff_scale=0.001)
+    assert stats == {"success_records": 21, "failed_records": 0}
+    wire = [line for s in cluster for ins in s.inserts()
+            if ins.startswith("INSERT INTO test_local.t1 FORMAT")
+            for line in ins.splitlines()[1:]]
+    assert len(wire) == 21
+    # ORC null → "0" for the non-string cols (plat Int8, v Int32)
+    assert "0\tdid_x\t0" in wire
+    # stringly decode keeps integer field text form
+    assert any(line.split("\t") == ["3", "did_3", "3"] for line in wire)
