@@ -941,6 +941,17 @@ def streaming_hourly_windows(spark, sf_dir):
     return hourly_windows_streaming(spark, sf_dir)
 
 
+@query("streaming_dedup", oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+""")
+def streaming_dedup(spark, sf_dir):
+    """Watermarked streaming exact dedup: rows doubled in-stream, then
+    dropDuplicatesWithinWatermark collapses them with bounded state —
+    counts must equal the plain batch counts."""
+    from ..streaming.events import stream_dedup_counts
+    return stream_dedup_counts(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # [EXT-REL 2] SQL-API surface, multi-dim aggregates, subqueries, array ops
 # ---------------------------------------------------------------------------

@@ -59,3 +59,28 @@ def hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup: every source row is doubled (explode),
+    then ``dropDuplicatesWithinWatermark`` on the event id collapses the
+    duplicates with bounded state (dedup keys older than the watermark are
+    evicted — the scale-safe form of streaming exact dedup). Append-mode
+    stream; the per-type count runs batch-side on the sink so the stream
+    holds exactly one stateful operator."""
+    sink = f"evt_dedup_{uuid.uuid4().hex[:8]}"
+    s = events_stream(spark, sf_dir)
+    doubled = (s.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2))))
+               .drop("copy"))
+    deduped = (doubled.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (deduped.writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return (spark.table(sink).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt")))
