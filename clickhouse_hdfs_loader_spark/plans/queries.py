@@ -1371,12 +1371,43 @@ def dedup_materialize(spark, sf_dir):
     return d.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
-@query("dedup_connected_components", tags=("no-oracle",))
+@query("dedup_connected_components", oracle="""
+    WITH RECURSIVE ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(w) - 2)])) AS s
+      FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS keeper
+    FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+""")
 def dedup_connected_components(spark, sf_dir):
     """Component-correct dedup keeper assignment: connected components
     (iterative min-label propagation, operators/components.py) over the
-    jaccard near-dup graph — genuinely non-SQL-expressible (iterative),
-    hence rows-only here with pytest fixpoint checks."""
+    jaccard near-dup graph. The Spark side is genuinely iterative
+    (driver-controlled fixpoint loop); the oracle expresses the same
+    transitive closure as a DuckDB recursive CTE."""
     from ..operators.components import dedup_components
     d = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, threshold=0.35)
