@@ -818,9 +818,67 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
-@query("ann_ivf_topk", tags=("no-oracle",))
+@query("ann_ivf_topk", oracle="""
+    WITH cents AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid,
+             embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    assign_scores AS (
+      SELECT e.vec_id AS id, c.centroid,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))))
+             AS cs
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT id, centroid FROM (
+        SELECT id, centroid,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cs DESC, centroid ASC) AS rn
+        FROM assign_scores) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid FROM (
+        SELECT q.vec_id AS query_id, c.centroid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))))
+                 DESC, centroid DESC) AS rn
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) t
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.id,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             AS cos
+      FROM probes p
+      JOIN assigned a ON a.centroid = p.centroid AND a.id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = a.id),
+    ranked AS (
+      SELECT query_id, id, round(cos, 4) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, id, cos, rank FROM ranked WHERE rank <= 5
+""")
 def ann_ivf_topk(spark, sf_dir):
-    """ANN top-5 via IVF-lite coarse quantizer (nprobe=2)."""
+    """ANN top-5 via IVF-lite coarse quantizer (nprobe=2). Deterministic
+    end-to-end (seeded centroids = 8 lowest-id vectors, left-fold double
+    cosine), so the full assign → probe → rank pipeline has an exact
+    DuckDB oracle mirroring each stage's tie-breaks (assignment ties →
+    lowest centroid, probe ties → highest centroid, rank ties → lowest
+    corpus id)."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
