@@ -960,10 +960,51 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.md5_fingerprint(F.col("text")).alias("fp"))
 
 
-@query("winnow_fingerprint", tags=("no-oracle",))
+# Winnowing oracle: the k-gram polynomial hash (base B mod Mersenne-61,
+# same constants as functions/fingerprint.py) is plain integer arithmetic,
+# so DuckDB can replay it with HUGEINT; "rightmost minimum per window,
+# dedup consecutive picks" reduces to DISTINCT chosen indices because a
+# window can only re-pick an index in consecutive windows.
+_WINNOW_M = (1 << 61) - 1
+_WINNOW_CASE = ("CASE b.i - a.i " + " ".join(
+    f"WHEN {j} THEN CAST({pow(1_000_003, 7 - j, _WINNOW_M)} AS HUGEINT)"
+    for j in range(8)) + " END")
+
+
+@query("winnow_fingerprint", oracle=f"""
+    WITH t AS (SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, s, unnest(generate_series(1, n)) AS i
+      FROM t WHERE n >= 8),
+    chars AS (
+      SELECT doc_id, i, ord(substr(s, CAST(i AS INT), 1)) AS o FROM pos),
+    hashes AS (
+      SELECT a.doc_id, a.i AS hi,
+             CAST(sum(CAST(b.o AS HUGEINT) * {_WINNOW_CASE}) % {_WINNOW_M}
+                  AS BIGINT) AS h
+      FROM chars a JOIN chars b ON b.doc_id = a.doc_id
+                               AND b.i BETWEEN a.i AND a.i + 7
+      GROUP BY a.doc_id, a.i HAVING count(*) = 8),
+    wins AS (
+      SELECT h1.doc_id, h1.hi AS s, min(h2.h) AS m
+      FROM hashes h1 JOIN hashes h2 ON h2.doc_id = h1.doc_id
+                                   AND h2.hi BETWEEN h1.hi AND h1.hi + 3
+      GROUP BY h1.doc_id, h1.hi HAVING count(*) = 4),
+    chosen AS (
+      SELECT w.doc_id, max(h2.hi) AS idx
+      FROM wins w JOIN hashes h2 ON h2.doc_id = w.doc_id
+                              AND h2.hi BETWEEN w.s AND w.s + 3
+                              AND h2.h = w.m
+      GROUP BY w.doc_id, w.s),
+    counts AS (
+      SELECT doc_id, count(DISTINCT idx) AS n_fingerprints
+      FROM chosen GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(c.n_fingerprints, 0) AS INT) AS n_fingerprints
+    FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
+""")
 def winnow_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (SIGMOD'03) — pandas-UDF
-    iterative op, determinism pytest-checked."""
+    iterative op; the deterministic hash lets DuckDB replay it in SQL."""
     from ..functions.fingerprint import winnow_udf
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id",
