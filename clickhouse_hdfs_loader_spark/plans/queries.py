@@ -778,10 +778,53 @@ def dedup_embedding_cosine(spark, sf_dir):
                                        threshold=0.4)
 
 
-@query("ann_lsh_near_dup", tags=("no-oracle",))
+# Sign-LSH oracle machinery: the hyperplanes are seeded driver-side
+# constants (similarity._planes, random.Random(7)), so the oracle inlines
+# them as double literals — repr() round-trips exactly, and the left-fold
+# double dot product matches Spark's zip_with/aggregate bit-for-bit (same
+# pattern as the similarity_topk oracle).
+def _lsh_sig_sql(vexpr: str = "embedding") -> str:
+    from ..operators.similarity import _planes
+
+    def dot_sql(p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        return (f"list_sum(list_transform(generate_series(1, 64), "
+                f"j -> CAST({vexpr}[j] AS DOUBLE) * ({lit})[j]))")
+
+    return " + ".join(
+        f"(CASE WHEN {dot_sql(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes(16, 64, seed=7)))
+
+
+_LSH_COS = """list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+     / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))"""
+
+
+@query("ann_lsh_near_dup", oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, CAST({_lsh_sig_sql()} AS BIGINT) AS sig FROM embeddings),
+    bands AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band),
+    cb AS (SELECT s.vec_id AS id, b.band, (sig >> (b.band * 2)) & 3 AS bh
+           FROM sigs s CROSS JOIN bands b),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM cb a JOIN cb c ON a.band = c.band AND a.bh = c.bh
+      WHERE a.id < c.id),
+    scored AS (
+      SELECT cand.id_a, cand.id_b, {_LSH_COS} AS cos
+      FROM cand JOIN embeddings q ON q.vec_id = cand.id_a
+                JOIN embeddings e ON e.vec_id = cand.id_b)
+    SELECT id_a, id_b, round(cos, 4) AS cos
+    FROM scored WHERE cos >= 0.4
+""")
 def ann_lsh_near_dup(spark, sf_dir):
-    """Scale path for dedup_embedding_cosine: sign-LSH bucket candidates,
-    exact cosine confirm — no cross join."""
+    """Scale path for dedup_embedding_cosine: sign-LSH bucket candidates
+    (16 planes, 8 bands of 2 bits), exact cosine confirm — no cross
+    join. Seeded planes → exact SQL oracle."""
     return SIM.lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
                                   threshold=0.4, bands=8)
 
@@ -810,10 +853,32 @@ def similarity_topk(spark, sf_dir):
     return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
-@query("ann_lsh_topk", tags=("no-oracle",))
+@query("ann_lsh_topk", oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, CAST({_lsh_sig_sql()} AS BIGINT) AS sig FROM embeddings),
+    bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+    cb AS (SELECT s.vec_id AS id, b.band, (sig >> (b.band * 4)) & 15 AS bh
+           FROM sigs s CROSS JOIN bands b),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, c.id
+      FROM cb c JOIN cb q ON c.band = q.band AND c.bh = q.bh
+      WHERE q.id < 5 AND c.id <> q.id),
+    scored AS (
+      SELECT cand.query_id, cand.id, {_LSH_COS} AS cos
+      FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                JOIN embeddings e ON e.vec_id = cand.id),
+    ranked AS (
+      SELECT query_id, id, round(cos, 4) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, id, cos, rank FROM ranked WHERE rank <= 5
+""")
 def ann_lsh_topk(spark, sf_dir):
-    """ANN top-5 via random-hyperplane LSH banding (recall pytest-checked
-    against brute force)."""
+    """ANN top-5 via random-hyperplane LSH banding (16 planes, 4 bands).
+    Deterministic seeded planes → exact SQL oracle replaying signature,
+    band join, and ranked cosine; recall is additionally pytest-checked
+    against brute force."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
@@ -1528,7 +1593,13 @@ def sanitize_fields_query(spark, sf_dir):
                     F.translate(dirty, "|\\", " /").alias("sanitized"))
 
 
-@query("multimodal_frame_sample", tags=("no-oracle",))
+@query("multimodal_frame_sample", oracle="""
+    SELECT doc_id,
+           unnest(generate_series(
+               0, greatest(octet_length(encode(text)) - 1, 0), 128))
+             AS frame_off
+    FROM documents
+""")
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling over opaque binary payloads (video-decode shape):
     one row per sampled offset with an 8-byte frame slice."""
