@@ -1783,3 +1783,40 @@ def unpivot_doc_metrics(spark, sf_dir):
             .groupBy("metric")
             .agg(F.round(F.avg("value"), 4).alias("avg_value"),
                  F.round(F.max("value"), 2).alias("max_value")))
+
+
+@query("custdist_two_level_agg", oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+""")
+def custdist_two_level_agg(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation — per-customer order counts
+    (left join keeps zero-order customers), then the distribution of those
+    counts. Two shuffles, both with map-side partial aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query("not_in_subquery", oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey NOT IN (
+      SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+""")
+def not_in_subquery(spark, sf_dir):
+    """NOT IN subquery (null-safe anti-join shape). The subquery side has
+    no NULLs here, so it plans as a broadcast anti-join."""
+    s = _t(spark, sf_dir, "supplier")
+    return spark.sql(
+        "SELECT s_suppkey, s_name FROM {s} "
+        "WHERE s_nationkey NOT IN "
+        "(SELECT n_nationkey FROM {n} WHERE n_name LIKE 'A%')",
+        s=s, n=_t(spark, sf_dir, "nation"))
