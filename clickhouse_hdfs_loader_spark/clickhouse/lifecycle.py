@@ -77,18 +77,21 @@ class LifecycleManager:
     host-by-host over JDBC, here over HTTP)."""
 
     def __init__(self, topology: ClusterTopology, http_port: int = 8123,
-                 max_tries: int = 3, backoff_scale: float = 1.0):
+                 max_tries: int = 3, backoff_scale: float = 1.0,
+                 user: str = "default", password: str = ""):
         self.topology = topology
         self.http_port = http_port
         self.max_tries = max_tries
         self.backoff_scale = backoff_scale
+        self.user = user
+        self.password = password
 
     def _hosts(self) -> list[str]:
         return [h for n in self.topology.nodes for h in n.hosts]
 
     def _exec_all(self, sql: str) -> None:
         for h in self._hosts():
-            cli = get_client(h, self.http_port)
+            cli = get_client(h, self.http_port, user=self.user, password=self.password)
             with_retries(lambda c=cli: c.execute(sql), tier="ddl",
                          max_tries=self.max_tries,
                          backoff_scale=self.backoff_scale)
@@ -120,7 +123,7 @@ class LifecycleManager:
         pattern = f"{table}_\\d{{8}}$"
         expired: set[str] = set()
         for h in self._hosts():
-            cli = get_client(h, self.http_port)
+            cli = get_client(h, self.http_port, user=self.user, password=self.password)
             rows = cli.query_rows(
                 f"SELECT name FROM system.tables WHERE database = '{database}' "
                 f"AND match(name, '{pattern}') AND name < '{bound}'")
@@ -150,7 +153,7 @@ class LifecycleManager:
         for node in self.topology.nodes:
             hosts = node.hosts[:1] if replicated else node.hosts
             for h in hosts:
-                cli = get_client(h, self.http_port)
+                cli = get_client(h, self.http_port, user=self.user, password=self.password)
                 with_retries(lambda c=cli: c.execute(sql), tier="ddl",
                              max_tries=self.max_tries,
                              backoff_scale=self.backoff_scale)
@@ -161,7 +164,7 @@ class LifecycleManager:
         GC query of ClickhouseHdfsLoader.java:496-524 (which selects
         ``concat(database,'.',name)`` with a LIKE filter)."""
         for h in self._hosts():
-            cli = get_client(h, self.http_port)
+            cli = get_client(h, self.http_port, user=self.user, password=self.password)
             try:
                 rows = cli.query_rows(
                     f"SELECT concat(database, '.', name) AS tablename "

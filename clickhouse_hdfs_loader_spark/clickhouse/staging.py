@@ -86,9 +86,10 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
     hosts_per_shard = [n.hosts for n in topology.nodes]
     http_port = config.clickhouse_http_port
     max_tries = config.max_tries
+    user, password = config.username, config.password
 
     routed = repartition_by_shard(df, key_col, topology,
-                                  config.loader_task_executor)
+                                  config.tasks_per_shard(len(topology.nodes)))
     data_cols = [c for c in routed.columns if c != "shard"]
     line = F.concat_ws(sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
                                for c in data_cols])  # nulls → \N, never dropped
@@ -105,7 +106,7 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
 
         def ensure(host: str) -> None:
             if host not in created:
-                cli = get_client(host, http_port)
+                cli = get_client(host, http_port, user=user, password=password)
                 with_retries(lambda: cli.execute(
                     f"CREATE DATABASE IF NOT EXISTS {TEMP_DATABASE}"),
                     tier="ddl", max_tries=max_tries, backoff_scale=backoff_scale)
@@ -117,7 +118,7 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
             host = hosts_per_shard[shard][0]  # stage on first replica
             ensure(host)
             payload = "\n".join(buf)
-            cli = get_client(host, http_port)
+            cli = get_client(host, http_port, user=user, password=password)
             with_retries(lambda: cli.insert_payload(header, payload),
                          tier="staged", max_tries=max_tries,
                          backoff_scale=backoff_scale)
@@ -154,7 +155,7 @@ def promote(plan: StagedLoadPlan, topology: ClusterTopology,
     port = config.clickhouse_http_port
     try:
         for host, temp in plan.temp_tables:
-            cli = get_client(host, port)
+            cli = get_client(host, port, user=user, password=password)
             with_retries(lambda c=cli, t=temp: c.execute(
                 f"INSERT INTO {tgt} SELECT * FROM {t}"),
                 tier="promote", max_tries=config.max_tries,
@@ -162,7 +163,7 @@ def promote(plan: StagedLoadPlan, topology: ClusterTopology,
             if not replicated:
                 siblings = _replicas_of(host, topology)
                 for sib in siblings:
-                    scli = get_client(sib, port)
+                    scli = get_client(sib, port, user=user, password=password)
                     with_retries(lambda c=scli, h=host, t=temp: c.execute(
                         f"INSERT INTO {tgt} SELECT * FROM "
                         f"remote('{h}:9000', {t}, '{user}', '{password}')"),
@@ -188,7 +189,9 @@ def cleanup(plan: StagedLoadPlan, topology: ClusterTopology,
     for host, temp in plan.temp_tables:
         for h in (host, *_replicas_of(host, topology)):
             try:
-                get_client(h, port).execute(f"DROP TABLE IF EXISTS {temp}")
+                get_client(h, port, user=config.username,
+                           password=config.password).execute(
+                    f"DROP TABLE IF EXISTS {temp}")
             except Exception:  # noqa: BLE001 — best-effort GC
                 pass
 
@@ -204,5 +207,6 @@ def staged_load(df: DataFrame, key_col: str, topology: ClusterTopology,
                             target_table=target_table, dt=dt,
                             backoff_scale=backoff_scale)
     promote(plan, topology, config, replicated=replicated,
+            user=config.username, password=config.password,
             backoff_scale=backoff_scale)
     return plan

@@ -61,19 +61,22 @@ class ShardBuffer:
 
 def _deliver(payload: str, header: str, hosts: tuple[str, ...], *,
              http_port: int, replicated: bool, max_tries: int,
-             backoff_scale: float, database: str) -> int:
+             backoff_scale: float, database: str,
+             user: str = "default", password: str = "") -> int:
     """W2 fan-out decision tree: Replicated → first alive replica only;
     non-replicated → every replica (AbstractClickhouseLoaderMapper.java:
     309-359)."""
     targets: list[str]
     if replicated:
         alive = [h for h in hosts
-                 if get_client(h, http_port, database=database).ping()]
+                 if get_client(h, http_port, user=user, password=password,
+                               database=database).ping()]
         targets = [alive[0] if alive else hosts[0]]
     else:
         targets = list(hosts)
     for h in targets:
-        cli = get_client(h, http_port, database=database)
+        cli = get_client(h, http_port, user=user, password=password,
+                         database=database)
         with_retries(lambda c=cli: c.insert_payload(header, payload),
                      tier="direct", max_tries=max_tries,
                      backoff_scale=backoff_scale)
@@ -92,13 +95,14 @@ def write_direct(df: DataFrame, key_col: str, topology: ClusterTopology,
     hosts_per_shard = [n.hosts for n in topology.nodes]
     http_port = config.clickhouse_http_port
     max_tries = config.max_tries
+    user, password = config.username, config.password
 
     spark = df.sparkSession
     ok_acc = spark.sparkContext.accumulator(0)
     fail_acc = spark.sparkContext.accumulator(0)
 
     routed = repartition_by_shard(df, key_col, topology,
-                                  config.loader_task_executor)
+                                  config.tasks_per_shard(len(topology.nodes)))
     data_cols = [c for c in routed.columns if c != "shard"]
     sep = "\t" if fmt.startswith("TabSeparated") else ","
     from pyspark.sql import functions as F
@@ -116,7 +120,7 @@ def write_direct(df: DataFrame, key_col: str, topology: ClusterTopology,
                 _deliver(payload, header, hosts_per_shard[shard],
                          http_port=http_port, replicated=replicated,
                          max_tries=max_tries, backoff_scale=backoff_scale,
-                         database=database)
+                         database=database, user=user, password=password)
                 ok_acc.add(n)
             except Exception:
                 fail_acc.add(n)

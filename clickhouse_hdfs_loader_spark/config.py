@@ -45,11 +45,23 @@ class LoaderConfig:
     input_format: str = "text"             # text|orc|parquet (:99-100)
     input_split_max_bytes: int = 268_435_456  # 256 MiB (:102-103)
     clickhouse_http_port: int = 8123
+    username: str = "default"              # ClickHouse auth (:87-88)
+    password: str = ""                     # (:90-91)
+    num_reduce_tasks: int = -1             # explicit write-task count (:50)
+    mapper_class: str = ""                 # deprecated alias of -i (:62)
 
     @property
     def flush_cap(self) -> int:
         """ClickHouse atomic-insert bound (AbstractClickhouseLoaderMapper.java:294-295)."""
         return 1_048_576
+
+    def tasks_per_shard(self, num_shards: int) -> int:
+        """P4 sizing: ``--num-reduce-tasks`` (total write tasks) wins when
+        set, else shards × ``--loader-task-executor``
+        (ClickhouseHdfsLoader.java:142-154)."""
+        if self.num_reduce_tasks > 0:
+            return max(1, -(-self.num_reduce_tasks // max(1, num_shards)))
+        return self.loader_task_executor
 
 
 def _parse_int_set(s: str) -> tuple[int, ...]:
@@ -84,7 +96,16 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     p.add_argument("--input-split-max-bytes", dest="input_split_max_bytes", type=int,
                    default=268_435_456)
     p.add_argument("--clickhouse-http-port", dest="clickhouse_http_port", type=int, default=8123)
+    p.add_argument("--username", default="default")
+    p.add_argument("--password", default="")
+    p.add_argument("--num-reduce-tasks", dest="num_reduce_tasks", type=int, default=-1)
+    p.add_argument("--mapper-class", dest="mapper_class", default="")
     ns = p.parse_args(argv)
+
+    # deprecated --mapper-class (MainCliParameterParser.java:62): derive the
+    # input format from the reference mapper class name when -i is defaulted
+    if ns.mapper_class and ns.input_format == "text":
+        ns.input_format = "orc" if "orc" in ns.mapper_class.lower() else "text"
 
     def b(v: str | bool) -> bool:
         return v if isinstance(v, bool) else v.strip().lower() in ("true", "1", "yes")
@@ -105,4 +126,6 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
         direct=b(ns.direct), input_format=ns.input_format,
         input_split_max_bytes=ns.input_split_max_bytes,
         clickhouse_http_port=ns.clickhouse_http_port,
+        username=ns.username, password=ns.password,
+        num_reduce_tasks=ns.num_reduce_tasks, mapper_class=ns.mapper_class,
     )

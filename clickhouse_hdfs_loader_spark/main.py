@@ -59,7 +59,8 @@ def run_load(config: LoaderConfig, spark: SparkSession,
              source_df: DataFrame | None = None,
              backoff_scale: float = 1.0) -> dict:
     host, http_port, database = _parse_connect(config.connect)
-    cli = get_client(host, http_port, database=database)
+    cli = get_client(host, http_port, user=config.username,
+                     password=config.password, database=database)
 
     # step 2 — resolve the distributed target
     create_ddl = catalog.fetch_create_table(cli, database, config.table)
@@ -74,7 +75,8 @@ def run_load(config: LoaderConfig, spark: SparkSession,
     target_width = len(describe)
     replicated = "Replicated" in local_ddl
 
-    lm = LifecycleManager(topology, http_port, config.max_tries, backoff_scale)
+    lm = LifecycleManager(topology, http_port, config.max_tries, backoff_scale,
+                          user=config.username, password=config.password)
     target_table = dist.local_table
     # step 3 — daily tables
     if config.daily and config.dt:

@@ -12,6 +12,7 @@ from urllib.parse import parse_qs, urlparse
 class MockClickHouse:
     def __init__(self, fail_first: int = 0):
         self.statements: list[str] = []
+        self.auth_users: list[str] = []   # ?user= of every POST, in order
         self.fail_first = fail_first
         self._failures = 0
         self.canned: dict[str, str] = {}  # substring → TSV response
@@ -31,8 +32,10 @@ class MockClickHouse:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode("utf-8")
+                qs = parse_qs(urlparse(self.path).query)
                 with mock._lock:
                     mock.statements.append(body)
+                    mock.auth_users.append(qs.get("user", [""])[0])
                     if mock._failures < mock.fail_first:
                         mock._failures += 1
                         self.send_response(500)

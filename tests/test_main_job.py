@@ -185,3 +185,40 @@ def test_orc_input_direct_load(spark, tmp_path, cluster):
     assert "0\tdid_x\t0" in wire
     # stringly decode keeps integer field text form
     assert any(line.split("\t") == ["3", "did_3", "3"] for line in wire)
+
+
+def test_credentials_and_reduce_tasks_options(spark, tmp_path, cluster):
+    """--username/--password flow to every HTTP call; --num-reduce-tasks
+    overrides the P4 write-task sizing; --mapper-class (deprecated) maps
+    reference mapper class names onto the input-format registry."""
+    lines = [f"{i % 7}|x|did_{i}|y|{i}" for i in range(10)]
+    export_dir = _write_input(tmp_path, lines)
+    entry = cluster[0]
+    cfg = parse_args([
+        "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
+        "--table", "t1", "--export-dir", export_dir,
+        "--exclude-fields", "1,3", "--direct", "true",
+        "--username", "loader_user", "--password", "s3cret",
+        "--num-reduce-tasks", "8",
+        "--mapper-class",
+        "com.kugou.loader.clickhouse.mapper.TextLoaderMapper",
+    ])
+    assert cfg.username == "loader_user" and cfg.password == "s3cret"
+    assert cfg.input_format == "text"
+    # 8 total write tasks over 2 shards → 4 per shard
+    assert cfg.tasks_per_shard(2) == 4
+    stats = run_load(cfg, spark, backoff_scale=0.001)
+    assert stats["failed_records"] == 0
+    for s in cluster:
+        assert s.auth_users and all(u == "loader_user" for u in s.auth_users)
+
+
+def test_mapper_class_orc_mapping():
+    cfg = parse_args([
+        "--mapper-class", "com.kugou.loader.clickhouse.mapper.OrcLoaderMapper",
+    ])
+    assert cfg.input_format == "orc"
+    # explicit -i wins over the deprecated alias
+    cfg2 = parse_args(["--input-format", "parquet",
+                       "--mapper-class", "whatever.OrcLoaderMapper"])
+    assert cfg2.input_format == "parquet"
