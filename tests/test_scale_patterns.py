@@ -66,3 +66,36 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     stream = {r["user_id"]: (r["n_sessions"], r["n_events"])
               for r in run_sessionize_stream(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def _plan_of(spark, sf_dir, name: str) -> str:
+    from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_not_in_plans_as_broadcast_anti_join(spark, sf_dir):
+    """NOT IN over a small dim must plan as a broadcast (hash) anti-join —
+    never a cartesian/nested-loop product."""
+    plan = _plan_of(spark, sf_dir, "not_in_subquery")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_level_agg_has_partial_aggregation(spark, sf_dir):
+    """Both aggregation levels of the Q13 shape must combine map-side
+    (partial_count) before their exchanges — the scale-critical property."""
+    plan = _plan_of(spark, sf_dir, "custdist_two_level_agg")
+    assert plan.count("partial_count") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_is_generated_not_collected(spark, sf_dir):
+    """The date spine must be produced by Generate(sequence) from a 1-row
+    bounds aggregate inside the plan — no driver-side collect, no
+    cartesian join."""
+    plan = _plan_of(spark, sf_dir, "events_gap_fill")
+    assert "Generate explode(sequence(" in plan
+    assert "CartesianProduct" not in plan
