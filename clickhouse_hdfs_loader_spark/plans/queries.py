@@ -1820,3 +1820,36 @@ def not_in_subquery(spark, sf_dir):
         "WHERE s_nationkey NOT IN "
         "(SELECT n_nationkey FROM {n} WHERE n_name LIKE 'A%')",
         s=s, n=_t(spark, sf_dir, "nation"))
+
+
+@query("session_window_agg", oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+             AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+""")
+def session_window_agg(spark, sf_dir):
+    """Native session-window aggregation (F.session_window, 30 min gap):
+    Spark merges overlapping [ts, ts+gap) windows per key — the oracle is
+    the equivalent gaps-and-islands SQL (a new island begins when the gap
+    is >= the duration, since the half-open windows no longer overlap)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("sw.start").cast("long").alias("session_start"),
+                    F.col("sw.end").cast("long").alias("session_end"),
+                    "n_events"))
