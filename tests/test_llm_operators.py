@@ -192,3 +192,24 @@ def test_levenshtein_verify_pairs(planted_docs, spark):
     assert (0, 5) in out and out[(0, 5)][0] == 0  # exact dup: distance 0
     assert (0, 1) in out and 0 < out[(0, 1)][0] <= 12
     assert (0, 3) not in out  # unrelated text: rejected
+
+
+def test_shingles_udf_matches_expression_random_texts(spark):
+    """Property check over adversarial text: unicode, punctuation runs,
+    delimiters, empties — the UDF and expression shingle sets must agree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.functions.text import shingles, shingles_udf
+
+    @given(st.lists(st.text(max_size=48), min_size=1, max_size=24))
+    @settings(max_examples=10, deadline=None)
+    def check(texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   ["doc_id", "text"])
+        a = df.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+        b = df.select("doc_id", F.explode(shingles_udf(3)(F.col("text"))).alias("s"))
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    check()
