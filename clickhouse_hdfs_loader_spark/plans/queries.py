@@ -1853,3 +1853,26 @@ def session_window_agg(spark, sf_dir):
                     F.col("sw.start").cast("long").alias("session_start"),
                     F.col("sw.end").cast("long").alias("session_end"),
                     "n_events"))
+
+
+@query("window_rank_functions", oracle="""
+    SELECT o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY round(o_totalprice, 2), o_orderkey)
+""")
+def window_rank_functions(spark, sf_dir):
+    """Ranking-function surface: rank / dense_rank / percent_rank /
+    cume_dist over a deterministic (value, key) ordering."""
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy(F.round("o_totalprice", 2), F.asc("o_orderkey")))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"),
+                    F.round(F.percent_rank().over(w), 6).alias("prnk"),
+                    F.round(F.cume_dist().over(w), 6).alias("cdist")))
