@@ -1876,3 +1876,15 @@ def window_rank_functions(spark, sf_dir):
                     F.dense_rank().over(w).alias("drnk"),
                     F.round(F.percent_rank().over(w), 6).alias("prnk"),
                     F.round(F.cume_dist().over(w), 6).alias("cdist")))
+
+
+@query("streaming_static_join", oracle="""
+    SELECT c_nationkey, count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+""")
+def streaming_static_join(spark, sf_dir):
+    """Stream-static dimension join (stateless, broadcast per micro-batch)
+    — per-nation counts must equal the batch join."""
+    from ..streaming.events import stream_static_join_counts
+    return stream_static_join_counts(spark, sf_dir)

@@ -84,3 +84,27 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return (spark.table(sink).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast per micro-batch, no state) — the
+    canonical dimension-enrichment shape. The join runs in-stream
+    (append mode, stateless); the per-nation rollup runs batch-side on
+    the sink."""
+    sink = f"evt_enrich_{uuid.uuid4().hex[:8]}"
+    s = events_stream(spark, sf_dir)
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_nationkey"))
+    joined = s.join(F.broadcast(dim), "user_id")
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return (spark.table(sink).groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
