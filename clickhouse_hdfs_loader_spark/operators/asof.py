@@ -48,9 +48,16 @@ def range_join(left: DataFrame, right: DataFrame, key: str,
                left_ts: str, right_ts: str,
                lower_s: int = 0, upper_s: int = 3600) -> DataFrame:
     """Pairs (l, r) with same key and ``r.ts − l.ts ∈ [lower_s, upper_s)``.
-    Equi-join on the key + band filter; AQE handles per-key skew."""
+    Equi-join on the key + band filter; AQE handles per-key skew.
+
+    The band is evaluated at exact microsecond precision (``unix_micros``),
+    never whole-second truncation — events timestamps carry sub-second
+    precision and a truncated delta flips rows at the band edges.
+    """
     lt = left.alias("l")
     rt = right.alias("r")
-    delta = F.col(f"r.{right_ts}").cast("long") - F.col(f"l.{left_ts}").cast("long")
+    delta_us = (F.unix_micros(F.col(f"r.{right_ts}"))
+                - F.unix_micros(F.col(f"l.{left_ts}")))
     return (lt.join(rt, (F.col(f"l.{key}") == F.col(f"r.{key}"))
-                    & (delta >= lower_s) & (delta < upper_s)))
+                    & (delta_us >= lower_s * 1_000_000)
+                    & (delta_us < upper_s * 1_000_000)))

@@ -255,8 +255,8 @@ def null_normalize_rules(spark, sf_dir):
 
 @query("width_validation", oracle="""
     SELECT count(*) AS total_rows,
-           sum(CASE WHEN len(string_split(source || '|' || lang, '|')) = 2
-                    THEN 1 ELSE 0 END) AS valid_rows
+           CAST(sum(CASE WHEN len(string_split(source || '|' || lang, '|')) = 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
     FROM documents
 """)
 def width_validation(spark, sf_dir):
@@ -510,7 +510,8 @@ def window_running_sum(spark, sf_dir):
                                    ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM flagged GROUP BY user_id
 """, bench=True)
 def sessionize(spark, sf_dir):
@@ -519,7 +520,8 @@ def sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     prev = F.lag("ts").over(w)
     new_s = F.when(prev.isNull()
-                   | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1) \
+                   | (F.unix_micros("ts") - F.unix_micros(prev)
+                      > 1_800_000_000), 1) \
              .otherwise(0)
     return (_t(spark, sf_dir, "events")
             .withColumn("new_session", new_s)
@@ -1310,8 +1312,8 @@ def asof_join_events(spark, sf_dir):
     FROM events p JOIN events e
       ON p.user_id = e.user_id
      AND e.event_type = 'error' AND p.event_type = 'purchase'
-     AND epoch(e.ts) - epoch(p.ts) >= 0
-     AND epoch(e.ts) - epoch(p.ts) < 3600
+     AND epoch_us(e.ts) - epoch_us(p.ts) >= 0
+     AND epoch_us(e.ts) - epoch_us(p.ts) < 3600000000
 """)
 def range_join_events(spark, sf_dir):
     """Range join: errors within 1h after a purchase by the same user."""
@@ -1335,7 +1337,8 @@ def range_join_events(spark, sf_dir):
     deduped AS (
       SELECT lang, min(doc_id) AS keeper, max(n_tokens) AS n_tokens
       FROM scored GROUP BY fp, lang)
-    SELECT lang, count(*) AS docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 4) AS avg_tokens
     FROM deduped GROUP BY lang
 """, bench=True)
@@ -1480,8 +1483,8 @@ def stats_agg(spark, sf_dir):
            lead(event_id) OVER w AS next_event,
            first_value(event_id) OVER w AS first_event,
            ntile(4) OVER w AS quartile,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
              AS value_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1490,8 +1493,8 @@ def window_functions_sampler(spark, sf_dir):
     """Window-function surface: lag/lead/first_value/ntile + a value-RANGE
     frame (trailing 1h sum per user)."""
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    wr = (Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
-          .rangeBetween(-3600, 0))
+    wr = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+          .rangeBetween(-3_600_000_000, 0))
     return (_t(spark, sf_dir, "events")
             .select("event_id", "user_id",
                     F.lag("event_id").over(w).alias("prev_event"),
@@ -1707,7 +1710,7 @@ def set_intersect_all(spark, sf_dir):
       FROM documents)
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-           count(*) AS docs, sum(n_chars) AS total_chars
+           count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM b GROUP BY 1
 """)
 def train_val_test_split(spark, sf_dir):
