@@ -114,19 +114,30 @@ class LifecycleManager:
 
     # -- D3 ------------------------------------------------------------
     def expire_daily_tables(self, database: str, table: str, dt: str,
-                            expires: int = 3, process: str = "merge") -> list[str]:
+                            expires: int = 3, process: str = "merge",
+                            distributed_database: str | None = None) -> list[str]:
         """Merge-or-drop daily tables older than dt−expires
-        (OldDailyMergeTask.java:25-142). Returns the expired table names."""
+        (OldDailyMergeTask.java:25-142). Returns the expired table names.
+
+        ``distributed_database`` set → the reference's distributed branch:
+        after dropping the local daily table, also drop the daily
+        Distributed wrapper in the target database
+        (OldDailyMergeTask.java:111-113) — otherwise daily Distributed
+        tables accumulate forever. The branches also differ on the bound:
+        distributed compares ``name <`` (:88), non-distributed ``name <=``
+        (:115).
+        """
         bound = daily_table_name(
             table, (datetime.strptime(dt, "%Y-%m-%d")
                     - timedelta(days=expires)).strftime("%Y-%m-%d"))
         pattern = f"{table}_\\d{{8}}$"
+        cmp = "<" if distributed_database is not None else "<="
         expired: set[str] = set()
         for h in self._hosts():
             cli = get_client(h, self.http_port, user=self.user, password=self.password)
             rows = cli.query_rows(
                 f"SELECT name FROM system.tables WHERE database = '{database}' "
-                f"AND match(name, '{pattern}') AND name < '{bound}'")
+                f"AND match(name, '{pattern}') AND name {cmp} '{bound}'")
             for (name,) in [r[:1] for r in rows]:
                 if process == "merge":
                     with_retries(lambda c=cli, n=name: c.execute(
@@ -137,6 +148,11 @@ class LifecycleManager:
                     f"DROP TABLE IF EXISTS {database}.{n}"),
                     tier="ddl", max_tries=self.max_tries,
                     backoff_scale=self.backoff_scale)
+                if distributed_database is not None:
+                    with_retries(lambda c=cli, n=name: c.execute(
+                        f"DROP TABLE IF EXISTS {distributed_database}.{n}"),
+                        tier="ddl", max_tries=self.max_tries,
+                        backoff_scale=self.backoff_scale)
                 expired.add(name)
         return sorted(expired)
 

@@ -91,8 +91,8 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
     routed = repartition_by_shard(df, key_col, topology,
                                   config.tasks_per_shard(len(topology.nodes)))
     data_cols = [c for c in routed.columns if c != "shard"]
-    line = F.concat_ws(sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
-                               for c in data_cols])  # nulls → \N, never dropped
+    from ..operators.transform import wire_line_col
+    line = wire_line_col(routed, data_cols, sep)
     serialized = routed.select("shard", line.alias("line"))
 
     def stage_one(rows):
@@ -114,8 +114,24 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
                              max_tries=max_tries, backoff_scale=backoff_scale)
                 created.add(host)
 
+        picked: dict[int, str] = {}
+
+        def pick_host(shard: int) -> str:
+            # stage on the first ALIVE replica, falling back through the
+            # list (the reference picks an available node via
+            # getANodeAddress, AbstractClickhouseLoaderMapper.java:318-326)
+            # — a single down first-replica must not fail the staged load
+            if shard not in picked:
+                hosts = hosts_per_shard[shard]
+                picked[shard] = next(
+                    (h for h in hosts
+                     if get_client(h, http_port, user=user,
+                                   password=password).ping()),
+                    hosts[0])
+            return picked[shard]
+
         def flush(shard: int, buf: list[str]) -> None:
-            host = hosts_per_shard[shard][0]  # stage on first replica
+            host = pick_host(shard)
             ensure(host)
             payload = "\n".join(buf)
             cli = get_client(host, http_port, user=user, password=password)

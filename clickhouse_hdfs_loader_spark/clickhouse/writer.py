@@ -104,10 +104,8 @@ def write_direct(df: DataFrame, key_col: str, topology: ClusterTopology,
     routed = repartition_by_shard(df, key_col, topology,
                                   config.tasks_per_shard(len(topology.nodes)))
     data_cols = [c for c in routed.columns if c != "shard"]
-    sep = "\t" if fmt.startswith("TabSeparated") else ","
-    from pyspark.sql import functions as F
-    line = F.concat_ws(sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
-                               for c in data_cols])  # nulls → \N, never dropped
+    from ..operators.transform import wire_line_col, wire_separator
+    line = wire_line_col(routed, data_cols, wire_separator(fmt))
     serialized = routed.select("shard", line.alias("line"))
 
     def write_partition(rows) -> None:
@@ -123,8 +121,15 @@ def write_direct(df: DataFrame, key_col: str, topology: ClusterTopology,
                          database=database, user=user, password=password)
                 ok_acc.add(n)
             except Exception:
+                # Count the failure but do NOT re-raise: a failed Spark task
+                # would be re-attempted (spark.task.maxFailures) and the
+                # retry would re-insert every batch this attempt already
+                # delivered. The reference does the same — it counts Failed
+                # records in the mapper (AbstractClickhouseLoaderMapper.java:
+                # 350-357) and fails the JOB from the driver verdict
+                # (ClickhouseHdfsLoader.java:203-207), which write_direct
+                # mirrors below.
                 fail_acc.add(n)
-                raise
 
         for row in rows:
             shard = row["shard"]

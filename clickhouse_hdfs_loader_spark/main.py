@@ -85,7 +85,8 @@ def run_load(config: LoaderConfig, spark: SparkSession,
             mode=config.mode)
         lm.expire_daily_tables(dist.local_database, dist.local_table,
                                config.dt, config.daily_expires,
-                               config.daily_expires_process)
+                               config.daily_expires_process,
+                               distributed_database=database)
 
     # step 4 — read + transform
     df = source_df if source_df is not None else read_input(spark, config)

@@ -149,19 +149,47 @@ def validate_width(df: DataFrame, expected: int) -> DataFrame:
     return df
 
 
+def wire_separator(fmt: str) -> str:
+    """FORMAT → field separator (ConfigurationOptions.java:47-71:
+    TabSeparated* → ``\\t``, CSV* → ``,``)."""
+    return "\t" if fmt.startswith("TabSeparated") else ","
+
+
+def wire_line_col(df: DataFrame, data_cols: list[str], sep: str,
+                  replace_char: str = " ") -> F.Column:
+    """One serialized wire line as a Column: T5 sanitize on string fields —
+    wire separator → ``replace_char``, ``\\`` → ``/``
+    (AbstractClickhouseLoaderMapper.java:201) plus newline/CR →
+    ``replace_char`` because payload rows join on ``\\n`` — then nulls →
+    ``\\N`` and ``concat_ws``. Unsanitized tabs/newlines in a value would
+    shift the row width or split the row on the TabSeparated wire.
+    """
+    string_cols = {f.name for f in df.schema.fields
+                   if f.dataType.typeName() == "string"}
+    parts = []
+    for c in data_cols:
+        col = F.col(c)
+        if c in string_cols:
+            col = F.translate(col, sep + "\\\n\r",
+                              replace_char + "/" + replace_char * 2)
+        parts.append(F.coalesce(col.cast("string"), F.lit("\\N")))
+    return F.concat_ws(sep, *parts)
+
+
 def serialize_rows(df: DataFrame, fmt: str = "TabSeparated") -> DataFrame:
     """T10 — newline-payload serialization for ClickHouse ``INSERT … FORMAT``
     (ConfigurationOptions.java:47-71: TabSeparated* → ``\\t``, CSV* → ``,``).
     Returns a single ``line`` string column; the writer prepends the INSERT
     header per batch (AbstractClickhouseLoaderMapper.java:288-298).
+
+    concat_ws SKIPS null columns, which would silently shift the row width
+    on the wire — any null surviving to serialization (e.g.
+    ``escape_null=False`` on a non-string column) must serialize as the
+    ClickHouse NULL marker ``\\N``, like the reference's raw passthrough.
+    String fields are sanitized first (``wire_line_col``).
     """
-    sep = "\t" if fmt.startswith("TabSeparated") else ","
-    # concat_ws SKIPS null columns, which would silently shift the row
-    # width on the wire — any null surviving to serialization (e.g.
-    # escape_null=False on a non-string column) must serialize as the
-    # ClickHouse NULL marker \N, like the reference's raw passthrough
-    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns]
-    return df.select(F.concat_ws(sep, *cols).alias("line"))
+    sep = wire_separator(fmt)
+    return df.select(wire_line_col(df, list(df.columns), sep).alias("line"))
 
 
 @dataclass

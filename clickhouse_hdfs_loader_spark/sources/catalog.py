@@ -34,7 +34,7 @@ def fetch_topology(cli: ClickHouseClient, cluster: str) -> ClusterTopology:
     rows = cli.query_rows(
         "SELECT shard_num, shard_weight, groupArray(host_address) "
         f"FROM system.clusters WHERE cluster = '{cluster}' "
-        "GROUP BY shard_num, shard_weight ORDER BY shard_num")
+        "GROUP BY shard_num, shard_weight ORDER BY shard_num DESC")
     nodes = []
     for shard_num, weight, hosts in rows:
         hosts = tuple(h.strip("'\" ") for h in hosts.strip("[]").split(",") if h)

@@ -240,8 +240,8 @@ def test_drop_partition_cli_tool(mocks):
     entry.canned["SHOW CREATE TABLE db_local.t1"] = (
         "CREATE TABLE db_local.t1 (a Int8) ENGINE = MergeTree ORDER BY a")
     entry.canned["system.clusters"] = (
-        f"1\t1\t['{mocks[0].host}:{mocks[0].port}']\n"
-        f"2\t1\t['{mocks[1].host}:{mocks[1].port}']\n")
+        f"2\t1\t['{mocks[1].host}:{mocks[1].port}']\n"
+        f"1\t1\t['{mocks[0].host}:{mocks[0].port}']\n")
     drop_partition(f"jdbc:clickhouse://{entry.host}:{entry.port}/db",
                    "t1", "'2017-01-07'", backoff_scale=0.001)
     for m in mocks[:2]:
@@ -270,3 +270,94 @@ def test_staged_cleanup_on_promote_failure(spark, mocks):
     # ...yet the cleanup DROPs were attempted for every staged table
     drops = [s for s in m.statements if s.startswith("DROP TABLE IF EXISTS temp.")]
     assert len(drops) >= len(plan.temp_tables)
+
+
+def test_write_direct_sanitizes_wire_fields(spark, mocks):
+    """T5 at the wire (AbstractClickhouseLoaderMapper.java:201): embedded
+    tab/newline/backslash in a string value must not shift the row width
+    or split the row on the TabSeparated payload."""
+    cfg = LoaderConfig(batch_size=10, clickhouse_format="TabSeparated")
+    topo = topo_of(mocks[:1])
+    df = spark.createDataFrame(
+        [("k1", "a\tb", 1), ("k2", "c\nd", 2), ("k3", "e\\f", 3)],
+        ["k", "s", "v"])
+    write_direct(df, "k", topo, cfg, database="db", table="t",
+                 backoff_scale=0.001)
+    rows = [line for ins in mocks[0].inserts()
+            for line in ins.splitlines()[1:]]
+    assert len(rows) == 3                       # no row split by newline
+    assert all(len(r.split("\t")) == 3 for r in rows)  # width stable
+    by_key = {r.split("\t")[0]: r.split("\t") for r in rows}
+    assert by_key["k1"][1] == "a b"
+    assert by_key["k2"][1] == "c d"
+    assert by_key["k3"][1] == "e/f"
+
+
+def test_write_direct_failure_counts_without_task_retry(spark, mocks):
+    """W6 failure semantics: a dead shard must not re-raise inside the task
+    (a Spark task retry would double-insert already-delivered batches) —
+    the failure is counted and the JOB fails from the driver verdict
+    (AbstractClickhouseLoaderMapper.java:350-357;
+    ClickhouseHdfsLoader.java:203-207)."""
+    cfg = LoaderConfig(batch_size=50, max_tries=2)
+    dead = MockClickHouse(fail_first=10**6)
+    try:
+        topo = topo_of([mocks[0], dead])
+        df = spark.createDataFrame([(f"key-{i}", i) for i in range(60)],
+                                   ["k", "v"])
+        with pytest.raises(RuntimeError, match="load failed") as exc:
+            write_direct(df, "k", topo, cfg, database="db", table="t",
+                         backoff_scale=0.001)
+        stats = eval(str(exc.value).split("load failed: ")[1])
+        assert stats["failed_records"] > 0
+        assert stats["success_records"] + stats["failed_records"] == 60
+        # the alive shard's rows were delivered exactly once
+        delivered = [line for ins in mocks[0].inserts()
+                     for line in ins.splitlines()[1:]]
+        assert len(delivered) == stats["success_records"]
+        assert len(set(delivered)) == len(delivered)
+    finally:
+        dead.stop()
+
+
+def test_staged_load_falls_back_to_alive_replica(spark, mocks):
+    """A down first-replica must not fail the staged load — stage_one
+    probes and falls through the replica list (reference getANodeAddress,
+    AbstractClickhouseLoaderMapper.java:318-326)."""
+    cfg = LoaderConfig(batch_size=50, max_tries=2)
+    dead = MockClickHouse(fail_first=10**6)
+    dead_addr = f"{dead.host}:{dead.port}"
+    dead.stop()   # truly down: connection refused
+    topo = ClusterTopology([ShardNode(1, 1, (dead_addr,
+                                             f"{mocks[0].host}:{mocks[0].port}"))])
+    ddl = "CREATE TABLE db.t (k String, v Int32) ENGINE = MergeTree ORDER BY k"
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(20)], ["k", "v"])
+    plan = staging.stage_partitions(
+        df, "k", topo, cfg, create_ddl=ddl, target_database="db",
+        target_table="t", dt="2017-01-07", backoff_scale=0.001)
+    assert plan.temp_tables
+    assert all(h == f"{mocks[0].host}:{mocks[0].port}"
+               for h, _t in plan.temp_tables)
+    staged_rows = [line for ins in mocks[0].inserts()
+                   for line in ins.splitlines()[1:]]
+    assert len(staged_rows) == 20
+
+
+def test_expire_daily_distributed_drops_wrapper(mocks):
+    """OldDailyMergeTask.java:111-113: the distributed branch drops the
+    daily Distributed wrapper in the target database after the local
+    daily table."""
+    m = mocks[0]
+    topo = topo_of([m])
+    lm = LifecycleManager(topo, backoff_scale=0.001)
+    m.canned["system.tables"] = "t_20170101\n"
+    expired = lm.expire_daily_tables("db_local", "t", "2017-01-07", expires=3,
+                                     process="merge",
+                                     distributed_database="db")
+    assert expired == ["t_20170101"]
+    assert any(s == "DROP TABLE IF EXISTS db_local.t_20170101"
+               for s in m.statements)
+    assert any(s == "DROP TABLE IF EXISTS db.t_20170101"
+               for s in m.statements)
+    # distributed branch uses the strict bound (reference :88)
+    assert any("name < 't_20170104'" in s for s in m.statements)

@@ -26,9 +26,10 @@ def cluster():
     hosts = "','".join(f"{s.host}:{s.port}" for s in servers)
     entry.canned["SHOW CREATE TABLE test.t1"] = TARGET_DDL
     entry.canned["SHOW CREATE TABLE test_local.t1"] = LOCAL_DDL
+    # a real server answers ORDER BY shard_num DESC — highest shard first
     entry.canned["system.clusters"] = (
-        f"1\t1\t['{servers[0].host}:{servers[0].port}']\n"
-        f"2\t1\t['{servers[1].host}:{servers[1].port}']\n")
+        f"2\t1\t['{servers[1].host}:{servers[1].port}']\n"
+        f"1\t1\t['{servers[0].host}:{servers[0].port}']\n")
     entry.canned["DESC test_local.t1"] = \
         "plat\tInt8\nh_did\tString\nv\tInt32\n"
     entry.canned["system.columns"] = "3\n"

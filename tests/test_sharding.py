@@ -55,3 +55,35 @@ def test_repartition_colocates_shards(spark):
         for s in p:
             locations[s] += 1
     assert all(v <= 2 for v in locations.values())
+
+
+def test_fetch_topology_desc_order_placement_parity():
+    """Multi-shard placement parity: the reference reads system.clusters
+    ORDER BY shard_num DESC (ClickhouseClient.java:124) and walks the
+    returned list in order, so the highest shard_num owns the first weight
+    slots. Pins the issued SQL, node order, and slot→host placement."""
+    from clickhouse_hdfs_loader_spark.clickhouse.client import ClickHouseClient
+    from clickhouse_hdfs_loader_spark.sources.catalog import fetch_topology
+
+    from .mock_clickhouse import MockClickHouse
+
+    m = MockClickHouse()
+    try:
+        m.canned["system.clusters"] = (
+            "3\t1\t['h3']\n"
+            "2\t1\t['h2']\n"
+            "1\t2\t['h1a','h1b']\n")
+        t = fetch_topology(ClickHouseClient(m.host, m.port), "ck")
+        assert any("ORDER BY shard_num DESC" in s for s in m.statements)
+        assert [n.shard_num for n in t.nodes] == [3, 2, 1]
+        assert t.total_weight == 4
+        assert [t.shard_for_slot(s).shard_num for s in range(4)] == [3, 2, 1, 1]
+        assert t.shard_for_slot(0).hosts == ("h3",)
+        assert t.shard_for_slot(3).hosts == ("h1a", "h1b")
+        # physical placement of a golden-pinned key must follow DESC order
+        slot = guava_shard_code("20170107") % t.total_weight
+        table = t.slot_to_shard_index()
+        assert t.nodes[table[slot]].shard_num == \
+            [3, 2, 1, 1][slot]
+    finally:
+        m.stop()
