@@ -361,3 +361,44 @@ def test_expire_daily_distributed_drops_wrapper(mocks):
                for s in m.statements)
     # distributed branch uses the strict bound (reference :88)
     assert any("name < 't_20170104'" in s for s in m.statements)
+
+
+@pytest.mark.parametrize("ddl,expected", [
+    # multi-line SHOW CREATE with Replicated args, TTL and SETTINGS —
+    # everything after ENGINE must be dropped with it
+    ("CREATE TABLE db.t1\n(\n    `a` String,\n    `b` Int32,\n"
+     "    `d` Date\n)\n"
+     "ENGINE = ReplicatedMergeTree('/clickhouse/tables/{shard}/t1', "
+     "'{replica}')\nPARTITION BY toYYYYMMDD(d)\nORDER BY (a, b)\n"
+     "TTL d + INTERVAL 90 DAY\nSETTINGS index_granularity = 8192",
+     "CREATE TABLE temp.tmp_x\n(\n    `a` String,\n    `b` Int32,\n"
+     "    `d` Date\n)\nENGINE = StripeLog"),
+    # Distributed engine with a nested function in the sharding key
+    # (nested parens inside the engine args)
+    ("CREATE TABLE `test`.`t1` (`plat` Int8, `h_did` String) "
+     "ENGINE = Distributed(ck_cluster, test_local, t1, cityHash64(h_did))",
+     "CREATE TABLE temp.tmp_x (`plat` Int8, `h_did` String) "
+     "ENGINE = StripeLog"),
+    # column DEFAULTs and CODECs (parens + '=' inside the column list
+    # must survive; SETTINGS with '=' after the engine must not)
+    ("CREATE TABLE db.m\n(\n    `k` String,\n"
+     "    `v` Float64 CODEC(Gorilla, ZSTD(3)),\n"
+     "    `flag` UInt8 DEFAULT 1,\n    `ts` DateTime DEFAULT now()\n)\n"
+     "ENGINE = MergeTree\nORDER BY k\n"
+     "SETTINGS index_granularity = 8192, storage_policy = 'ssd'",
+     "CREATE TABLE temp.tmp_x\n(\n    `k` String,\n"
+     "    `v` Float64 CODEC(Gorilla, ZSTD(3)),\n"
+     "    `flag` UInt8 DEFAULT 1,\n    `ts` DateTime DEFAULT now()\n)\n"
+     "ENGINE = StripeLog"),
+    # pre-20.x legacy engine syntax with inline parameters
+    ("CREATE TABLE db.old (d Date, a String, n Int32) "
+     "ENGINE = MergeTree(d, (a, n), 8192)",
+     "CREATE TABLE temp.tmp_x (d Date, a String, n Int32) "
+     "ENGINE = StripeLog"),
+])
+def test_ddl_rewrite_goldens(ddl, expected):
+    """Golden round-trips for the StripeLog rewrite over real SHOW CREATE
+    shapes (AbstractClickhouseLoaderMapper.java:568-591 truncates at the
+    first '=' — the regex here must reach the same result on DDLs where
+    '=' also appears in column DEFAULTs or SETTINGS)."""
+    assert rewrite_ddl_to_striplog(ddl, "temp", "tmp_x") == expected
