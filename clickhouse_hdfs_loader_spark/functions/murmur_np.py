@@ -78,21 +78,55 @@ def _hash_fixed_length(buf: np.ndarray) -> np.ndarray:
     return h1
 
 
-def guava_shard_codes(keys: "list[str] | np.ndarray", out: np.ndarray | None = None) -> np.ndarray:
-    """Vectorized ``murmur3_128(key).asInt() & Integer.MAX_VALUE`` for a
-    batch of strings (UTF-16LE, Guava semantics). Returns int64 array."""
-    n = len(keys)
-    codes = np.empty(n, dtype=np.int64) if out is None else out
-    encoded = [k.encode("utf-16-le") for k in keys]
-    lengths = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
-    for length in np.unique(lengths):
-        idx = np.nonzero(lengths == length)[0]
+def _codes_from_groups(codes: np.ndarray, byte_lens: np.ndarray,
+                       row_bytes) -> np.ndarray:
+    """Hash per equal-byte-length group; ``row_bytes(idx, length)`` yields
+    the (n_group, length) uint8 matrix for that group."""
+    for length in np.unique(byte_lens):
+        idx = np.nonzero(byte_lens == length)[0]
         if length == 0:
             codes[idx] = 0
             continue
-        buf = np.frombuffer(b"".join(encoded[i] for i in idx),
-                            dtype=np.uint8).reshape(len(idx), length)
-        h1 = _hash_fixed_length(buf)
+        h1 = _hash_fixed_length(row_bytes(idx, int(length)))
         as_int = (h1 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         codes[idx] = as_int.astype(np.int64) & 0x7FFFFFFF
     return codes
+
+
+def guava_shard_codes(keys: "list[str] | np.ndarray", out: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized ``murmur3_128(key).asInt() & Integer.MAX_VALUE`` for a
+    batch of strings (UTF-16LE, Guava semantics). Returns int64 array.
+
+    Fast path: ONE bulk ``"".join(keys).encode("utf-16-le")`` (C-speed)
+    with per-key slices recovered from code-unit offsets — UTF-16LE
+    encodes each code point independently, so the joined encoding equals
+    the concatenation of per-key encodings. Python ``len`` counts code
+    POINTS though, so when any key holds a non-BMP char (surrogate pair:
+    len 1, 4 bytes) the total-length check fails and we fall back to
+    per-key encodes. The per-key encode loop was ~60% of the UDF's CPU.
+    """
+    n = len(keys)
+    codes = np.empty(n, dtype=np.int64) if out is None else out
+    if n == 0:
+        return codes
+    units = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
+    blob = "".join(keys).encode("utf-16-le")
+    if len(blob) == 2 * int(units.sum()):
+        byte_lens = units * 2
+        ends = np.cumsum(byte_lens)
+        starts = ends - byte_lens
+        arr = np.frombuffer(blob, dtype=np.uint8)
+
+        def rows(idx, length):
+            return arr[starts[idx][:, None] + np.arange(length)]
+
+        return _codes_from_groups(codes, byte_lens, rows)
+    # non-BMP fallback: exact per-key encoding
+    encoded = [k.encode("utf-16-le") for k in keys]
+    byte_lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+
+    def rows(idx, length):
+        return np.frombuffer(b"".join(encoded[i] for i in idx),
+                             dtype=np.uint8).reshape(len(idx), length)
+
+    return _codes_from_groups(codes, byte_lens, rows)

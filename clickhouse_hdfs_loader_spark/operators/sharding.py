@@ -74,13 +74,15 @@ def shard_slot_udf(total_weight: int) -> "F.pandas_udf":
     @F.pandas_udf(IntegerType())
     def _slot(keys: pd.Series) -> pd.Series:
         # vectorized Guava-parity murmur (functions/murmur_np: numpy uint64
-        # wrap-around arithmetic, keys grouped by byte length — ~6× the
-        # scalar hash); blank/null keys get the UUID random route
-        vals = keys.to_numpy(dtype=object)
-        blank = pd.isna(keys).to_numpy() | (vals == "")
-        filled = [str(uuid.uuid4()) if b else str(v)
-                  for v, b in zip(vals, blank)]
-        codes = vectorized_codes(filled)
+        # wrap-around arithmetic, one bulk utf-16-le encode + per-length
+        # group hashing); blank/null keys get the UUID random route. The
+        # column is cast to string upstream, so tolist() already yields
+        # str/None — no per-row str() pass.
+        vals = keys.tolist()
+        for i, v in enumerate(vals):
+            if not v:   # None or "" → reference's UUID fallback (:278-280)
+                vals[i] = str(uuid.uuid4())
+        codes = vectorized_codes(vals)
         return pd.Series((codes % total_weight).astype("int32"))
 
     return _slot

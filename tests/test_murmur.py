@@ -87,3 +87,15 @@ def test_numpy_parity_on_goldens():
     keys = [k for k, _, _ in GOLDEN]
     got = list(guava_shard_codes(keys))
     assert got == [a & 0x7FFFFFFF for _, a, _ in GOLDEN]
+
+
+def test_numpy_bulk_encode_fallback_non_bmp():
+    """The bulk-encode fast path detects non-BMP keys (1 code point, 4
+    UTF-16 bytes — the joined-encode length check fails) and falls back to
+    per-key encodes, staying bit-exact; mixed batches included."""
+    from clickhouse_hdfs_loader_spark.functions.murmur_np import (
+        guava_shard_codes,
+    )
+    keys = ["😀", "a😀b", "弹幕", "plain", "", "𝄞clef"]
+    assert list(guava_shard_codes(keys)) == \
+        [guava_shard_code(k) for k in keys]
