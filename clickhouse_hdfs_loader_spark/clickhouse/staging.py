@@ -79,9 +79,11 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
+    from ..operators.transform import format_header_lines, wire_separator
+
     prefix = temp_table_prefix(target_table, dt or "00000000")
     fmt = config.clickhouse_format
-    sep = "\t" if fmt.startswith("TabSeparated") else ","
+    sep = wire_separator(fmt)
     batch_size = min(config.batch_size, 1_048_576)
     hosts_per_shard = [n.hosts for n in topology.nodes]
     http_port = config.clickhouse_http_port
@@ -94,6 +96,8 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
     from ..operators.transform import wire_line_col
     line = wire_line_col(routed, data_cols, sep)
     serialized = routed.select("shard", line.alias("line"))
+    hdr_lines = format_header_lines(fmt, routed, data_cols)
+    payload_prefix = "".join(l + "\n" for l in hdr_lines)
 
     def stage_one(rows):
         ctx = TaskContext.get()
@@ -133,7 +137,7 @@ def stage_partitions(df: DataFrame, key_col: str, topology: ClusterTopology,
         def flush(shard: int, buf: list[str]) -> None:
             host = pick_host(shard)
             ensure(host)
-            payload = "\n".join(buf)
+            payload = payload_prefix + "\n".join(buf)
             cli = get_client(host, http_port, user=user, password=password)
             with_retries(lambda: cli.insert_payload(header, payload),
                          tier="staged", max_tries=max_tries,

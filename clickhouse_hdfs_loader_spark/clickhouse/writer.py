@@ -104,16 +104,21 @@ def write_direct(df: DataFrame, key_col: str, topology: ClusterTopology,
     routed = repartition_by_shard(df, key_col, topology,
                                   config.tasks_per_shard(len(topology.nodes)))
     data_cols = [c for c in routed.columns if c != "shard"]
-    from ..operators.transform import wire_line_col, wire_separator
+    from ..operators.transform import (format_header_lines, wire_line_col,
+                                       wire_separator)
     line = wire_line_col(routed, data_cols, wire_separator(fmt))
     serialized = routed.select("shard", line.alias("line"))
+    # WithNames[AndTypes] formats: every batch INSERT payload leads with
+    # the names (and types) rows
+    hdr_lines = format_header_lines(fmt, routed, data_cols)
+    payload_prefix = "".join(l + "\n" for l in hdr_lines)
 
     def write_partition(rows) -> None:
         buffers: dict[int, ShardBuffer] = {}
 
         def flush(shard: int, buf: ShardBuffer) -> None:
             n = buf.count
-            payload = buf.drain()
+            payload = payload_prefix + buf.drain()
             try:
                 _deliver(payload, header, hosts_per_shard[shard],
                          http_port=http_port, replicated=replicated,

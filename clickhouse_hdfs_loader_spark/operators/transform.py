@@ -149,10 +149,54 @@ def validate_width(df: DataFrame, expected: int) -> DataFrame:
     return df
 
 
+#: the reference's closed FORMAT set (ConfigurationOptions.java:45-69,
+#: ``ClickhouseFormats`` enum) — anything else raised
+#: UnsupportedOperationException there and ValueError here.
+CLICKHOUSE_FORMATS: dict[str, str] = {
+    "TabSeparated": "\t",
+    "TabSeparatedWithNames": "\t",
+    "TabSeparatedWithNamesAndTypes": "\t",
+    "TabSeparatedRaw": "\t",
+    "CSV": ",",
+    "CSVWithNames": ",",
+}
+
+#: Spark → ClickHouse type names for the WithNamesAndTypes header row.
+_CLICKHOUSE_TYPES = {
+    "byte": "Int8", "short": "Int16", "integer": "Int32", "long": "Int64",
+    "float": "Float32", "double": "Float64", "boolean": "UInt8",
+    "string": "String", "date": "Date", "timestamp": "DateTime64(6)",
+    "binary": "String",
+}
+
+
 def wire_separator(fmt: str) -> str:
-    """FORMAT → field separator (ConfigurationOptions.java:47-71:
-    TabSeparated* → ``\\t``, CSV* → ``,``)."""
-    return "\t" if fmt.startswith("TabSeparated") else ","
+    """FORMAT → field separator (ConfigurationOptions.java:45-69:
+    TabSeparated* → ``\\t``, CSV* → ``,``); unknown names rejected like the
+    reference enum constructor."""
+    try:
+        return CLICKHOUSE_FORMATS[fmt]
+    except KeyError:
+        raise ValueError(f"Unsupported Clickhouse Format: {fmt!r} "
+                         f"(supported: {sorted(CLICKHOUSE_FORMATS)})") from None
+
+
+def format_header_lines(fmt: str, df: DataFrame,
+                        data_cols: list[str]) -> list[str]:
+    """Per-INSERT header rows for the WithNames[AndTypes] FORMAT variants:
+    ClickHouse expects the payload's first row(s) to carry column names
+    (and types) for those formats, so every batch INSERT must lead with
+    them. Bare formats get no header rows."""
+    sep = wire_separator(fmt)
+    if not fmt.endswith(("WithNames", "WithNamesAndTypes")):
+        return []
+    lines = [sep.join(data_cols)]
+    if fmt.endswith("AndTypes"):
+        spark_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        lines.append(sep.join(
+            _CLICKHOUSE_TYPES.get(spark_types.get(c, "string"), "String")
+            for c in data_cols))
+    return lines
 
 
 def wire_line_col(df: DataFrame, data_cols: list[str], sep: str,

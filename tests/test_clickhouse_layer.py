@@ -402,3 +402,66 @@ def test_ddl_rewrite_goldens(ddl, expected):
     first '=' — the regex here must reach the same result on DDLs where
     '=' also appears in column DEFAULTs or SETTINGS)."""
     assert rewrite_ddl_to_striplog(ddl, "temp", "tmp_x") == expected
+
+
+def test_write_direct_with_names_and_types_header_rows(spark, mocks):
+    """WithNames[AndTypes] FORMAT variants (ConfigurationOptions.java:45-69):
+    every batch INSERT payload leads with the column-names row (and the
+    ClickHouse type-names row for AndTypes) so ClickHouse can parse it."""
+    cfg = LoaderConfig(batch_size=40,
+                       clickhouse_format="TabSeparatedWithNamesAndTypes")
+    topo = topo_of(mocks)
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(100)], ["k", "v"])
+    write_direct(df, "k", topo, cfg, database="db", table="t",
+                 backoff_scale=0.001)
+    total = 0
+    for m in mocks:
+        for ins in m.inserts():
+            lines = ins.splitlines()
+            assert lines[0] == insert_header(
+                "db", "t", "TabSeparatedWithNamesAndTypes")
+            assert lines[1] == "k\tv"
+            assert lines[2] == "String\tInt64"
+            total += len(lines) - 3
+    assert total == 100
+
+
+def test_staged_load_csv_with_names_header_row(spark, mocks):
+    """CSVWithNames on the staged path: comma separator + names row per
+    batch payload."""
+    cfg = LoaderConfig(batch_size=1000, clickhouse_format="CSVWithNames")
+    topo = topo_of(mocks[:1])
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(30)], ["k", "v"])
+    plan = staging.stage_partitions(
+        df, "k", topo, cfg,
+        create_ddl="CREATE TABLE db.t (k String, v Int64) ENGINE = MergeTree ORDER BY k",
+        target_database="db", target_table="t", dt="20260813",
+        backoff_scale=0.001)
+    assert plan.temp_tables
+    payload_inserts = [i for i in mocks[0].inserts() if "FORMAT" in i]
+    assert payload_inserts
+    for ins in payload_inserts:
+        lines = ins.splitlines()
+        assert lines[1] == "k,v"
+        assert all("," in l for l in lines[2:])
+
+
+def test_unsupported_clickhouse_format_rejected():
+    """Unknown FORMAT names raise, mirroring the reference enum's
+    UnsupportedOperationException (ConfigurationOptions.java:66)."""
+    from clickhouse_hdfs_loader_spark.operators.transform import (
+        format_header_lines, wire_separator)
+    with pytest.raises(ValueError, match="Unsupported Clickhouse Format"):
+        wire_separator("JSONEachRow")
+    assert wire_separator("TabSeparatedRaw") == "\t"
+    assert wire_separator("CSVWithNames") == ","
+
+
+def test_format_header_lines_bare_formats_empty(spark):
+    from clickhouse_hdfs_loader_spark.operators.transform import (
+        format_header_lines)
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    assert format_header_lines("TabSeparated", df, ["k", "v"]) == []
+    assert format_header_lines("CSV", df, ["k", "v"]) == []
+    assert format_header_lines("TabSeparatedWithNames", df, ["k", "v"]) == \
+        ["k\tv"]
