@@ -17,7 +17,9 @@ Driver-side DDL orchestration over the HTTP client:
 
 from __future__ import annotations
 
+import logging
 import re
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
@@ -155,6 +157,27 @@ class LifecycleManager:
                         backoff_scale=self.backoff_scale)
                 expired.add(name)
         return sorted(expired)
+
+    def expire_daily_tables_task(self, *args, **kwargs) -> list[str]:
+        """The reference runs expiry on a worker thread it starts and
+        immediately joins (ClickhouseHdfsLoader.java:133-139) — so the call
+        is synchronous, but ``OldDailyMergeTask.run`` catches every
+        exception and only logs it (:48-55): an expiry failure must NOT
+        abort the load. This wrapper mirrors both the launch shape and the
+        swallow-and-log contract; it returns [] on failure."""
+        result: list[str] = []
+
+        def run() -> None:
+            try:
+                result.extend(self.expire_daily_tables(*args, **kwargs))
+            except Exception as e:  # OldDailyMergeTask.java:52-55
+                logging.getLogger(__name__).error(
+                    "daily expiry failed (load continues): %s", e)
+
+        worker = threading.Thread(target=run, name="OldDailyMergeTask")
+        worker.start()
+        worker.join()
+        return result
 
     # -- D4 ------------------------------------------------------------
     def drop_partition(self, database: str, table: str, partition: str,

@@ -83,10 +83,12 @@ def run_load(config: LoaderConfig, spark: SparkSession,
         target_table = lm.create_daily_tables(
             local_ddl, dist.local_database, dist.local_table, config.dt,
             mode=config.mode)
-        lm.expire_daily_tables(dist.local_database, dist.local_table,
-                               config.dt, config.daily_expires,
-                               config.daily_expires_process,
-                               distributed_database=database)
+        # started-and-joined worker thread; expiry failure logs, never
+        # aborts the load (ClickhouseHdfsLoader.java:133-139)
+        lm.expire_daily_tables_task(dist.local_database, dist.local_table,
+                                    config.dt, config.daily_expires,
+                                    config.daily_expires_process,
+                                    distributed_database=database)
 
     # step 4 — read + transform
     df = source_df if source_df is not None else read_input(spark, config)

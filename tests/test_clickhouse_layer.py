@@ -465,3 +465,22 @@ def test_format_header_lines_bare_formats_empty(spark):
     assert format_header_lines("CSV", df, ["k", "v"]) == []
     assert format_header_lines("TabSeparatedWithNames", df, ["k", "v"]) == \
         ["k\tv"]
+
+
+def test_expire_daily_task_swallows_failure_and_runs_on_thread(mocks):
+    """Launch-shape parity (ClickhouseHdfsLoader.java:133-139 +
+    OldDailyMergeTask.java:48-55): expiry runs on a started-then-joined
+    worker thread, and any exception inside it is logged, never raised —
+    a broken expiry must not abort the load."""
+    m = mocks[0]
+    lm = LifecycleManager(topo_of([m]), max_tries=1, backoff_scale=0.001)
+    m.fail_first = 99  # every statement errors -> expire_daily_tables raises
+    assert lm.expire_daily_tables_task("db", "t", "2017-01-07") == []
+    # direct call still raises (the task wrapper is the swallow point)
+    with pytest.raises(ClickHouseError):
+        lm.expire_daily_tables("db", "t", "2017-01-07")
+    # happy path returns the expired names through the thread
+    m.fail_first = 0
+    m.canned["system.tables"] = "t_20170101\n"
+    assert lm.expire_daily_tables_task(
+        "db", "t", "2017-01-07", expires=3, process="drop") == ["t_20170101"]
