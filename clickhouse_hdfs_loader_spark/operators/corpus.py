@@ -1,0 +1,91 @@
+"""Corpus-preparation operators ([EXT] — training-data pipeline ops that
+sit between dedup and the trainer: sequence packing, deterministic
+stratified sampling, and context-window chunking).
+
+All three are single-pass, shuffle-light DataFrame plans:
+
+- ``pack_token_budget`` — one window partitioned by the pack group plus
+  one hash aggregate; no global ordering, so at 100 TB each group packs
+  independently (the group key is the unit of parallelism).
+- ``stratified_sample`` — a pure row filter on an md5 prefix; zero
+  shuffles, fully deterministic across runs/clusters (no rand()), and
+  exactly reproducible in any engine with md5 — which is what makes it
+  oracle-checkable and makes resampling stable under retries.
+- ``chunk_documents`` — per-row explode of token-window slices; rows fan
+  out by ~tokens/step but never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_token_count
+
+
+def pack_token_budget(docs: DataFrame, budget: int = 2048,
+                      group_col: str = "source", id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Assign documents to fixed token-budget bins ("sequence packing" for
+    context-window training batches): within each ``group_col`` stream,
+    ordered by ``id_col``, bin = floor(cumulative-tokens-before / budget).
+
+    This is the deterministic streaming formulation — a document whose
+    tokens straddle a boundary counts in the bin where it starts — chosen
+    over greedy first-fit because it is order-stable, expressible as one
+    window function (no sequential fold), and identical on any engine.
+    Returns per-bin packing stats.
+    """
+    w = (Window.partitionBy("grp").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = docs.select(F.col(group_col).alias("grp"), F.col(id_col).alias("id"),
+                    whitespace_token_count(F.col(text_col)).cast("long")
+                    .alias("n_tokens"))
+    d = d.withColumn("bin", F.floor(
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(float(budget))))
+    return (d.groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens"),
+                 F.min("id").alias("first_doc"),
+                 F.max("id").alias("last_doc")))
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, str],
+                      default_threshold: str = "4000",
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the first 4
+    hex chars of ``md5(str(id))`` sort below the stratum's threshold —
+    '8000' keeps ~50%, '4000' ~25%, 'ffff' ~100%. Hash-based (not
+    ``rand()``) so the sample is identical across runs, engines, retries,
+    and cluster sizes; rates are per-stratum (e.g. downweight dominant
+    languages in a multilingual corpus)."""
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thr: Column = F.lit(default_threshold)
+    for stratum, t in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(t)).otherwise(thr)
+    return docs.where(bucket < thr)
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 32, overlap: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping fixed-size token windows (the
+    standard context-window chunking step before tokenize-and-train or
+    embedding): chunk i covers tokens [i*step, i*step + chunk_size) with
+    step = chunk_size - overlap; the last chunk may be short. Tokens are
+    maximal non-space runs (same tokenizer as token counting)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"),
+                    F.size(toks).alias("n"))
+    starts = F.when(F.col("n") > 0,
+                    F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+                    ).otherwise(F.array().cast("array<int>"))
+    d = d.select("id", "toks",
+                 F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return d.select(F.col("id").alias(id_col), "chunk_idx",
+                    F.size(chunk).alias("n_chunk_tokens"),
+                    F.array_join(chunk, " ").alias("chunk_text"))

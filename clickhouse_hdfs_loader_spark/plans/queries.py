@@ -1938,6 +1938,66 @@ def streaming_static_join(spark, sf_dir):
     return stream_static_join_counts(spark, sf_dir)
 
 
+@query("pack_token_budget", oracle="""
+    WITH d AS (
+        SELECT source AS grp, doc_id AS id,
+               CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT grp, id, n_tokens,
+               CAST(floor(coalesce(CAST(sum(n_tokens) OVER (
+                   PARTITION BY grp ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) / 2048.0) AS BIGINT) AS bin
+        FROM d
+    )
+    SELECT grp, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(id) AS first_doc, max(id) AS last_doc
+    FROM c GROUP BY grp, bin
+""")
+def pack_token_budget(spark, sf_dir):
+    """Sequence packing: fixed 2048-token bins per source stream
+    (operators/corpus.py — one window per group + one aggregate; the
+    group key is the unit of parallelism at scale)."""
+    from ..operators.corpus import pack_token_budget as pack
+    return pack(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+@query("stratified_sample", oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+""")
+def stratified_sample(spark, sf_dir):
+    """Deterministic md5-prefix stratified sampling: keep ~50% of 'en'
+    docs, ~25% of everything else — hash-based so the sample is stable
+    across runs/engines/retries (operators/corpus.py)."""
+    from ..operators.corpus import stratified_sample as strat
+    d = _t(spark, sf_dir, "documents")
+    return (strat(d, {"en": "8000"}, default_threshold="4000")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@query("chunk_documents", oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+        FROM documents
+    )
+    SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(len(toks[start + 1 : start + 32]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+    FROM t, unnest(range(0, greatest(len(toks), 1), 24)) AS u(start)
+    WHERE len(toks) > 0
+""")
+def chunk_documents(spark, sf_dir):
+    """Context-window chunking: 32-token windows with 8-token overlap
+    (step 24); the last chunk may be short (operators/corpus.py)."""
+    from ..operators.corpus import chunk_documents as chunk
+    return chunk(_t(spark, sf_dir, "documents"), chunk_size=32, overlap=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —

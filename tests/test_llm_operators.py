@@ -213,3 +213,55 @@ def test_shingles_udf_matches_expression_random_texts(spark):
         assert b.exceptAll(a).count() == 0
 
     check()
+
+
+def test_chunk_documents_edges(spark):
+    """Chunking: empty text yields no chunks; short docs one chunk; the
+    overlap windows cover every token; overlap >= chunk_size rejected."""
+    import pytest
+    from clickhouse_hdfs_loader_spark.operators.corpus import chunk_documents
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c"), (3, " ".join(f"t{i}" for i in range(40)))],
+        ["doc_id", "text"])
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in chunk_documents(df, chunk_size=32, overlap=8).collect()}
+    assert not any(d == 1 for d, _ in rows)          # empty -> no chunks
+    assert rows[(2, 0)]["n_chunk_tokens"] == 3
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(3, 0)]["n_chunk_tokens"] == 32      # [0:32)
+    assert rows[(3, 1)]["n_chunk_tokens"] == 16      # [24:40)
+    assert rows[(3, 1)]["chunk_text"].startswith("t24 ")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def test_pack_token_budget_bins(spark):
+    """Packing: bins fill by cumulative tokens-before within each group —
+    a doc straddling the boundary lands in the bin where it starts."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import pack_token_budget
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 60), "s0") for i in range(10)],
+        ["doc_id", "text", "source"])
+    out = {r["bin"]: r for r in
+           pack_token_budget(docs, budget=100, group_col="source").collect()}
+    # cum_before per doc: 0,60,...,540 -> bins 0,0,1,1,2,3,3,4,4,5
+    assert out[0]["n_docs"] == 2 and out[0]["bin_tokens"] == 120
+    assert out[0]["first_doc"] == 0 and out[0]["last_doc"] == 1
+    assert out[2]["n_docs"] == 1 and out[2]["first_doc"] == 4
+    assert len(out) == 6
+
+
+def test_stratified_sample_deterministic(spark):
+    """Sampling is a pure function of doc_id + stratum thresholds."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 2 == 0 else "de") for i in range(400)],
+        ["doc_id", "text", "lang"])
+    a = sorted(r["doc_id"] for r in
+               stratified_sample(docs, {"en": "8000"}).collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(docs, {"en": "8000"}).collect())
+    assert a == b and 0 < len(a) < 400
+    en = sum(1 for i in a if i % 2 == 0)
+    de = len(a) - en
+    assert en > de  # en keeps ~2x the rate of the default stratum
