@@ -224,11 +224,18 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
 
     Seeds = the ``k`` lowest-id vectors; each iteration assigns every
     vector to its max-cosine centroid (one codegen scan — ivf_assign) and
-    recomputes centroid means (posexplode + avg per (centroid, dim), one
-    shuffle). Centroids live on the driver between rounds (k×dim floats),
-    so iteration cost is 2 jobs × iters — the distributed-iterative
-    pattern the IVF quality path needs, kept reproducible (fixed seeds, no
-    randomness) for the correctness harness.
+    recomputes centroid means (posexplode + fixed-point sum per
+    (centroid, dim), one shuffle). Centroids live on the driver between
+    rounds (k×dim floats), so iteration cost is 2 jobs × iters — the
+    distributed-iterative pattern the IVF quality path needs.
+
+    **Fixed-point accumulation**: per-dim means sum ``floor(x·10⁶)`` as
+    int64, then divide once on the driver. Float sums depend on shuffle
+    merge order (non-deterministic across runs/clusters); integer sums
+    are exact and order-free, so training is BITWISE reproducible — same
+    centroids on any engine, any partitioning, any retry — which is what
+    lets the trained-IVF query carry a replayable SQL oracle. The 1e-6
+    quantization of the mean is far below embedding noise.
     """
     cents = seed_centroids(corpus, k, vec_col, id_col)
     for _ in range(iters):
@@ -237,14 +244,18 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
                    .select("centroid", F.posexplode(
                        F.transform("v", lambda x: x.cast("double")))
                        .alias("dim", "x"))
-                   .groupBy("centroid", "dim").agg(F.avg("x").alias("mu")))
+                   .groupBy("centroid", "dim")
+                   .agg(F.sum(F.floor(F.col("x") * F.lit(1000000.0)))
+                        .alias("s"),
+                        F.count(F.lit(1)).alias("n")))
         rows = (per_dim.groupBy("centroid")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "mu")))
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n")))
                      .alias("dims"))
                 .collect())
         new_cents = dict(cents)
         for r in rows:
-            new_cents[r["centroid"]] = [d["mu"] for d in r["dims"]]
+            new_cents[r["centroid"]] = [(d["s"] / 1000000.0) / d["n"]
+                                        for d in r["dims"]]
         cents = sorted(new_cents.items())
     return cents
 

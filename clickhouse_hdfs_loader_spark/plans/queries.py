@@ -1713,11 +1713,114 @@ def nulls_ordering(spark, sf_dir):
             .limit(50))
 
 
-@query("ann_ivf_trained_topk", tags=("no-oracle",))
+@query("ann_ivf_trained_topk", oracle="""
+    WITH c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT id, centroid FROM (
+        SELECT e.vec_id AS id, c.centroid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.cv[i] * c.cv[i]))))
+                 DESC, c.centroid ASC) AS rn
+        FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
+    s1 AS (
+      SELECT a.centroid, g.dim,
+             sum(CAST(floor(CAST(e.embedding[g.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM a1 a JOIN embeddings e ON e.vec_id = a.id
+      CROSS JOIN generate_series(1, 64) AS g(dim)
+      GROUP BY a.centroid, g.dim),
+    c1 AS (
+      SELECT p.centroid, coalesce(m.cv, p.cv) AS cv
+      FROM c0 p LEFT JOIN (
+        SELECT centroid,
+               list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY dim) AS cv
+        FROM s1 GROUP BY centroid) m USING (centroid)),
+    a2 AS (
+      SELECT id, centroid FROM (
+        SELECT e.vec_id AS id, c.centroid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.cv[i] * c.cv[i]))))
+                 DESC, c.centroid ASC) AS rn
+        FROM embeddings e CROSS JOIN c1 c) t WHERE rn = 1),
+    s2 AS (
+      SELECT a.centroid, g.dim,
+             sum(CAST(floor(CAST(e.embedding[g.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM a2 a JOIN embeddings e ON e.vec_id = a.id
+      CROSS JOIN generate_series(1, 64) AS g(dim)
+      GROUP BY a.centroid, g.dim),
+    c2 AS (
+      SELECT p.centroid, coalesce(m.cv, p.cv) AS cv
+      FROM c1 p LEFT JOIN (
+        SELECT centroid,
+               list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY dim) AS cv
+        FROM s2 GROUP BY centroid) m USING (centroid)),
+    assigned AS (
+      SELECT id, centroid FROM (
+        SELECT e.vec_id AS id, c.centroid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.cv[i] * c.cv[i]))))
+                 DESC, c.centroid ASC) AS rn
+        FROM embeddings e CROSS JOIN c2 c) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid FROM (
+        SELECT q.vec_id AS query_id, c.centroid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.cv[i] * c.cv[i]))))
+                 DESC, centroid DESC) AS rn
+        FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 5) t
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.id,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             AS cos
+      FROM probes p
+      JOIN assigned a ON a.centroid = p.centroid AND a.id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = a.id),
+    ranked AS (
+      SELECT query_id, id, round(cos, 4) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, id, cos, rank FROM ranked WHERE rank <= 5
+""")
 def ann_ivf_trained_topk(spark, sf_dir):
     """ANN top-5 via k-means-trained IVF (Lloyd iterations on the
     cluster, centroids on the driver) — the quality path over
-    ann_ivf_topk's seed centroids."""
+    ann_ivf_topk's seed centroids. Training accumulates per-dim sums in
+    fixed-point int64 (similarity.kmeans_fit), so centroids are bitwise
+    reproducible and the full assign→train×2→assign→probe→rank pipeline
+    replays exactly in the unrolled SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk_trained(emb, emb.where(F.col("vec_id") < 5), k=5,
                                 m=8, nprobe=2, iters=2)
