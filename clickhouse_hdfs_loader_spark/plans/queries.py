@@ -1446,7 +1446,11 @@ def embedding_label_centroids(spark, sf_dir):
                  F.count(F.lit(1)).alias("dims")))
 
 
-@query("loader_throughput", tags=("no-oracle",), bench=True)
+@query("loader_throughput", tags=("golden-sf0.01",), bench=True, oracle="""
+    SELECT CAST(c0 AS BIGINT) AS rows, CAST(c1 AS BIGINT) AS shard_sum,
+           CAST(c2 AS BIGINT) AS bytes_out
+    FROM (VALUES (60000, 44219, 4306830)) AS t(c0, c1, c2)
+""")
 def loader_throughput(spark, sf_dir):
     """The reference's actual workload, end-to-end minus the network:
     lineitem → transform chain (exclude/null/append/width) → weighted
@@ -1457,7 +1461,12 @@ def loader_throughput(spark, sf_dir):
     The sf0.1 fixture is ONE 40 MB parquet split; a 100 TB load arrives in
     thousands of splits with the routing UDF running per split. The
     repartition below restores that per-core parallelism locally so the
-    bench measures the hash path, not a single-worker artifact."""
+    bench measures the hash path, not a single-worker artifact.
+
+    Oracle: golden pinned at the grading scale — rows/shard_sum/bytes_out
+    checksum the full transform→route→serialize output (any routing or
+    serialization deviation flips a sum; Guava murmur3_128 itself is not
+    expressible in DuckDB)."""
     from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
     li = _t(spark, sf_dir, "lineitem").repartition(32)
     out = T.transform_pipeline(
@@ -1475,7 +1484,11 @@ def loader_throughput(spark, sf_dir):
                  F.sum(F.length("line")).alias("bytes_out")))
 
 
-@query("loader_throughput_jvm", tags=("no-oracle",), bench=True)
+@query("loader_throughput_jvm", tags=("golden-sf0.01",), bench=True, oracle="""
+    SELECT CAST(c0 AS BIGINT) AS rows, CAST(c1 AS BIGINT) AS shard_sum,
+           CAST(c2 AS BIGINT) AS bytes_out
+    FROM (VALUES (60000, 45779, 4306830)) AS t(c0, c1, c2)
+""")
 def loader_throughput_jvm(spark, sf_dir):
     """Same load path with parity=False routing (JVM xxhash64) — the
     all-codegen variant; the delta vs loader_throughput is the cost of
