@@ -1012,7 +1012,7 @@ def text_token_counts(spark, sf_dir):
 
 @query("text_quality", oracle="""
     SELECT doc_id,
-           round(least(greatest(
+           floor(least(greatest(
              0.4 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
                          WHEN length(text) < 100 THEN length(text) / 100.0
                          ELSE 2000.0 / length(text) END)
@@ -1024,15 +1024,23 @@ def text_token_counts(spark, sf_dir):
                               BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
            - 0.2 * (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                     / greatest(CAST(length(text) AS DOUBLE), 1.0)),
-           0.0), 1.0), 4) AS quality
+           0.0), 1.0) * 10000.0 + 0.5) / 10000.0 AS quality
     FROM documents
 """)
 def text_quality(spark, sf_dir):
     """Quality scoring: length band + alpha ratio + word-length band −
-    punctuation ratio (functions/text.py quality_score)."""
+    punctuation ratio (functions/text.py quality_score).
+
+    Rounding is the explicit ``floor(x*1e4 + 0.5)/1e4`` on BOTH sides,
+    not each engine's round(): when the FP product x*1e4 lands exactly
+    on .5 (seen at sf0.1: score 0.94524999…*1e4 == 9452.5 exactly),
+    Spark's BigDecimal HALF_UP and DuckDB's float round disagree —
+    identical expression order is the only cross-engine-stable rounding."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    F.round(TX.quality_score(F.col("text")), 4).alias("quality"))
+    q = TX.quality_score(F.col("text"))
+    rounded = (F.floor(q * F.lit(10000.0) + F.lit(0.5)).cast("double")
+               / F.lit(10000.0))
+    return d.select("doc_id", rounded.alias("quality"))
 
 
 @query("text_langid", oracle=r"""
