@@ -51,3 +51,46 @@ def test_orc_roundtrip_stringly(spark, sf_dir, tmp_path):
     assert [f.dataType.typeName() for f in back.schema.fields] == ["string"] * 3
     assert back.count() == 25
     assert {r["n_nationkey"] for r in back.collect()} == {str(i) for i in range(25)}
+
+
+def test_stream_to_clickhouse_staged_two_phase_per_batch(spark, sf_dir, tmp_path):
+    """staged=True: each micro-batch runs the full W3/W4 two-phase load —
+    batch-scoped StripeLog temp tables, INSERT...SELECT promote into the
+    target, temp GC — so the batch lands atomically-ish."""
+    servers = [MockClickHouse() for _ in range(2)]
+    try:
+        topo = ClusterTopology([
+            ShardNode(i + 1, 1, (f"{s.host}:{s.port}",))
+            for i, s in enumerate(servers)])
+        cfg = LoaderConfig(batch_size=500)
+        ddl = ("CREATE TABLE db.nation (n_nationkey Int64, n_name String, "
+               "n_regionkey Int64) ENGINE = MergeTree ORDER BY n_nationkey")
+        schema = spark.read.parquet(f"{sf_dir}/nation.parquet").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "nation.parquet").parquet(sf_dir))
+        q = stream_to_clickhouse(
+            stream, "n_name", topo, cfg, database="db", table="nation",
+            backoff_scale=0.001, checkpoint_dir=str(tmp_path / "ckpt2"),
+            staged=True, create_ddl=ddl)
+        q.awaitTermination(120)
+        q.stop()
+        stmts = [s for srv in servers for s in srv.statements]
+        creates = [s for s in stmts if "ENGINE = StripeLog" in s]
+        promotes = [s for s in stmts if s.startswith("INSERT INTO db.nation")
+                    and "SELECT" in s]
+        drops = [s for s in stmts if s.startswith("DROP TABLE IF EXISTS temp.")]
+        assert creates and promotes and drops
+        # batch-scoped temp names: <table>_b<batchid>_<epoch>_p<part>_<attempt>
+        assert any("nation_b0_" in s for s in creates)
+        staged_rows = sum(len(ins.splitlines()) - 1
+                          for srv in servers for ins in srv.inserts()
+                          if "FORMAT" in ins.splitlines()[0]
+                          and ins.splitlines()[0].startswith("INSERT INTO temp."))
+        assert staged_rows == 25
+        # direct mode must require create_ddl for staged
+        with pytest.raises(ValueError):
+            stream_to_clickhouse(stream, "n_name", topo, cfg, database="db",
+                                 table="nation", staged=True)
+    finally:
+        for s in servers:
+            s.stop()
