@@ -143,6 +143,30 @@ def shingles_udf(k: int = 3) -> Column:
     return _shingles
 
 
+def ngrams_udf(k: int = 2) -> Column:
+    """ALL word ``k``-grams (non-distinct, order preserved) — the input to
+    repetition-ratio quality filters, which need occurrence COUNTS where
+    :func:`shingles_udf` dedups. Same Arrow-vectorized shape (interpreted
+    HOF chains lose badly — see note below); same tokenizer as
+    :func:`words_array`. SQL twin:
+    ``list_transform(generate_series(1, len(ws)-k+1),
+    i -> array_to_string(ws[i:i+k-1], ' '))``."""
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _ngrams(texts: pd.Series) -> pd.Series:
+        def grams(t: str) -> list[str]:
+            ws = [w for w in pat.split((t or "").lower()) if w]
+            if len(ws) < k:
+                return []
+            return [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        return texts.map(grams)
+
+    return _ngrams
+
+
 # NOTE: a pure-expression hash-combined shingle variant (xxhash64 per word,
 # rotate-xor k-gram combine via nested F.transform) was benchmarked and
 # REJECTED: Spark evaluates higher-order array lambdas interpreted, and the

@@ -67,6 +67,48 @@ def stratified_sample(docs: DataFrame, rates: dict[str, str],
     return docs.where(bucket < thr)
 
 
+def repetition_stats(docs: DataFrame, k: int = 2,
+                     top_frac_max: float = 0.2, dup_frac_max: float = 0.6,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition filter: for each doc,
+    the fraction of ``k``-gram occurrences taken by the single most
+    frequent k-gram (``top_frac``) and the fraction that are repeats of
+    an earlier occurrence (``dup_frac``); ``keep`` applies the
+    thresholds. Highly repetitive documents (boilerplate, generated spam,
+    scraper loops) are the classic LLM-corpus rejects these two ratios
+    catch.
+
+    Plan: Arrow-UDF n-grams → explode → count per (doc, gram) → one
+    aggregate per doc — two shuffles, both keyed by doc id (+gram),
+    linear at corpus scale. Ratios round via the cross-engine-stable
+    ``floor(x*1e6 + 0.5)/1e6`` (see CLAUDE.md round() knife edge).
+    """
+    from ..functions.text import ngrams_udf
+
+    grams = (docs.select(F.col(id_col).alias("id"),
+                         F.explode(ngrams_udf(k)(F.col(text_col))).alias("g"))
+             .groupBy("id", "g").agg(F.count(F.lit(1)).alias("c")))
+    stats = (grams.groupBy("id")
+             .agg(F.sum("c").alias("total"),
+                  F.max("c").alias("top"),
+                  F.sum(F.col("c") - F.lit(1)).alias("dups")))
+
+    def r6(c):
+        return (F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0))
+
+    top_frac = r6(F.col("top").cast("double") / F.col("total"))
+    dup_frac = r6(F.col("dups").cast("double") / F.col("total"))
+    return (stats.select(F.col("id").alias(id_col),
+                         F.col("total").alias("n_grams"),
+                         top_frac.alias("top_frac"),
+                         dup_frac.alias("dup_frac"),
+                         ((top_frac <= top_frac_max)
+                          & (dup_frac <= dup_frac_max)).cast("int")
+                         .alias("keep")))
+
+
 def chunk_documents(docs: DataFrame, chunk_size: int = 32, overlap: int = 8,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Split each document into overlapping fixed-size token windows (the

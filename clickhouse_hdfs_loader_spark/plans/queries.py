@@ -2122,6 +2122,40 @@ def chunk_documents(spark, sf_dir):
     return chunk(_t(spark, sf_dir, "documents"), chunk_size=32, overlap=8)
 
 
+@query("text_repetition", oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM t WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    s AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top,
+             CAST(sum(c - 1) AS BIGINT) AS dups
+      FROM c GROUP BY doc_id),
+    r AS (
+      SELECT doc_id, n_grams,
+             floor((CAST(top AS DOUBLE) / n_grams) * 1000000.0 + 0.5)
+               / 1000000.0 AS top_frac,
+             floor((CAST(dups AS DOUBLE) / n_grams) * 1000000.0 + 0.5)
+               / 1000000.0 AS dup_frac
+      FROM s)
+    SELECT doc_id, n_grams, top_frac, dup_frac,
+           CAST(top_frac <= 0.2 AND dup_frac <= 0.6 AS INT) AS keep
+    FROM r
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filter: per-doc top-bigram fraction
+    and duplicate-bigram fraction with keep thresholds
+    (operators/corpus.py:repetition_stats)."""
+    from ..operators.corpus import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"), k=2,
+                            top_frac_max=0.2, dup_frac_max=0.6)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —

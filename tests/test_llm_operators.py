@@ -265,3 +265,20 @@ def test_stratified_sample_deterministic(spark):
     en = sum(1 for i in a if i % 2 == 0)
     de = len(a) - en
     assert en > de  # en keeps ~2x the rate of the default stratum
+
+
+def test_repetition_stats_filters_repetitive_docs(spark):
+    """Gopher-style repetition ratios: a looping doc fails the top-bigram
+    threshold, varied text passes, sub-bigram docs drop out."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import repetition_stats
+    docs = spark.createDataFrame([
+        (1, "spam spam spam spam spam spam"),          # one bigram repeated
+        (2, "the quick brown fox jumps over the dog"),  # all distinct
+        (3, "one"),                                     # < 2 words
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(docs, k=2).collect()}
+    assert 3 not in out
+    assert out[1]["n_grams"] == 5 and out[1]["top_frac"] == 1.0
+    assert out[1]["dup_frac"] == 0.8 and out[1]["keep"] == 0
+    assert out[2]["n_grams"] == 7 and out[2]["dup_frac"] == 0.0
+    assert out[2]["keep"] == 1
