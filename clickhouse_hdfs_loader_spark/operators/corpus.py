@@ -109,6 +109,42 @@ def repetition_stats(docs: DataFrame, k: int = 2,
                          .alias("keep")))
 
 
+def contamination_check(docs: DataFrame, probe: DataFrame, k: int = 3,
+                        threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the fraction
+    of its distinct k-gram shingles that appear anywhere in the ``probe``
+    (benchmark/eval) set — the standard pre-training hygiene check that
+    flags training docs leaking eval data.
+
+    Plan: probe shingles collapse to a distinct hash set and BROADCAST
+    (benchmark sets are tiny vs a 100 TB corpus); the corpus side is one
+    shingle explode + broadcast-hash semi-count + per-doc aggregate — no
+    corpus-sized shuffle beyond the doc-keyed count. Shingle identity
+    rides 8-byte xxhash64 keys post-explode (same contract as the dedup
+    family: 64-bit collisions are negligible)."""
+    from ..functions.text import shingles_udf
+
+    sh = shingles_udf(k)
+    c_h = (docs.select(F.col(id_col).alias("id"),
+                       F.explode(sh(F.col(text_col))).alias("s"))
+           .select("id", F.xxhash64("s").alias("h")))
+    p_h = (probe.select(F.explode(sh(F.col(text_col))).alias("s"))
+           .select(F.xxhash64("s").alias("h")).distinct())
+    sizes = c_h.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (c_h.join(F.broadcast(p_h), "h")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("hits")))
+    out = (sizes.join(hits, "id", "left")
+           .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0))))
+    frac = (F.floor(F.col("hits").cast("double") / F.col("n_shingles")
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0))
+    return out.select(F.col("id").alias(id_col), "n_shingles", "hits",
+                      frac.alias("contam_frac"),
+                      (frac >= F.lit(threshold)).cast("int")
+                      .alias("contaminated"))
+
+
 def chunk_documents(docs: DataFrame, chunk_size: int = 32, overlap: int = 8,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Split each document into overlapping fixed-size token windows (the

@@ -2156,6 +2156,41 @@ def text_repetition(spark, sf_dir):
                             top_frac_max=0.2, dup_frac_max=0.6)
 
 
+@query("contamination_check", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(w) - 2)])) AS s
+      FROM ws WHERE len(w) >= 3),
+    probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    hits AS (
+      SELECT a.doc_id, count(*) AS hits
+      FROM sh a JOIN probe p ON a.s = p.s GROUP BY a.doc_id)
+    SELECT z.doc_id, z.n_shingles,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / z.n_shingles
+                 * 1000000.0 + 0.5) / 1000000.0 AS contam_frac,
+           CAST(floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / z.n_shingles
+                      * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS INT)
+             AS contaminated
+    FROM sizes z LEFT JOIN hits h USING (doc_id)
+""")
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: shingle-overlap fraction of every doc
+    against a probe set (docs with doc_id % 20 == 0 stand in for the eval
+    benchmark); probe hashes broadcast
+    (operators/corpus.py:contamination_check)."""
+    from ..operators.corpus import contamination_check as contam
+    d = _t(spark, sf_dir, "documents")
+    return contam(d, d.where(F.col("doc_id") % 20 == 0), k=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —

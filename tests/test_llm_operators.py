@@ -282,3 +282,20 @@ def test_repetition_stats_filters_repetitive_docs(spark):
     assert out[1]["dup_frac"] == 0.8 and out[1]["keep"] == 0
     assert out[2]["n_grams"] == 7 and out[2]["dup_frac"] == 0.0
     assert out[2]["keep"] == 1
+
+
+def test_contamination_check_flags_probe_overlap(spark):
+    """Decontamination: a doc identical to a probe doc scores 1.0, a
+    partial-overlap doc lands in between, unrelated text scores 0."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        contamination_check)
+    probe = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (1, BASE),                                     # full leak
+        (2, "completely unrelated words about query engines and parquet "
+            "scans running on large distributed clusters today"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           contamination_check(docs, probe, k=3, threshold=0.5).collect()}
+    assert out[1]["contam_frac"] == 1.0 and out[1]["contaminated"] == 1
+    assert out[2]["hits"] == 0 and out[2]["contaminated"] == 0
