@@ -1928,6 +1928,53 @@ def events_gap_fill(spark, sf_dir):
                     F.coalesce("total_value", F.lit(0.0)).alias("total_value")))
 
 
+@query("events_forward_fill", oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) s),
+    joined AS (
+      SELECT spine.event_type, spine.h,
+             coalesce(cnt, 0) AS cnt, total_value
+      FROM spine LEFT JOIN hourly
+        ON spine.h = hourly.h AND spine.event_type = hourly.event_type)
+    SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_epoch, cnt,
+           last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM joined
+""")
+def events_forward_fill(spark, sf_dir):
+    """Time-series forward fill (LOCF): per-type hourly spine with empty
+    hours carrying the last observed value — ``last(ignorenulls)`` over a
+    partitioned ordered window, the scale-safe shape (one window per
+    event_type partition, never a global sort)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(F.explode(
+        F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    joined = (spine.join(hourly, ["event_type", "h"], "left")
+              .withColumn("cnt", F.coalesce("cnt", F.lit(0))))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "event_type", F.col("h").cast("long").alias("hour_epoch"), "cnt",
+        F.last("total_value", ignorenulls=True).over(w).alias("filled_value"))
+
+
 @query("unpivot_doc_metrics", oracle="""
     WITH m AS (
       SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
