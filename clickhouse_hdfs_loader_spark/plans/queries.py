@@ -1928,6 +1928,42 @@ def events_gap_fill(spark, sf_dir):
                     F.coalesce("total_value", F.lit(0.0)).alias("total_value")))
 
 
+@query("q18_large_orders", oracle="""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): HAVING-gated IN-subquery on
+    the fact table, then a three-way join + regroup. The subquery result
+    is small (the HAVING is selective) so Spark turns the IN into a
+    broadcast semi-join on the fact scan — the plan to want at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > 250)
+           .select("l_orderkey"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.join(F.broadcast(big),
+                        orders.o_orderkey == big.l_orderkey, "left_semi")
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+            .select("c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "total_qty"))
+
+
 @query("events_forward_fill", oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
