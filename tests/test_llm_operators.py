@@ -299,3 +299,20 @@ def test_contamination_check_flags_probe_overlap(spark):
            contamination_check(docs, probe, k=3, threshold=0.5).collect()}
     assert out[1]["contam_frac"] == 1.0 and out[1]["contaminated"] == 1
     assert out[2]["hits"] == 0 and out[2]["contaminated"] == 0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Duplicate seed vectors tie on cosine and all assign to the FIRST
+    centroid, leaving the duplicate's cluster empty — kmeans_fit must
+    carry the previous centroid through (same coalesce the SQL oracle
+    applies), not drop or NaN it."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.9, 0.1])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = dict(SIM.kmeans_fit(emb, k=2, iters=1))
+    # every vector tied or lost to centroid 0, so cluster 1 is empty after
+    # the single iteration and must keep its seed exactly
+    assert cents[1] == [1.0, 0.0]
+    # cluster 0 averaged all four members
+    assert cents[0] == [pytest.approx((1 + 1 + 0.9 + 0) / 4),
+                        pytest.approx((0 + 0 + 0.1 + 1) / 4)]
