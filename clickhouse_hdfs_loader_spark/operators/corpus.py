@@ -145,6 +145,33 @@ def contamination_check(docs: DataFrame, probe: DataFrame, k: int = 3,
                       .alias("contaminated"))
 
 
+def profile_columns(df: DataFrame, cols: "list[str] | None" = None) -> DataFrame:
+    """One-pass data-profile of a table: per column, null count, exact
+    distinct count, and min/max (rendered as strings so mixed types share
+    one long-format schema) — the standard pre-ingest quality gate of a
+    data pipeline.
+
+    Plan: a single global aggregate computes every metric (Spark expands
+    the multi-distinct into one Expand + aggregate pass), then the 1-row
+    result unpivots to (column, metric…) rows driver-side-free via stack.
+    One scan regardless of column count; no per-column jobs."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols)
+    return one.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"))
+
+
 def chunk_documents(docs: DataFrame, chunk_size: int = 32, overlap: int = 8,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Split each document into overlapping fixed-size token windows (the

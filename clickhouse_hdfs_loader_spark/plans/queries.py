@@ -1964,6 +1964,42 @@ def q18_large_orders(spark, sf_dir):
                     "total_qty"))
 
 
+@query("profile_documents", oracle="""
+    SELECT 'doc_id' AS column_name,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(count(*) - count(text) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT),
+           CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+""")
+def profile_documents(spark, sf_dir):
+    """One-pass table profiler over documents: per-column null/distinct
+    counts and min/max as strings (operators/corpus.py:profile_columns —
+    single aggregate + stack, one scan for all columns)."""
+    from ..operators.corpus import profile_columns
+    return profile_columns(_t(spark, sf_dir, "documents"))
+
+
 @query("events_forward_fill", oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
