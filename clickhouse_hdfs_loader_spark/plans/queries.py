@@ -1964,6 +1964,54 @@ def q18_large_orders(spark, sf_dir):
                     "total_qty"))
 
 
+@query("q7_volume_shipping", oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): five-way
+    join where both nation dims broadcast and the disjunctive pair
+    predicate filters after the dim joins — fact tables shuffle once on
+    their join keys, dims never shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    joined = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+              .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+              .where(((F.col("supp_nation") == "NATION_1")
+                      & (F.col("cust_nation") == "NATION_2"))
+                     | ((F.col("supp_nation") == "NATION_2")
+                        & (F.col("cust_nation") == "NATION_1"))))
+    return (joined
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2).alias("revenue")))
+
+
 @query("profile_documents", oracle="""
     SELECT 'doc_id' AS column_name,
            CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
