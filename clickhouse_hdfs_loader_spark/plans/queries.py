@@ -1964,6 +1964,37 @@ def q18_large_orders(spark, sf_dir):
                     "total_qty"))
 
 
+@query("q10_returned_items", oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): flag filter pushed to
+    the lineitem scan, nation broadcast, top-20 by revenue with the
+    deterministic c_custkey tie-break the oracle contract requires."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
 @query("q7_volume_shipping", oracle="""
     SELECT supp_nation, cust_nation, l_year,
            round(sum(volume), 2) AS revenue
