@@ -40,21 +40,39 @@ def main() -> None:
                       F.col("id").cast("string")).alias("t"))
      .select(F.explode(shingles_udf(3)(F.col("t")))).count())
 
-    timings: dict[str, float] = {}
+    # Per-query isolation: one failing query must never cost the whole perf
+    # signal — failures are recorded as {"err": ...} and the JSON line is
+    # always printed. Each query is timed N times (median reported) with a
+    # FRESH DataFrame per run — re-collecting the same DataFrame object
+    # reuses shuffle outputs and reads absurdly fast.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    timings: dict[str, object] = {}
+    errors = 0
     for spec in bench_specs:
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[spec.name] = round(samples[len(samples) // 2], 3)
+        except Exception as exc:  # noqa: BLE001 — survive any query failure
+            errors += 1
+            timings[spec.name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -16,19 +16,43 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def normalize_event_time(spark: SparkSession, df: DataFrame,
+                         col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ regardless of the
+    parquet physical type. The fixtures have shipped as both
+    TIMESTAMP(NANOS) (read as raw ns-long under ``nanosAsLong``) and plain
+    ``timestamp[us]`` (read as TIMESTAMP_NTZ by Spark 4); downstream code
+    (``unix_micros``, ``session_window``, ``withWatermark``) requires LTZ.
+    """
+    for f_ in df.schema.fields:
+        if f_.name != col:
+            continue
+        tn = f_.dataType.typeName()
+        if tn in ("long", "bigint"):
+            # TIMESTAMP(NANOS) under nanosAsLong: raw ns since epoch.
+            # Truncate to µs with integer DIV (a double round-trip loses
+            # precision at 2^63 ns scale) exactly like DuckDB's ns→µs read.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif tn == "timestamp_ntz":
+            # timestamp[us] physical: DuckDB reads the same file as a naive
+            # timestamp, so interpreting the naive value as UTC keeps epoch
+            # outputs hash-identical. Session timezone is runtime-settable
+            # and must be pinned even under a caller-provided vanilla
+            # session (the driver's).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # runtime-settable; required even under a caller-provided vanilla
-        # session (the driver's), not just our session factory
+        # session (the driver's), not just our session factory. Harmless
+        # when the file is already timestamp[us].
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    # raw ns since epoch. Truncate to µs (integer DIV — a double round-trip
-    # would lose precision at 2^63 ns scale) exactly like DuckDB's ns→µs
-    # read, so oracle comparisons see identical instants.
-    for f_ in df.schema.fields:
-        if f_.name == "ts" and f_.dataType.typeName() in ("long", "bigint"):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_time(spark, df)
     return df
 
 

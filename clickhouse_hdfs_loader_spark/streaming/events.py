@@ -17,6 +17,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import normalize_event_time
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -25,12 +27,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    # nanosAsLong (see sources.tables): normalize ns-long → µs timestamp so
-    # watermarks/windows see real event time
-    for f_ in stream.schema.fields:
-        if f_.name == "ts" and f_.dataType.typeName() in ("long", "bigint"):
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    # normalize ts (ns-long or TIMESTAMP_NTZ → LTZ) so watermarks/windows
+    # see real event time; see sources.tables.normalize_event_time
+    return normalize_event_time(spark, stream)
 
 
 def hourly_window_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
