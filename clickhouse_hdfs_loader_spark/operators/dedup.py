@@ -196,24 +196,35 @@ def simhash_bits(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ ``max_hamming`` via 4×16-bit
-    band join (pigeonhole: ≤3 differing bits ⇒ at least one of 4 bands
-    identical), then exact popcount filter — the standard SimHash index."""
+    band buckets (pigeonhole: ≤3 differing bits ⇒ at least one of 4 bands
+    identical), then exact popcount filter — the standard SimHash index.
+
+    Same posting-list shape as minhash LSH: explode (band, bk) keys,
+    groupBy → size-capped collect → chained-explode ordered pairs. The
+    ``max_bucket`` cap is the scale guard — a degenerate band value (e.g.
+    thousands of near-empty docs hashing to the same 16 bits) would
+    otherwise square; capped buckets are dropped like minhash's.
+    """
     sims = simhash_bits(docs, text_col, id_col)
-    bands = [((F.shiftrightunsigned("simhash", 16 * b)).bitwiseAND(F.lit(0xFFFF)))
-             .alias(f"band{b}") for b in range(4)]
-    sb = sims.select("id", "simhash", *bands)
-    candidates = None
-    for b in range(4):
-        a = sb.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
-                      F.col(f"band{b}").alias("bk"))
-        c = sb.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
-                      F.col(f"band{b}").alias("bk"))
-        cand = a.join(c, "bk").where(F.col("id_a") < F.col("id_b")) \
-                .select("id_a", "id_b", "sh_a", "sh_b")
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-    return (candidates.distinct()
+    band_keys = [F.struct(F.lit(b).alias("band"),
+                          (F.shiftrightunsigned("simhash", 16 * b)
+                           .bitwiseAND(F.lit(0xFFFF))).alias("bk"))
+                 for b in range(4)]
+    buckets = (sims.select("id", F.explode(F.array(*band_keys)).alias("s"))
+               .select("id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk")))
+    grouped = (buckets.groupBy("band", "bk")
+               .agg(F.collect_list("id").alias("ids"))
+               .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
+    cand = _explode_ordered_pairs(grouped).distinct()
+    # two slim joins to re-attach the 8-byte simhashes for the exact verify
+    # (carrying them through collect_list<struct> posting lists benches
+    # worse — see CLAUDE.md perf notes)
+    sh_a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sh_b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
             .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

@@ -306,6 +306,36 @@ def serialize_tsv(spark, sf_dir):
                                 F.col("n_regionkey").cast("string")).alias("line"))
 
 
+@query("orc_stringly_decode", oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+           c_name,
+           CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+           CAST(c_acctbal AS VARCHAR) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey <= 200
+""")
+def orc_stringly_decode(spark, sf_dir):
+    """S2+T2 end-to-end: the reference's second input format is ORC with
+    every struct field coerced to string (OrcLoaderMapper.java:22-30,
+    OrcRecordDecoder.java:32-45 — ``getFieldValue(i).toString()``). Write
+    a customer slice as real ORC to a scratch dir, read it back through
+    ``read_orc_stringly``, return the stringly rows. The oracle is the
+    same slice from parquet with every column CAST to VARCHAR — DuckDB
+    cannot read ORC, so the round-trip itself is what's under test
+    (int/double/string coercion parity included; double→string formatting
+    verified identical between Spark and DuckDB on the full fixture)."""
+    import os
+    import tempfile
+    src = (_t(spark, sf_dir, "customer")
+           .where(F.col("c_custkey") <= 200))
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"chl_spark_orc_{sf_tag}", "customer_orc")
+    src.coalesce(1).write.mode("overwrite").orc(path)
+    from ..sources.tables import read_orc_stringly
+    return read_orc_stringly(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # [EXT-REL] Full relational surface (SURVEY §2.C extensions)
 # ---------------------------------------------------------------------------
@@ -550,20 +580,27 @@ def count_distinct_exact(spark, sf_dir):
             .agg(F.countDistinct("user_id").alias("users")))
 
 
-@query("approx_count_distinct", tags=("golden-sf0.01",), oracle="""
-    SELECT c0 AS event_type, CAST(c1 AS BIGINT) AS approx_users
-    FROM (VALUES ('click', 151), ('error', 151), ('purchase', 151),
-                 ('signup', 151), ('view', 151)) AS t(c0, c1)
+@query("approx_count_distinct", oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS users,
+           1 AS within_tol
+    FROM events GROUP BY event_type
 """)
 def approx_count_distinct(spark, sf_dir):
-    """HyperLogLog++ sketch. The estimate is engine-specific but
-    deterministic for fixed data (HLL register-max merge is commutative),
-    so the oracle is Spark's own estimate pinned as a golden at the
-    driver's grading scale (sf0.01; exact distinct is 150 per type — the
-    oracle-checked exact twin is ``count_distinct_exact``)."""
-    return (_t(spark, sf_dir, "events")
-            .groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users")))
+    """HyperLogLog++ sketch, graded against its accuracy CONTRACT instead
+    of a pinned register-level estimate (the pinned golden was circular —
+    Spark's own output — and fragile across Spark versions, per the r2/r3
+    advice). The oracle checks the exact twin plus ``within_tol`` = the
+    estimate landed within 3× the default 5% relative standard deviation
+    of the exact count — the documented HLL++ guarantee, stable across
+    engine upgrades."""
+    out = (_t(spark, sf_dir, "events")
+           .groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("users"),
+                F.approx_count_distinct("user_id").alias("approx")))
+    tol_ok = (F.abs(F.col("approx") - F.col("users"))
+              <= 3 * 0.05 * F.col("users"))
+    return out.select("event_type", "users",
+                      tol_ok.cast("int").alias("within_tol"))
 
 
 @query("rollup_agg", oracle="""
@@ -2399,35 +2436,45 @@ def contamination_check(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
+# r4 rotation (r3 verdict item 5): the §2.A/§2.B reference core stays
+# pinned every round; extension entries graded green in BOTH r2 and r3
+# rotate out in favor of never-driver-graded ones (all still verified by
+# tests/test_oracle_parity.py and the verify harness). The five r3
+# NTZ-regression failures stay in to prove the fix green.
 _GRADING_WINDOW = [
-    # §2.B — the SQL shapes the reference itself issues
+    # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
     "grouparray_topology", "distinct_projection", "concat_qualified",
     "like_prefix", "rlike_range", "insert_select_union",
-    # §2.A — the dataflow pipeline
+    # §2.A — the dataflow pipeline (pinned; orc_stringly_decode is the
+    # S2/T2 evidence row, first graded r4)
     "transform_chain", "tokenize_pipe", "null_normalize_rules",
     "width_validation", "shard_assign", "serialize_tsv", "sanitize_fields",
-    # TPC-H / SQL core
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "sql_api_q6", "orderby_topk",
-    # joins & set ops
-    "join_semi", "join_anti", "broadcast_join_agg", "set_intersect",
-    # window functions & sessionization
-    "window_topk_per_customer", "sessionize", "session_window_agg",
-    "window_functions_sampler", "window_rank_functions",
-    # aggregation surface
-    "count_distinct_exact", "approx_count_distinct", "rollup_agg",
-    "stats_agg",
-    # time-series
-    "events_hourly_windows", "asof_join_events", "range_join_events",
-    # dedup family
-    "dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_connected_components",
-    # similarity search
-    "similarity_topk", "ann_ivf_topk", "similarity_topk_blas",
-    # streaming, multimodal, LLM corpus prep
-    "streaming_hourly_windows", "multimodal_decode", "corpus_prep_pipeline",
+    "orc_stringly_decode",
+    # r3 regression fixes — re-green against the timestamp[us] fixtures
+    "sessionize", "session_window_agg", "window_functions_sampler",
+    "range_join_events", "streaming_hourly_windows",
+    # loader end-to-end (golden; the reference's actual workload)
+    "loader_throughput", "loader_throughput_jvm",
+    # TPC-H shapes — first grading
+    "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
+    # aggregation surface — first grading
+    "cube_agg", "grouping_sets", "scalar_functions",
+    # time-series — first grading
+    "events_forward_fill", "events_gap_fill",
+    # streaming — first grading
+    "streaming_dedup", "streaming_static_join",
+    # dedup / similarity — first grading
+    "dedup_levenshtein", "ann_lsh_topk", "ann_lsh_near_dup",
+    "ann_ivf_trained_topk",
+    # text analysis — first grading
+    "text_token_counts", "text_quality", "text_langid",
+    "text_fingerprint", "winnow_fingerprint",
+    # LLM corpus prep — first grading
+    "pack_token_budget", "stratified_sample", "chunk_documents",
+    "text_repetition", "contamination_check", "profile_documents",
+    # multimodal — first grading
+    "multimodal_frame_sample",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -88,6 +88,23 @@ def test_simhash_near_pair_and_distance(spark):
     assert (3, 4) not in pairs       # unrelated pair excluded
 
 
+def test_simhash_hot_band_bucket_cap(spark):
+    """Degenerate band values (many near-identical docs hashing to the
+    same 16-bit band) must NOT square: with max_bucket below the hot
+    bucket's size the capped bucket contributes zero pairs, while an
+    uncapped run on the same data explodes into n·(n-1)/2 pairs."""
+    n = 40
+    rows = [(i, BASE) for i in range(n)]          # all-identical → hot bucket
+    rows += [(100, "unrelated doc about parquet"), (101, "unrelated doc about parquet")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = DD.simhash_pairs(df, max_hamming=3, max_bucket=10_000).count()
+    assert uncapped >= n * (n - 1) // 2           # the quadratic blowup exists
+    capped = DD.simhash_pairs(df, max_hamming=3, max_bucket=n - 1).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got                      # small buckets still pair
+    assert not any(a < n and b < n for a, b in got)  # hot bucket dropped
+
+
 def test_lsh_topk_recall_vs_brute(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3)

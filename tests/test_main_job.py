@@ -214,6 +214,140 @@ def test_credentials_and_reduce_tasks_options(spark, tmp_path, cluster):
         assert s.auth_users and all(u == "loader_user" for u in s.auth_users)
 
 
+# --- the reference's quick-start worked example, traced EXACTLY ---------
+# doc/quick-start.md:3-31 (22-col pipe-delimited hive table) + :36-73 (13-col
+# ReplicatedMergeTree local + Distributed(cityHash64(h_did)) wrapper) +
+# :83-88 (the hadoop-jar invocation flags).
+
+QS_COLS = [  # (name, ch_type) of test_local.t_lzj_test01, quick-start.md:38-51
+    ("plat", "Int8"), ("h_appver", "Int16"), ("imei", "String"),
+    ("h_id", "Int32"), ("type_id", "Int8"), ("path", "Int64"),
+    ("parent_path", "Int64"), ("time", "String"),
+    ("parent_path_name", "String"), ("path_name", "String"),
+    ("dt", "Date"), ("source_type", "Int8"), ("h_did", "String"),
+]
+QS_DIST_DDL = (
+    "CREATE TABLE test.t_lzj_test01 ("
+    + ", ".join(f"{n} {t}" for n, t in QS_COLS)
+    + ") ENGINE = Distributed(kg_bi_cluster, 'test_local', 't_lzj_test01', "
+    "cityHash64(h_did))")
+QS_LOCAL_DDL = (
+    "CREATE TABLE test_local.t_lzj_test01 ("
+    + ", ".join(f"{n} {t}" for n, t in QS_COLS)
+    + ") ENGINE = ReplicatedMergeTree('/clickhouse/tables/test_local/"
+    "t_lzj_test01/{shard}', '{replica}') PARTITION BY dt "
+    "ORDER BY (dt, h_did, imei) SETTINGS index_granularity = 8192")
+
+
+def _quickstart_line(i: int) -> str:
+    """One 22-field source row (hive schema order, quick-start.md:3-26):
+    h_lst plat h_appver imei h_id type_id path parent_path time content row
+    parent_path_name path_name content_chinese action h_plugin0-3 etldate
+    source_type h_did."""
+    return "|".join([
+        f"lst{i}", str(i % 5), "90", f"imei_{i}", str(1000 + i), str(i % 3),
+        str(10_000_000 + i), str(20_000_000 + i), f"2019-05-13 10:0{i % 6}:00",
+        str(i), str(i % 9), f"parent {i}", f"path {i}", f"中文{i}", "click",
+        "1", "2", "3", "4", "2019-05-13", "1", f"did_{i:04d}",
+    ])
+
+
+@pytest.fixture()
+def qs_cluster():
+    from .mock_clickhouse import MockClickHouse
+    servers = [MockClickHouse() for _ in range(2)]
+    entry = servers[0]
+    entry.canned["SHOW CREATE TABLE test.t_lzj_test01"] = QS_DIST_DDL
+    entry.canned["SHOW CREATE TABLE test_local.t_lzj_test01"] = QS_LOCAL_DDL
+    entry.canned["system.clusters"] = (
+        f"2\t1\t['{servers[1].host}:{servers[1].port}']\n"
+        f"1\t1\t['{servers[0].host}:{servers[0].port}']\n")
+    entry.canned["DESC test_local.t_lzj_test01"] = \
+        "".join(f"{n}\t{t}\n" for n, t in QS_COLS)
+    entry.canned["system.columns"] = f"{len(QS_COLS)}\n"
+    for s in servers:
+        s.canned.setdefault("system.tables", "")
+    yield servers
+    for s in servers:
+        s.stop()
+
+
+def _qs_config(entry, export_dir, direct: str):
+    """The quick-start.md:83-88 flags verbatim (host/jar/queue aside)."""
+    return parse_args([
+        "--input-format", "text",                      # -i text
+        "--connect",
+        f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
+        "--username", "u", "--password", "p",
+        "--table", "t_lzj_test01",
+        "--dt", "2019-05-13",
+        "--export-dir", export_dir,
+        "--daily", "false",
+        "--direct", direct,
+        "--input-split-max-bytes", "8589934592",
+        "--batch-size", "200000",
+        "--exclude-fields", "0,9,10,13,14,15,16,17,18",
+        "--fields-terminated-by", "|",
+    ])
+
+
+def test_quickstart_exact_invocation_direct(spark, tmp_path, qs_cluster):
+    """The full §2.A chain in one trace: 22-col pipe text → exclude 9
+    fields → 13 produced columns == DESCRIBEd target width (T9) → null
+    rules per CH type → murmur route on h_did (the DESCRIBE-indexed
+    sharding key) → TabSeparated wire rows on both shards."""
+    lines = [_quickstart_line(i) for i in range(24)]
+    # a row with \N in a non-string (plat Int8) and a string (imei) field
+    null_row = _quickstart_line(99).split("|")
+    null_row[1], null_row[3] = "\\N", "\\N"
+    lines.append("|".join(null_row))
+    p = tmp_path / "t_lzj_test01" / "dt=2019-05-13"
+    p.mkdir(parents=True)
+    (p / "000000_0").write_text("\n".join(lines) + "\n")
+    entry = qs_cluster[0]
+    stats = run_load(_qs_config(entry, str(p), "true"), spark,
+                     backoff_scale=0.001)
+    assert stats == {"success_records": 25, "failed_records": 0}
+    wire = [line for s in qs_cluster for ins in s.inserts()
+            if ins.startswith("INSERT INTO test_local.t_lzj_test01 FORMAT")
+            for line in ins.splitlines()[1:]]
+    assert len(wire) == 25
+    fields = [w.split("\t") for w in wire]
+    assert all(len(f) == 13 for f in fields)       # T9 width == target
+    assert all(f[10] == "2019-05-13" for f in fields)  # etldate → dt slot
+    by_did = {f[12]: f for f in fields}
+    assert by_did["did_0007"][0] == "2"            # plat passthrough
+    assert by_did["did_0007"][2] == "imei_7"
+    # \N → 0 for Int8 plat, → empty for String imei (null rules per type)
+    assert by_did["did_0099"][0] == "0" and by_did["did_0099"][2] == ""
+    # both shards receive rows (murmur spread over 25 distinct h_did keys)
+    per_shard = [sum(len(i.splitlines()) - 1 for i in s.inserts())
+                 for s in qs_cluster]
+    assert all(n > 0 for n in per_shard)
+
+
+def test_quickstart_exact_invocation_staged(spark, tmp_path, qs_cluster):
+    """Same invocation with --direct false: temp StripeLog tables created
+    under the dt-scoped prefix, promoted into the target, then dropped
+    (W3→W4→D1)."""
+    lines = [_quickstart_line(i) for i in range(12)]
+    p = tmp_path / "t_lzj_test01" / "dt=2019-05-13"
+    p.mkdir(parents=True)
+    (p / "000000_0").write_text("\n".join(lines) + "\n")
+    entry = qs_cluster[0]
+    stats = run_load(_qs_config(entry, str(p), "false"), spark,
+                     backoff_scale=0.001)
+    assert stats["staged_tables"] >= 1
+    stmts = [s for m in qs_cluster for s in m.statements]
+    assert any(s.startswith("CREATE TABLE temp.t_lzj_test01_20190513_")
+               and "ENGINE = StripeLog" in s for s in stmts)
+    assert any(s.startswith(
+        "INSERT INTO test_local.t_lzj_test01 SELECT * FROM temp.")
+        for s in stmts)
+    assert any(s.startswith("DROP TABLE IF EXISTS temp.t_lzj_test01_")
+               for s in stmts)
+
+
 def test_mapper_class_orc_mapping():
     cfg = parse_args([
         "--mapper-class", "com.kugou.loader.clickhouse.mapper.OrcLoaderMapper",
