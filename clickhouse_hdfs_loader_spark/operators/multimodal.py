@@ -1,20 +1,24 @@
 """Multimodal column plumbing ([EXT] — SURVEY §2.C / build brief).
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
-plus typed metadata. The Spark-side machinery here is real and tested —
-schema, Arrow batch shape, ``mapInPandas`` partitioned decode — while the
-actual media decode is STUBBED (no image/audio libs in this container):
-``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it derives deterministic metadata from the
-bytes so the pipeline is end-to-end testable.
+plus typed metadata. The Spark-side machinery — schema, Arrow batch
+shape, ``mapInPandas`` partitioned decode — is real and tested, and so is
+HEADER-level decode: ``parse_media_header`` reads width/height/channels
+(or sample-rate/bit-depth for audio) straight from PNG / GIF / BMP /
+JPEG / WAV file headers in pure Python. What stays stubbed is full PIXEL
+decode (Pillow/libvips/ffmpeg are not in this container): unrecognized
+payloads raise under ``fake=False`` and get deterministic fake metadata
+under ``fake=True`` so text-payload pipelines remain end-to-end testable.
 
 At scale: decode runs per-partition with Arrow transfer, so executor-side
-libraries (Pillow/ffmpeg) would slot into ``_decode_one`` unchanged; the
-binary column never passes through the driver.
+pixel libraries would slot into ``_decode_one`` unchanged; the binary
+column never passes through the driver.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,6 +27,108 @@ from pyspark.sql import functions as F
 
 DECODED_SCHEMA = ("doc_id long, n_bytes int, width int, height int, "
                   "channels int, format string")
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
+    """REAL header metadata extraction, no media libraries:
+    (n_bytes, width, height, channels, format) or None if the payload is
+    not a recognized container.
+
+    For WAV the geometry slots carry (sample_rate, bits_per_sample) —
+    the natural 'dimensions' of an audio payload.
+    """
+    n = len(p)
+    if p[:8] == _PNG_SIG and n >= 26 and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return n, w, h, _PNG_CHANNELS.get(p[25], 0), "png"
+    if p[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        w, h = struct.unpack("<HH", p[6:10])
+        return n, w, h, 3, "gif"
+    if (p[:2] == b"BM" and n >= 30
+            # validate the DIB header-size field — "BM"-prefixed TEXT is
+            # plausible (utf-8 bytes ride through this decoder as fake
+            # payloads), and 4 ascii bytes can never equal a known size
+            and struct.unpack("<I", p[14:18])[0] in (12, 40, 52, 56, 64, 108, 124)):
+        w, h = struct.unpack("<ii", p[18:26])
+        bpp = struct.unpack("<H", p[28:30])[0]
+        # negative height = top-down row order, same geometry
+        return n, w, abs(h), max(1, bpp // 8), "bmp"
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < n and p[i] == 0xFF:
+            marker = p[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):   # SOF0-3: baseline..lossless
+                h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                return n, w, h, p[i + 9], "jpeg"
+            i += 2 + struct.unpack(">H", p[i + 2:i + 4])[0]
+        return None
+    if (p[:4] == b"RIFF" and p[8:12] == b"WAVE" and n >= 36
+            and p[12:16] == b"fmt "):
+        channels = struct.unpack("<H", p[22:24])[0]
+        rate = struct.unpack("<I", p[24:28])[0]
+        bits = struct.unpack("<H", p[34:36])[0]
+        return n, rate, bits, channels, "wav"
+    return None
+
+
+# --- deterministic synthetic-media builders ------------------------------
+# Real byte-exact containers (header-only, zero payload) for testing the
+# decode path without media libs — and for load-testing the pipeline with
+# realistic binary columns at any scale.
+
+def build_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)   # 8-bit RGB
+    chunk = b"IHDR" + ihdr
+    return (_PNG_SIG + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))        # 33 bytes
+
+
+def build_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"  # 13 bytes
+
+
+def build_bmp(w: int, h: int) -> bytes:
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info)     # 54 bytes
+
+
+def build_wav(rate: int, bits: int, channels: int) -> bytes:
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 0))              # 44 bytes
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic real-container binary payload per row —
+    format cycles png/gif/bmp/wav on ``doc_id % 4``, geometry derived from
+    the id. Runs Arrow-batched per partition; no driver round-trip."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 1 + did % 512, 1 + (did * 7) % 512
+                kind = did % 4
+                if kind == 0:
+                    payloads.append(build_png(w, h))
+                elif kind == 1:
+                    payloads.append(build_gif(w, h))
+                elif kind == 2:
+                    payloads.append(build_bmp(w, h))
+                else:
+                    payloads.append(build_wav(16000, 16, 1 + did % 2))
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "payload": payloads})
+
+    return (docs.select(id_col)
+            .mapInPandas(_build, schema=f"{id_col} long, payload binary"))
 
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -33,10 +139,14 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, int, str]:
+    meta = parse_media_header(bytes(payload))
+    if meta is not None:
+        return meta
     if not fake:
         raise NotImplementedError(
-            "real image decode requires Pillow/libvips — not available in "
-            "this container; pass fake=True for deterministic stub decode")
+            "payload is not a recognized container (png/gif/bmp/jpeg/wav) "
+            "and full pixel decode requires Pillow/libvips — not available "
+            "in this container; pass fake=True for deterministic stub decode")
     n = len(payload)
     # deterministic fake geometry derived from the byte length
     return n, 64 + n % 577, 64 + (n * 31) % 353, 3, "fake"
@@ -44,7 +154,10 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, int, str]:
 
 def decode_image_batch(docs: DataFrame, fake: bool = True,
                        id_col: str = "doc_id") -> DataFrame:
-    """Per-partition Arrow-batched decode: binary payload → metadata rows."""
+    """Per-partition Arrow-batched decode: binary payload → metadata rows.
+    Recognized containers decode their REAL header metadata regardless of
+    ``fake``; ``fake`` only governs unrecognized payloads (True → derived
+    stub geometry, False → raise)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

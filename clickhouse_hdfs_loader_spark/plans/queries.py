@@ -1184,6 +1184,31 @@ def multimodal_decode(spark, sf_dir):
             .select("doc_id", "n_bytes", "width", "height"))
 
 
+@query("multimodal_header_decode", oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+                                WHEN 2 THEN 54 ELSE 44 END AS INT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 16000
+                     ELSE 1 + doc_id % 512 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 16
+                     ELSE 1 + (doc_id * 7) % 512 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+                     ELSE 3 END AS INT) AS channels,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'wav' END AS format
+    FROM documents
+""")
+def multimodal_header_decode(spark, sf_dir):
+    """REAL media decode, end-to-end: byte-exact PNG/GIF/BMP/WAV containers
+    synthesized per doc (geometry derived from doc_id), then parsed back by
+    the pure-Python header decoder (operators/multimodal.py:
+    parse_media_header) under ``fake=False`` — no stub anywhere on this
+    path. The oracle recomputes the expected container sizes and geometry
+    arithmetically."""
+    d = MM.synthesize_media(_t(spark, sf_dir, "documents").select("doc_id"))
+    return MM.decode_image_batch(d, fake=False)
+
+
 @query("streaming_hourly_windows", oracle="""
     SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
            event_type, count(*) AS cnt, round(sum(value), 2) AS total_value

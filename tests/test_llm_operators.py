@@ -149,8 +149,49 @@ def test_multimodal_decode_stub_and_frames(spark):
     frames = MM.frame_sample(payload, every_n_bytes=64).collect()
     assert len([f for f in frames if f["doc_id"] == 2]) == 4  # offsets 0,64,128,192
 
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="NotImplementedError|not a recognized container"):
         MM.decode_image_batch(payload, fake=False).collect()
+
+
+def test_media_header_parsing_real_containers():
+    """parse_media_header reads REAL container headers — byte-exact
+    builders round-trip, plus a hand-built JPEG SOF0 and sniff rejects."""
+    assert MM.parse_media_header(MM.build_png(640, 480)) == (33, 640, 480, 3, "png")
+    assert MM.parse_media_header(MM.build_gif(13, 37)) == (13, 13, 37, 3, "gif")
+    assert MM.parse_media_header(MM.build_bmp(320, 200)) == (54, 320, 200, 3, "bmp")
+    assert MM.parse_media_header(MM.build_wav(44100, 16, 2)) == (44, 44100, 16, 2, "wav")
+    # minimal JPEG: SOI + APP0 stub + SOF0 (h=99, w=101, 3 components)
+    import struct
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 99, 101) + b"\x03\x00\x00\x00")
+    assert MM.parse_media_header(jpeg) == (len(jpeg), 101, 99, 3, "jpeg")
+    # top-down BMP (negative height) normalizes
+    bmp = bytearray(MM.build_bmp(10, 20))
+    bmp[22:26] = struct.pack("<i", -20)
+    assert MM.parse_media_header(bytes(bmp))[2] == 20
+    # text payloads must NOT sniff as containers ("BM"/"GIF8" prefixes
+    # are plausible text; utf-8 can't fake the validated fields)
+    for text in (b"hello world", b"BMW makes cars, padding " + b"x" * 40,
+                 b"GIF8", b"RIFF raff " + b"y" * 40):
+        assert MM.parse_media_header(text) is None
+    # truncated real containers reject instead of mis-parsing
+    assert MM.parse_media_header(MM.build_png(1, 1)[:20]) is None
+
+
+def test_synthesize_media_decodes_exactly(spark):
+    """synthesize_media → decode_image_batch(fake=False) round-trips the
+    real parser over every built format with id-derived geometry."""
+    df = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    out = {r["doc_id"]: r for r in
+           MM.decode_image_batch(MM.synthesize_media(df), fake=False).collect()}
+    assert out[0]["format"] == "png" and out[0]["width"] == 1
+    assert out[1]["format"] == "gif" and out[1]["height"] == 8
+    assert out[2]["format"] == "bmp" and out[2]["n_bytes"] == 54
+    assert out[3]["format"] == "wav" and out[3]["width"] == 16000
+    assert out[3]["channels"] == 2 and out[7]["channels"] == 2
+    assert out[5]["width"] == 1 + 5 % 512 and out[5]["height"] == 1 + 35 % 512
 
 
 def test_numpy_topk_matches_native(spark, sf_dir):
