@@ -57,3 +57,25 @@ def _orc(spark: SparkSession, path: str, **_: object) -> DataFrame:
 @register_decoder("parquet")
 def _parquet(spark: SparkSession, path: str, **_: object) -> DataFrame:
     return spark.read.parquet(path)
+
+
+@register_decoder("csv")
+def _csv(spark: SparkSession, path: str, *, sep: str = ",",
+         num_fields: int | None = None, **_: object) -> DataFrame:
+    # no inferSchema: every field arrives as string, exactly like the
+    # text decoder — the transform chain owns typing (T2/T4 semantics)
+    df = spark.read.option("sep", sep).csv(path)
+    if num_fields is not None and len(df.columns) != num_fields:
+        raise ValueError(f"csv width {len(df.columns)} != declared {num_fields}")
+    return df
+
+
+@register_decoder("json")
+def _json(spark: SparkSession, path: str, **_: object) -> DataFrame:
+    # JSON-lines with inferred schema; Spark orders inferred fields
+    # alphabetically, which makes positional ops (T3 exclusion, T9 width)
+    # deterministic. Stringly-coerced like the ORC decoder so the
+    # downstream chain is format-agnostic.
+    from pyspark.sql import functions as F
+    df = spark.read.json(path)
+    return df.select([F.col(c).cast("string").alias(c) for c in df.columns])

@@ -188,6 +188,48 @@ def test_orc_input_direct_load(spark, tmp_path, cluster):
     assert any(line.split("\t") == ["3", "did_3", "3"] for line in wire)
 
 
+def test_json_input_direct_load(spark, tmp_path, cluster):
+    """JSON-lines source through the decoder registry: fields arrive
+    alphabetically ordered and stringly-coerced, then the positional
+    transform chain applies unchanged."""
+    import json as _json
+    p = tmp_path / "json_in" / "dt=2017-01-07"
+    p.mkdir(parents=True)
+    # alphabetical field order: a_plat, b_skip, c_did, d_skip, e_v
+    lines = [_json.dumps({"a_plat": i % 7, "b_skip": "junk",
+                          "c_did": f"did_{i}", "d_skip": "junk2", "e_v": i})
+             for i in range(15)]
+    (p / "part-00000.json").write_text("\n".join(lines) + "\n")
+    entry = cluster[0]
+    cfg = parse_args([
+        "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
+        "--table", "t1", "--export-dir", str(p),
+        "--exclude-fields", "1,3", "--direct", "true",
+        "--input-format", "json",
+    ])
+    stats = run_load(cfg, spark, backoff_scale=0.001)
+    assert stats == {"success_records": 15, "failed_records": 0}
+    wire = [line for s in cluster for ins in s.inserts()
+            for line in ins.splitlines()[1:]]
+    assert any(line.split("\t") == ["3", "did_3", "3"] for line in wire)
+
+
+def test_csv_input_direct_load(spark, tmp_path, cluster):
+    p = tmp_path / "csv_in" / "dt=2017-01-07"
+    p.mkdir(parents=True)
+    (p / "part-00000.csv").write_text(
+        "\n".join(f"{i % 7},junk,did_{i},junk2,{i}" for i in range(15)) + "\n")
+    entry = cluster[0]
+    cfg = parse_args([
+        "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
+        "--table", "t1", "--export-dir", str(p),
+        "--exclude-fields", "1,3", "--direct", "true",
+        "--input-format", "csv", "--fields-terminated-by", ",",
+    ])
+    stats = run_load(cfg, spark, backoff_scale=0.001)
+    assert stats == {"success_records": 15, "failed_records": 0}
+
+
 def test_credentials_and_reduce_tasks_options(spark, tmp_path, cluster):
     """--username/--password flow to every HTTP call; --num-reduce-tasks
     overrides the P4 write-task sizing; --mapper-class (deprecated) maps
