@@ -2461,45 +2461,43 @@ def contamination_check(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
-# r4 rotation (r3 verdict item 5): the §2.A/§2.B reference core stays
-# pinned every round; extension entries graded green in BOTH r2 and r3
-# rotate out in favor of never-driver-graded ones (all still verified by
-# tests/test_oracle_parity.py and the verify harness). The five r3
-# NTZ-regression failures stay in to prove the fix green.
+# r5 rotation (r4 verdict item 1): the §2.A/§2.B reference core and the
+# loader end-to-end stay pinned every round; everything graded green in
+# >=2 rounds rotates out for the 19 never-driver-graded entries, closing
+# the audit — after this window every one of the 103 registry queries has
+# been driver-verified at least once. The remaining slots keep r4's
+# first-graded family representatives in for a second confirmation round.
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
     "grouparray_topology", "distinct_projection", "concat_qualified",
     "like_prefix", "rlike_range", "insert_select_union",
-    # §2.A — the dataflow pipeline (pinned; orc_stringly_decode is the
-    # S2/T2 evidence row, first graded r4)
+    # §2.A — the dataflow pipeline (pinned)
     "transform_chain", "tokenize_pipe", "null_normalize_rules",
     "width_validation", "shard_assign", "serialize_tsv", "sanitize_fields",
     "orc_stringly_decode",
-    # r3 regression fixes — re-green against the timestamp[us] fixtures
-    "sessionize", "session_window_agg", "window_functions_sampler",
-    "range_join_events", "streaming_hourly_windows",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # TPC-H shapes — first grading
+    # --- the 19 never-driver-graded entries (r4 verdict "What's missing" #1)
+    # subquery shapes — the highest-frequency user impact of the set
+    "correlated_exists", "not_in_subquery", "scalar_subquery_agg",
+    # relational / expression surface
+    "array_ops", "case_when_bucketing", "custdist_two_level_agg",
+    "from_json_struct", "having_filter", "limit_offset", "nulls_ordering",
+    "regexp_extract_groups", "unpivot_doc_metrics",
+    # set-op _ALL variants
+    "set_except_all", "set_intersect_all", "union_distinct",
+    # LLM pipeline
+    "dedup_materialize", "embedding_label_centroids",
+    "train_val_test_split",
+    # multimodal header decode (now incl. MP4 video boxes)
+    "multimodal_header_decode",
+    # --- second-confirmation slots: r4 first-graded family representatives
     "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
-    # aggregation surface — first grading
-    "cube_agg", "grouping_sets", "scalar_functions",
-    # time-series — first grading
+    "cube_agg", "grouping_sets",
     "events_forward_fill", "events_gap_fill",
-    # streaming — first grading
     "streaming_dedup", "streaming_static_join",
-    # dedup / similarity — first grading
-    "dedup_levenshtein", "ann_lsh_topk", "ann_lsh_near_dup",
-    "ann_ivf_trained_topk",
-    # text analysis — first grading
-    "text_token_counts", "text_quality", "text_langid",
-    "text_fingerprint", "winnow_fingerprint",
-    # LLM corpus prep — first grading
-    "pack_token_budget", "stratified_sample", "chunk_documents",
-    "text_repetition", "contamination_check", "profile_documents",
-    # multimodal — first grading
-    "multimodal_frame_sample",
+    "ann_ivf_trained_topk", "pack_token_budget", "multimodal_frame_sample",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]
