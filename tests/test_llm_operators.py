@@ -183,15 +183,18 @@ def test_media_header_parsing_real_containers():
 def test_synthesize_media_decodes_exactly(spark):
     """synthesize_media → decode_image_batch(fake=False) round-trips the
     real parser over every built format with id-derived geometry."""
-    df = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
     out = {r["doc_id"]: r for r in
            MM.decode_image_batch(MM.synthesize_media(df), fake=False).collect()}
     assert out[0]["format"] == "png" and out[0]["width"] == 1
     assert out[1]["format"] == "gif" and out[1]["height"] == 8
     assert out[2]["format"] == "bmp" and out[2]["n_bytes"] == 54
     assert out[3]["format"] == "wav" and out[3]["width"] == 16000
-    assert out[3]["channels"] == 2 and out[7]["channels"] == 2
-    assert out[5]["width"] == 1 + 5 % 512 and out[5]["height"] == 1 + 35 % 512
+    assert out[3]["channels"] == 2 and out[8]["channels"] == 1
+    assert out[4]["format"] == "mp4" and out[4]["n_bytes"] == 236
+    assert out[9]["format"] == "mp4" and out[9]["width"] == 10
+    assert out[9]["height"] == 1 + 63 % 512 and out[9]["channels"] == 1
+    assert out[6]["width"] == 1 + 6 % 512 and out[6]["height"] == 1 + 42 % 512
 
 
 def test_numpy_topk_matches_native(spark, sf_dir):
@@ -374,3 +377,45 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     # cluster 0 averaged all four members
     assert cents[0] == [pytest.approx((1 + 1 + 0.9 + 0) / 4),
                         pytest.approx((0 + 0 + 0.1 + 1) / 4)]
+
+
+def test_ivf_assign_gemm_matches_expr(spark, sf_dir):
+    """The BLAS gemm-argmax assignment (100 TB path) must produce the same
+    centroid per vector as the codegen expression fold at small m."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.seed_centroids(emb, m=8)
+    expr = {r["id"]: r["centroid"]
+            for r in SIM.ivf_assign_expr(emb, cents).collect()}
+    gemm = {r["id"]: r["centroid"]
+            for r in SIM.ivf_assign_gemm(emb, cents).collect()}
+    assert expr == gemm
+
+
+def test_ivf_assign_auto_dispatch_and_large_m(spark, sf_dir):
+    """auto keeps the oracle-replayable expr fold at m<=32 and takes the
+    gemm path at coarse-quantizer sizes; m=256 must run end-to-end (the
+    expr path at that m would blow the codegen method-size limit)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    m = min(256, n)
+    cents = SIM.seed_centroids(emb, m=m)
+    assigned = SIM.ivf_assign(emb, cents)   # auto -> gemm at m=256
+    rows = assigned.collect()
+    assert len(rows) == n
+    ids = {cid for cid, _ in cents}
+    assert all(r["centroid"] in ids for r in rows)
+    # seed centroid i IS vector i -> every seed row self-assigns
+    by_id = {r["id"]: r["centroid"] for r in rows}
+    seeds = sorted(by_id)[:m]
+    self_hits = sum(1 for i, vid in enumerate(seeds) if by_id[vid] == i)
+    assert self_hits >= int(m * 0.95)  # ties may pick an identical twin
+
+
+def test_simhash_dropped_buckets_diagnostic(spark):
+    rows = [(i, "identical text every time") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap below the bucket size -> every band bucket reported as dropped
+    dropped = DD.simhash_dropped_buckets(df, max_bucket=10).collect()
+    assert len(dropped) == 4 and all(r["n_ids"] == 30 for r in dropped)
+    # cap above -> nothing dropped
+    assert DD.simhash_dropped_buckets(df, max_bucket=100).count() == 0
