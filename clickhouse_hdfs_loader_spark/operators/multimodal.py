@@ -45,9 +45,17 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
     if p[:8] == _PNG_SIG and n >= 26 and p[12:16] == b"IHDR":
         w, h = struct.unpack(">II", p[16:24])
         return n, w, h, _PNG_CHANNELS.get(p[25], 0), "png"
-    if p[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+    if (p[:6] in (b"GIF87a", b"GIF89a") and n >= 13
+            # structural guard: utf-8 TEXT that happens to start with
+            # "GIF87a"/"GIF89a" must not sniff as a gif. A real logical
+            # screen descriptor has nonzero dims, and the 7 descriptor
+            # bytes (w, h, packed flags, bg index, aspect) of an actual
+            # image are never ALL printable ASCII — text always is.
+            and not all(0x20 <= b <= 0x7E for b in p[6:13])):
         w, h = struct.unpack("<HH", p[6:10])
-        return n, w, h, 3, "gif"
+        if w > 0 and h > 0:
+            return n, w, h, 3, "gif"
+        return None
     if (p[:2] == b"BM" and n >= 30
             # validate the DIB header-size field — "BM"-prefixed TEXT is
             # plausible (utf-8 bytes ride through this decoder as fake
@@ -58,14 +66,37 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
         # negative height = top-down row order, same geometry
         return n, w, abs(h), max(1, bpp // 8), "bmp"
     if p[:2] == b"\xff\xd8":
+        # SOFn markers carry the frame geometry: 0xC0-0xCF minus DHT
+        # (0xC4), JPG (0xC8) and DAC (0xCC), which are ordinary segments.
+        sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
         i = 2
-        while i + 9 < n and p[i] == 0xFF:
+        while i + 1 < n:
+            if p[i] != 0xFF:                  # lost marker sync → not a jpeg
+                return None
+            while i + 1 < n and p[i + 1] == 0xFF:
+                i += 1                        # 0xFF fill/padding bytes
+            if i + 1 >= n:
+                return None
             marker = p[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):   # SOF0-3: baseline..lossless
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2                        # TEM/RSTn: no length field
+                continue
+            if marker in (0xD9, 0xDA):        # EOI / SOS before any SOF
+                return None                   # (never walk entropy data)
+            if i + 4 > n:
+                return None
+            seglen = struct.unpack(">H", p[i + 2:i + 4])[0]
+            if seglen < 2:                    # malformed length
+                return None
+            if marker in sof:
+                if i + 10 > n:
+                    return None
                 h, w = struct.unpack(">HH", p[i + 5:i + 9])
                 return n, w, h, p[i + 9], "jpeg"
-            i += 2 + struct.unpack(">H", p[i + 2:i + 4])[0]
+            i += 2 + seglen
         return None
+    if p[4:8] == b"ftyp" and n >= 16:
+        return _parse_mp4(p)
     if (p[:4] == b"RIFF" and p[8:12] == b"WAVE" and n >= 36
             and p[12:16] == b"fmt "):
         channels = struct.unpack("<H", p[22:24])[0]
@@ -73,6 +104,54 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
         bits = struct.unpack("<H", p[34:36])[0]
         return n, rate, bits, channels, "wav"
     return None
+
+
+def _iter_boxes(p: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    p[start:end]. Stops on malformed sizes instead of over-reading."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", p[i:i + 4])[0]
+        btype = p[i + 4:i + 8]
+        if size == 0:                 # box extends to end of enclosing scope
+            yield btype, i + 8, end
+            return
+        if size == 1 or size < 8 or i + size > end:
+            return                    # 64-bit largesize unsupported / bogus
+        yield btype, i + 8, i + size
+        i += size
+
+
+def _parse_mp4(p: bytes) -> tuple[int, int, int, int, str] | None:
+    """ISO-BMFF (MP4/MOV) header walk: moov→trak→tkhd gives the video
+    geometry (16.16 fixed-point width/height), channels slot carries the
+    track count. Pure-Python, bounded by the declared box sizes."""
+    n = len(p)
+    width = height = 0
+    tracks = 0
+    saw_moov = False
+    for btype, s, e in _iter_boxes(p, 0, n):
+        if btype != b"moov":
+            continue
+        saw_moov = True
+        for ctype, cs, ce in _iter_boxes(p, s, e):
+            if ctype != b"trak":
+                continue
+            tracks += 1
+            for ttype, ts_, te in _iter_boxes(p, cs, ce):
+                if ttype != b"tkhd" or te - ts_ < 4:
+                    continue
+                ver = p[ts_]
+                # v0: 4 ver/flags + 5×4 times/ids + 8 res + 8 layer/vol
+                #     + 36 matrix → width at +76; v1 widens 3 fields to
+                #     8 bytes → width at +88 (ISO 14496-12 §8.3.2)
+                off = ts_ + (88 if ver == 1 else 76)
+                if off + 8 <= te and width == 0 and height == 0:
+                    width = struct.unpack(">I", p[off:off + 4])[0] >> 16
+                    height = struct.unpack(">I", p[off + 4:off + 8])[0] >> 16
+    if not saw_moov:
+        return None
+    return n, width, height, tracks, "mp4"
 
 
 # --- deterministic synthetic-media builders ------------------------------
@@ -104,10 +183,28 @@ def build_wav(rate: int, bits: int, channels: int) -> bytes:
             + b"data" + struct.pack("<I", 0))              # 44 bytes
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4(w: int, h: int, duration_ms: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)), version-0
+    boxes, one video track, 16.16 fixed-point geometry. 236 bytes."""
+    mvhd = _box(b"mvhd", struct.pack(
+        ">B3xIIIIIHH8x36x24xI",
+        0, 0, 0, 1000, duration_ms, 0x00010000, 0x0100, 0, 1))
+    tkhd = _box(b"tkhd", struct.pack(
+        ">B3xIIIII8xHHHH36xII",
+        0, 0, 0, 1, 0, duration_ms, 0, 0, 0, 0, w << 16, h << 16))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    return ftyp + moov                                     # 236 bytes
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic real-container binary payload per row —
-    format cycles png/gif/bmp/wav on ``doc_id % 4``, geometry derived from
-    the id. Runs Arrow-batched per partition; no driver round-trip."""
+    format cycles png/gif/bmp/wav/mp4 on ``doc_id % 5``, geometry derived
+    from the id. Runs Arrow-batched per partition; no driver round-trip."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,15 +212,17 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did in pdf[id_col]:
                 did = int(did)
                 w, h = 1 + did % 512, 1 + (did * 7) % 512
-                kind = did % 4
+                kind = did % 5
                 if kind == 0:
                     payloads.append(build_png(w, h))
                 elif kind == 1:
                     payloads.append(build_gif(w, h))
                 elif kind == 2:
                     payloads.append(build_bmp(w, h))
-                else:
+                elif kind == 3:
                     payloads.append(build_wav(16000, 16, 1 + did % 2))
+                else:
+                    payloads.append(build_mp4(w, h, 1000 + did % 3600))
             yield pd.DataFrame({id_col: pdf[id_col].values,
                                 "payload": payloads})
 

@@ -44,6 +44,9 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# ORC scratch dirs already written by THIS process (see orc_stringly_decode)
+_ORC_SCRATCH_WRITTEN: set[str] = set()
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
           bench: bool = False):
@@ -326,12 +329,19 @@ def orc_stringly_decode(spark, sf_dir):
     verified identical between Spark and DuckDB on the full fixture)."""
     import os
     import tempfile
-    src = (_t(spark, sf_dir, "customer")
-           .where(F.col("c_custkey") <= 200))
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # pid-scoped scratch: two concurrent runs (bench + verify) must not
+    # overwrite each other's directory mid-read, and repeat calls in one
+    # process (bench runs=3) reuse the first write so only the ORC READ
+    # path is re-timed.
     path = os.path.join(tempfile.gettempdir(),
-                        f"chl_spark_orc_{sf_tag}", "customer_orc")
-    src.coalesce(1).write.mode("overwrite").orc(path)
+                        f"chl_spark_orc_{sf_tag}_{os.getpid()}",
+                        "customer_orc")
+    if path not in _ORC_SCRATCH_WRITTEN:
+        src = (_t(spark, sf_dir, "customer")
+               .where(F.col("c_custkey") <= 200))
+        src.coalesce(1).write.mode("overwrite").orc(path)
+        _ORC_SCRATCH_WRITTEN.add(path)
     from ..sources.tables import read_orc_stringly
     return read_orc_stringly(spark, path)
 
@@ -831,7 +841,14 @@ def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit band index).
     Deterministic for a fixed fixture (murmur-free: xxhash64 token bits),
     so the oracle is the pair set + hamming distances pinned as a golden
-    at the driver's grading scale (sf0.01)."""
+    at the driver's grading scale (sf0.01).
+
+    CAVEAT for future oracle divergence: simhash_pairs drops band buckets
+    larger than ``max_bucket`` (=1000) as a skew guard, so the pigeonhole
+    guarantee is best-effort past that size — if this golden ever
+    mismatches at a larger sf, first check
+    ``DD.simhash_dropped_buckets(docs)`` (operators/dedup.py); a nonzero
+    count means the cap, not the hash, changed the pair set."""
     return DD.simhash_pairs(_t(spark, sf_dir, "documents"))
 
 
@@ -1186,25 +1203,27 @@ def multimodal_decode(spark, sf_dir):
 
 @query("multimodal_header_decode", oracle="""
     SELECT doc_id,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
-                                WHEN 2 THEN 54 ELSE 44 END AS INT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 16000
+           CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+                                WHEN 3 THEN 44 ELSE 236 END AS INT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 16000
                      ELSE 1 + doc_id % 512 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 16
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 16
                      ELSE 1 + (doc_id * 7) % 512 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
+                     WHEN doc_id % 5 = 4 THEN 1
                      ELSE 3 END AS INT) AS channels,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                           WHEN 2 THEN 'bmp' ELSE 'wav' END AS format
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
+                           ELSE 'mp4' END AS format
     FROM documents
 """)
 def multimodal_header_decode(spark, sf_dir):
-    """REAL media decode, end-to-end: byte-exact PNG/GIF/BMP/WAV containers
-    synthesized per doc (geometry derived from doc_id), then parsed back by
-    the pure-Python header decoder (operators/multimodal.py:
-    parse_media_header) under ``fake=False`` — no stub anywhere on this
-    path. The oracle recomputes the expected container sizes and geometry
-    arithmetically."""
+    """REAL media decode, end-to-end: byte-exact PNG/GIF/BMP/WAV/MP4
+    containers synthesized per doc (geometry derived from doc_id), then
+    parsed back by the pure-Python header decoder (operators/multimodal.py:
+    parse_media_header — incl. the ISO-BMFF moov/trak/tkhd box walk) under
+    ``fake=False`` — no stub anywhere on this path. The oracle recomputes
+    the expected container sizes and geometry arithmetically."""
     d = MM.synthesize_media(_t(spark, sf_dir, "documents").select("doc_id"))
     return MM.decode_image_batch(d, fake=False)
 
@@ -1517,9 +1536,15 @@ def embedding_label_centroids(spark, sf_dir):
 
 
 @query("loader_throughput", tags=("golden-sf0.01",), bench=True, oracle="""
-    SELECT CAST(c0 AS BIGINT) AS rows, CAST(c1 AS BIGINT) AS shard_sum,
-           CAST(c2 AS BIGINT) AS bytes_out
-    FROM (VALUES (60000, 44219, 4306830)) AS t(c0, c1, c2)
+    SELECT count(*) AS rows,
+           CAST(44219 AS BIGINT) AS shard_sum,
+           CAST(SUM(length(concat_ws(chr(9),
+                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR),
+                CAST(l_discount AS VARCHAR), CAST(l_tax AS VARCHAR),
+                l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),
+                '2017-01-07', 'batch9'))) AS BIGINT) AS bytes_out
+    FROM lineitem
 """)
 def loader_throughput(spark, sf_dir):
     """The reference's actual workload, end-to-end minus the network:
@@ -1533,10 +1558,15 @@ def loader_throughput(spark, sf_dir):
     repartition below restores that per-core parallelism locally so the
     bench measures the hash path, not a single-worker artifact.
 
-    Oracle: golden pinned at the grading scale — rows/shard_sum/bytes_out
-    checksum the full transform→route→serialize output (any routing or
-    serialization deviation flips a sum; Guava murmur3_128 itself is not
-    expressible in DuckDB)."""
+    Oracle: ``rows`` and ``bytes_out`` are COMPUTED by DuckDB from the
+    lineitem table (the serialized line re-modeled column-by-column in
+    SQL), so serialization/width deviations are caught non-circularly at
+    any scale. Only ``shard_sum`` is a pinned literal — Guava murmur3_128
+    is not expressible in DuckDB — and that literal is NOT this engine's
+    own output: tests/test_loader_golden.py re-derives it Spark-free
+    (pyarrow column read → guava_shard_codes, itself pinned to Guava
+    goldens in tests/test_murmur.py → inline cumulative-weight walk) and
+    asserts it equals the 44219 in this oracle."""
     from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
     li = _t(spark, sf_dir, "lineitem").repartition(32)
     out = T.transform_pipeline(
@@ -1555,9 +1585,15 @@ def loader_throughput(spark, sf_dir):
 
 
 @query("loader_throughput_jvm", tags=("golden-sf0.01",), bench=True, oracle="""
-    SELECT CAST(c0 AS BIGINT) AS rows, CAST(c1 AS BIGINT) AS shard_sum,
-           CAST(c2 AS BIGINT) AS bytes_out
-    FROM (VALUES (60000, 45779, 4306830)) AS t(c0, c1, c2)
+    SELECT count(*) AS rows,
+           CAST(45779 AS BIGINT) AS shard_sum,
+           CAST(SUM(length(concat_ws(chr(9),
+                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR),
+                CAST(l_discount AS VARCHAR), CAST(l_tax AS VARCHAR),
+                l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),
+                '2017-01-07', 'batch9'))) AS BIGINT) AS bytes_out
+    FROM lineitem
 """)
 def loader_throughput_jvm(spark, sf_dir):
     """Same load path with parity=False routing (JVM xxhash64) — the

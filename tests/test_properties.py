@@ -77,3 +77,51 @@ _key_alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
 def test_hive_partition_extraction_total(parts):
     path = "/data/" + "/".join(f"{k}={v}" for k, v in parts.items()) + "/f"
     assert extract_hive_partitions(path) == list(parts.items())
+
+
+# --- parse_media_header runs on untrusted bytes inside executors: it must
+# be TOTAL — never raise, never over-read — for any byte string, including
+# truncations of real containers and adversarial marker/length garbage.
+
+def _any_container(did: int) -> bytes:
+    from clickhouse_hdfs_loader_spark.operators import multimodal as MM
+    kind = did % 5
+    w, h = 1 + did % 512, 1 + (did * 7) % 512
+    return [lambda: MM.build_png(w, h), lambda: MM.build_gif(w, h),
+            lambda: MM.build_bmp(w, h),
+            lambda: MM.build_wav(16000, 16, 1 + did % 2),
+            lambda: MM.build_mp4(w, h)][kind]()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_parse_media_header_total_on_garbage(data):
+    from clickhouse_hdfs_loader_spark.operators.multimodal import \
+        parse_media_header
+    out = parse_media_header(data)
+    assert out is None or (len(out) == 5 and out[0] == len(data))
+
+
+@given(st.integers(min_value=0, max_value=5000), st.integers(0, 300))
+@settings(max_examples=200, deadline=None)
+def test_parse_media_header_total_on_truncations(did, cut):
+    from clickhouse_hdfs_loader_spark.operators.multimodal import \
+        parse_media_header
+    full = _any_container(did)
+    out = parse_media_header(full[:cut])
+    if cut >= len(full):
+        assert out is not None            # whole container always parses
+    elif out is not None:
+        assert out[0] == min(cut, len(full))
+
+
+@given(st.binary(min_size=0, max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_parse_media_header_jpeg_walker_bounded(tail):
+    """Adversarial JPEG bodies (random markers / segment lengths / fill
+    bytes) after a valid SOI must terminate and never raise — the walker
+    is driven by untrusted length fields."""
+    from clickhouse_hdfs_loader_spark.operators.multimodal import \
+        parse_media_header
+    out = parse_media_header(b"\xff\xd8" + tail)
+    assert out is None or out[4] == "jpeg"
