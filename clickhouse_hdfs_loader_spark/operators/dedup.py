@@ -230,6 +230,27 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "hamming"))
 
 
+def simhash_dropped_buckets(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_bucket: int = 1000) -> DataFrame:
+    """Diagnostic twin of ``simhash_pairs``: the band buckets its
+    ``max_bucket`` skew cap would DROP, as (band, bk, n_ids) rows. The cap
+    silently trades the pigeonhole recall guarantee for never-quadratic
+    behavior, so when a pair golden diverges at a new scale, run this
+    first — nonzero rows mean the cap (not the hashing) changed the pair
+    set. Cheap: one aggregation, no pair generation."""
+    sims = simhash_bits(docs, text_col, id_col)
+    band_keys = [F.struct(F.lit(b).alias("band"),
+                          (F.shiftrightunsigned("simhash", 16 * b)
+                           .bitwiseAND(F.lit(0xFFFF))).alias("bk"))
+                 for b in range(4)]
+    return (sims.select("id", F.explode(F.array(*band_keys)).alias("s"))
+            .select("id", F.col("s.band").alias("band"),
+                    F.col("s.bk").alias("bk"))
+            .groupBy("band", "bk").agg(F.count(F.lit(1)).alias("n_ids"))
+            .where(F.col("n_ids") > max_bucket))
+
+
 def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
                              text_col: str = "text", id_col: str = "doc_id",
                              max_norm_dist: float = 0.4) -> DataFrame:
