@@ -184,11 +184,11 @@ def seed_centroids(corpus: DataFrame, m: int = 8, vec_col: str = "embedding",
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
              nprobe: int = 2, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id", assign_method: str = "auto") -> DataFrame:
     """IVF search: corpus bucketed by nearest centroid; each query probes
     its ``nprobe`` nearest centroid buckets only."""
     cents = seed_centroids(corpus, m, vec_col, id_col)
-    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col, method=assign_method)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_structs = []

@@ -2487,6 +2487,107 @@ def contamination_check(spark, sf_dir):
     return contam(d, d.where(F.col("doc_id") % 20 == 0), k=3, threshold=0.5)
 
 
+@query("ann_ivf_gemm_topk", oracle=REGISTRY["ann_ivf_topk"].oracle)
+def ann_ivf_gemm_topk(spark, sf_dir):
+    """The SAME IVF search as ann_ivf_topk but with centroid assignment
+    forced onto the 100 TB path — mapInPandas BLAS gemm argmax over a
+    broadcast centroid matrix (operators/similarity.py:ivf_assign_gemm) —
+    instead of the small-m expression fold. Shares ann_ivf_topk's oracle
+    verbatim: the gemm argmax must reproduce the fold's assignments
+    exactly (first-max tie rule), so any divergence between the scale
+    path and the oracle-replayable path fails this query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, q, k=5, m=8, nprobe=2, assign_method="gemm")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+@query("pii_scrub", oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com from host 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 50 AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' cc admin@example.org' ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(length(regexp_replace(regexp_replace(t, '{_PII_EMAIL}',
+                '[EMAIL]', 'g'), '{_PII_IP}', '[IP]', 'g')) AS INT)
+             AS scrubbed_len
+    FROM enriched
+""")
+def pii_scrub(spark, sf_dir):
+    """Training-data PII scrubbing: count and redact emails / IPv4
+    addresses with native regexp (JVM codegen — no UDF, linear scan, no
+    shuffle; the 100 TB plan is scan → project). The corpus is synthetic
+    word-salad with no real PII, so deterministic PII is injected
+    arithmetically from doc_id first — both engines model the injection
+    identically, keeping the scrub logic itself under exact oracle
+    parity."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.com from host 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org"))
+         .otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+        F.lit(_PII_IP), F.lit("[IP]"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"))
+
+
+@query("embedding_quantize", oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             127.0 / greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+      FROM embeddings)
+    SELECT e.vec_id,
+           CAST(floor(s.scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+           CAST(list_sum(list_transform(e.embedding,
+                x -> floor(CAST(x AS DOUBLE) * s.scale + 0.5))) AS BIGINT)
+             AS q_sum,
+           CAST(list_max(list_transform(e.embedding,
+                x -> abs(floor(CAST(x AS DOUBLE) * s.scale + 0.5)))) AS INT)
+             AS q_max_abs
+    FROM embeddings e JOIN scaled s USING (vec_id)
+""")
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization — the vector-compression step
+    a 100 TB ANN index wants (4× smaller embedding column, gemm on int8).
+    Per-vector scale = 127 / max|x|; elements round via the explicit
+    ``floor(x·scale + 0.5)`` knife-edge-safe formula (identical expression
+    order in the oracle — see CLAUDE.md round() note). Output checksums
+    (scale in micro-units, quantized sum, max |q|) pin the whole quantized
+    vector without emitting 64 columns. Pure native HOF expressions: one
+    scan, zero shuffles at any scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(xd, F.abs)), F.lit(1e-30))
+    q = F.transform(xd, lambda x: F.floor(x * scale + F.lit(0.5)))
+    return e.select(
+        "vec_id",
+        F.floor(scale * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+         .alias("scale_micro"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + x).cast("long")
+         .alias("q_sum"),
+        F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max_abs"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
