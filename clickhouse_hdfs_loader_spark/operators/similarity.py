@@ -282,17 +282,70 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "id", F.round("cos", 4).alias("cos"), "rank"))
 
 
+def _kmeans_sums_explode(assigned: DataFrame):
+    """Per-(centroid, dim) fixed-point sums via posexplode — simple, but
+    the shuffle carries n·dim rows (64× inflation): fine at fixture
+    scale, wrong at 100 TB."""
+    return (assigned
+            .select("centroid", F.posexplode(
+                F.transform("v", lambda x: x.cast("double")))
+                .alias("dim", "x"))
+            .groupBy("centroid", "dim")
+            .agg(F.sum(F.floor(F.col("x") * F.lit(1000000.0))).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _kmeans_sums_partial(assigned: DataFrame, k: int, dim_hint: int = 0):
+    """Scale path: per-Arrow-batch numpy partial sums, so the shuffle
+    carries at most k·dim rows PER BATCH instead of n·dim rows total —
+    the map-side-combine the explode plan can't express. Bitwise
+    identical to _kmeans_sums_explode: the quantization floor(x·10⁶) is
+    applied per ELEMENT and int64 sums are associative/exact, so any
+    grouping of the same addends yields the same total."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cent = pdf["centroid"].to_numpy()
+            mat = np.floor(np.array(list(pdf["v"]), dtype=np.float64)
+                           * 1.0e6).astype(np.int64)
+            dim = mat.shape[1]
+            sums = np.zeros((k, dim), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, cent, mat)
+            np.add.at(counts, cent, 1)
+            live = np.flatnonzero(counts)
+            yield pd.DataFrame({
+                "centroid": np.repeat(live, dim).astype("int32"),
+                "dim": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                "s": sums[live].reshape(-1),
+                "n": np.repeat(counts[live], dim)})
+
+    part = assigned.select("centroid", "v").mapInPandas(
+        partials, schema="centroid int, dim int, s long, n long")
+    return (part.groupBy("centroid", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+
+
 def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
-               vec_col: str = "embedding",
-               id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               agg_method: str = "partial") -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means for IVF coarse centroids.
 
     Seeds = the ``k`` lowest-id vectors; each iteration assigns every
-    vector to its max-cosine centroid (one codegen scan — ivf_assign) and
-    recomputes centroid means (posexplode + fixed-point sum per
-    (centroid, dim), one shuffle). Centroids live on the driver between
-    rounds (k×dim floats), so iteration cost is 2 jobs × iters — the
-    distributed-iterative pattern the IVF quality path needs.
+    vector to its max-cosine centroid (one scan — ivf_assign, which
+    auto-picks fold vs gemm by m) and recomputes centroid means via
+    fixed-point sums per (centroid, dim). ``agg_method='partial'``
+    (default) pre-aggregates each Arrow batch in numpy so the shuffle
+    carries ≤ k·dim rows per batch — the map-side combine the
+    ``'explode'`` plan (n·dim shuffle rows) can't express; both produce
+    BITWISE-identical centroids (int64 sums are order-free), pinned by
+    tests. Centroids live on the driver between rounds (k×dim floats),
+    so iteration cost is 2 jobs × iters — the distributed-iterative
+    pattern the IVF quality path needs.
 
     **Fixed-point accumulation**: per-dim means sum ``floor(x·10⁶)`` as
     int64, then divide once on the driver. Float sums depend on shuffle
@@ -305,14 +358,10 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     cents = seed_centroids(corpus, k, vec_col, id_col)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, id_col)
-        per_dim = (assigned
-                   .select("centroid", F.posexplode(
-                       F.transform("v", lambda x: x.cast("double")))
-                       .alias("dim", "x"))
-                   .groupBy("centroid", "dim")
-                   .agg(F.sum(F.floor(F.col("x") * F.lit(1000000.0)))
-                        .alias("s"),
-                        F.count(F.lit(1)).alias("n")))
+        if agg_method == "partial":
+            per_dim = _kmeans_sums_partial(assigned, k)
+        else:
+            per_dim = _kmeans_sums_explode(assigned)
         rows = (per_dim.groupBy("centroid")
                 .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n")))
                      .alias("dims"))

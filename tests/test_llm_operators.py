@@ -419,3 +419,14 @@ def test_simhash_dropped_buckets_diagnostic(spark):
     assert len(dropped) == 4 and all(r["n_ids"] == 30 for r in dropped)
     # cap above -> nothing dropped
     assert DD.simhash_dropped_buckets(df, max_bucket=100).count() == 0
+
+
+def test_kmeans_partial_agg_bitwise_matches_explode(spark, sf_dir):
+    """The map-side-combine numpy partial-sum path must reproduce the
+    posexplode path's centroids BITWISE (int64 fixed-point sums are
+    order-free), keeping the trained-IVF SQL oracle valid on the scale
+    path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = SIM.kmeans_fit(emb, k=4, iters=2, agg_method="partial")
+    b = SIM.kmeans_fit(emb, k=4, iters=2, agg_method="explode")
+    assert a == b          # exact float equality, not approx
