@@ -16,7 +16,7 @@ from clickhouse_hdfs_loader_spark.session import get_spark
 
 PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
          "dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_topk",
-         "asof_join_events", "sessionize"]
+         "asof_join_events", "sessionize", "pii_scrub", "embedding_quantize"]
 
 
 def main() -> None:
