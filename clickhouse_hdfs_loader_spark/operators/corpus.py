@@ -194,3 +194,22 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 32, overlap: int = 8,
     return d.select(F.col("id").alias(id_col), "chunk_idx",
                     F.size(chunk).alias("n_chunk_tokens"),
                     F.array_join(chunk, " ").alias("chunk_text"))
+
+
+def quota_sample(docs: DataFrame, group_col: str = "source",
+                 quota: int = 60, id_col: str = "doc_id") -> DataFrame:
+    """Per-group quota sampling (the CommonCrawl-style "at most N docs per
+    domain" cap): deterministic md5 order within each group, keep the
+    first ``quota``. One shuffle keyed on the group; retry/engine-stable
+    (the md5 rank is a pure function of the id, like stratified_sample's
+    thresholds).
+
+    At 100 TB with million-row hot groups, put an approximate md5-prefix
+    pre-filter (keep_frac ≈ quota·margin / group_count from a first-pass
+    count) in front so the exact window ranks survivors only; the exact
+    rank semantics below are unchanged by that refinement."""
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= quota)
+            .select(id_col, group_col, "rk"))

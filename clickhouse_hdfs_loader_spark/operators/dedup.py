@@ -289,3 +289,22 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
             .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
+
+
+def incremental_dedup(new_docs: DataFrame, seen_fps: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental corpus ingest: dedup the incoming batch against ITSELF
+    (min-id keeper per normalized-md5 fingerprint), then anti-join the
+    keepers against the existing corpus's fingerprint store — the
+    production refresh pattern where yesterday's 100 TB is never
+    rescanned, only its fingerprint column. ``seen_fps`` needs one ``fp``
+    column. Scale: batch-side hash aggregate + one anti-join shuffled on
+    the 16-byte fp (broadcast it instead when the store is small)."""
+    from ..functions.text import md5_fingerprint
+    fps = new_docs.select(F.col(id_col),
+                          md5_fingerprint(F.col(text_col)).alias("fp"))
+    kept = (fps.groupBy("fp")
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("copies")))
+    return (kept.join(seen_fps.select("fp").distinct(), "fp", "left_anti")
+            .select(id_col, "fp", "copies"))

@@ -2588,6 +2588,52 @@ def embedding_quantize(spark, sf_dir):
         F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max_abs"))
 
 
+@query("domain_quota_sample", oracle="""
+    SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 15
+""")
+def domain_quota_sample(spark, sf_dir):
+    """Per-source quota sampling — the "at most N docs per domain" cap a
+    web-corpus pipeline applies before training. Deterministic md5 rank
+    within each source (operators/corpus.py:quota_sample); one shuffle
+    keyed on the group column."""
+    from ..operators.corpus import quota_sample
+    return (quota_sample(_t(spark, sf_dir, "documents"),
+                         group_col="source", quota=15)
+            .select("doc_id", "source", F.col("rk").cast("int").alias("rk")))
+
+
+@query("dedup_incremental", oracle="""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM documents),
+    store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+    kept AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS copies
+             FROM batch GROUP BY fp)
+    SELECT k.doc_id, k.fp, k.copies
+    FROM kept k LEFT JOIN store s ON k.fp = s.fp
+    WHERE s.fp IS NULL
+""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: docs with doc_id % 5 = 0 play the
+    incoming batch, the rest the already-ingested corpus, represented
+    ONLY by its fingerprint column (operators/dedup.py:incremental_dedup
+    — batch-side keeper aggregate, then an anti-join against the store;
+    yesterday's corpus is never rescanned)."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    store = (d.where(F.col("doc_id") % 5 != 0)
+             .select(TX.md5_fingerprint(F.col("text")).alias("fp")))
+    return DD.incremental_dedup(batch, store)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —

@@ -430,3 +430,31 @@ def test_kmeans_partial_agg_bitwise_matches_explode(spark, sf_dir):
     a = SIM.kmeans_fit(emb, k=4, iters=2, agg_method="partial")
     b = SIM.kmeans_fit(emb, k=4, iters=2, agg_method="explode")
     assert a == b          # exact float equality, not approx
+
+
+def test_quota_sample_caps_and_determinism(spark):
+    from clickhouse_hdfs_loader_spark.operators.corpus import quota_sample
+    rows = [(i, f"src{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = quota_sample(df, group_col="source", quota=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in per.values())
+    # deterministic: same winners on a rerun
+    again = quota_sample(df, group_col="source", quota=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_incremental_dedup_anti_joins_store(spark):
+    batch = spark.createDataFrame(
+        [(10, "Hello, World!"), (11, "hello world"),     # in-batch dup pair
+         (12, "fresh content here"), (13, "already seen text")],
+        ["doc_id", "text"])
+    from clickhouse_hdfs_loader_spark.functions.text import md5_fingerprint
+    from pyspark.sql import functions as SF
+    store = (spark.createDataFrame([("already   SEEN text!",)], ["text"])
+             .select(md5_fingerprint(SF.col("text")).alias("fp")))
+    out = {r["doc_id"]: r["copies"]
+           for r in DD.incremental_dedup(batch, store).collect()}
+    assert out == {10: 2, 12: 1}   # 11 folded into 10; 13 blocked by store
