@@ -230,6 +230,31 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "hamming"))
 
 
+def minhash_dropped_buckets(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            num_hashes: int = 32, bands: int = 8,
+                            seed: int = 42,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Diagnostic twin of ``minhash_lsh_pairs``: the (band, bh) buckets
+    its degenerate-bucket cap would DROP, as (band, bh, n_ids) rows —
+    same role as simhash_dropped_buckets for the simhash index. Run this
+    when a minhash pair golden diverges at a new scale before suspecting
+    the hashing."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)])
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    return (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("id", F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh"))
+            .groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n_ids"))
+            .where(F.col("n_ids") > max_bucket))
+
+
 def simhash_dropped_buckets(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_bucket: int = 1000) -> DataFrame:

@@ -2588,6 +2588,34 @@ def embedding_quantize(spark, sf_dir):
         F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max_abs"))
 
 
+@query("approx_quantile_contract", oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+           1 AS within_tol
+    FROM orders GROUP BY o_orderstatus
+""")
+def approx_quantile_contract(spark, sf_dir):
+    """``percentile_approx`` (the scale path: mergeable GK/KLL-style
+    sketch, no global sort) graded against its accuracy CONTRACT, like
+    approx_count_distinct: the oracle carries the exact interpolated
+    median twin and ``within_tol`` = the approx estimate landed within
+    the value range spanned by the exact p45–p55 quantiles — a 50×
+    safety margin over the sketch's rank guarantee at accuracy 1000
+    (ε = 1/accuracy = 0.1%). Pinning the sketch's raw output would be
+    circular and Spark-version-fragile; the contract is stable."""
+    o = _t(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderstatus")
+           .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 4)
+                 .alias("exact_median"),
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
+                 .alias("approx"),
+                F.percentile("o_totalprice", F.lit(0.45)).alias("lo"),
+                F.percentile("o_totalprice", F.lit(0.55)).alias("hi")))
+    tol_ok = (F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))
+    return agg.select("o_orderstatus", "exact_median",
+                      tol_ok.cast("int").alias("within_tol"))
+
+
 @query("domain_quota_sample", oracle="""
     SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
       SELECT doc_id, source,

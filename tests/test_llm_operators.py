@@ -458,3 +458,11 @@ def test_incremental_dedup_anti_joins_store(spark):
     out = {r["doc_id"]: r["copies"]
            for r in DD.incremental_dedup(batch, store).collect()}
     assert out == {10: 2, 12: 1}   # 11 folded into 10; 13 blocked by store
+
+
+def test_minhash_dropped_buckets_diagnostic(spark):
+    rows = [(i, "identical text every time for the hot bucket") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dropped = DD.minhash_dropped_buckets(df, max_bucket=10).collect()
+    assert len(dropped) == 8 and all(r["n_ids"] == 25 for r in dropped)
+    assert DD.minhash_dropped_buckets(df, max_bucket=30).count() == 0
