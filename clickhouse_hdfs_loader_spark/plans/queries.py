@@ -2588,6 +2588,31 @@ def embedding_quantize(spark, sf_dir):
         F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max_abs"))
 
 
+@query("streaming_incremental_dedup", oracle="""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM documents),
+    store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+    kept AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS copies
+             FROM batch GROUP BY fp)
+    SELECT k.doc_id, k.fp, k.copies
+    FROM kept k LEFT JOIN store s ON k.fp = s.fp
+    WHERE s.fp IS NULL
+""")
+def streaming_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest dedup, actually run as a stream: file-source
+    documents feed → in-stream fingerprint → stateless stream-static
+    left_anti against the existing corpus's fingerprint store →
+    availableNow memory sink (streaming/events.py:
+    stream_incremental_dedup). Same oracle as the batch twin
+    dedup_incremental — the stream must converge to the batch answer."""
+    from ..streaming.events import stream_incremental_dedup
+    return stream_incremental_dedup(spark, sf_dir)
+
+
 @query("approx_quantile_contract", oracle="""
     SELECT o_orderstatus,
            round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,

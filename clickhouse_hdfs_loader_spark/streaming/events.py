@@ -107,3 +107,43 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.table(sink).groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.sum("value"), 2).alias("total_value")))
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
+                             batch_mod: int = 5) -> DataFrame:
+    """Continuous-ingest dedup — the streaming twin of
+    operators/dedup.incremental_dedup: documents arrive as a file-source
+    stream, rows with ``doc_id % batch_mod == 0`` play the incoming feed,
+    each row is fingerprinted in-stream and anti-joined against the
+    STATIC fingerprint store of the already-ingested corpus (stream-static
+    left_anti is stateless — evaluated per micro-batch, no state store),
+    so at scale this runs forever on a Kafka source with the store as a
+    periodically-refreshed snapshot. The min-id keeper aggregate runs
+    batch-side on the sink: anti-join-then-aggregate equals
+    aggregate-then-anti-join because the join key IS the group key."""
+    from ..functions.text import md5_fingerprint
+
+    sink = f"doc_incdedup_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") % batch_mod == 0)
+              .select("doc_id", md5_fingerprint(F.col("text")).alias("fp")))
+    store = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .where(F.col("doc_id") % batch_mod != 0)
+             .select(md5_fingerprint(F.col("text")).alias("fp"))
+             .distinct())
+    fresh = stream.join(F.broadcast(store), "fp", "left_anti")
+    q = (fresh.writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return (spark.table(sink).groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("copies"))
+            .select("doc_id", "fp", "copies"))
