@@ -89,10 +89,19 @@ def _orderkeys() -> list[str]:
 
 def test_xxh64_model_matches_spark(spark):
     """Pin the independent XXH64 model to Spark's F.xxhash64 (seed 42,
-    utf-8 bytes of the string) before trusting it for the derivation."""
+    utf-8 bytes of the string) before trusting it for the derivation:
+    fixed edge-case keys (every length-class branch of the algorithm)
+    plus 200 seeded random strings spanning 0-96 bytes, one Spark job."""
+    import random
+
     from pyspark.sql import functions as F
     keys = ["1", "42", "599042", "", "abcdefghijklmnopqrstuvwxyz0123456789!",
             "x" * 100]
+    rnd = random.Random(20260813)
+    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _-./:@"
+    keys += ["".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 97)))
+             for _ in range(200)]
+    keys = sorted(set(keys))
     df = spark.createDataFrame([(k,) for k in keys], ["k"])
     got = {r["k"]: r["h"] for r in
            df.select("k", F.xxhash64("k").alias("h")).collect()}
