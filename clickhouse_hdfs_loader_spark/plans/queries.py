@@ -2588,6 +2588,69 @@ def embedding_quantize(spark, sf_dir):
         F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max_abs"))
 
 
+@query("q12_priority_shipping", oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+""")
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (adapted to the fixture's columns — no l_shipmode,
+    so l_linestatus groups and l_shipdate windows): fact-fact join +
+    conditional two-way CASE aggregation. The date filter pushes to the
+    lineitem scan; the join shuffles both sides on orderkey and the CASE
+    counts fold into one partial/final hash aggregate."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))))
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query("q19_disjunctive_predicates", oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+""")
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape (adapted: no l_shipmode/shipinstruct in the
+    fixture): OR-of-ANDs spanning both join sides. The optimizer test is
+    predicate decomposition — Catalyst derives the single-side residuals
+    (p_brand IN (...), l_quantity <= 40) and pushes them below the join
+    so the scans pre-filter before the shuffle; the full disjunction
+    evaluates post-join. Express it declaratively and let the optimizer
+    do exactly that."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    d = ((  (F.col("p_brand") == "Brand#12")
+          & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 20))
+         | ((F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30))
+         | ((F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)))
+    return j.where(d).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("revenue"))
+
+
 @query("streaming_incremental_dedup", oracle="""
     WITH fps AS (
       SELECT doc_id,
