@@ -39,6 +39,17 @@ def main() -> None:
      .select(F.concat(F.lit("warm up worker pool token "),
                       F.col("id").cast("string")).alias("t"))
      .select(F.explode(shingles_udf(3)(F.col("t")))).count())
+    # warm the Guava-parity routing UDF too (numpy/murmur_np import in all
+    # 32 workers): without this the FIRST timed loader_throughput run pays
+    # the import storm and the driver's single bench pass records 2-3×
+    # phantom swings on the headline loader metric (r5: 4.65 s recorded
+    # vs 1.9 s steady-state)
+    from clickhouse_hdfs_loader_spark.operators.sharding import (
+        ClusterTopology, ShardNode, assign_shard)
+    topo = ClusterTopology([ShardNode(1, 1), ShardNode(2, 1)])
+    (assign_shard(spark.range(2048).repartition(32)
+                  .select(F.col("id").cast("string").alias("k")),
+                  "k", topo).collect())
 
     # Per-query isolation: one failing query must never cost the whole perf
     # signal — failures are recorded as {"err": ...} and the JSON line is

@@ -47,11 +47,18 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
         return n, w, h, _PNG_CHANNELS.get(p[25], 0), "png"
     if (p[:6] in (b"GIF87a", b"GIF89a") and n >= 13
             # structural guard: utf-8 TEXT that happens to start with
-            # "GIF87a"/"GIF89a" must not sniff as a gif. A real logical
-            # screen descriptor has nonzero dims, and the 7 descriptor
-            # bytes (w, h, packed flags, bg index, aspect) of an actual
-            # image are never ALL printable ASCII — text always is.
-            and not all(0x20 <= b <= 0x7E for b in p[6:13])):
+            # "GIF87a"/"GIF89a" must not sniff as a gif. Text is printable
+            # ASCII (+ tab/newline) all the way through; a real image is
+            # not — the descriptor plus the bytes that follow it (GCT
+            # entries or an 0x21/0x2C block with small binary fields)
+            # contain a non-printable byte within the first ~26 bytes in
+            # practice. Checking that whole window (not just the 7
+            # descriptor bytes) keeps rare GIFs whose descriptor happens
+            # to be printable (e.g. width 0x4141, no GCT). Residual false
+            # negatives: a real GIF whose first 26 post-signature bytes
+            # are ALL printable — possible in principle, not observed.
+            and not all(b in (0x09, 0x0A, 0x0D) or 0x20 <= b <= 0x7E
+                        for b in p[6:min(n, 32)])):
         w, h = struct.unpack("<HH", p[6:10])
         if w > 0 and h > 0:
             return n, w, h, 3, "gif"

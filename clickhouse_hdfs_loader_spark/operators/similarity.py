@@ -31,7 +31,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, random_hyperplane_bits
+from ..functions.vectors import (as_double_array, cosine, norm,
+                                 random_hyperplane_bits)
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -99,7 +100,14 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     ties (strict ``>`` improvement). Right plan for SMALL m only: the
     expression tree grows linearly with m and past a few dozen centroids
     blows the codegen method-size limit into interpreted eval — use
-    ``ivf_assign_gemm`` there."""
+    ``ivf_assign_gemm`` there.
+
+    Zero-norm and NULL vectors are unassignable by definition (cosine is
+    NaN/NULL): both assignment paths pin them to the ``-1`` sentinel
+    explicitly, rather than leaving the outcome to engine-specific NaN
+    comparison semantics (Spark orders NaN above all doubles; IEEE says
+    every NaN comparison is false — an expression fold would silently
+    diverge between engines without the guard)."""
     best_id, best_cos = F.lit(-1), F.lit(-2.0)
     v = F.col(vec_col)
     for cid, cv in centroids:
@@ -108,8 +116,10 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
         improved = cs > best_cos
         best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
         best_cos = F.when(improved, cs).otherwise(best_cos)
+    assignable = norm(as_double_array(v)) > 0
     return corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                         best_id.alias("centroid"))
+                         F.when(assignable, best_id).otherwise(F.lit(-1))
+                         .alias("centroid"))
 
 
 def ivf_assign_gemm(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -142,14 +152,22 @@ def ivf_assign_gemm(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mnorm = np.linalg.norm(mat, axis=1, keepdims=True)
-            mnorm[mnorm == 0.0] = 1.0
-            scores = (mat / mnorm) @ cn.T
-            best = scores.argmax(axis=1)      # first max wins, like the fold
+            vecs = pdf[vec_col]
+            valid = vecs.notna().to_numpy()
+            cent = np.full(len(pdf), -1, dtype=np.int32)
+            if valid.any():
+                mat = np.array(list(vecs[valid]), dtype=np.float64)
+                mnorm = np.linalg.norm(mat, axis=1, keepdims=True)
+                nz = mnorm[:, 0] > 0.0
+                mnorm[~nz] = 1.0              # silence div-by-zero only
+                scores = (mat / mnorm) @ cn.T
+                best = scores.argmax(axis=1)  # first max wins, like the fold
+                # zero-norm rows keep the -1 sentinel, matching the
+                # expression fold's explicit unassignable guard
+                cent[valid] = np.where(nz, cids[best], -1).astype(np.int32)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
-                                "v": pdf[vec_col],
-                                "centroid": cids[best].astype(np.int32)})
+                                "v": vecs,
+                                "centroid": cent})
 
     return corpus.select(id_col, vec_col).mapInPandas(
         assign, schema=f"id long, v {vec_type}, centroid int")
@@ -285,8 +303,11 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def _kmeans_sums_explode(assigned: DataFrame):
     """Per-(centroid, dim) fixed-point sums via posexplode — simple, but
     the shuffle carries n·dim rows (64× inflation): fine at fixture
-    scale, wrong at 100 TB."""
+    scale, wrong at 100 TB. Unassignable rows (centroid = -1 sentinel,
+    zero-norm/NULL vectors) are excluded — they must not pull any
+    centroid's mean."""
     return (assigned
+            .where(F.col("centroid") >= 0)
             .select("centroid", F.posexplode(
                 F.transform("v", lambda x: x.cast("double")))
                 .alias("dim", "x"))
@@ -310,7 +331,14 @@ def _kmeans_sums_partial(assigned: DataFrame, k: int, dim_hint: int = 0):
             if not len(pdf):
                 continue
             cent = pdf["centroid"].to_numpy()
-            mat = np.floor(np.array(list(pdf["v"]), dtype=np.float64)
+            # drop the -1 unassignable sentinel BEFORE np.add.at — numpy
+            # negative indexing would silently wrap -1 into cluster k-1
+            # and corrupt its sums (and guard ids ≥ k the same way)
+            keep = (cent >= 0) & (cent < k)
+            if not keep.any():
+                continue
+            cent = cent[keep]
+            mat = np.floor(np.array(list(pdf["v"][keep]), dtype=np.float64)
                            * 1.0e6).astype(np.int64)
             dim = mat.shape[1]
             sums = np.zeros((k, dim), dtype=np.int64)

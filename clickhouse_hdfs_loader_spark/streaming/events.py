@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 from ..sources.tables import normalize_event_time
 
 
+def _run_to_completion(q, timeout: int = 120) -> None:
+    """Await an availableNow query and FAIL LOUDLY on timeout:
+    ``awaitTermination(t)`` returns False when the query is still running
+    — stopping it there and reading the memory sink would silently return
+    a partial result, which is worse than an error."""
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(
+                f"streaming query {q.name!r} still running after "
+                f"{timeout}s — refusing to read a partial sink")
+    finally:
+        q.stop()
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -53,10 +67,7 @@ def hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete")
          .trigger(availableNow=True)
          .start())
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    _run_to_completion(q)
     return spark.table(sink)
 
 
@@ -77,10 +88,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    _run_to_completion(q)
     return (spark.table(sink).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -100,10 +108,7 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    _run_to_completion(q)
     return (spark.table(sink).groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.sum("value"), 2).alias("total_value")))
@@ -139,10 +144,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    _run_to_completion(q)
     return (spark.table(sink).groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count(F.lit(1)).alias("copies"))

@@ -56,16 +56,13 @@ def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
     events fixture; returns the final per-user counts."""
     import uuid
 
-    from .events import events_stream
+    from .events import _run_to_completion, events_stream
     sink = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (sessionize_with_state(events_stream(spark, sf_dir)
                                .select("user_id", "ts"))
          .writeStream.format("memory").queryName(sink)
          .outputMode("update").trigger(availableNow=True).start())
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    _run_to_completion(q)
     # update mode may emit a row per micro-batch; keep the last per user
     df = spark.table(sink)
     from pyspark.sql import Window, functions as F

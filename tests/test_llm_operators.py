@@ -178,6 +178,18 @@ def test_media_header_parsing_real_containers():
         assert MM.parse_media_header(text) is None
     # truncated real containers reject instead of mis-parsing
     assert MM.parse_media_header(MM.build_png(1, 1)[:20]) is None
+    # a real GIF whose 7 descriptor bytes are ALL printable (width 0x4141,
+    # no GCT, printable packed/bg/aspect) must still sniff as a gif — the
+    # anti-text guard looks past the descriptor into the following block
+    # bytes, which in a real image contain non-printable data
+    printable_desc_gif = (b"GIF89a" + b"\x41\x41" + b"\x20\x20"
+                          + b"\x20\x20\x20"          # packed/bg/aspect
+                          + b"\x2c" + b"\x00" * 8)   # image descriptor
+    assert MM.parse_media_header(printable_desc_gif) == (
+        len(printable_desc_gif), 0x4141, 0x2020, 3, "gif")
+    # ...while an actual SENTENCE starting with the magic stays rejected
+    assert MM.parse_media_header(
+        b"GIF89a is one of two versions of the GIF spec.") is None
 
 
 def test_synthesize_media_decodes_exactly(spark):
@@ -389,6 +401,29 @@ def test_ivf_assign_gemm_matches_expr(spark, sf_dir):
     gemm = {r["id"]: r["centroid"]
             for r in SIM.ivf_assign_gemm(emb, cents).collect()}
     assert expr == gemm
+
+
+def test_ivf_assign_zero_norm_sentinel_both_paths(spark):
+    """Zero-norm and NULL vectors are unassignable: BOTH assignment paths
+    must pin them to the -1 sentinel (not engine-dependent NaN-compare
+    fallout, not numpy wrap-around), and the k-means sum paths must
+    exclude them so they can't pull a centroid's mean (a -1 fed to
+    np.add.at would silently wrap into cluster k-1)."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+            (3, None), (4, [0.9, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    for path in (SIM.ivf_assign_expr, SIM.ivf_assign_gemm):
+        got = {r["id"]: r["centroid"] for r in path(emb, cents).collect()}
+        assert got == {0: 0, 1: 1, 2: -1, 3: -1, 4: 0}, path.__name__
+    assigned = SIM.ivf_assign_expr(emb, cents)
+    for sums in (SIM._kmeans_sums_explode(assigned),
+                 SIM._kmeans_sums_partial(assigned, k=2)):
+        per = {(r["centroid"], r["dim"]): (r["s"], r["n"])
+               for r in sums.collect()}
+        assert set(c for c, _ in per) == {0, 1}
+        # centroid 0 sums rows 0 and 4 only — the zero/null rows excluded
+        assert per[(0, 0)] == (1_000_000 + 900_000, 2)
 
 
 def test_ivf_assign_auto_dispatch_and_large_m(spark, sf_dir):
