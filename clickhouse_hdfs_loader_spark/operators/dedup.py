@@ -318,18 +318,38 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
 
 def incremental_dedup(new_docs: DataFrame, seen_fps: DataFrame,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      long_join_key: bool = False) -> DataFrame:
     """Incremental corpus ingest: dedup the incoming batch against ITSELF
     (min-id keeper per normalized-md5 fingerprint), then anti-join the
     keepers against the existing corpus's fingerprint store — the
     production refresh pattern where yesterday's 100 TB is never
     rescanned, only its fingerprint column. ``seen_fps`` needs one ``fp``
-    column. Scale: batch-side hash aggregate + one anti-join shuffled on
-    the 16-byte fp (broadcast it instead when the store is small)."""
+    column. Scale: batch-side hash aggregate + one anti-join (broadcast
+    the store instead when it is small).
+
+    ``long_join_key=True`` anti-joins on ``xxhash64(fp)`` instead of the
+    32-char hex string: the exchange keys become 8-byte longs, roughly
+    halving shuffle row width at billion-fingerprint store sizes. The
+    cost is a 64-bit collision FALSE DROP — a new document discarded
+    because some other store fp shares its xxhash64 — at expected rate
+    ``batch_keepers × store_size / 2⁶⁴`` (≈0.005 events for a 10M-doc
+    batch against a 10B store; collisions cannot produce duplicates,
+    only losses). Keep the default exact string join when zero loss is
+    required; a fully collision-checked long-key variant would have to
+    carry the string fp alongside the long key (re-verifying equality
+    after the hash match), which surrenders the width saving — so it is
+    deliberately not offered."""
     from ..functions.text import md5_fingerprint
     fps = new_docs.select(F.col(id_col),
                           md5_fingerprint(F.col(text_col)).alias("fp"))
     kept = (fps.groupBy("fp")
             .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("copies")))
-    return (kept.join(seen_fps.select("fp").distinct(), "fp", "left_anti")
+    store = seen_fps.select("fp").distinct()
+    if long_join_key:
+        kept = kept.withColumn("_jk", F.xxhash64("fp"))
+        store = store.select(F.xxhash64("fp").alias("_jk")).distinct()
+        return (kept.join(store, "_jk", "left_anti")
+                .select(id_col, "fp", "copies"))
+    return (kept.join(store, "fp", "left_anti")
             .select(id_col, "fp", "copies"))

@@ -277,6 +277,11 @@ def width_validation(spark, sf_dir):
            CAST(c2 AS BIGINT) AS custkey_sum
     FROM (VALUES (0, 758, 561617), (1, 370, 280119), (2, 372, 282514))
       AS t(c0, c1, c2)
+    -- sf guard: these literals are pinned at sf0.01; grading at any other
+    -- scale must fail with THIS message, not a silent hash mismatch
+    WHERE (SELECT CASE WHEN count(*) = 1500 THEN 1 ELSE error(
+      'shard_assign golden pinned at sf0.01 (customer=1500 rows) — re-derive via tests/test_loader_golden.py for this sf') END
+      FROM customer) = 1
 """)
 def shard_assign(spark, sf_dir):
     """P1 weighted murmur3_128 shard routing
@@ -818,6 +823,12 @@ def dedup_levenshtein(spark, sf_dir):
       (267, 413),(285, 301),(292, 421),(295, 374),(310, 389),(323, 478),
       (326, 457),(337, 356),(340, 428),(357, 473),(368, 395),(372, 484),
       (393, 420),(431, 460),(435, 486),(458, 462)) AS t(c0, c1)
+    -- sf guard on count AND a content checksum: sf0.001 has the same 500
+    -- doc_ids with DIFFERENT text, so row count alone can't detect drift
+    WHERE (SELECT CASE WHEN count(*) = 500 AND sum(length(text)) = 149174
+      THEN 1 ELSE error(
+      'dedup_minhash_lsh golden pinned at the sf0.01 documents fixture — regenerate the pair golden for this corpus') END
+      FROM documents) = 1
 """)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs (32 hashes, 8 bands). Deterministic for
@@ -836,6 +847,10 @@ def dedup_minhash_lsh(spark, sf_dir):
       (76, 102, 2),(98, 290, 2),(107, 387, 1),(120, 332, 3),(166, 323, 3),
       (251, 473, 3),(267, 413, 2),(285, 301, 0),(326, 457, 2),
       (393, 420, 0),(435, 486, 3),(458, 462, 2)) AS t(c0, c1, c2)
+    WHERE (SELECT CASE WHEN count(*) = 500 AND sum(length(text)) = 149174
+      THEN 1 ELSE error(
+      'dedup_simhash golden pinned at the sf0.01 documents fixture — regenerate the pair golden for this corpus') END
+      FROM documents) = 1
 """)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit band index).
@@ -1545,6 +1560,11 @@ def embedding_label_centroids(spark, sf_dir):
                 l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),
                 '2017-01-07', 'batch9'))) AS BIGINT) AS bytes_out
     FROM lineitem
+    -- rows/bytes_out are sf-independent (computed), but shard_sum above is
+    -- pinned at sf0.01: fail loudly if the grading scale ever changes
+    WHERE (SELECT CASE WHEN count(*) = 60000 THEN 1 ELSE error(
+      'loader_throughput shard_sum golden pinned at sf0.01 (lineitem=60000 rows) — re-derive via tests/test_loader_golden.py') END
+      FROM lineitem) = 1
 """)
 def loader_throughput(spark, sf_dir):
     """The reference's actual workload, end-to-end minus the network:
@@ -1594,6 +1614,9 @@ def loader_throughput(spark, sf_dir):
                 l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),
                 '2017-01-07', 'batch9'))) AS BIGINT) AS bytes_out
     FROM lineitem
+    WHERE (SELECT CASE WHEN count(*) = 60000 THEN 1 ELSE error(
+      'loader_throughput_jvm shard_sum golden pinned at sf0.01 (lineitem=60000 rows) — re-derive via tests/test_loader_golden.py') END
+      FROM lineitem) = 1
 """)
 def loader_throughput_jvm(spark, sf_dir):
     """Same load path with parity=False routing (JVM xxhash64) — the
@@ -2177,6 +2200,45 @@ def profile_documents(spark, sf_dir):
     return profile_columns(_t(spark, sf_dir, "documents"))
 
 
+@query("profile_approx_contract", oracle="""
+    SELECT 'events' AS table_name, 'event_id' AS column_name,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           CAST(1 AS INT) AS distinct_ok FROM events
+    UNION ALL
+    SELECT 'events', 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(1 AS INT) FROM events
+    UNION ALL
+    SELECT 'events', 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(1 AS INT) FROM events
+    UNION ALL
+    SELECT 'events', 'value', CAST(count(*) - count(value) AS BIGINT),
+           CAST(1 AS INT) FROM events
+    UNION ALL
+    SELECT 'embeddings', 'vec_id', CAST(count(*) - count(vec_id) AS BIGINT),
+           CAST(1 AS INT) FROM embeddings
+    UNION ALL
+    SELECT 'embeddings', 'label', CAST(count(*) - count(label) AS BIGINT),
+           CAST(1 AS INT) FROM embeddings
+""")
+def profile_approx_contract(spark, sf_dir):
+    """Sketch-based profile of the events + embeddings tables
+    (operators/corpus.py:profile_columns_approx): per column, exact null
+    count (SQL-checkable) and an HLL approx-distinct accuracy CONTRACT
+    (distinct_ok = within 10% of exact at rsd 0.02 — 5σ). The sketch
+    value itself is engine-specific, so the oracle grades the contract
+    flag, never the sketch output (the r5 golden de-circularization rule
+    for sketches)."""
+    from ..operators.corpus import profile_columns_approx
+    ev = profile_columns_approx(
+        _t(spark, sf_dir, "events"),
+        ["event_id", "user_id", "event_type", "value"])
+    em = profile_columns_approx(
+        _t(spark, sf_dir, "embeddings"), ["vec_id", "label"])
+    return (ev.select(F.lit("events").alias("table_name"), "*")
+            .unionByName(em.select(F.lit("embeddings").alias("table_name"),
+                                   "*")))
+
+
 @query("events_forward_fill", oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
@@ -2651,6 +2713,104 @@ def q19_disjunctive_predicates(spark, sf_dir):
          .alias("revenue"))
 
 
+@query("q4_order_priority", oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: the fixture has no l_commitdate /
+    l_receiptdate, so the correlated predicate is l_shipdate >
+    o_orderdate — shipped strictly after the order date): a date-windowed
+    EXISTS that Catalyst must decorrelate into a left-semi join whose
+    condition mixes the equi orderkey with the non-equi date compare.
+    The 3-month filter pushes to the orders scan; lineitem is never
+    joined wide (semi join emits the outer row at the first match)."""
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+@query("q21_waiting_supplier", oracle=_Q21_SQL)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape — the hardest decorrelation Catalyst performs: one
+    EXISTS plus one NOT EXISTS, both correlated on the SAME outer table
+    (lineitem l1) with an inequality on a second column. Adapted to the
+    fixture's columns: 'late' is l_returnflag = 'R' (self-contained per
+    line, like the classic receipt>commit compare), order must be
+    finished ('F'); the answer is suppliers who were the ONLY problem
+    supplier in a multi-supplier order. Declared in SQL so Catalyst plans
+    the semi + anti join pair itself; deterministic top-100 via the
+    (numwait DESC, s_name) total order."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+@query("q15_top_supplier", oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a derived revenue view consumed TWICE — once
+    joined to supplier, once inside a scalar max() subquery. The
+    optimizer question is the scalar subquery's single-row aggregate
+    feeding a filter over the same derived relation (no correlated
+    rewrite, but the view must not be recomputed per row). Revenue is
+    rounded IN the view on both sides so the max-equality compares
+    identical doubles."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""")
+
+
 @query("streaming_incremental_dedup", oracle="""
     WITH fps AS (
       SELECT doc_id,
@@ -2760,12 +2920,15 @@ def dedup_incremental(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
-# r5 rotation (r4 verdict item 1): the §2.A/§2.B reference core and the
-# loader end-to-end stay pinned every round; everything graded green in
-# >=2 rounds rotates out for the 19 never-driver-graded entries, closing
-# the audit — after this window every one of the 103 registry queries has
-# been driver-verified at least once. The remaining slots keep r4's
-# first-graded family representatives in for a second confirmation round.
+# r6 rotation (r5 verdict item 1): the §2.A/§2.B reference core and the
+# loader end-to-end stay pinned every round. The 9 queries ADDED in r5
+# after that round's window rotation (so never driver-graded) take the
+# first open slots — once they grade green, all 112 pre-r6 registry
+# queries have been driver-verified at least once. The 4 queries NEW in
+# r6 (q4/q21/q15 optimizer shapes + the approx-profile contract) go
+# straight into the window so they don't repeat the r5 gap. Remaining
+# slots give the r5 first-graded entries a second confirmation round
+# (all but limit_offset, the least load-bearing of that set).
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
@@ -2777,26 +2940,22 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- the 19 never-driver-graded entries (r4 verdict "What's missing" #1)
-    # subquery shapes — the highest-frequency user impact of the set
+    # --- the 9 r5-added entries that missed the r5 window (never graded)
+    "ann_ivf_gemm_topk", "pii_scrub", "embedding_quantize",
+    "q12_priority_shipping", "q19_disjunctive_predicates",
+    "streaming_incremental_dedup", "approx_quantile_contract",
+    "domain_quota_sample", "dedup_incremental",
+    # --- new in r6: graded in their own round, not a future one
+    "q4_order_priority", "q21_waiting_supplier", "q15_top_supplier",
+    "profile_approx_contract",
+    # --- second-confirmation slots: r5 first-graded entries
     "correlated_exists", "not_in_subquery", "scalar_subquery_agg",
-    # relational / expression surface
     "array_ops", "case_when_bucketing", "custdist_two_level_agg",
-    "from_json_struct", "having_filter", "limit_offset", "nulls_ordering",
+    "from_json_struct", "having_filter", "nulls_ordering",
     "regexp_extract_groups", "unpivot_doc_metrics",
-    # set-op _ALL variants
     "set_except_all", "set_intersect_all", "union_distinct",
-    # LLM pipeline
     "dedup_materialize", "embedding_label_centroids",
-    "train_val_test_split",
-    # multimodal header decode (now incl. MP4 video boxes)
-    "multimodal_header_decode",
-    # --- second-confirmation slots: r4 first-graded family representatives
-    "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
-    "cube_agg", "grouping_sets",
-    "events_forward_fill", "events_gap_fill",
-    "streaming_dedup", "streaming_static_join",
-    "ann_ivf_trained_topk", "pack_token_budget", "multimodal_frame_sample",
+    "train_val_test_split", "multimodal_header_decode",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

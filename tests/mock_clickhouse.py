@@ -10,10 +10,13 @@ from urllib.parse import parse_qs, urlparse
 
 
 class MockClickHouse:
-    def __init__(self, fail_first: int = 0):
+    def __init__(self, fail_first: int = 0, fail_substring: str | None = None):
         self.statements: list[str] = []
+        self.applied: list[str] = []      # statements answered 200 (a 500
+        #                                   simulates fail-before-apply)
         self.auth_users: list[str] = []   # ?user= of every POST, in order
         self.fail_first = fail_first
+        self.fail_substring = fail_substring  # only fail matching stmts
         self._failures = 0
         self.canned: dict[str, str] = {}  # substring → TSV response
         self._lock = threading.Lock()
@@ -36,12 +39,15 @@ class MockClickHouse:
                 with mock._lock:
                     mock.statements.append(body)
                     mock.auth_users.append(qs.get("user", [""])[0])
-                    if mock._failures < mock.fail_first:
+                    if ((mock.fail_substring is None
+                         or mock.fail_substring in body)
+                            and mock._failures < mock.fail_first):
                         mock._failures += 1
                         self.send_response(500)
                         self.end_headers()
                         self.wfile.write(b"simulated failure")
                         return
+                    mock.applied.append(body)
                 reply = ""
                 for key, resp in mock.canned.items():
                     if key in body:

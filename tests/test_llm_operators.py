@@ -481,6 +481,29 @@ def test_quota_sample_caps_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_quota_sample_prefilter_identity_on_hot_group(spark):
+    """The two-phase pre-filter (scale path for hot-domain skew) must
+    return EXACTLY the exact plan's rows — including on a synthetic hot
+    group far larger than the quota — because the md5 rank is monotone
+    in its 32-bit prefix, so survivors are a prefix of the exact order."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        quota_sample, quota_sample_check)
+    rows = ([(i, "hot") for i in range(5000)]          # hot domain >> quota
+            + [(10_000 + i, f"cold{i % 7}") for i in range(70)]
+            + [(20_000, "tiny")])                      # group smaller than quota
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    exact = sorted(map(tuple, quota_sample(df, quota=25).collect()))
+    fast = quota_sample(df, quota=25, prefilter=True)
+    assert sorted(map(tuple, fast.collect())) == exact
+    quota_sample_check(df, fast, quota=25)             # must not raise
+    # a margin far too tight for the hot group must FAIL LOUDLY, not
+    # silently return a divergent sample
+    import pytest as _pt
+    starved = quota_sample(df, quota=25, prefilter=True, margin=0.04)
+    with _pt.raises(ValueError, match="margin too tight"):
+        quota_sample_check(df, starved, quota=25)
+
+
 def test_incremental_dedup_anti_joins_store(spark):
     batch = spark.createDataFrame(
         [(10, "Hello, World!"), (11, "hello world"),     # in-batch dup pair
@@ -493,6 +516,13 @@ def test_incremental_dedup_anti_joins_store(spark):
     out = {r["doc_id"]: r["copies"]
            for r in DD.incremental_dedup(batch, store).collect()}
     assert out == {10: 2, 12: 1}   # 11 folded into 10; 13 blocked by store
+    # long-key variant: identical results, and the anti-join exchanges key
+    # on the 8-byte xxhash64 long instead of the 32-char fp string
+    fast = DD.incremental_dedup(batch, store, long_join_key=True)
+    out2 = {r["doc_id"]: r["copies"] for r in fast.collect()}
+    assert out2 == out
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64(fp" in plan
 
 
 def test_minhash_dropped_buckets_diagnostic(spark):

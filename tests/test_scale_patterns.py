@@ -99,3 +99,23 @@ def test_gap_fill_spine_is_generated_not_collected(spark, sf_dir):
     plan = _plan_of(spark, sf_dir, "events_gap_fill")
     assert "Generate explode(sequence(" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_decorrelates_to_semi_join(spark, sf_dir):
+    """Q4's correlated EXISTS (equi orderkey + non-equi date compare) must
+    decorrelate to a semi join — no cartesian, and lineitem is never
+    joined wide."""
+    plan = _plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair (both correlated on lineitem l1)
+    must plan as one semi and one anti join — the hardest decorrelation
+    Catalyst does — with no cartesian/nested-loop fallback."""
+    plan = _plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
