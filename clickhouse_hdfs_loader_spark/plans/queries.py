@@ -2811,6 +2811,142 @@ def q15_top_supplier(spark, sf_dir):
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""")
 
 
+@query("q6_forecast_revenue", oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the pure predicate-pushdown shape — three conjunctive
+    filters on one fact table and a single global sum. All three
+    predicates must reach the parquet scan (PushedFilters; plan-asserted
+    in tests/test_scale_patterns.py) so at 100 TB the scan is the whole
+    query: no shuffle, no join, one partial/final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+_Q8_SQL = """
+    WITH all_orders AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume) * 10000 + 0.5) / 10000
+             AS mkt_share
+    FROM all_orders
+    GROUP BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: the eight-way join with nation in TWO roles
+    (customer's nation filters the market region, supplier's nation is
+    the share dimension) — the canonical join-reorder test. All five
+    dimension sides are broadcast-size; lineitem must stay shuffle-free
+    of them. Share ratio rounds via the cross-engine-stable
+    floor(x·10⁴+0.5)/10⁴ with identical expression order on both sides
+    (CLAUDE.md round() knife edge)."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+@query("q14_promo_effect", oracle="""
+    SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+             / 10000 AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: one-month fact window joined to a broadcast dimension,
+    conditional-over-total ratio. The date filter pushes to the lineitem
+    scan; part broadcasts; the ratio uses the knife-edge-safe floor
+    rounding (identical order both sides)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))))
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0))
+    return (li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+            .agg((F.floor(F.lit(100.0) * promo / F.sum(vol) * 10000 + 0.5)
+                  / 10000).alias("promo_revenue_pct")))
+
+
+_Q17_SQL = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q17_small_quantity", oracle=_Q17_SQL)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape (adapted: no p_container, brand filter only): a
+    correlated scalar AVG subquery per part key. Catalyst must rewrite
+    it as a per-partkey aggregate joined back to the fact — per-row
+    re-aggregation would be quadratic at 100 TB. Declared in SQL so the
+    decorrelation is the optimizer's."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND c_nationkey IN (1, 3, 5, 7, 9, 11)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_SQL)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: c_nationkey stands in for the phone
+    country code the fixture lacks, and the anti join is date-scoped —
+    'no orders since 2000' — because every fixture customer has SOME
+    order): an uncorrelated scalar AVG filter plus a NOT EXISTS anti
+    join against orders, then a per-nation rollup — scalar subquery +
+    anti join composed in one query."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 @query("streaming_incremental_dedup", oracle="""
     WITH fps AS (
       SELECT doc_id,
@@ -2924,11 +3060,14 @@ def dedup_incremental(spark, sf_dir):
 # loader end-to-end stay pinned every round. The 9 queries ADDED in r5
 # after that round's window rotation (so never driver-graded) take the
 # first open slots — once they grade green, all 112 pre-r6 registry
-# queries have been driver-verified at least once. The 4 queries NEW in
-# r6 (q4/q21/q15 optimizer shapes + the approx-profile contract) go
-# straight into the window so they don't repeat the r5 gap. Remaining
-# slots give the r5 first-graded entries a second confirmation round
-# (all but limit_offset, the least load-bearing of that set).
+# queries have been driver-verified at least once. The 9 queries NEW in
+# r6 (q4/q6/q8/q14/q15/q17/q21/q22 optimizer shapes + the approx-profile
+# contract) go straight into the window so they don't repeat the r5 gap.
+# Remaining slots give r5 first-graded entries a second confirmation
+# round (the 13 most load-bearing; limit_offset, having_filter,
+# nulls_ordering, regexp_extract_groups, set_intersect_all and
+# union_distinct — all simple shapes already green once — wait for a
+# later window).
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
@@ -2946,14 +3085,14 @@ _GRADING_WINDOW = [
     "streaming_incremental_dedup", "approx_quantile_contract",
     "domain_quota_sample", "dedup_incremental",
     # --- new in r6: graded in their own round, not a future one
-    "q4_order_priority", "q21_waiting_supplier", "q15_top_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
+    "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
+    "q21_waiting_supplier", "q22_global_sales_opportunity",
     "profile_approx_contract",
     # --- second-confirmation slots: r5 first-graded entries
     "correlated_exists", "not_in_subquery", "scalar_subquery_agg",
     "array_ops", "case_when_bucketing", "custdist_two_level_agg",
-    "from_json_struct", "having_filter", "nulls_ordering",
-    "regexp_extract_groups", "unpivot_doc_metrics",
-    "set_except_all", "set_intersect_all", "union_distinct",
+    "from_json_struct", "unpivot_doc_metrics", "set_except_all",
     "dedup_materialize", "embedding_label_centroids",
     "train_val_test_split", "multimodal_header_decode",
 ]

@@ -119,3 +119,39 @@ def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_filters_all_push_to_scan(spark, sf_dir):
+    """Q6 is the pure pushdown shape: all three predicates must reach the
+    parquet scan as PushedFilters, and the plan must be scan → aggregate
+    with no join or wide exchange."""
+    from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    fm = qe.explainString(mode.fromString("formatted"))
+    import re
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", fm))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    assert "l_shipdate" in pushed
+    plan = qe.executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_q17_decorrelates_to_aggregate_join(spark, sf_dir):
+    """Q17's correlated scalar AVG must decorrelate into one per-partkey
+    aggregate joined back — never a per-row re-aggregation (quadratic)
+    and never a cartesian."""
+    plan = _plan_of(spark, sf_dir, "q17_small_quantity")
+    assert "partial_avg" in plan or "avg(" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_lineitem_joins_are_narrow(spark, sf_dir):
+    """Q8's eight-way join: every dimension side must broadcast (lineitem
+    and orders are the only shuffle-worthy relations) — no cartesian, and
+    at least four broadcast joins in the plan."""
+    plan = _plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
