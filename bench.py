@@ -60,9 +60,14 @@ def main() -> None:
     timings: dict[str, object] = {}
     errors = 0
     for spec in bench_specs:
+        # the two loader queries are the headline metric AND the noisiest
+        # (Python worker scheduling jitter): give their median 5 samples
+        # so one bad run can't fake a 2-3x regression (r5 driver recorded
+        # 4.65 s on a 1.9 s steady-state plan)
+        n_runs = max(runs, 5) if spec.name.startswith("loader_throughput") else runs
         samples: list[float] = []
         try:
-            for _ in range(runs):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).collect()
                 samples.append(time.perf_counter() - t0)
