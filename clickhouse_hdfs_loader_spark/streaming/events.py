@@ -71,6 +71,30 @@ def hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def sliding_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window streaming aggregation: 2-hour windows sliding
+    every hour (each event belongs to two windows — Spark expands
+    membership with Generate(explode(windows)) before the stateful agg).
+    availableNow → complete-mode memory sink, so the result is the full
+    aggregate state and must converge to the batch twin
+    (plans/queries.py:events_sliding_windows, same oracle)."""
+    sink = f"evt_sliding_{uuid.uuid4().hex[:8]}"
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("total_value"))
+           .select(F.unix_timestamp(F.col("w.start")).alias("win_start"),
+                   "event_type", "cnt", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    return spark.table(sink)
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup: every source row is doubled (explode),
     then ``dropDuplicatesWithinWatermark`` on the event id collapses the
