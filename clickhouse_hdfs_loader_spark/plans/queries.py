@@ -719,6 +719,47 @@ def events_hourly_windows(spark, sf_dir):
                     "event_type", "cnt", "total_value"))
 
 
+@query("full_outer_reconcile", oracle="""
+    WITH ev AS (
+      SELECT user_id, round(sum(value), 2) AS event_value
+      FROM events GROUP BY user_id),
+    od AS (
+      SELECT o_custkey AS user_id, round(sum(o_totalprice), 2) AS order_value
+      FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey)
+    SELECT coalesce(ev.user_id, od.user_id) AS user_id,
+           coalesce(event_value, 0.0) AS event_value,
+           coalesce(order_value, 0.0) AS order_value,
+           CASE WHEN ev.user_id IS NULL THEN 'orders_only'
+                WHEN od.user_id IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+""")
+def full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER join — the two-ledger reconciliation shape (per-user
+    event totals vs order totals, rows surviving from EITHER side with a
+    presence tag). The orders side is key-shifted so all three presence
+    classes are non-empty. Full outer can't broadcast (both sides must
+    retain non-matches) — Spark correctly plans a shuffle hash/merge join
+    keyed on the id."""
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("user_id")
+          .agg(F.round(F.sum("value"), 2).alias("event_value")))
+    od = (_t(spark, sf_dir, "orders")
+          .where(F.col("o_custkey") >= 100)
+          .groupBy(F.col("o_custkey").alias("user_id"))
+          .agg(F.round(F.sum("o_totalprice"), 2).alias("order_value")))
+    j = ev.alias("ev").join(od.alias("od"),
+                            F.col("ev.user_id") == F.col("od.user_id"),
+                            "full_outer")
+    return j.select(
+        F.coalesce(F.col("ev.user_id"), F.col("od.user_id")).alias("user_id"),
+        F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+        F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+        F.when(F.col("ev.user_id").isNull(), "orders_only")
+         .when(F.col("od.user_id").isNull(), "events_only")
+         .otherwise("both").alias("presence"))
+
+
 @query("events_sliding_windows", oracle="""
     SELECT CAST(epoch(win) AS BIGINT) AS win_start, event_type,
            count(*) AS cnt, round(sum(value), 2) AS total_value
@@ -3114,8 +3155,8 @@ def dedup_incremental(spark, sf_dir):
 # r6 (q4/q6/q8/q14/q15/q17/q21/q22 optimizer shapes + the approx-profile
 # contract) go straight into the window so they don't repeat the r5 gap.
 # Remaining slots give r5 first-graded entries a second confirmation
-# round (the 11 most load-bearing; limit_offset, having_filter,
-# nulls_ordering, regexp_extract_groups, case_when_bucketing,
+# round (the 10 most load-bearing; limit_offset, having_filter,
+# nulls_ordering, regexp_extract_groups, case_when_bucketing, array_ops,
 # set_except_all, set_intersect_all and union_distinct — all simple
 # shapes already green once — wait for a later window).
 _GRADING_WINDOW = [
@@ -3139,10 +3180,10 @@ _GRADING_WINDOW = [
     "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
     "profile_approx_contract", "events_sliding_windows",
-    "streaming_sliding_windows",
+    "streaming_sliding_windows", "full_outer_reconcile",
     # --- second-confirmation slots: r5 first-graded entries
     "correlated_exists", "not_in_subquery", "scalar_subquery_agg",
-    "array_ops", "custdist_two_level_agg",
+    "custdist_two_level_agg",
     "from_json_struct", "unpivot_doc_metrics",
     "dedup_materialize", "embedding_label_centroids",
     "train_val_test_split", "multimodal_header_decode",

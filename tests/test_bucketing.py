@@ -19,6 +19,10 @@ def warehouse_spark(tmp_path_factory):
                       extra_conf={"spark.sql.warehouse.dir": wh,
                                   "spark.sql.autoBroadcastJoinThreshold": "-1"})
     yield spark
+    # getOrCreate applied the -1 threshold to the SHARED session — restore
+    # the default so later plan-shape tests (broadcast asserts) aren't
+    # poisoned by module ordering
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_bucketed_join_has_no_exchange(warehouse_spark, sf_dir):
