@@ -776,9 +776,9 @@ def events_sliding_windows(spark, sf_dir):
     """Sliding (overlapping) window aggregation — F.window with a slide
     shorter than the duration (2 h windows every 1 h), the shape tumbling
     windows can't express: every event lands in exactly TWO windows.
-    Spark plans this as a Generate(explode(windows)) before the
-    aggregate; the oracle models the same two-window membership as a
-    UNION ALL of the two hour-grid buckets each event belongs to."""
+    Spark plans this as a static Expand (one projection per membership)
+    before the aggregate; the oracle models the same two-window
+    membership as a UNION ALL of the two hour-grid buckets."""
     e = _t(spark, sf_dir, "events")
     return (e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
                       "event_type")

@@ -74,7 +74,7 @@ def hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sliding_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window streaming aggregation: 2-hour windows sliding
     every hour (each event belongs to two windows — Spark expands
-    membership with Generate(explode(windows)) before the stateful agg).
+    membership with a static Expand before the stateful agg).
     availableNow → complete-mode memory sink, so the result is the full
     aggregate state and must converge to the batch twin
     (plans/queries.py:events_sliding_windows, same oracle)."""

@@ -125,3 +125,35 @@ def test_parse_media_header_jpeg_walker_bounded(tail):
         parse_media_header
     out = parse_media_header(b"\xff\xd8" + tail)
     assert out is None or out[4] == "jpeg"
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=400, unique=True),
+       st.integers(min_value=1, max_value=30),
+       st.floats(min_value=1.5, max_value=8.0))
+@settings(max_examples=200, deadline=None)
+def test_quota_prefilter_threshold_model(ids, quota, margin):
+    """Pure-Python model of quota_sample's two-phase identity invariant:
+    the md5 rank order is monotone in its 32-bit hex prefix, so the
+    prefix-threshold survivor set is a PREFIX of the exact ranking —
+    whenever >= min(quota, n) rows survive, the kept set is EXACTLY the
+    exact plan's kept set. Pins the threshold formula (hex parse base,
+    2^32 scale, float compare direction) against drift without paying a
+    Spark job per example."""
+    import hashlib
+    n = len(ids)
+    ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode())
+                                        .hexdigest(), i))
+    exact_keep = ranked[:quota]
+    if n <= quota * margin:
+        thr = float(1 << 32)
+    else:
+        thr = quota * margin / n * float(1 << 32)
+    survivors = [i for i in ids
+                 if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < thr]
+    sur_ranked = sorted(survivors, key=lambda i: (hashlib.md5(str(i).encode())
+                                                  .hexdigest(), i))
+    # prefix-closure: survivors are always a prefix of the exact ranking
+    assert sur_ranked == ranked[:len(sur_ranked)]
+    if len(survivors) >= min(quota, n):
+        assert sur_ranked[:quota] == exact_keep

@@ -155,3 +155,13 @@ def test_q8_lineitem_joins_are_narrow(spark, sf_dir):
     plan = _plan_of(spark, sf_dir, "q8_market_share")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_windows_expand_in_scan_stage(spark, sf_dir):
+    """Sliding windows must plan as a static Expand (two projections per
+    event, one per window membership) feeding a partial/final aggregate —
+    expansion inside the scan stage, no generator and no join."""
+    plan = _plan_of(spark, sf_dir, "events_sliding_windows")
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    assert "Join" not in plan
