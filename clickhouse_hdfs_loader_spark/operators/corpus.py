@@ -35,6 +35,13 @@ def pack_token_budget(docs: DataFrame, budget: int = 2048,
     over greedy first-fit because it is order-stable, expressible as one
     window function (no sequential fold), and identical on any engine.
     Returns per-bin packing stats.
+
+    Scale caveat: the running sum is inherently sequential per group, so
+    a single hot group serializes in one task (same skew surface as the
+    exact quota_sample path, but NOT pre-filterable — every row
+    contributes to the cumulative sum). At 100 TB pick a finer
+    ``group_col`` (e.g. source × date) so no group exceeds one task's
+    throughput; quota_sample-style prefiltering cannot apply here.
     """
     w = (Window.partitionBy("grp").orderBy("id")
          .rowsBetween(Window.unboundedPreceding, -1))

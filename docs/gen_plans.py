@@ -18,7 +18,8 @@ PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
          "dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_topk",
          "asof_join_events", "sessionize", "pii_scrub", "embedding_quantize",
          "q4_order_priority", "q21_waiting_supplier", "q15_top_supplier",
-         "q6_forecast_revenue", "q8_market_share", "q17_small_quantity"]
+         "q6_forecast_revenue", "q8_market_share", "q17_small_quantity",
+         "events_sliding_windows", "full_outer_reconcile"]
 
 
 def main() -> None:
