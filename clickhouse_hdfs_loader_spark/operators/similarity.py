@@ -8,7 +8,7 @@ Three tiers:
   corpus is scanned once, no shuffle of the big side).
 - ``lsh_topk`` — random-hyperplane LSH bucketing: corpus hashed once into
   b-band sign buckets, candidates = bucket collisions only. Approximate;
-  recall is tested in tests/test_similarity.py.
+  recall is tested in tests/test_llm_operators.py.
 - ``ivf_topk`` — IVF-lite: deterministic coarse centroids, vectors
   assigned to nearest centroid (one scan), queries probe ``nprobe``
   closest centroid buckets. The bucket assignment is the 100 TB path: the
@@ -133,7 +133,7 @@ def ivf_assign_gemm(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     tree, so a realistic coarse quantizer (m = 1k–64k for 100 TB) stays a
     single whole-stage scan + one pandas UDF instead of an interpreted
     50k-branch CASE WHEN. Parity vs the expression path is pinned by
-    tests/test_similarity.py (identical assignments at m=8 on the real
+    tests/test_llm_operators.py (identical assignments at m=8 on the real
     fixture embeddings)."""
     import numpy as np
     import pandas as pd
