@@ -422,3 +422,53 @@ def ivf_topk_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cand = (assigned.join(F.broadcast(probes), "centroid")
             .where(F.col("query_id") != F.col("id")))
     return _ranked_topk(cand.withColumn("cos", cosine(F.col("qv"), F.col("v"))), k)
+
+
+def build_ivf_index(corpus: DataFrame, path: str, m: int = 8,
+                    iters: int = 3, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Persist an IVF index: k-means centroids (returned, driver-side
+    k×dim floats — store them next to the index) plus the assigned corpus
+    written as parquet PARTITIONED BY centroid. This is the build-once /
+    query-many serving shape for 100 TB ANN: assignment cost is paid one
+    time, and every later query reads ONLY its nprobe centroid partitions
+    via static partition pruning — the scan never touches the rest of the
+    corpus (tests assert PartitionFilters on the read plan)."""
+    cents = kmeans_fit(corpus, m, iters, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    (assigned.write.mode("overwrite")
+     .partitionBy("centroid").parquet(path))
+    return cents
+
+
+def query_ivf_index(spark, path: str, cents: list[tuple[int, list[float]]],
+                    queries: DataFrame, k: int = 5, nprobe: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Serve top-k from a persisted IVF index (see build_ivf_index): the
+    probe centroids per query come from the driver-side centroid list
+    (k×dim floats — no job), the index read is filtered with a STATIC
+    ``centroid IN (probe set)`` predicate so the parquet source prunes
+    whole partitions before any IO, and only the probed buckets are
+    scored. Same ranking semantics as ivf_topk (cos desc, id asc)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    probe_structs = []
+    for cid, cv in cents:
+        cvec = F.array(*[F.lit(float(x)) for x in cv])
+        probe_structs.append(F.struct(cosine(F.col("qv"), cvec).alias("cos"),
+                                      F.lit(cid).alias("centroid")))
+    probes = (q.withColumn("probe", F.explode(
+                  F.slice(F.reverse(F.array_sort(F.array(*probe_structs))),
+                          1, nprobe)))
+              .select("query_id", "qv",
+                      F.col("probe.centroid").alias("centroid")))
+    # driver-side probe id set (≤ m ints) → static partition pruning
+    probe_ids = sorted({r["centroid"] for r in
+                        probes.select("centroid").distinct().collect()})
+    idx = (spark.read.parquet(path)
+           .where(F.col("centroid").isin(probe_ids)))
+    cand = (idx.join(F.broadcast(probes), "centroid")
+            .where(F.col("query_id") != F.col("id")))
+    return _ranked_topk(cand.withColumn("cos", cosine(F.col("qv"),
+                                                      F.col("v"))), k)

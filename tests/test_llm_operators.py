@@ -531,3 +531,39 @@ def test_minhash_dropped_buckets_diagnostic(spark):
     dropped = DD.minhash_dropped_buckets(df, max_bucket=10).collect()
     assert len(dropped) == 8 and all(r["n_ids"] == 25 for r in dropped)
     assert DD.minhash_dropped_buckets(df, max_bucket=30).count() == 0
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """build_ivf_index → query_ivf_index: the persisted index must (a)
+    return EXACTLY ivf_topk_trained's answer for the same centroids (same
+    ranking semantics over the same probed buckets), and (b) read only
+    the probed centroid partitions — the scan plan must carry a
+    PartitionFilters entry on centroid, the static pruning that makes the
+    serve path touch nprobe/m of a 100 TB corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cents = SIM.build_ivf_index(emb, path, m=8, iters=2)
+    q = emb.where(F.col("vec_id") < 3)
+    served = SIM.query_ivf_index(spark, path, cents, q, k=5, nprobe=2)
+    # reference: the in-memory trained pipeline with identical centroids
+    assigned = SIM.ivf_assign(emb, cents)
+    probe_structs = []
+    from clickhouse_hdfs_loader_spark.functions.vectors import cosine
+    qq = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv"))
+    for cid, cv in cents:
+        cvec = F.array(*[F.lit(float(x)) for x in cv])
+        probe_structs.append(F.struct(cosine(F.col("qv"), cvec).alias("cos"),
+                                      F.lit(cid).alias("centroid")))
+    probes = (qq.withColumn("probe", F.explode(
+                  F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, 2)))
+              .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
+    cand = (assigned.join(F.broadcast(probes), "centroid")
+            .where(F.col("query_id") != F.col("id")))
+    expect = SIM._ranked_topk(cand.withColumn(
+        "cos", cosine(F.col("qv"), F.col("v"))), 5)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, expect.collect()))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan.split(
+        "PartitionFilters", 1)[1][:200]
