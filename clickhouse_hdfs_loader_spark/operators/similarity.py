@@ -472,3 +472,18 @@ def query_ivf_index(spark, path: str, cents: list[tuple[int, list[float]]],
             .where(F.col("query_id") != F.col("id")))
     return _ranked_topk(cand.withColumn("cos", cosine(F.col("qv"),
                                                       F.col("v"))), k)
+
+
+def append_to_ivf_index(new_vectors: DataFrame, path: str,
+                        cents: list[tuple[int, list[float]]],
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> None:
+    """Incremental index refresh: assign ONLY the new vectors against the
+    FROZEN centroid list and append their partitions to the persisted
+    index — yesterday's corpus is never rescanned (the ANN twin of
+    dedup.incremental_dedup's refresh posture). Centroids drift as the
+    distribution shifts; rebuild with build_ivf_index when recall decays
+    — the standard IVF re-train cadence."""
+    assigned = ivf_assign(new_vectors, cents, vec_col, id_col)
+    (assigned.write.mode("append")
+     .partitionBy("centroid").parquet(path))

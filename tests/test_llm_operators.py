@@ -567,3 +567,23 @@ def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """append_to_ivf_index must make new vectors servable without
+    rebuilding: build on 80% of the corpus, append the held-out 20%, and
+    the served answer must equal querying an index built over the full
+    corpus with the SAME centroids (frozen-centroid assignment is
+    order-independent)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    late = emb.where(F.col("vec_id") % 5 == 0)
+    p1 = str(tmp_path / "idx_incremental")
+    cents = SIM.build_ivf_index(base, p1, m=8, iters=2)
+    SIM.append_to_ivf_index(late, p1, cents)
+    p2 = str(tmp_path / "idx_full")
+    SIM.ivf_assign(emb, cents).write.partitionBy("centroid").parquet(p2)
+    q = emb.where(F.col("vec_id") < 3)
+    a = SIM.query_ivf_index(spark, p1, cents, q, k=5, nprobe=2)
+    b = SIM.query_ivf_index(spark, p2, cents, q, k=5, nprobe=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
