@@ -3038,6 +3038,169 @@ def q22_global_sales_opportunity(spark, sf_dir):
     return spark.sql(_Q22_SQL)
 
 
+_Q2_SQL = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'PROMO' AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand
+    LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_SQL)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp, so lineitem
+    is the supply relation and the min-cost predicate is the minimum
+    l_extendedprice any EUROPE supplier charged for the part): a
+    correlated scalar MIN subquery over the same 4-way join as the outer
+    query. Catalyst must decorrelate it into a per-partkey min aggregate
+    joined back on (partkey, price) — re-running the inner join per outer
+    row would be quadratic at 100 TB. All of supplier/nation/region are
+    broadcast-size; lineitem is the only big side in both legs. DISTINCT
+    collapses multi-lineitem price ties; the 5-column ORDER BY is a
+    total order so LIMIT 100 is deterministic. Ref anchor: SURVEY §2.C
+    joins — 'none in dataflow → [EXT] full join surface'."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+@query("q9_product_profit", oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.1 * p_retailprice * l_quantity AS amount
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%') t
+    GROUP BY nation, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: profit = revenue − 0.1·p_retailprice·qty
+    since the fixture has no ps_supplycost): the contains-LIKE part
+    filter drives a 5-way star join rolled up by (supplier nation, order
+    year). part/supplier/nation broadcast; lineitem and orders are the
+    two big sides and meet in the single shuffle-worthy join — at 100 TB
+    the plan is one fact-fact shuffle join plus broadcasts, and the
+    '%gear%' filter prunes lineitem FIRST through the broadcast part
+    join, before the orders shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+            .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+            .join(o, o.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+
+
+_Q11_SQL = """
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             round(sum(l_extendedprice * l_quantity), 2) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT partkey, value FROM val
+    WHERE value > (SELECT round(sum(value) / 500.0, 2) FROM val)
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_SQL)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: per-part 'stock value' is the summed
+    l_extendedprice·l_quantity shipped by NATION_3 suppliers): a grouped
+    aggregate filtered against an uncorrelated scalar subquery over the
+    SAME derived relation — the optimizer must evaluate the one-row
+    global fraction once and broadcast it into the filter, not recompute
+    the view per row. Both legs round identically (CTE rounds per-part
+    value; threshold rounds the fraction) so the > compare is on
+    engine-stable discretized doubles."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+@query("q16_supplier_relationship", oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the excluded-supplier predicate is
+    s_acctbal < 0 since the fixture has no s_comment): count-distinct
+    suppliers per (brand, type, size) with a NOT IN blacklist subquery.
+    s_suppkey is non-nullable so NOT IN ≡ left-anti join — expressed as
+    one here (broadcast anti: the blacklist is tiny) rather than Spark's
+    null-aware anti apply; part also broadcasts, so the only shuffle is
+    the final distinct-count aggregate on the 3-column group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)))
+    bad = (_t(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+            .join(F.broadcast(bad), bad.s_suppkey == li.l_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+_Q20_SQL = """
+    SELECT s_suppkey, s_name FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY l_suppkey, p_partkey
+        HAVING sum(l_quantity) > (SELECT 0.1 * sum(l2.l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = p_partkey))
+"""
+
+
+@query("q20_potential_promotion", oracle=_Q20_SQL)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: a supplier 'holds excess stock' of a
+    part if they shipped >10% of that part's total shipped quantity —
+    the fixture has no ps_availqty): an IN over an aggregated subquery
+    whose HAVING carries a correlated scalar sum on a DIFFERENT
+    grouping (per-part total vs per-(supplier,part) share). Catalyst
+    must decorrelate the inner scalar into a per-partkey aggregate
+    joined to the per-pair aggregate, then plan the IN as a semi join
+    into the broadcast-size supplier×nation×region outer. l_quantity is
+    integer-valued so both engines' sums are FP-exact and the 0.1·total
+    compare is engine-stable."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
 @query("streaming_incremental_dedup", oracle="""
     WITH fps AS (
       SELECT doc_id,
@@ -3179,14 +3342,16 @@ _GRADING_WINDOW = [
     "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
     "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_relationship", "q20_potential_promotion",
     "profile_approx_contract", "events_sliding_windows",
     "streaming_sliding_windows", "full_outer_reconcile",
-    # --- second-confirmation slots: r5 first-graded entries
-    "correlated_exists", "not_in_subquery", "scalar_subquery_agg",
-    "custdist_two_level_agg",
-    "from_json_struct", "unpivot_doc_metrics",
-    "dedup_materialize", "embedding_label_centroids",
-    "train_val_test_split", "multimodal_header_decode",
+    # --- second-confirmation slots: r5 first-graded entries (the five
+    # standalone subquery/json shapes rotated out made room for the
+    # completed TPC-H suite above; they stay green on their r5 grade)
+    "custdist_two_level_agg", "dedup_materialize",
+    "embedding_label_centroids", "train_val_test_split",
+    "multimodal_header_decode",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -165,3 +165,42 @@ def test_sliding_windows_expand_in_scan_stage(spark, sf_dir):
     assert "Expand" in plan
     assert "partial_count" in plan
     assert "Join" not in plan
+
+def test_q2_decorrelates_to_min_aggregate_join(spark, sf_dir):
+    """Q2's correlated scalar MIN over the supply join must decorrelate
+    into one per-partkey min aggregate joined back on (partkey, price) —
+    never the inner 4-way join re-run per outer row, and never a
+    cartesian/nested-loop fallback."""
+    plan = _plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "min(" in plan or "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    """Q9's star join: part/supplier/nation must broadcast so lineitem
+    only shuffles once, to meet orders — at most one shuffle-side join
+    and no cartesian."""
+    plan = _plan_of(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_blacklist_is_broadcast_anti(spark, sf_dir):
+    """Q16's NOT IN blacklist (non-nullable key) must plan as a broadcast
+    LeftAnti — a tiny build side against the fact scan, with the
+    3-column distinct-count aggregate as the only wide exchange."""
+    plan = _plan_of(spark, sf_dir, "q16_supplier_relationship")
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_decorrelates_and_plans_semi_join(spark, sf_dir):
+    """Q20's IN over an aggregated subquery with a correlated per-part
+    scalar sum must plan as aggregate-join-aggregate feeding a semi join
+    — no per-row re-aggregation, no cartesian/nested-loop."""
+    plan = _plan_of(spark, sf_dir, "q20_potential_promotion")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
