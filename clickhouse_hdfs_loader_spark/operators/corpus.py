@@ -296,3 +296,49 @@ def quota_sample_check(docs: DataFrame, sampled: DataFrame,
             f"quota_sample prefilter margin too tight for groups "
             f"{[r[group_col] for r in bad]} — raise margin (kept fewer "
             f"than min(quota, group_size) rows)")
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float],
+                   group_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Resample a corpus to a target domain MIXTURE (the training-data
+    "data mixing" step: e.g. 30% web, 15% code, 5% everything else).
+
+    ``weights`` are relative target proportions per group. The largest
+    achievable output keeps every doc of the binding group (the one that
+    exhausts first: min over groups of n_g / w_g) and down-samples every
+    other group to rate_g = w_g · n_out / n_g, so achieved proportions
+    match the target in expectation (per-group counts are Binomial
+    around rate_g · n_g — this is rate sampling, not an exact quota;
+    see quota_sample for the exact-count cap).
+
+    Scale shape: two COUNT aggregates over #groups rows, broadcast back,
+    then one stateless filter over the corpus — no window, no fact-side
+    shuffle, nothing skew-sensitive. Selection is the deterministic
+    md5-prefix coin of quota_sample: a doc is kept iff the first 8 hex
+    chars of md5(id) sort below the group's rate threshold rendered AS A
+    HEX STRING (hex order == numeric order), so membership is a pure
+    function of the id and re-runs/retries/engines agree exactly — no
+    float compare at the keep boundary."""
+    w = docs.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], [group_col, "wt"])
+    cnt = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    per = cnt.join(w, group_col)
+    cap = per.agg(F.min(F.col("n").cast("double") / F.col("wt"))
+                  .alias("n_out"))
+    rate = (per.crossJoin(F.broadcast(cap))
+            .select(group_col,
+                    (F.col("wt") * F.col("n_out") / F.col("n"))
+                    .alias("rate")))
+    thr = rate.select(
+        group_col, "rate",
+        F.lpad(F.lower(F.hex(F.floor(F.col("rate") * 4294967296.0)
+                             .cast("bigint"))), 8, "0").alias("thr_hex"))
+    keep = ((F.col("rate") >= 1.0)
+            | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+               < F.col("thr_hex")))
+    return (docs.join(F.broadcast(thr), group_col)
+            .where(keep)
+            .select(id_col, group_col,
+                    (F.floor(F.col("rate") * 1000000 + 0.5) / 1000000)
+                    .alias("target_rate")))

@@ -3201,6 +3201,112 @@ def q20_potential_promotion(spark, sf_dir):
     return spark.sql(_Q20_SQL)
 
 
+_TFIDF_SQL = """
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(token)
+      WHERE length(t.token) >= 3),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             floor(tf.tf * (SELECT count(DISTINCT doc_id) FROM documents)
+                   / CAST(dfreq.df AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+      FROM tf JOIN dfreq USING (token)),
+    ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+      FROM scored)
+    SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@query("tf_idf_topk", oracle=_TFIDF_SQL)
+def tf_idf_topk(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 scoring tokens per document.
+
+    The classic two-aggregate dataflow — token postings → per-(doc,
+    token) tf → per-token document frequency → join-back → per-doc
+    top-k window. Shuffles are all on bounded keys: (doc_id, token)
+    then token then doc_id; the df side of the join-back is the
+    vocabulary (≪ postings) and hot stopword-ish tokens are both
+    trimmed by the 3-char floor and handled by AQE skew splitting at
+    scale. N (corpus size) stays in-plan as a broadcast 1-row
+    cross-join — no driver collect.
+
+    Scoring avoids transcendentals so both engines agree exactly:
+    score = tf·N / df is one integer-exact product (≪ 2^53) and ONE
+    IEEE double division (correctly rounded by spec, so bit-identical
+    cross-engine), then the knife-edge-safe floor(x·10⁴+0.5)/10⁴ with
+    identical expression order on both sides. Ties (same score within
+    a doc) break on token, making the top-3 a total order."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id",
+                    F.explode(F.regexp_extract_all(
+                        F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+                     .alias("token"))
+           .where(F.length("token") >= 3))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "token",
+                      (F.floor(F.col("tf") * F.col("n")
+                               / F.col("df").cast("double") * 10000 + 0.5)
+                       / 10000).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("doc_id", "token", "score", "rk"))
+
+
+_MIXTURE_WEIGHTS = {f"src{i}": (0.30 if i < 3 else 0.15 if i < 5 else 0.05)
+                    for i in range(20)}
+
+_MIXTURE_SQL = """
+    WITH w AS (SELECT * FROM (VALUES {values}) AS t(source, wt)),
+    cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    rate AS (
+      SELECT source,
+             CAST(wt AS DOUBLE)
+               * (SELECT min(CAST(n AS DOUBLE) / CAST(wt AS DOUBLE))
+                  FROM cnt JOIN w USING (source)) / n AS rate
+      FROM cnt JOIN w USING (source)),
+    thr AS (SELECT source, rate,
+                   lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+                        8, '0') AS thr_hex
+            FROM rate)
+    SELECT d.doc_id, d.source,
+           floor(t.rate * 1000000 + 0.5) / 1000000 AS target_rate
+    FROM documents d JOIN thr t ON d.source = t.source
+    WHERE t.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+""".format(values=", ".join(f"('{k}', {v})"
+                            for k, v in _MIXTURE_WEIGHTS.items()))
+
+
+@query("domain_mixture_sample", oracle=_MIXTURE_SQL)
+def domain_mixture_sample(spark, sf_dir):
+    """Training-data mixing: resample the corpus toward a target domain
+    mixture (30%-tier / 15%-tier / 5%-tier weights over the fixture's 20
+    sources) via operators/corpus.py:mixture_sample. The binding group
+    (largest n_g/w_g deficit) keeps everything (rate = 1 branch); every
+    other group is down-sampled by the deterministic md5-prefix coin,
+    compared AS HEX STRINGS so the keep decision has no float boundary.
+    Scale shape: two tiny aggregates broadcast back + one stateless
+    filter — no window, no fact-side shuffle (contrast
+    domain_quota_sample's exact per-group rank). Weights are pinned for
+    the fixture's src0..src19; sources outside the weight table drop on
+    both sides (inner join) by construction."""
+    from ..operators.corpus import mixture_sample
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, _MIXTURE_WEIGHTS)
+
+
 @query("streaming_incremental_dedup", oracle="""
     WITH fps AS (
       SELECT doc_id,
@@ -3345,12 +3451,13 @@ _GRADING_WINDOW = [
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_relationship", "q20_potential_promotion",
     "profile_approx_contract", "events_sliding_windows",
-    "streaming_sliding_windows", "full_outer_reconcile",
+    "streaming_sliding_windows", "full_outer_reconcile", "tf_idf_topk",
+    "domain_mixture_sample",
     # --- second-confirmation slots: r5 first-graded entries (the five
     # standalone subquery/json shapes rotated out made room for the
     # completed TPC-H suite above; they stay green on their r5 grade)
-    "custdist_two_level_agg", "dedup_materialize",
-    "embedding_label_centroids", "train_val_test_split",
+    "dedup_materialize",
+    "embedding_label_centroids",
     "multimodal_header_decode",
 ]
 

@@ -587,3 +587,33 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     a = SIM.query_ivf_index(spark, p1, cents, q, k=5, nprobe=2)
     b = SIM.query_ivf_index(spark, p2, cents, q, k=5, nprobe=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """The binding group (largest n/w) keeps every row (rate = 1); other
+    groups keep ~rate·n rows via the md5-prefix coin; membership is a
+    pure function of the id (identical on rerun); sources outside the
+    weight table are dropped entirely."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import mixture_sample
+    rows = ([(i, "web") for i in range(4000)]
+            + [(10_000 + i, "code") for i in range(500)]
+            + [(20_000 + i, "books") for i in range(500)]
+            + [(30_000 + i, "unknown") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # code is binding: n/w = 500/.25 = 2000 vs web 4000/.5 = 8000,
+    # books 500/.25 = 2000 (tie — both keep everything)
+    out = mixture_sample(df, {"web": 0.5, "code": 0.25, "books": 0.25})
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert "unknown" not in per
+    assert len(per["code"]) == 500 and len(per["books"]) == 500
+    # web target: 0.5 * 2000 = 1000 of 4000 → Binomial(4000, .25);
+    # ±5 sigma band keeps flakiness ~impossible while proving the rate
+    assert 860 <= len(per["web"]) <= 1140
+    rate = {r["source"]: r["target_rate"] for r in got}
+    assert rate["code"] == 1.0 and rate["books"] == 1.0
+    assert rate["web"] == 0.25
+    again = mixture_sample(df, {"web": 0.5, "code": 0.25, "books": 0.25})
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
