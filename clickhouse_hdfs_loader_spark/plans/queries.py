@@ -3307,6 +3307,25 @@ def domain_mixture_sample(spark, sf_dir):
     return mixture_sample(d, _MIXTURE_WEIGHTS)
 
 
+@query("streaming_interval_join", oracle="""
+    SELECT c.event_id AS click_id, b.event_id AS purchase_id
+    FROM events c JOIN events b
+      ON c.user_id = b.user_id
+     AND c.event_type = 'click' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) - epoch_us(c.ts) >= 0
+     AND epoch_us(b.ts) - epoch_us(c.ts) < 3600000000
+""")
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join run as an actual two-stream query
+    (streaming/events.py:stream_stream_interval_join): clicks ⋈ purchases
+    by user within 1 hour, both sides watermarked so join state is
+    bounded by watermark + interval. Append-mode pairs must converge to
+    the batch twin (same shape as range_join_events but executed by the
+    streaming state store, not a batch sort-merge join)."""
+    from ..streaming.events import stream_stream_interval_join
+    return stream_stream_interval_join(spark, sf_dir)
+
+
 @query("streaming_incremental_dedup", oracle="""
     WITH fps AS (
       SELECT doc_id,
@@ -3452,12 +3471,11 @@ _GRADING_WINDOW = [
     "q16_supplier_relationship", "q20_potential_promotion",
     "profile_approx_contract", "events_sliding_windows",
     "streaming_sliding_windows", "full_outer_reconcile", "tf_idf_topk",
-    "domain_mixture_sample",
+    "domain_mixture_sample", "streaming_interval_join",
     # --- second-confirmation slots: r5 first-graded entries (the five
     # standalone subquery/json shapes rotated out made room for the
     # completed TPC-H suite above; they stay green on their r5 grade)
     "dedup_materialize",
-    "embedding_label_centroids",
     "multimodal_header_decode",
 ]
 

@@ -138,6 +138,46 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("total_value")))
 
 
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with event-time interval bounds — the
+    canonical stateful two-stream shape (clickstream attribution): click
+    and purchase events arrive as two independent streams; a purchase
+    matches every click by the same user in the preceding hour.
+
+    Both sides carry a watermark and the join condition carries the time
+    range, which is exactly what lets Spark bound the state store: each
+    side buffers only rows younger than watermark + interval, everything
+    older is provably unmatchable and evicted. Without the range
+    predicate a stream-stream join would have to buffer both streams
+    forever. Append mode — matched pairs are final the moment both
+    watermarks pass the interval, so the sink receives each pair exactly
+    once and must converge to the batch twin's pair list."""
+    sink = f"evt_ssjoin_{uuid.uuid4().hex[:8]}"
+    clicks = (events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "2 hours"))
+    buys = (events_stream(spark, sf_dir)
+            .where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "2 hours"))
+    pairs = clicks.join(
+        buys,
+        F.expr("c_user = p_user AND p_ts >= c_ts "
+               "AND p_ts < c_ts + INTERVAL 1 HOUR"))
+    q = (pairs.select("click_id", "purchase_id")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    return spark.table(sink)
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
                              batch_mod: int = 5) -> DataFrame:
     """Continuous-ingest dedup — the streaming twin of
