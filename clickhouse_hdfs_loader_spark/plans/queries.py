@@ -3425,6 +3425,88 @@ def dedup_incremental(spark, sf_dir):
     return DD.incremental_dedup(batch, store)
 
 
+@query("passage_dedup_spans", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    toks AS (
+      SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos0, l
+      FROM ws),
+    grams AS (
+      SELECT doc_id, pos0 AS pos,
+             array_to_string(l[pos0 + 1 : pos0 + 5], ' ') AS gram
+      FROM toks WHERE pos0 + 5 <= len(l)),
+    dup AS (SELECT gram FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM marked)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           count(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+""")
+def passage_dedup_spans(spark, sf_dir):
+    """Passage-granularity exact dedup (Lee et al. 2021): maximal token
+    spans whose every 5-gram recurs in ≥2 distinct documents — the
+    boilerplate/template passages doc-level fingerprints can't see.
+    One-pass posting-list aggregation (tokenizer UDF runs once, no
+    join-back), per-doc gaps-and-islands span merge; integer-only
+    output. operators/dedup.py:passage_dup_spans."""
+    return DD.passage_dup_spans(_t(spark, sf_dir, "documents"), k=5,
+                                min_docs=2)
+
+
+@query("semantic_dedup", oracle="""
+    WITH c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT id, centroid FROM (
+        SELECT e.vec_id AS id, c.centroid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.cv[i] * c.cv[i]))))
+                 DESC, c.centroid ASC) AS rn
+        FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
+    pairs AS (
+      SELECT x.centroid, x.id AS id_a, y.id AS id_b,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))
+             AS cos
+      FROM a1 x JOIN a1 y ON x.centroid = y.centroid AND x.id < y.id
+      JOIN embeddings ea ON ea.vec_id = x.id
+      JOIN embeddings eb ON eb.vec_id = y.id),
+    sel AS (SELECT * FROM pairs WHERE cos >= 0.4)
+    SELECT id_b AS dropped_id, min(id_a) AS keeper_id,
+           min(centroid) AS centroid,
+           round(arg_min(cos, id_a), 4) AS cos
+    FROM sel GROUP BY id_b
+""")
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): seed-centroid clustering confines
+    pairwise cosine to cluster members (Σ|c|², never n²); a vector is
+    dropped iff a lower-id cluster-mate is ≥0.4 cosine-similar, keeper =
+    the minimum such id — deterministic, no greedy order dependence, so
+    the whole assign→pair→prune pipeline replays in SQL.
+    operators/dedup.py:semantic_dedup."""
+    return DD.semantic_dedup(_t(spark, sf_dir, "embeddings"), m=8,
+                             threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -3472,11 +3554,12 @@ _GRADING_WINDOW = [
     "profile_approx_contract", "events_sliding_windows",
     "streaming_sliding_windows", "full_outer_reconcile", "tf_idf_topk",
     "domain_mixture_sample", "streaming_interval_join",
-    # --- second-confirmation slots: r5 first-graded entries (the five
-    # standalone subquery/json shapes rotated out made room for the
-    # completed TPC-H suite above; they stay green on their r5 grade)
-    "dedup_materialize",
-    "multimodal_header_decode",
+    # --- late-r6 additions take the final slots (registry discipline:
+    # anything registered in round N is graded in round N — the two
+    # second-confirmation candidates they displace, dedup_materialize and
+    # multimodal_header_decode, stay green on their r5 grade)
+    "passage_dedup_spans",
+    "semantic_dedup",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -20,7 +20,8 @@ PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
          "q4_order_priority", "q21_waiting_supplier", "q15_top_supplier",
          "q6_forecast_revenue", "q8_market_share", "q17_small_quantity",
          "q2_min_cost_supplier", "q9_product_profit", "q20_potential_promotion",
-         "events_sliding_windows", "full_outer_reconcile"]
+         "events_sliding_windows", "full_outer_reconcile",
+         "passage_dedup_spans", "semantic_dedup"]
 
 
 def main() -> None:

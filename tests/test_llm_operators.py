@@ -617,3 +617,60 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert rate["web"] == 0.25
     again = mixture_sample(df, {"web": 0.5, "code": 0.25, "books": 0.25})
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_passage_dup_spans_merges_maximal_spans(spark):
+    """Two docs share a 7-word run inside otherwise-unique text: with
+    k=3 every one of the 5 shared 3-grams is cross-doc duplicated, and
+    gaps-and-islands merges them into ONE maximal span per doc at the
+    right token offsets; unique text produces no spans; an in-doc-only
+    repeat is excluded by the distinct-doc threshold."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import passage_dup_spans
+    shared = "the quick brown fox jumps over dogs"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma delta"),
+         (2, shared + " epsilon zeta eta theta"),
+         # doc 3: repeats a 3-gram within ITSELF only — no cross-doc dup
+         (3, "solo run here solo run here solo run here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           passage_dup_spans(docs, k=3, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared run occupies token positions 2..8 (0-based)
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_grams"]) \
+        == (2, 8, 5)
+    # doc 2: run starts the document, positions 0..6
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_grams"]) \
+        == (0, 6, 5)
+
+
+def test_passage_dup_spans_join_strategy_identical(spark, sf_dir):
+    """The memory-safe join-back strategy returns the identical span set
+    as the one-pass posting-list default on the real corpus."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import passage_dup_spans
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, passage_dup_spans(docs, k=5).collect()))
+    b = sorted(map(tuple,
+                   passage_dup_spans(docs, k=5, strategy="join").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_drops_higher_id_and_skips_unassignable(spark):
+    """Within a cluster the higher id is dropped with the minimum-id
+    near-neighbor as keeper; cross-cluster near-misses survive; a
+    zero-norm vector (sentinel centroid -1) never appears in the output
+    on either side of a pair."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import semantic_dedup
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e1b = [0.999, 0.01, 0.0, 0.0]    # near-dup of e1
+    e2 = [0.0, 1.0, 0.0, 0.0]        # own cluster, no mate
+    zero = [0.0, 0.0, 0.0, 0.0]      # unassignable
+    df = spark.createDataFrame(
+        [(0, e1), (1, e2), (2, e1b), (3, zero)],
+        ["vec_id", "embedding"])
+    # centroids from the 2 lowest ids: c0=e1, c1=e2
+    out = semantic_dedup(df, m=2, threshold=0.9).collect()
+    assert [(r["dropped_id"], r["keeper_id"], r["centroid"]) for r in out] \
+        == [(2, 0, 0)]
+    assert out[0]["cos"] > 0.99
