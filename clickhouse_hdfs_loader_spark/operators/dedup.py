@@ -126,6 +126,26 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     self-join; bucket sizes follow collision probability, and the
     ``groupBy(band, bh)`` + size cap below bounds worst-case buckets.
     """
+    buckets = minhash_band_index(docs, text_col, id_col, k, num_hashes,
+                                 bands, seed)
+    grouped = (buckets.groupBy("band", "bh")
+               .agg(F.collect_list("id").alias("ids"))
+               .where(F.size("ids") > 1)
+               .where(F.size("ids") <= 1000))  # degenerate-bucket cap
+    return _explode_ordered_pairs(grouped).distinct()
+
+
+def minhash_band_index(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 32, bands: int = 8,
+                       seed: int = 42) -> DataFrame:
+    """Persistable LSH band index: one ``(id, band, bh)`` row per doc per
+    band — ``bands`` 8-byte hashes per document, ~3 orders of magnitude
+    smaller than the text it summarizes. This is the artifact a 100 TB
+    corpus keeps between ingests so fuzzy dedup of a new batch never
+    rescans old text (see :func:`incremental_minhash_dedup`). Same
+    seeded coefficients as :func:`minhash_signatures`, so indexes built
+    on different days/engines/partitionings agree exactly."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed)
     band_cols = [
@@ -134,13 +154,56 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                  .alias("bh"))
         for b in range(bands)
     ]
-    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")))
-    grouped = (buckets.groupBy("band", "bh")
-               .agg(F.collect_list("id").alias("ids"))
-               .where(F.size("ids") > 1)
-               .where(F.size("ids") <= 1000))  # degenerate-bucket cap
-    return _explode_ordered_pairs(grouped).distinct()
+    return (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("id", F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+
+
+def incremental_minhash_dedup(batch: DataFrame, store_index: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              num_hashes: int = 32, bands: int = 8,
+                              seed: int = 42) -> DataFrame:
+    """Fuzzy (near-duplicate) incremental ingest: classify each NEW doc
+    against the persisted LSH band index of the existing corpus — the
+    MinHash twin of :func:`incremental_dedup`, which only catches exact
+    fingerprint matches. Yesterday's text is never rescanned; only its
+    ``(band, bh)`` index (8 bytes × bands per doc) joins the batch.
+
+    Returns one row per batch doc: ``status`` is
+
+    - ``'dup_store_candidate'`` — some band hash collides with the store
+      (LSH candidate; schedule a verify stage against just those store
+      buckets if exactness is required),
+    - ``'dup_batch'`` — a lower-id batch-mate shares a band (the batch
+      deduped against itself, same keeper rule as the pair queries),
+    - ``'novel'`` — no collision anywhere; its index rows (from
+      :func:`minhash_band_index` on the batch) are what the caller
+      appends to the store.
+
+    Store precedence over batch is deliberate: a doc colliding with both
+    is already represented in the corpus, so its batch-mates should not
+    elect it keeper. Scale: two equi-joins on 16-byte (band, bh) keys —
+    one semi-join batch×store, one batch self-join via
+    :func:`minhash_lsh_pairs` — both linear in batch size, independent
+    of corpus size."""
+    bidx = minhash_band_index(batch, text_col, id_col, k, num_hashes,
+                              bands, seed)
+    store_hit = (bidx.join(store_index.select("band", "bh").distinct(),
+                           ["band", "bh"], "left_semi")
+                 .select("id").distinct()
+                 .withColumn("_store", F.lit(True)))
+    batch_dup = (minhash_lsh_pairs(batch, text_col, id_col, k, num_hashes,
+                                   bands, seed)
+                 .select(F.col("id_b").alias("id")).distinct()
+                 .withColumn("_batch", F.lit(True)))
+    ids = batch.select(F.col(id_col).alias("id"))
+    return (ids.join(store_hit, "id", "left")
+            .join(batch_dup, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("_store"), F.lit("dup_store_candidate"))
+                    .when(F.col("_batch"), F.lit("dup_batch"))
+                    .otherwise(F.lit("novel")).alias("status")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",

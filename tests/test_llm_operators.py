@@ -674,3 +674,55 @@ def test_semantic_dedup_drops_higher_id_and_skips_unassignable(spark):
     assert [(r["dropped_id"], r["keeper_id"], r["centroid"]) for r in out] \
         == [(2, 0, 0)]
     assert out[0]["cos"] > 0.99
+
+
+def test_incremental_minhash_dedup_statuses(spark):
+    """Fuzzy incremental ingest against a persisted band index: an exact
+    copy of a store doc is a store candidate; a batch-internal duplicate
+    pair keeps the lower id novel and marks the higher one dup_batch; a
+    unique doc is novel; store precedence beats batch membership."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_band_index)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the river runs past the old stone mill every morning")
+    other = ("completely different content about spark adaptive execution "
+             "plans shuffles partitions codegen arrow batches and buckets")
+    store = spark.createDataFrame([(1, base), (2, other)],
+                                  ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, base),                    # exact copy of store doc 1
+         (11, "nothing like anything else entirely novel text with many "
+              "unusual words zebra quartz fjord glyph vexing mute banjo"),
+         (12, "nothing like anything else entirely novel text with many "
+              "unusual words zebra quartz fjord glyph vexing mute banjo")],
+        ["doc_id", "text"])
+    idx = minhash_band_index(store)
+    got = {r["doc_id"]: r["status"] for r in
+           incremental_minhash_dedup(batch, idx).collect()}
+    assert got == {10: "dup_store_candidate", 11: "novel",
+                   12: "dup_batch"}
+
+
+def test_incremental_minhash_dedup_contains_full_corpus_pairs(spark, sf_dir):
+    """Containment vs the full-corpus LSH: any cross (store, batch)
+    candidate pair found by minhash_lsh_pairs over the WHOLE corpus must
+    flag the batch-side doc as a store candidate — signatures depend only
+    on the text, so index-vs-batch banding finds every collision the
+    monolithic self-join finds (the index side has no bucket cap)."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_band_index, minhash_lsh_pairs)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    docs = read_table(spark, sf_dir, "documents")
+    store = docs.where(SF.col("doc_id") % 5 != 0)
+    batch = docs.where(SF.col("doc_id") % 5 == 0)
+    flagged = {r["doc_id"] for r in
+               incremental_minhash_dedup(batch, minhash_band_index(store))
+               .where(SF.col("status") == "dup_store_candidate").collect()}
+    cross = set()
+    for r in minhash_lsh_pairs(docs).collect():
+        if r["id_a"] % 5 != 0 and r["id_b"] % 5 == 0:
+            cross.add(r["id_b"])
+        if r["id_b"] % 5 != 0 and r["id_a"] % 5 == 0:
+            cross.add(r["id_a"])
+    assert cross and cross <= flagged
