@@ -726,3 +726,24 @@ def test_incremental_minhash_dedup_contains_full_corpus_pairs(spark, sf_dir):
         if r["id_b"] % 5 != 0 and r["id_a"] % 5 == 0:
             cross.add(r["id_a"])
     assert cross and cross <= flagged
+
+
+def test_stream_incremental_minhash_matches_batch(spark, sf_dir):
+    """The foreachBatch streaming twin classifies every batch doc with
+    the same status as the batch operator (store index static on both
+    sides; availableNow makes the comparison deterministic)."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_band_index)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_incremental_minhash)
+    import pyspark.sql.functions as SF
+    docs = read_table(spark, sf_dir, "documents")
+    batch_out = sorted(map(tuple, incremental_minhash_dedup(
+        docs.where(SF.col("doc_id") % 5 == 0),
+        minhash_band_index(docs.where(SF.col("doc_id") % 5 != 0))
+    ).collect()))
+    stream_out = sorted(map(tuple,
+                            stream_incremental_minhash(spark, sf_dir)
+                            .collect()))
+    assert stream_out == batch_out and len(stream_out) > 0

@@ -204,3 +204,24 @@ def test_q20_decorrelates_and_plans_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passage_dedup_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The passage posting-list plan must pre-aggregate each (gram, doc)
+    map-side (partial_collect_list) before its exchanges, run the
+    tokenizer UDF exactly once (no join-back recompute in the default
+    strategy), and never fall into a cartesian."""
+    plan = _plan_of(spark, sf_dir, "passage_dedup_spans")
+    assert "partial_collect_list" in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_joins_on_centroid_key(spark, sf_dir):
+    """SemDeDup pairing must be an equi-join keyed on the centroid —
+    cluster-confined, not an all-pairs product — with map-side partial
+    min before the keeper aggregate's exchange."""
+    plan = _plan_of(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan
