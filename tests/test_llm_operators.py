@@ -747,3 +747,45 @@ def test_stream_incremental_minhash_matches_batch(spark, sf_dir):
                             stream_incremental_minhash(spark, sf_dir)
                             .collect()))
     assert stream_out == batch_out and len(stream_out) > 0
+
+
+def test_passage_dup_spans_matches_python_model(spark):
+    """Model test: on a seeded 80-doc corpus built from a shared phrase
+    pool (forcing realistic boilerplate overlap), the Spark plan's spans
+    equal an independent pure-Python recomputation of the definition —
+    tokenize, k-gram, distinct-doc threshold, maximal-run merge."""
+    import random
+    import re
+    from collections import defaultdict
+    from clickhouse_hdfs_loader_spark.operators.dedup import passage_dup_spans
+
+    rng = random.Random(20260814)
+    pool = [" ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(3, 9)))
+            for _ in range(12)]
+    texts = {d: " ".join(rng.choice(pool)
+                         for _ in range(rng.randrange(1, 6)))
+             for d in range(80)}
+    k, min_docs = 3, 2
+
+    toks = {d: [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+            for d, t in texts.items()}
+    gram_docs = defaultdict(set)
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            gram_docs[" ".join(ws[i:i + k])].add(d)
+    expect = []
+    for d, ws in toks.items():
+        marked = [i for i in range(len(ws) - k + 1)
+                  if len(gram_docs[" ".join(ws[i:i + k])]) >= min_docs]
+        run = []
+        for p in marked + [None]:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expect.append((d, run[0], run[-1] + k - 1, len(run)))
+                run = [p] if p is not None else []
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    got = sorted(map(tuple, passage_dup_spans(docs, k=k,
+                                              min_docs=min_docs).collect()))
+    assert got == sorted(expect) and len(got) > 50
