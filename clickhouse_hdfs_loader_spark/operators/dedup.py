@@ -478,7 +478,8 @@ def passage_dup_spans(docs: DataFrame, text_col: str = "text",
 
 def semantic_dedup(emb: DataFrame, centroids=None, m: int = 8,
                    threshold: float = 0.4, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   assign_method: str = "auto") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings, then prune
     near-duplicates WITHIN each cluster — pairwise cosine is confined to
     cluster members, so cost is Σ|cluster|² instead of n², the published
@@ -503,7 +504,8 @@ def semantic_dedup(emb: DataFrame, centroids=None, m: int = 8,
 
     if centroids is None:
         centroids = seed_centroids(emb, m, vec_col, id_col)
-    assigned = (ivf_assign(emb, centroids, vec_col, id_col)
+    assigned = (ivf_assign(emb, centroids, vec_col, id_col,
+                           method=assign_method)
                 .where(F.col("centroid") >= 0))
     a = assigned.select("centroid", F.col("id").alias("id_a"),
                         F.col("v").alias("v_a"))

@@ -789,3 +789,20 @@ def test_passage_dup_spans_matches_python_model(spark):
     got = sorted(map(tuple, passage_dup_spans(docs, k=k,
                                               min_docs=min_docs).collect()))
     assert got == sorted(expect) and len(got) > 50
+
+
+def test_semantic_dedup_gemm_path_matches_expr(spark, sf_dir):
+    """The BLAS gemm assignment must yield the IDENTICAL semantic-dedup
+    result as the oracle-replayable expression fold — the 100 TB path
+    changes the compute kernel, never the outcome. Compared at m=8 where
+    both kernels are cheap; forcing the fold at coarse-quantizer m is
+    exactly the codegen cliff the gemm path exists to avoid (assignment
+    parity at larger m is pinned in test_ivf_assign_gemm_matches_expr)."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import semantic_dedup
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    expr = sorted(map(tuple, semantic_dedup(
+        emb, m=8, threshold=0.3, assign_method="expr").collect()))
+    gemm = sorted(map(tuple, semantic_dedup(
+        emb, m=8, threshold=0.3, assign_method="gemm").collect()))
+    assert expr == gemm and len(expr) > 0
