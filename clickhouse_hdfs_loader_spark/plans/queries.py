@@ -3507,6 +3507,51 @@ def semantic_dedup(spark, sf_dir):
                              threshold=0.4)
 
 
+@query("quality_expectations", oracle="""
+    WITH m AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v0,
+             count(doc_id) - count(DISTINCT doc_id) AS v1,
+             sum(CASE WHEN n_chars < 1 OR n_chars > 500
+                 THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                 THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN NOT regexp_matches(text, '[a-z]')
+                 THEN 1 ELSE 0 END) AS v4,
+             sum(CASE WHEN n_chars <> length(text)
+                 THEN 1 ELSE 0 END) AS v5
+      FROM documents)
+    SELECT 'doc_id_not_null' AS check_name, v0 AS violations,
+           total AS total_rows, v0 = 0 AS passed FROM m
+    UNION ALL SELECT 'doc_id_unique', v1, total, v1 = 0 FROM m
+    UNION ALL SELECT 'n_chars_in_range', v2, total, v2 = 0 FROM m
+    UNION ALL SELECT 'lang_in_set', v3, total, v3 = 0 FROM m
+    UNION ALL SELECT 'text_has_letters', v4, total, v4 = 0 FROM m
+    UNION ALL SELECT 'n_chars_consistent', v5, total, v5 = 0 FROM m
+""")
+def quality_expectations(spark, sf_dir):
+    """Declarative data-quality gate (deequ-style; generalizes the
+    reference's hard-coded row-width gate,
+    AbstractClickhouseLoaderMapper.java:207-245): six expectations —
+    null/uniqueness/range/set-membership/regex/cross-column consistency —
+    compiled into ONE one-pass aggregate; the report is an unpivoted
+    literal-struct explode of the single aggregate row
+    (operators/expectations.py). The fixture intentionally FAILS two
+    checks (zh docs outside the lang allowlist, n_chars above 500), so
+    pass and fail paths are both graded."""
+    from ..operators import expectations as EX
+    d = _t(spark, sf_dir, "documents")
+    return EX.run_expectations(d, [
+        EX.not_null("doc_id_not_null", "doc_id"),
+        EX.unique("doc_id_unique", "doc_id"),
+        EX.between("n_chars_in_range", "n_chars", 1, 500),
+        EX.in_set("lang_in_set", "lang", ["en", "de", "fr", "es"]),
+        EX.matches("text_has_letters", "text", "[a-z]"),
+        EX.satisfies("n_chars_consistent",
+                     F.col("n_chars") == F.length("text")),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -3530,9 +3575,12 @@ def semantic_dedup(spark, sf_dir):
 # set_except_all, set_intersect_all and union_distinct — all simple
 # shapes already green once — wait for a later window).
 _GRADING_WINDOW = [
-    # §2.B — the SQL shapes the reference itself issues (pinned)
+    # §2.B — the SQL shapes the reference itself issues (pinned; this
+    # round distinct_projection — the simplest shape, green in all five
+    # prior rounds — cedes its slot so the late-r6 quality_expectations
+    # query is graded in its own round per registry discipline)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
-    "grouparray_topology", "distinct_projection", "concat_qualified",
+    "grouparray_topology", "concat_qualified",
     "like_prefix", "rlike_range", "insert_select_union",
     # §2.A — the dataflow pipeline (pinned)
     "transform_chain", "tokenize_pipe", "null_normalize_rules",
@@ -3560,6 +3608,7 @@ _GRADING_WINDOW = [
     # multimodal_header_decode, stay green on their r5 grade)
     "passage_dedup_spans",
     "semantic_dedup",
+    "quality_expectations",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -806,3 +806,26 @@ def test_semantic_dedup_gemm_path_matches_expr(spark, sf_dir):
     gemm = sorted(map(tuple, semantic_dedup(
         emb, m=8, threshold=0.3, assign_method="gemm").collect()))
     assert expr == gemm and len(expr) > 0
+
+
+def test_run_expectations_null_and_agg_semantics(spark):
+    """NULL predicate evaluations count as violations (unknown is not a
+    pass); uniqueness counts surplus copies at the aggregate level; a
+    check with both/neither predicate forms raises."""
+    import pytest as PT
+    from clickhouse_hdfs_loader_spark.operators import expectations as EX
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (2, 30), (3, 600)], "id long, v long")
+    rep = {r["check_name"]: r for r in EX.run_expectations(df, [
+        EX.not_null("v_not_null", "v"),
+        EX.unique("id_unique", "id"),
+        EX.between("v_in_range", "v", 1, 500),
+    ]).collect()}
+    assert rep["v_not_null"]["violations"] == 1
+    assert rep["id_unique"]["violations"] == 1        # one surplus copy of 2
+    # range check: 600 out of range + NULL (unknown → violation) = 2
+    assert rep["v_in_range"]["violations"] == 2
+    assert all(r["total_rows"] == 4 for r in rep.values())
+    assert not rep["v_in_range"]["passed"]
+    with PT.raises(ValueError, match="exactly one"):
+        EX.run_expectations(df, [EX.Check("bad")]).collect()
