@@ -1,0 +1,69 @@
+"""Data-layout operators for scan-time pruning at 100 TB ([EXT]).
+
+The reference's only layout lever is the daily-table partition
+(`ClickhouseHdfsLoader.java:338-380` — one table per dt). Columnar lakes
+add a second, finer lever: ORDERING data so parquet min/max footer stats
+let a range predicate skip whole files/row-groups before any IO. This
+module provides that layout step and a footer-stats reader that proves
+the property, engine-free.
+
+`repartitionByRange(col)` + `sortWithinPartitions(col)` yields files
+whose [min, max] intervals are pairwise disjoint (range partitioner) and
+internally sorted (row-group stats monotone) — a range filter then prunes
+to the few files whose interval intersects the predicate. This is the
+standard "sort by query key at write time" recipe (Z-order generalizes it
+to multiple keys; one key needs no curve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_range_layout(df: DataFrame, path: str, sort_col: str,
+                       num_files: int = 8) -> None:
+    """Write ``df`` as parquet laid out for range scans on ``sort_col``:
+    range-repartitioned (disjoint per-file key intervals) and sorted
+    within each file (monotone row-group stats). ``num_files`` sizes the
+    layout — at scale pick ``total_bytes / target_file_size`` (128-512 MB
+    files keep footers cheap and scans parallel)."""
+    (df.repartitionByRange(num_files, F.col(sort_col))
+     .sortWithinPartitions(sort_col)
+     .write.mode("overwrite").parquet(path))
+
+
+def file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
+    """Per-file (name, min, max) of ``col`` read straight from parquet
+    footers with pyarrow — the same metadata any engine's scan pruner
+    uses, so disjointness here IS the file-skipping guarantee. Driver
+    cost: one footer read per file (no data IO)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((name, lo, hi))
+    return out
+
+
+def pruned_fraction(path: str, col: str, lo, hi) -> float:
+    """Fraction of files a ``col BETWEEN lo AND hi`` scan can skip based
+    on footer stats alone (1.0 = everything skipped)."""
+    stats = [s for s in file_stats(path, col) if s[1] is not None]
+    if not stats:
+        return 0.0
+    hit = sum(1 for _, mn, mx in stats if not (mx < lo or mn > hi))
+    return 1.0 - hit / len(stats)

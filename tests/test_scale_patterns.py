@@ -225,3 +225,35 @@ def test_semantic_dedup_joins_on_centroid_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan
+
+
+def test_range_layout_files_are_disjoint_and_prunable(spark, sf_dir, tmp_path):
+    """write_range_layout must produce files whose [min, max] key
+    intervals are pairwise disjoint (the file-skipping guarantee for
+    range scans) and a narrow BETWEEN over the layout must be able to
+    skip most files on footer stats alone; the laid-out data is
+    row-identical to the input."""
+    from clickhouse_hdfs_loader_spark.operators.layout import (
+        file_stats, pruned_fraction, write_range_layout)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    path = str(tmp_path / "li_by_orderkey")
+    write_range_layout(li, path, "l_orderkey", num_files=8)
+    stats = [s for s in file_stats(path, "l_orderkey") if s[1] is not None]
+    assert len(stats) >= 4
+    ivals = sorted((mn, mx) for _, mn, mx in stats)
+    assert all(a[1] <= b[0] for a, b in zip(ivals, ivals[1:])), \
+        f"overlapping file intervals: {ivals}"
+    keys = sorted(r[0] for r in li.select("l_orderkey").collect())
+    lo = keys[0]
+    hi = keys[len(keys) // 10]          # ~first decile → 1-2 files
+    assert pruned_fraction(path, "l_orderkey", lo, hi) >= 0.5
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, li.collect()))
+    # and the Spark scan pushes the range predicate down to the source
+    plan = (back.where(SF.col("l_orderkey").between(lo, hi))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual" in plan
