@@ -829,3 +829,20 @@ def test_run_expectations_null_and_agg_semantics(spark):
     assert not rep["v_in_range"]["passed"]
     with PT.raises(ValueError, match="exactly one"):
         EX.run_expectations(df, [EX.Check("bad")]).collect()
+
+
+@pytest.mark.parametrize("grade_dir", ["/root/testdata/sf0.001",
+                                       "/root/testdata/sf0.01"])
+def test_semantic_dedup_gemm_pair_kernel_parity(spark, grade_dir):
+    """The per-cluster BLAS pair kernel (one S = M·Mᵀ per cluster) must
+    reproduce the interpreted expression fold's output EXACTLY on both
+    fixture scales — rounded cosines included — so swapping the scale
+    kernel cannot change a grade."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import semantic_dedup
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    emb = read_table(spark, grade_dir, "embeddings")
+    expr = sorted(map(tuple, semantic_dedup(
+        emb, m=8, threshold=0.4, pair_kernel="expr").collect()))
+    gemm = sorted(map(tuple, semantic_dedup(
+        emb, m=8, threshold=0.4, pair_kernel="gemm").collect()))
+    assert expr == gemm and len(expr) > 0
