@@ -342,3 +342,37 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
             .select(id_col, group_col,
                     (F.floor(F.col("rate") * 1000000 + 0.5) / 1000000)
                     .alias("target_rate")))
+
+
+def leakage_safe_split(docs: DataFrame, dup_pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       weights: tuple = (80, 10, 90)) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits: hash-bucket splitting keyed on the doc's duplicate-COMPONENT
+    label instead of its own id, so every member of a near-dup family
+    (connected component over ``dup_pairs`` — any of the fuzzy-dedup
+    pair generators) lands in the same split. Splitting on raw doc ids
+    puts a train copy of a test document in the training set — the
+    classic held-out-contamination bug this operator exists to prevent.
+
+    ``weights`` = (train_upper, val_size, val_upper) percent bounds over
+    the md5-bucket, matching train_val_test_split's 80/10/10 default.
+    Scale: one components run over the PAIR set (linear in pairs, not
+    corpus) + one left join of the corpus against the component labels
+    (pairs are sparse — the join's build side is only the duplicated
+    docs); singleton docs fall back to their own id as the label, so
+    their assignment is identical to the naive split."""
+    from .components import connected_components
+
+    comp = connected_components(dup_pairs)
+    labeled = (docs.select(id_col)
+               .join(comp, docs[id_col] == comp.id, "left")
+               .select(F.col(id_col),
+                       F.coalesce("component", F.col(id_col))
+                       .alias("split_key")))
+    bucket = (F.conv(F.substring(F.md5(F.col("split_key").cast("string")),
+                                 1, 4), 16, 10).cast("int") % 100)
+    train_hi, _, val_hi = weights
+    split = (F.when(bucket < train_hi, "train")
+             .when(bucket < val_hi, "val").otherwise("test"))
+    return labeled.select(id_col, "split_key", split.alias("split"))

@@ -846,3 +846,37 @@ def test_semantic_dedup_gemm_pair_kernel_parity(spark, grade_dir):
     gemm = sorted(map(tuple, semantic_dedup(
         emb, m=8, threshold=0.4, pair_kernel="gemm").collect()))
     assert expr == gemm and len(expr) > 0
+
+
+def test_leakage_safe_split_keeps_dup_families_together(spark, sf_dir):
+    """Every near-dup pair (and transitively, every duplicate family)
+    must land in ONE split; singletons must get exactly the naive
+    hash-split assignment; all docs are assigned exactly once."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        leakage_safe_split)
+    from clickhouse_hdfs_loader_spark.operators.dedup import minhash_lsh_pairs
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    out = leakage_safe_split(docs, pairs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    p = pairs.collect()
+    assert p, "fixture should contain near-dup pairs"
+    for r in p:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]
+    # singletons match the naive md5(doc_id) split exactly
+    in_pairs = {r["id_a"] for r in p} | {r["id_b"] for r in p}
+    naive = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id",
+        SF.when((SF.conv(SF.substring(SF.md5(SF.col("doc_id").cast("string")),
+                                      1, 4), 16, 10).cast("int") % 100) < 80,
+                "train")
+        .when((SF.conv(SF.substring(SF.md5(SF.col("doc_id").cast("string")),
+                                    1, 4), 16, 10).cast("int") % 100) < 90,
+              "val").otherwise("test").alias("s")).collect()}
+    for d, s in split_of.items():
+        if d not in in_pairs:
+            assert s == naive[d]
