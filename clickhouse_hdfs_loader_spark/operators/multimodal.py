@@ -5,7 +5,7 @@ plus typed metadata. The Spark-side machinery — schema, Arrow batch
 shape, ``mapInPandas`` partitioned decode — is real and tested, and so is
 HEADER-level decode: ``parse_media_header`` reads width/height/channels
 (or sample-rate/bit-depth for audio) straight from PNG / GIF / BMP /
-JPEG / WAV file headers in pure Python. What stays stubbed is full PIXEL
+JPEG / WAV / MP4 / WEBP / FLAC file headers in pure Python. What stays stubbed is full PIXEL
 decode (Pillow/libvips/ffmpeg are not in this container): unrecognized
 payloads raise under ``fake=False`` and get deterministic fake metadata
 under ``fake=True`` so text-payload pipelines remain end-to-end testable.
@@ -110,6 +110,43 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
         rate = struct.unpack("<I", p[24:28])[0]
         bits = struct.unpack("<H", p[34:36])[0]
         return n, rate, bits, channels, "wav"
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP" and n >= 25:
+        # structural guard: the RIFF size field must be consistent with
+        # the payload (± the odd-byte pad). ASCII text "RIFF...WEBP..."
+        # would carry a size ≥ 0x20202020 and is rejected here.
+        riff_size = struct.unpack("<I", p[4:8])[0]
+        if not (n - 9 <= riff_size <= n - 7):
+            return None
+        four, data = p[12:16], p[20:]
+        if four == b"VP8 " and len(data) >= 10 \
+                and data[3:6] == b"\x9d\x01\x2a":     # lossy sync code
+            w = struct.unpack("<H", data[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", data[8:10])[0] & 0x3FFF
+            return n, w, h, 3, "webp"
+        if four == b"VP8L" and len(data) >= 5 and data[0] == 0x2F:
+            bits = struct.unpack("<I", data[1:5])[0]
+            if (bits >> 29) & 0x7:                    # version must be 0
+                return None
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return n, w, h, 4 if (bits >> 28) & 1 else 3, "webp"
+        if four == b"VP8X" and len(data) >= 10:
+            w = int.from_bytes(data[4:7], "little") + 1
+            h = int.from_bytes(data[7:10], "little") + 1
+            return n, w, h, 4 if data[0] & 0x10 else 3, "webp"
+        return None
+    if p[:4] == b"fLaC" and n >= 42 and (p[4] & 0x7F) == 0 \
+            and int.from_bytes(p[5:8], "big") == 34:
+        # STREAMINFO must be the first metadata block (type 0, len 34);
+        # its type byte is 0x00/0x80 — never printable, so text can't
+        # impersonate. Sample-rate 20 bits / channels 3 / bps 5 packed
+        # big-endian at offset 18 (FLAC format §METADATA_BLOCK_STREAMINFO).
+        rate = (p[18] << 12) | (p[19] << 4) | (p[20] >> 4)
+        channels = ((p[20] >> 1) & 0x7) + 1
+        bits = (((p[20] & 0x1) << 4) | (p[21] >> 4)) + 1
+        if rate == 0:
+            return None
+        return n, rate, bits, channels, "flac"
     return None
 
 
@@ -188,6 +225,37 @@ def build_wav(rate: int, bits: int, channels: int) -> bytes:
     return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
             + b"fmt " + struct.pack("<I", 16) + fmt
             + b"data" + struct.pack("<I", 0))              # 44 bytes
+
+
+def build_webp(w: int, h: int, variant: str = "vp8") -> bytes:
+    """Minimal WEBP containers for all three chunk variants; sizes in the
+    RIFF header are exact so the structural size guard accepts them."""
+    if variant == "vp8":
+        data = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w, h))
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)            # version+alpha = 0
+        data = b"\x2f" + struct.pack("<I", bits)
+    elif variant == "vp8x":
+        data = (b"\x10\x00\x00\x00"             # alpha flag set
+                + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    else:
+        raise ValueError(variant)
+    if len(data) % 2:
+        data += b"\x00"
+    chunk = {"vp8": b"VP8 ", "vp8l": b"VP8L", "vp8x": b"VP8X"}[variant]
+    body = b"WEBP" + chunk + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_flac(rate: int, bits: int, channels: int) -> bytes:
+    """Minimal FLAC: fLaC magic + last-flag STREAMINFO block (34 bytes),
+    spec bit packing for rate/channels/bps, zero total samples/md5."""
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
+    si = (struct.pack(">HH", 16, 16) + b"\x00" * 6
+          + packed.to_bytes(8, "big") + b"\x00" * 16)
+    assert len(si) == 34
+    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:

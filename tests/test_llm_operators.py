@@ -880,3 +880,28 @@ def test_leakage_safe_split_keeps_dup_families_together(spark, sf_dir):
     for d, s in split_of.items():
         if d not in in_pairs:
             assert s == naive[d]
+
+
+def test_media_header_webp_and_flac():
+    """WEBP (all three chunk variants) and FLAC STREAMINFO round-trip
+    byte-exact through parse_media_header; printable-ASCII impersonators
+    are rejected by the RIFF-size / block-type structural guards."""
+    from clickhouse_hdfs_loader_spark.operators.multimodal import (
+        build_flac, build_webp, parse_media_header)
+    n_vp8 = len(build_webp(320, 200, "vp8"))
+    assert parse_media_header(build_webp(320, 200, "vp8")) \
+        == (n_vp8, 320, 200, 3, "webp")
+    n_l = len(build_webp(1, 1, "vp8l"))
+    assert parse_media_header(build_webp(1, 1, "vp8l")) \
+        == (n_l, 1, 1, 3, "webp")
+    n_x = len(build_webp(16384, 16384, "vp8x"))
+    assert parse_media_header(build_webp(16384, 16384, "vp8x")) \
+        == (n_x, 16384, 16384, 4, "webp")
+    assert parse_media_header(build_flac(44100, 16, 2)) \
+        == (42, 44100, 16, 2, "flac")
+    assert parse_media_header(build_flac(192000, 24, 8)) \
+        == (42, 192000, 24, 8, "flac")
+    assert parse_media_header(
+        b"RIFFabcdWEBPVP8L/abcd more printable text here") is None
+    assert parse_media_header(
+        b"fLaC is a lossless audio format, widely used!") is None
