@@ -365,16 +365,23 @@ def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
 
 def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
-                             threshold: float = 0.95) -> DataFrame:
+                             threshold: float = 0.95,
+                             kernel: str = "expr") -> DataFrame:
     """Exact cosine near-dup pairs (brute-force O(n²) — correctness
     baseline; the LSH-blocked scale path is
-    similarity.lsh_near_dup_pairs)."""
-    from ..functions.vectors import cosine
+    similarity.lsh_near_dup_pairs). ``kernel='arrow'`` scores pairs with
+    the numpy row-wise dot (functions/vectors.cosine_pairs_udf) instead
+    of the interpreted fold — same output on the fixtures (pinned), same
+    ULP caveat as every arrow kernel."""
+    from ..functions.vectors import cosine, cosine_pairs_udf
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    scorer = (cosine_pairs_udf()(F.col("v_a"), F.col("v_b"))
+              if kernel == "arrow"
+              else cosine(F.col("v_a"), F.col("v_b")))
     return (a.crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+            .withColumn("cos", scorer)
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 

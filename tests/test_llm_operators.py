@@ -935,3 +935,17 @@ def test_kmeans_fit_gemm_assignment_same_centroids(spark, sf_dir):
     a = kmeans_fit(emb, k=8, iters=2, assign_method="expr")
     b = kmeans_fit(emb, k=8, iters=2, assign_method="gemm")
     assert a == b
+
+
+def test_embedding_near_dup_arrow_kernel_parity(spark, sf_dir):
+    """The arrow pair-scoring kernel reproduces the fold's brute-force
+    near-dup pair set exactly on the fixture."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.4).collect()))
+    a = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.4, kernel="arrow").collect()))
+    assert e == a and len(e) > 0
