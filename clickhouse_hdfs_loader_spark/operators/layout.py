@@ -67,3 +67,48 @@ def pruned_fraction(path: str, col: str, lo, hi) -> float:
         return 0.0
     hit = sum(1 for _, mn, mx in stats if not (mx < lo or mn > hi))
     return 1.0 - hit / len(stats)
+
+
+def zorder_value(c1, c2, bits: int = 16,
+                 lo1=None, hi1=None, lo2=None, hi2=None):
+    """Morton (Z-order) interleave of two numeric columns, each min-max
+    scaled to ``bits`` bits. Ordering data by this value clusters BOTH
+    dimensions at once, so footer-stats pruning works for predicates on
+    either column — the multi-key generalization of the single-key sort
+    in :func:`write_range_layout` (one sorted key gives the other
+    dimension no locality at all). Bounds are driver-side constants
+    (pass them, or the writer computes them with one tiny aggregate).
+    Pure integer shift/or expressions — codegen, no UDF."""
+    def scaled(c, lo, hi):
+        c = c.cast("double")
+        span = F.lit(float(hi - lo)) if hi > lo else F.lit(1.0)
+        x = (c - F.lit(float(lo))) / span * F.lit(float((1 << bits) - 1))
+        return F.least(F.greatest(x.cast("long"), F.lit(0)),
+                       F.lit((1 << bits) - 1))
+    a, b = scaled(c1, lo1, hi1), scaled(c2, lo2, hi2)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        out = (out.bitwiseOR(F.shiftleft(abit, 2 * i))
+               .bitwiseOR(F.shiftleft(bbit, 2 * i + 1)))
+    return out
+
+
+def write_zorder_layout(df: DataFrame, path: str, col1: str, col2: str,
+                        num_files: int = 8, bits: int = 16) -> None:
+    """Write parquet laid out on the Z-order curve of (col1, col2):
+    range-repartition + sort on the morton value, so per-file footer
+    stats are tight rectangles in BOTH dimensions and a predicate on
+    either column prunes files. One tiny bounds aggregate (4 scalars to
+    the driver), then a single shuffle — same cost shape as the
+    single-key layout."""
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)).first()
+    z = zorder_value(F.col(col1), F.col(col2), bits,
+                     float(lo1), float(hi1), float(lo2), float(hi2))
+    (df.withColumn("_z", z)
+     .repartitionByRange(num_files, F.col("_z"))
+     .sortWithinPartitions("_z")
+     .drop("_z")
+     .write.mode("overwrite").parquet(path))

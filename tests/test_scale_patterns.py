@@ -257,3 +257,30 @@ def test_range_layout_files_are_disjoint_and_prunable(spark, sf_dir, tmp_path):
     plan = (back.where(SF.col("l_orderkey").between(lo, hi))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual" in plan
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout must give footer-stats pruning on BOTH keys, where
+    the single-key sort gives the secondary key none; round-trips
+    row-identical. Pruning thresholds are loose (the Z-curve trades some
+    per-dimension tightness for covering two)."""
+    from clickhouse_hdfs_loader_spark.operators.layout import (
+        pruned_fraction, write_range_layout, write_zorder_layout)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_layout(li, zpath, "l_orderkey", "l_suppkey", num_files=16)
+    write_range_layout(li, spath, "l_orderkey", num_files=16)
+    ok, sk = [r[0] for r in li.agg({"l_orderkey": "max"}).collect()], None
+    omax = ok[0]
+    smax = li.agg({"l_suppkey": "max"}).collect()[0][0]
+    # narrow band on each dimension (~1/8 of its range)
+    oz = pruned_fraction(zpath, "l_orderkey", 0, omax // 8)
+    sz = pruned_fraction(zpath, "l_suppkey", 0, smax // 8)
+    ss = pruned_fraction(spath, "l_suppkey", 0, smax // 8)
+    assert oz >= 0.25 and sz >= 0.25, (oz, sz)
+    assert ss == 0.0                      # single-key sort: no secondary pruning
+    back = spark.read.parquet(zpath)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, li.collect()))
