@@ -61,16 +61,26 @@ def _planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              num_planes: int = 16, bands: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 7) -> DataFrame:
+             seed: int = 7, kernel: str = "expr") -> DataFrame:
     """ANN top-k via sign-LSH banding: signature = ``num_planes`` sign bits;
     split into ``bands`` bands; candidate = shares ≥1 band with the query.
-    One equi-join per band key — no cross join anywhere."""
+    One equi-join per band key — no cross join anywhere.
+    ``kernel='arrow'`` swaps the signature gemm and candidate cosine for
+    the numpy batch kernels (fixture-identical top-k pinned by test);
+    the expression default stays oracle-replayable."""
     planes = _planes(num_planes, dim, seed)
     rows = num_planes // bands
     mask = (1 << rows) - 1
+    if kernel == "arrow":
+        from ..functions.vectors import cosine_pairs_udf, hyperplane_bits_udf
+        sig_of = hyperplane_bits_udf(planes)
+        pair_cos = cosine_pairs_udf()
+    else:
+        sig_of = lambda c: random_hyperplane_bits(c, planes)  # noqa: E731
+        pair_cos = None
 
     def with_bands(df: DataFrame, idc: str, vc: str, prefix: str) -> DataFrame:
-        sig = random_hyperplane_bits(F.col(vc), planes)
+        sig = sig_of(F.col(vc))
         out = df.select(F.col(idc).alias(f"{prefix}id"), F.col(vc).alias(f"{prefix}v"),
                         sig.alias("sig"))
         bandcols = [F.struct(F.lit(b).alias("band"),
@@ -88,7 +98,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
             .where(F.col("qid") != F.col("id"))
             .select(F.col("qid").alias("query_id"), "id", "qv", F.col("v"))
             .distinct())
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    scorer = pair_cos(F.col("qv"), F.col("v")) if pair_cos is not None \
+        else cosine(F.col("qv"), F.col("v"))
+    scored = cand.withColumn("cos", scorer)
     return _ranked_topk(scored, k)
 
 

@@ -949,3 +949,17 @@ def test_embedding_near_dup_arrow_kernel_parity(spark, sf_dir):
     a = sorted(map(tuple, embedding_near_dup_pairs(
         emb, threshold=0.4, kernel="arrow").collect()))
     assert e == a and len(e) > 0
+
+
+def test_lsh_topk_arrow_kernel_parity(spark, sf_dir):
+    """Arrow kernel top-k equals the expression kernel's exactly
+    (deterministic tie-breaks make the whole ranked output comparable)."""
+    from clickhouse_hdfs_loader_spark.operators.similarity import lsh_topk
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(SF.col("vec_id") < 3)
+    e = sorted(map(tuple, lsh_topk(emb, q, k=5, bands=8).collect()))
+    a = sorted(map(tuple, lsh_topk(emb, q, k=5, bands=8,
+                                   kernel="arrow").collect()))
+    assert e == a and len(e) > 0
