@@ -376,3 +376,51 @@ def leakage_safe_split(docs: DataFrame, dup_pairs: DataFrame,
     split = (F.when(bucket < train_hi, "train")
              .when(bucket < val_hi, "val").otherwise("test"))
     return labeled.select(id_col, "split_key", split.alias("split"))
+
+
+def bigram_likelihood(docs: DataFrame, model_docs: DataFrame = None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """LM-based quality scoring (the CCNet/Wikipedia-LM filtering step,
+    Wenzek et al. 2020) without a neural LM: train bigram continuation
+    probabilities P(w2|w1) = c(w1 w2)/c(w1 ·) on ``model_docs`` (a
+    reference corpus; defaults to ``docs`` itself) and score each doc by
+    the mean probability of its adjacent token pairs. Fluent text reuses
+    common continuations and scores high; gibberish/boilerplate-salad
+    scores low — rank by ``score`` ascending to find junk.
+
+    Engine-exact by construction (no log/exp): each bigram contributes
+    ``floor(1e6 · c/cw1)`` (int), per-doc sum is an order-free int64, and
+    ``score = floor(sum/n)`` — every step replayable in plain SQL, so
+    the operator carries a DuckDB twin in its test. Unseen bigrams score
+    0 (the left join's null → 0), the standard harsh-OOV choice.
+
+    Scale: model = two aggregates over the reference corpus's bigrams
+    (vocabulary-bounded); scoring = one explode + one join keyed on the
+    bigram string (xxhash64-able at scale) + one per-doc aggregate. The
+    model side is a join input, not a broadcast requirement — AQE
+    decides by its actual size."""
+    from ..functions.text import ngrams_udf
+
+    if model_docs is None:
+        model_docs = docs
+    mbg = (model_docs.select(F.explode(ngrams_udf(2)(F.col(text_col)))
+                             .alias("bg"))
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("c2")))
+    uni = (mbg.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                             F.lit(1)))
+           .groupBy("w1").agg(F.sum("c2").alias("c1")))
+    model = (mbg.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                               F.lit(1)))
+             .join(uni, "w1")
+             .select("bg", F.floor(F.col("c2") * F.lit(1000000.0)
+                                   / F.col("c1")).cast("long").alias("q")))
+    dbg = docs.select(F.col(id_col),
+                      F.explode(ngrams_udf(2)(F.col(text_col))).alias("bg"))
+    return (dbg.join(model, "bg", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce("q", F.lit(0))).alias("q_sum"),
+                 F.count(F.lit(1)).alias("n_bigrams"))
+            .select(id_col, "q_sum", "n_bigrams",
+                    F.floor(F.col("q_sum") / F.col("n_bigrams"))
+                    .cast("long").alias("score")))
