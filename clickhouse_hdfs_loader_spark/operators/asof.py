@@ -61,3 +61,55 @@ def range_join(left: DataFrame, right: DataFrame, key: str,
     return (lt.join(rt, (F.col(f"l.{key}") == F.col(f"r.{key}"))
                     & (delta_us >= lower_s * 1_000_000)
                     & (delta_us < upper_s * 1_000_000)))
+
+
+def anomaly_zscore(events, ts_col: str = "ts", key_col: str = "event_type",
+                   window_hours: int = 24, z_threshold: float = 3.0,
+                   min_history: int = 8):
+    """Trailing-window z-score anomaly detection on hourly event counts —
+    the classic observability workload (spike/drop detection per series).
+
+    For each (key, hour): mean/std of the PRECEDING ``window_hours``
+    hourly counts (ROWS frame, never the current row), z = (cnt − mean)/
+    std, anomalies = |z| ≥ threshold with ≥ ``min_history`` prior hours
+    and nonzero variance. Variance is computed from explicit sum/sum-sq
+    in a FIXED expression order (not stddev_samp — engines disagree on
+    Welford vs naive accumulation) and z is floor-rounded at 1e4, so the
+    whole detector replays bit-exactly in SQL (in-test DuckDB oracle).
+
+    Scale: one hourly pre-aggregate (shuffle rows = series × hours), one
+    window per series partition — series count bounds parallelism, hours
+    bound partition size; nothing scales with raw event volume past the
+    first aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hourly = (events.groupBy(key_col,
+                             F.date_trunc("hour", F.col(ts_col)).alias("h"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy(key_col).orderBy("h")
+         .rowsBetween(-window_hours, -1))
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("cnt").cast("double")).over(w)
+    sq = F.sum((F.col("cnt") * F.col("cnt")).cast("double")).over(w)
+    # Spark 4 ANSI raises on ANY division by zero (doubles included), so
+    # every quotient sits inside a lazily-evaluated CASE WHEN guard —
+    # rows with an empty frame or zero variance never evaluate it
+    nd = n.cast("double")
+    enough = n >= min_history
+    mean = F.when(enough, s / nd)
+    var = F.when(enough, (sq - s * s / nd) / (nd - F.lit(1.0)))
+    return (hourly
+            .withColumn("_n", n).withColumn("_mean", mean)
+            .withColumn("_var", var)
+            .withColumn("_z", F.when(F.col("_var") > 0,
+                                     (F.col("cnt") - F.col("_mean"))
+                                     / F.sqrt(F.col("_var"))))
+            .where((F.col("_n") >= min_history) & (F.col("_var") > 0)
+                   & (F.abs(F.col("_z")) >= z_threshold))
+            .select(key_col,
+                    F.unix_timestamp("h").alias("hour_epoch"), "cnt",
+                    (F.floor(F.col("_mean") * 10000 + 0.5) / 10000)
+                    .alias("mean_cnt"),
+                    (F.floor(F.col("_z") * 10000 + 0.5) / 10000)
+                    .alias("z")))

@@ -1014,3 +1014,63 @@ def test_bigram_likelihood_oracle_and_discrimination(spark, sf_dir):
          bigram_likelihood(probe, model_docs=probe.where(
              F.col("doc_id") == 100001)).collect()}
     assert s[100001] > s[100002]
+
+
+def test_anomaly_zscore_oracle_and_planted_spike(spark, sf_dir):
+    """In-test DuckDB oracle: the hourly-count trailing z-score detector
+    replays bit-exactly in SQL on the real events table (fixed-order
+    sum/sum-sq variance, floor rounding). A planted ~50x spike on a
+    low-noise synthetic series is the only flagged hour (an all-flat
+    history has zero variance and is correctly excluded, hence the
+    baseline jitter)."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.asof import anomaly_zscore
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import datetime as dt
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, anomaly_zscore(ev, z_threshold=2.0).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type, h, cnt,
+                 count(*) OVER w AS n,
+                 sum(CAST(cnt AS DOUBLE)) OVER w AS s,
+                 sum(CAST(cnt * cnt AS DOUBLE)) OVER w AS sq
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        scored AS (
+          SELECT event_type, h, cnt, n, s / n AS mean,
+                 (sq - s * s / n) / (n - 1) AS var,
+                 (cnt - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
+          FROM stats)
+        SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_epoch, cnt,
+               floor(mean * 10000 + 0.5) / 10000 AS mean_cnt,
+               floor(z * 10000 + 0.5) / 10000 AS z
+        FROM scored
+        WHERE n >= 8 AND var > 0 AND abs(z) >= 2.0
+    """).fetchall()))
+    assert got == want
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hr in range(48):
+        burst = 500 if hr == 40 else 10 + hr % 3
+        for i in range(burst):
+            rows.append((eid, 1, "click",
+                         base + dt.timedelta(hours=hr, seconds=i), 1.0))
+            eid += 1
+    synth = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    hits = anomaly_zscore(synth, z_threshold=3.0).collect()
+    assert [r["hour_epoch"] for r in hits] == \
+        [int((base + dt.timedelta(hours=40)).replace(
+            tzinfo=dt.timezone.utc).timestamp())]
+    assert hits[0]["cnt"] == 500
