@@ -1,0 +1,70 @@
+"""Event-analytics operators ([EXT]): ordered funnels and cohort
+retention — the two canonical product-analytics workloads over an event
+stream (ClickHouse ships them as ``windowFunnel``/``retention``
+combinators; here they are plain DataFrame compositions). Outputs are
+pure integer counts, so the DuckDB oracles in the tests compare
+hash-exactly with no float rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step i+1 iff they have an
+    event of that type STRICTLY AFTER their earliest completion of step
+    i (earliest-completion semantics — the standard greedy funnel, and
+    the deterministic choice: min timestamps are order-free).
+
+    Returns one row per step: ``step_idx, step, users`` (users reaching
+    that step), built as a lazy union of per-step aggregates — no driver
+    action inside the operator. Scale: one filtered aggregate per step,
+    each keyed on user — #steps small joins over per-user minima
+    (|users| rows each), never over raw events more than once per
+    step."""
+    def count_of(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return (df.agg(F.count(F.lit(1)).alias("users"))
+                .select(F.lit(idx).alias("step_idx"),
+                        F.lit(name).alias("step"), "users"))
+
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("t")))
+    out = count_of(cur, 0, steps[0])
+    for i, s in enumerate(steps[1:], start=1):
+        cur = (events.where(F.col(type_col) == s)
+               .select(user_col, F.col(ts_col).alias("_ts"))
+               .join(cur, user_col)
+               .where(F.col("_ts") > F.col("t"))
+               .groupBy(user_col).agg(F.min("_ts").alias("t")))
+        out = out.unionByName(count_of(cur, i, s))
+    return out
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      max_offset: int = 8) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    FIRST event; for each (cohort, week offset) count how many cohort
+    members were active that week. Offset 0 is the cohort size itself.
+
+    Scale: one per-user min aggregate, one distinct (user, week)
+    aggregate, one join keyed on user, one count aggregate — shuffle
+    rows bounded by |users| + |user-weeks|, never raw events past the
+    first aggregates."""
+    first = (events.groupBy(user_col)
+             .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort")))
+    active = (events.select(user_col,
+                            F.date_trunc("week", F.col(ts_col)).alias("wk"))
+              .distinct())
+    return (active.join(first, user_col)
+            .withColumn("offset",
+                        (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                        .cast("int"))
+            .where((F.col("offset") >= 0) & (F.col("offset") <= max_offset))
+            .groupBy(F.unix_timestamp("cohort").alias("cohort_epoch"),
+                     "offset")
+            .agg(F.count(F.lit(1)).alias("active_users")))

@@ -1074,3 +1074,78 @@ def test_anomaly_zscore_oracle_and_planted_spike(spark, sf_dir):
         [int((base + dt.timedelta(hours=40)).replace(
             tzinfo=dt.timezone.utc).timestamp())]
     assert hits[0]["cnt"] == 500
+
+
+def test_funnel_oracle_and_ordering_semantics(spark, sf_dir):
+    """In-test DuckDB oracle for the strictly-ordered funnel on the real
+    events table (earliest-completion semantics), plus a hand-built case
+    proving order matters: a user with purchase BEFORE click does not
+    convert."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import funnel
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple,
+                     funnel(ev, ["view", "click", "purchase"]).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s0) AS users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """).fetchall()))
+    assert got == want
+    assert got[0][2] >= got[1][2] >= got[2][2] > 0   # monotone funnel
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "view", t, 1.0), (2, 1, "click", t + h, 1.0),
+         (3, 1, "purchase", t + 2 * h, 1.0),
+         # user 2: purchase BEFORE click — must not reach step 2
+         (4, 2, "view", t, 1.0), (5, 2, "purchase", t + h, 1.0),
+         (6, 2, "click", t + 2 * h, 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    by_step = {r["step"]: r["users"] for r in
+               funnel(synth, ["view", "click", "purchase"]).collect()}
+    assert by_step == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_oracle(spark, sf_dir):
+    """In-test DuckDB oracle for weekly cohort retention on the real
+    events table; offset-0 rows equal cohort sizes."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        retention_cohorts)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, retention_cohorts(ev).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH first AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          FROM events GROUP BY 1),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+          FROM events)
+        SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_epoch,
+               CAST(date_diff('day', cohort, wk) / 7 AS INT) AS offset,
+               count(*) AS active_users
+        FROM active JOIN first USING (user_id)
+        WHERE date_diff('day', cohort, wk) BETWEEN 0 AND 56
+        GROUP BY 1, 2
+    """).fetchall()))
+    assert got == want and len(got) > 0
