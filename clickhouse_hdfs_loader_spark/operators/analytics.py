@@ -14,11 +14,15 @@ from pyspark.sql import functions as F
 
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           within_hours: int | None = None) -> DataFrame:
     """Strictly-ordered funnel: a user reaches step i+1 iff they have an
     event of that type STRICTLY AFTER their earliest completion of step
     i (earliest-completion semantics — the standard greedy funnel, and
     the deterministic choice: min timestamps are order-free).
+    ``within_hours`` adds the ClickHouse ``windowFunnel(N)`` conversion
+    window: every later step must also fall within N hours of the
+    user's step-0 time.
 
     Returns one row per step: ``step_idx, step, users`` (users reaching
     that step), built as a lazy union of per-step aggregates — no driver
@@ -32,14 +36,21 @@ def funnel(events: DataFrame, steps: list[str],
                         F.lit(name).alias("step"), "users"))
 
     cur = (events.where(F.col(type_col) == steps[0])
-           .groupBy(user_col).agg(F.min(ts_col).alias("t")))
+           .groupBy(user_col).agg(F.min(ts_col).alias("t"))
+           .withColumn("t0", F.col("t")))
     out = count_of(cur, 0, steps[0])
     for i, s in enumerate(steps[1:], start=1):
-        cur = (events.where(F.col(type_col) == s)
+        nxt = (events.where(F.col(type_col) == s)
                .select(user_col, F.col(ts_col).alias("_ts"))
                .join(cur, user_col)
-               .where(F.col("_ts") > F.col("t"))
-               .groupBy(user_col).agg(F.min("_ts").alias("t")))
+               .where(F.col("_ts") > F.col("t")))
+        if within_hours is not None:
+            nxt = nxt.where(
+                F.col("_ts") <= F.col("t0")
+                + F.expr(f"INTERVAL {int(within_hours)} HOURS"))
+        cur = (nxt.groupBy(user_col, "t0")
+               .agg(F.min("_ts").alias("t"))
+               .select(user_col, "t", "t0"))
         out = out.unionByName(count_of(cur, i, s))
     return out
 

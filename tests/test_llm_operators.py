@@ -1149,3 +1149,25 @@ def test_retention_cohorts_oracle(spark, sf_dir):
         GROUP BY 1, 2
     """).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_funnel_conversion_window(spark):
+    """windowFunnel(N)-style conversion window: a purchase 2h after the
+    first view converts under a 3h window but not under a 1h window;
+    the unwindowed funnel is unchanged by within_hours=None."""
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import funnel
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "view", t, 1.0), (2, 1, "click", t + h, 1.0),
+         (3, 1, "purchase", t + 2 * h, 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    def users(wh):
+        return {r["step"]: r["users"] for r in
+                funnel(synth, ["view", "click", "purchase"],
+                       within_hours=wh).collect()}
+    assert users(None) == {"view": 1, "click": 1, "purchase": 1}
+    assert users(3) == {"view": 1, "click": 1, "purchase": 1}
+    assert users(1) == {"view": 1, "click": 1, "purchase": 0}
