@@ -1171,3 +1171,38 @@ def test_funnel_conversion_window(spark):
     assert users(None) == {"view": 1, "click": 1, "purchase": 1}
     assert users(3) == {"view": 1, "click": 1, "purchase": 1}
     assert users(1) == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
+    """The materialized-view property: ingesting the events table in
+    three disjoint batches and merging their partial rollups yields
+    counts and cent-sums BITWISE equal to the from-scratch aggregate
+    (integer state is order-free where float sums would drift), and the
+    merged HLL distinct-user estimate lands within 5% of exact at every
+    coarser serving grain."""
+    from clickhouse_hdfs_loader_spark.operators.rollup import (
+        build_rollup, merge_rollups, rollup_report)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    ev = read_table(spark, sf_dir, "events")
+    full = build_rollup(ev)
+    merged = merge_rollups(
+        merge_rollups(build_rollup(ev.where(SF.col("event_id") % 3 == 0)),
+                      build_rollup(ev.where(SF.col("event_id") % 3 == 1))),
+        build_rollup(ev.where(SF.col("event_id") % 3 == 2)))
+    cols = ["event_type", "day", "cnt", "sum_cents"]
+    a = sorted(map(tuple, full.select(*cols).collect()))
+    b = sorted(map(tuple, merged.select(*cols).collect()))
+    assert a == b and len(a) > 0
+    # serve per-type totals from state; distinct users as a 5% contract
+    rep = {r["event_type"]: r for r in
+           rollup_report(merged, ["event_type"]).collect()}
+    exact = {r["event_type"]: r for r in
+             ev.groupBy("event_type")
+             .agg(SF.count(SF.lit(1)).alias("cnt"),
+                  SF.count_distinct("user_id").alias("du")).collect()}
+    assert set(rep) == set(exact)
+    for t, r in rep.items():
+        assert r["cnt"] == exact[t]["cnt"]
+        assert abs(r["approx_users"] - exact[t]["du"]) \
+            <= 0.05 * exact[t]["du"] + 1
