@@ -253,3 +253,36 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str,
          .start())
     _run_to_completion(q)
     return spark.createDataFrame(out_rows, "doc_id long, status string")
+
+
+def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/rollup: events arrive as a file-source
+    stream and each micro-batch's day-grain partial rollup merges into
+    the running state via ``foreachBatch`` (the mergeable-state columns —
+    int64 counts/cent-sums, HLL union — are exactly what makes per-batch
+    merge ≡ one-shot aggregation; pinned against the batch rollup by
+    test). At scale the state lives in a table the closure MERGEs into;
+    here it is a driver-held DataFrame so availableNow runs compare
+    deterministically."""
+    from ..operators.rollup import build_rollup, merge_rollups
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    stream = normalize_event_time(spark, stream)
+    state: list = []
+
+    def merge(bdf: DataFrame, _epoch: int) -> None:
+        part = build_rollup(bdf)
+        state[:] = [part if not state else merge_rollups(state[0], part)]
+        state[0] = state[0].localCheckpoint(eager=True)
+
+    q = (stream.writeStream.foreachBatch(merge)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return state[0]

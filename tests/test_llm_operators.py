@@ -1206,3 +1206,25 @@ def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
         assert r["cnt"] == exact[t]["cnt"]
         assert abs(r["approx_users"] - exact[t]["du"]) \
             <= 0.05 * exact[t]["du"] + 1
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir):
+    """foreachBatch rollup maintenance converges to the one-shot batch
+    rollup exactly on the mergeable-integer state (HLL bytes are
+    engine-path-dependent, so the sketch column is compared via its
+    served estimate instead)."""
+    from clickhouse_hdfs_loader_spark.operators.rollup import (
+        build_rollup, rollup_report)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_rollup_maintenance)
+    ev = read_table(spark, sf_dir, "events")
+    batch = build_rollup(ev)
+    streamed = stream_rollup_maintenance(spark, sf_dir)
+    cols = ["event_type", "day", "cnt", "sum_cents"]
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == \
+        sorted(map(tuple, batch.select(*cols).collect()))
+    br = sorted(map(tuple, rollup_report(batch, ["event_type"]).collect()))
+    sr = sorted(map(tuple,
+                    rollup_report(streamed, ["event_type"]).collect()))
+    assert br == sr
