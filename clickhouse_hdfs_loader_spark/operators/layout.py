@@ -112,3 +112,41 @@ def write_zorder_layout(df: DataFrame, path: str, col1: str, col2: str,
      .sortWithinPartitions("_z")
      .drop("_z")
      .write.mode("overwrite").parquet(path))
+
+
+def compact_parquet(spark, path: str, target_mb: int = 256,
+                    preserve_sort: str | None = None) -> int:
+    """Compact a small-file parquet directory in place: coalesce to
+    ``ceil(total_bytes / target_mb)`` files (the small-file problem —
+    thousands of KB-size files from incremental appends turn every scan
+    into a listing+open storm; the reference side-steps it with
+    ``--input-split-max-bytes``, a READ-time workaround this fixes at
+    REST). Returns the new file count.
+
+    Writes to a sibling temp dir then atomically swaps via two renames —
+    a crash mid-compact leaves either the old or the new directory
+    intact, never a mix. ``preserve_sort`` re-sorts within partitions so
+    a compacted range/Z-order layout keeps its footer-stats pruning
+    (plain coalesce would interleave file contents and widen every
+    min/max interval).
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if f.endswith(".parquet"))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if preserve_sort is not None:
+        out = (df.repartitionByRange(n, F.col(preserve_sort))
+               .sortWithinPartitions(preserve_sort))
+    else:
+        out = df.coalesce(n)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

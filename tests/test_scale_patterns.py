@@ -284,3 +284,28 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     back = spark.read.parquet(zpath)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, li.collect()))
+
+
+def test_compact_parquet_preserves_rows_and_pruning(spark, sf_dir, tmp_path):
+    """Compacting a 64-file directory to target size yields far fewer
+    files with identical rows; with preserve_sort the recompacted layout
+    keeps disjoint per-file intervals (footer pruning survives), while
+    plain coalesce of sorted input would not guarantee it."""
+    from clickhouse_hdfs_loader_spark.operators.layout import (
+        compact_parquet, file_stats)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    path = str(tmp_path / "shards")
+    li.repartition(64).write.parquet(path)
+    import os
+    assert sum(1 for f in os.listdir(path) if f.endswith(".parquet")) == 64
+    before = sorted(map(tuple, li.collect()))
+    n = compact_parquet(spark, path, target_mb=256,
+                        preserve_sort="l_orderkey")
+    assert n <= 4
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    ivals = sorted((mn, mx) for _, mn, mx in
+                   file_stats(path, "l_orderkey") if mn is not None)
+    assert all(a[1] <= b[0] for a, b in zip(ivals, ivals[1:]))
