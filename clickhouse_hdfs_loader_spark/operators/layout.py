@@ -134,6 +134,16 @@ def compact_parquet(spark, path: str, target_mb: int = 256,
     import os
     import shutil
 
+    parts = [d for d in os.listdir(path)
+             if os.path.isdir(os.path.join(path, d)) and "=" in d]
+    if parts:
+        # a hive-partitioned store (e.g. the IVF index's centroid=N
+        # dirs): a flat rewrite would silently DROP the partitioning and
+        # with it every PartitionFilters prune — refuse instead of
+        # corrupting the layout; compact each partition dir separately
+        raise ValueError(
+            f"{path} is hive-partitioned ({parts[:3]}...); compact each "
+            f"partition directory individually to preserve pruning")
     total = sum(os.path.getsize(os.path.join(path, f))
                 for f in os.listdir(path) if f.endswith(".parquet"))
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))

@@ -309,3 +309,17 @@ def test_compact_parquet_preserves_rows_and_pruning(spark, sf_dir, tmp_path):
     ivals = sorted((mn, mx) for _, mn, mx in
                    file_stats(path, "l_orderkey") if mn is not None)
     assert all(a[1] <= b[0] for a, b in zip(ivals, ivals[1:]))
+
+
+def test_compact_parquet_refuses_partitioned_store(spark, sf_dir, tmp_path):
+    """Compacting a hive-partitioned store (e.g. the IVF index) would
+    silently flatten the partitioning; the operator must refuse."""
+    import pytest as PT
+    from clickhouse_hdfs_loader_spark.operators.layout import compact_parquet
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    path = str(tmp_path / "parts")
+    (read_table(spark, sf_dir, "lineitem")
+     .select("l_orderkey", "l_linestatus")
+     .write.partitionBy("l_linestatus").parquet(path))
+    with PT.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)
