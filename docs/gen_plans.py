@@ -21,7 +21,8 @@ PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
          "q6_forecast_revenue", "q8_market_share", "q17_small_quantity",
          "q2_min_cost_supplier", "q9_product_profit", "q20_potential_promotion",
          "events_sliding_windows", "full_outer_reconcile",
-         "passage_dedup_spans", "semantic_dedup"]
+         "passage_dedup_spans", "semantic_dedup", "tf_idf_topk",
+         "quality_expectations"]
 
 
 def main() -> None:
