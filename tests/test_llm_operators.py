@@ -1228,3 +1228,35 @@ def test_stream_rollup_matches_batch(spark, sf_dir):
     sr = sorted(map(tuple,
                     rollup_report(streamed, ["event_type"]).collect()))
     assert br == sr
+
+
+def test_curate_pipeline_accounting_and_invariants(spark, sf_dir):
+    """Composition test for the end-to-end curation pipeline (each stage
+    is oracle-verified on its own): stage accounting sums to the input,
+    survivors carry exactly one split, no two near-dup pair members
+    straddle splits, every exact-duplicate loser is gone, and the train
+    packing covers exactly the train split."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import curate
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    curated, packed, report = curate(docs, emb, min_quality_score=1)
+    r = report.collect()[0]
+    assert r["input"] == docs.count()
+    assert (r["input"] - r["dropped_quality"] - r["dropped_exact"]
+            - r["dropped_semantic"]) == r["kept"]
+    rows = curated.collect()
+    assert len(rows) == r["kept"]
+    assert {x["split"] for x in rows} <= {"train", "val", "test"}
+    split_of = {x["doc_id"]: x["split"] for x in rows}
+    for p in minhash_lsh_pairs(curated).collect():
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+    # no exact duplicates survive curation
+    k = exact_dedup(curated).collect()
+    assert all(x["copies"] == 1 for x in k)
+    # packing covers exactly the train split (per-bin doc accounting)
+    train_n = sum(1 for x in rows if x["split"] == "train")
+    assert sum(b["n_docs"] for b in packed.collect()) == train_n
