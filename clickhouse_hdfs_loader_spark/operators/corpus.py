@@ -466,8 +466,9 @@ def curate(docs: DataFrame, emb: DataFrame = None,
             F.col("dropped_id").alias(id_col))
         uniq = uniq.join(dropped, id_col, "left_anti")
     uniq = uniq.cache()
-    n3 = uniq.count()
-    pairs = minhash_lsh_pairs(uniq, text_col, id_col)
+    n3 = uniq.count()          # materializes uniq's cache…
+    good.unpersist()           # …after which the quality stage's cache
+    pairs = minhash_lsh_pairs(uniq, text_col, id_col)  # is dead weight
     curated = uniq.join(leakage_safe_split(uniq, pairs, id_col)
                         .select(id_col, "split"), id_col).cache()
     packed = pack_token_budget(
