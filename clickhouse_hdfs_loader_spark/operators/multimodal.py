@@ -5,7 +5,8 @@ plus typed metadata. The Spark-side machinery — schema, Arrow batch
 shape, ``mapInPandas`` partitioned decode — is real and tested, and so is
 HEADER-level decode: ``parse_media_header`` reads width/height/channels
 (or sample-rate/bit-depth for audio) straight from PNG / GIF / BMP /
-JPEG / WAV / MP4 / WEBP / FLAC file headers in pure Python. What stays stubbed is full PIXEL
+JPEG / WAV / MP4 / WEBP / FLAC / HEIC / AVIF file headers in pure
+Python. What stays stubbed is full PIXEL
 decode (Pillow/libvips/ffmpeg are not in this container): unrecognized
 payloads raise under ``fake=False`` and get deterministic fake metadata
 under ``fake=True`` so text-payload pipelines remain end-to-end testable.
@@ -194,8 +195,44 @@ def _parse_mp4(p: bytes) -> tuple[int, int, int, int, str] | None:
                     width = struct.unpack(">I", p[off:off + 4])[0] >> 16
                     height = struct.unpack(">I", p[off + 4:off + 8])[0] >> 16
     if not saw_moov:
-        return None
+        return _parse_heif(p)
     return n, width, height, tracks, "mp4"
+
+
+def _parse_heif(p: bytes) -> tuple[int, int, int, int, str] | None:
+    """HEIF-family stills (HEIC/AVIF): geometry lives in the ispe
+    property, nested meta→iprp→ipco→ispe. ``meta`` is a FULL box — 4
+    version/flags bytes precede its children (the one structural
+    difference from the plain-box moov walk); ``ispe`` is a full box
+    too: version/flags then u32 width/height (ISO 23008-12 §6.5.3).
+    Brand gate first: only ftyp major/compatible brands of the HEIF
+    family are walked, so arbitrary ftyp files can't reach the walk."""
+    n = len(p)
+    brands = {b"heic", b"heix", b"mif1", b"avif", b"avis"}
+    fmt = None
+    for btype, s, e in _iter_boxes(p, 0, n):
+        if btype == b"ftyp" and e - s >= 4:
+            listed = [p[s:s + 4]] + [p[i:i + 4] for i in range(s + 8, e, 4)]
+            hits = brands.intersection(listed)
+            if hits:
+                fmt = "avif" if (b"avif" in hits or b"avis" in hits) \
+                    else "heic"
+    if fmt is None:
+        return None
+    for btype, s, e in _iter_boxes(p, 0, n):
+        if btype != b"meta" or e - s < 4:
+            continue
+        for t1, s1, e1 in _iter_boxes(p, s + 4, e):      # skip ver/flags
+            if t1 != b"iprp":
+                continue
+            for t2, s2, e2 in _iter_boxes(p, s1, e1):
+                if t2 != b"ipco":
+                    continue
+                for t3, s3, e3 in _iter_boxes(p, s2, e2):
+                    if t3 == b"ispe" and e3 - s3 >= 12:
+                        w, h = struct.unpack(">II", p[s3 + 4:s3 + 12])
+                        return n, w, h, 3, fmt
+    return None
 
 
 # --- deterministic synthetic-media builders ------------------------------
@@ -260,6 +297,20 @@ def build_flac(rate: int, bits: int, channels: int) -> bytes:
 
 def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_heif(w: int, h: int, brand: bytes = b"heic") -> bytes:
+    """Minimal HEIF-family still: ftyp(major brand) + meta(full box:
+    hdlr stub + iprp(ipco(ispe))) — enough structure for the brand gate
+    and the ispe walk, byte-exact round-trip."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    ispe = _box(b"ispe", struct.pack(">III", 0, w, h))
+    ipco = _box(b"ipco", ispe)
+    iprp = _box(b"iprp", ipco)
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"pict"
+                + b"\x00" * 12)
+    meta = _box(b"meta", struct.pack(">I", 0) + hdlr + iprp)
+    return ftyp + meta
 
 
 def build_mp4(w: int, h: int, duration_ms: int = 1000) -> bytes:

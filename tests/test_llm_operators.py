@@ -1260,3 +1260,19 @@ def test_curate_pipeline_accounting_and_invariants(spark, sf_dir):
     # packing covers exactly the train split (per-bin doc accounting)
     train_n = sum(1 for x in rows if x["split"] == "train")
     assert sum(b["n_docs"] for b in packed.collect()) == train_n
+
+
+def test_media_header_heif_family():
+    """HEIC/AVIF stills round-trip through the meta->iprp->ipco->ispe
+    walk (meta is a FULL box — children start after version/flags); an
+    alien ftyp brand and an mp4 are unaffected."""
+    from clickhouse_hdfs_loader_spark.operators.multimodal import (
+        build_heif, build_mp4, parse_media_header)
+    hp = build_heif(1024, 768)
+    assert parse_media_header(hp) == (len(hp), 1024, 768, 3, "heic")
+    ap = build_heif(512, 200, b"avif")
+    assert parse_media_header(ap) == (len(ap), 512, 200, 3, "avif")
+    mp = build_mp4(640, 480)
+    assert parse_media_header(mp)[1:] == (640, 480, 1, "mp4")
+    alien = b"\x00\x00\x00\x14ftypabcd" + b"\x00" * 24
+    assert parse_media_header(alien) is None
