@@ -160,3 +160,30 @@ def compact_parquet(spark, path: str, target_mb: int = 256,
     os.rename(tmp, path)
     shutil.rmtree(old)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def compact_partitioned(spark, path: str, target_mb: int = 256) -> dict:
+    """Compact a hive-partitioned store partition-BY-partition (the
+    companion to :func:`compact_parquet`, which refuses such stores):
+    each ``key=value`` directory is compacted independently with the
+    same atomic swap, so the partition layout — and every
+    PartitionFilters prune on it — survives. Incremental appenders
+    (``append_to_ivf_index``, daily loads) fragment exactly these
+    per-partition dirs; nested partitioning recurses. Returns
+    {partition_path: new_file_count}."""
+    import os
+
+    out: dict = {}
+    for d in sorted(os.listdir(path)):
+        sub = os.path.join(path, d)
+        if not (os.path.isdir(sub) and "=" in d):
+            continue
+        if any(os.path.isdir(os.path.join(sub, g)) and "=" in g
+               for g in os.listdir(sub)):
+            out.update(compact_partitioned(spark, sub, target_mb))
+        else:
+            out[sub] = compact_parquet(spark, sub, target_mb)
+    if not out:
+        raise ValueError(f"{path} has no key=value partition dirs — "
+                         f"use compact_parquet for flat stores")
+    return out

@@ -323,3 +323,37 @@ def test_compact_parquet_refuses_partitioned_store(spark, sf_dir, tmp_path):
      .write.partitionBy("l_linestatus").parquet(path))
     with PT.raises(ValueError, match="hive-partitioned"):
         compact_parquet(spark, path)
+
+
+def test_compact_partitioned_preserves_ivf_serving(spark, sf_dir, tmp_path):
+    """Fragment the persisted IVF index with repeated appends, compact it
+    per-partition, and the serve path must return the IDENTICAL top-k
+    while still reading through the centroid partition layout — and the
+    fragment files must actually shrink."""
+    import os
+    from clickhouse_hdfs_loader_spark.operators.layout import (
+        compact_partitioned)
+    from clickhouse_hdfs_loader_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, query_ivf_index)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    import pyspark.sql.functions as SF
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb.where(SF.col("vec_id") % 4 == 0), path, m=4)
+    for r in (1, 2, 3):
+        append_to_ivf_index(emb.where(SF.col("vec_id") % 4 == r),
+                            path, cents)
+    q = emb.where(SF.col("vec_id") < 3)
+    def files_in(p):
+        return sum(len([f for f in fs if f.endswith(".parquet")])
+                   for _, _, fs in os.walk(p))
+    before_files = files_in(path)
+    before = sorted(map(tuple,
+                        query_ivf_index(spark, path, cents, q).collect()))
+    report = compact_partitioned(spark, path)
+    assert set(report) == {os.path.join(path, f"centroid={c}")
+                           for c, _ in cents}
+    assert files_in(path) < before_files
+    after = sorted(map(tuple,
+                       query_ivf_index(spark, path, cents, q).collect()))
+    assert after == before and len(after) > 0
