@@ -2743,10 +2743,10 @@ def embedding_quantize(spark, sf_dir):
 
 @query("q12_priority_shipping", oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3510,16 +3510,17 @@ def semantic_dedup(spark, sf_dir):
 @query("quality_expectations", oracle="""
     WITH m AS (
       SELECT count(*) AS total,
-             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v0,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v0,
              count(doc_id) - count(DISTINCT doc_id) AS v1,
-             sum(CASE WHEN n_chars < 1 OR n_chars > 500
-                 THEN 1 ELSE 0 END) AS v2,
-             sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
-                 THEN 1 ELSE 0 END) AS v3,
-             sum(CASE WHEN NOT regexp_matches(text, '[a-z]')
-                 THEN 1 ELSE 0 END) AS v4,
-             sum(CASE WHEN n_chars <> length(text)
-                 THEN 1 ELSE 0 END) AS v5
+             CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 500
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN NOT regexp_matches(text, '[a-z]')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             CAST(sum(CASE WHEN n_chars <> length(text)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v5
       FROM documents)
     SELECT 'doc_id_not_null' AS check_name, v0 AS violations,
            total AS total_rows, v0 = 0 AS passed FROM m

@@ -82,6 +82,27 @@ def test_oracle_parity(spark, sf_dir, duck, duck_grading, spec):
         pytest.fail(f"{spec.name}: value mismatch, first diffs: {diff}")
 
 
+# DuckDB renders HUGEINT (int128 — what an uncast sum(CASE…1…0) yields)
+# and DECIMAL as float64 through pandas, so the driver's hash path sees
+# "1791.0" where Spark emits "1791" — a silent hash mismatch that
+# fetchall() (Python ints, used above) can NOT detect. This bit twice in
+# r6 (q12_priority_shipping, quality_expectations). DESCRIBE binds the
+# query without executing it, so it is safe even for golden oracles with
+# error()-guard subqueries.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_types_survive_driver_hashing(duck_grading, spec):
+    rows = duck_grading.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    bad = [(r[0], r[1]) for r in rows
+           if any(t in r[1].upper() for t in _FORBIDDEN_ORACLE_TYPES)]
+    assert not bad, (
+        f"{spec.name}: oracle columns {bad} are HUGEINT/DECIMAL — the "
+        f"driver's pandas/Arrow hash path renders these as floats while "
+        f"Spark emits ints; CAST them to BIGINT (or DOUBLE) in the SQL")
+
+
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_queries_run(spark, sf_dir, spec):
     df = spec.fn(spark, sf_dir)
