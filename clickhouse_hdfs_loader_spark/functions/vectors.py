@@ -59,7 +59,15 @@ def cosine_pairs_udf():
     single-split fixture). numpy's vectorized sum can differ from the fold by
     ULPs; callers that grade against the fold-replaying oracle keep the
     expression kernel, and fixture-identical output of both kernels is
-    pinned by test (same stance as the gemm argmax)."""
+    pinned by test (same stance as the gemm argmax).
+
+    Zero-norm vectors: 0/0 would yield NaN, which Spark orders ABOVE all
+    doubles — a degenerate vector would pass every ``cos >= t`` filter
+    and win every desc top-k. Mirror the documented unassignable-vector
+    sentinel stance (semantic_dedup's centroid −1): emit −2.0, below the
+    entire cosine range, so such pairs are excluded by any threshold and
+    never ranked (the expression fold fails loudly under ANSI div-by-zero
+    instead)."""
     import numpy as np
 
     @F.pandas_udf("double")
@@ -71,8 +79,10 @@ def cosine_pairs_udf():
         dot = (ma * mb).sum(axis=1)
         na = np.linalg.norm(ma, axis=1)
         nb = np.linalg.norm(mb, axis=1)
+        denom = na * nb
         with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(dot / (na * nb))
+            cos = dot / denom
+        return pd.Series(np.where(denom == 0.0, -2.0, cos))
 
     return _cos
 

@@ -346,7 +346,7 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
 
 def leakage_safe_split(docs: DataFrame, dup_pairs: DataFrame,
                        id_col: str = "doc_id",
-                       weights: tuple = (80, 10, 90)) -> DataFrame:
+                       weights: tuple = (80, 10, 10)) -> DataFrame:
     """Train/val/test assignment that CANNOT leak near-duplicates across
     splits: hash-bucket splitting keyed on the doc's duplicate-COMPONENT
     label instead of its own id, so every member of a near-dup family
@@ -355,8 +355,9 @@ def leakage_safe_split(docs: DataFrame, dup_pairs: DataFrame,
     puts a train copy of a test document in the training set — the
     classic held-out-contamination bug this operator exists to prevent.
 
-    ``weights`` = (train_upper, val_size, val_upper) percent bounds over
-    the md5-bucket, matching train_val_test_split's 80/10/10 default.
+    ``weights`` = (train_pct, val_pct, test_pct), must sum to 100;
+    md5-bucket bounds are the running prefix sums (80/10/10 default,
+    matching train_val_test_split).
     Scale: one components run over the PAIR set (linear in pairs, not
     corpus) + one left join of the corpus against the component labels
     (pairs are sparse — the join's build side is only the duplicated
@@ -372,9 +373,11 @@ def leakage_safe_split(docs: DataFrame, dup_pairs: DataFrame,
                        .alias("split_key")))
     bucket = (F.conv(F.substring(F.md5(F.col("split_key").cast("string")),
                                  1, 4), 16, 10).cast("int") % 100)
-    train_hi, _, val_hi = weights
-    split = (F.when(bucket < train_hi, "train")
-             .when(bucket < val_hi, "val").otherwise("test"))
+    train_pct, val_pct, test_pct = weights
+    if train_pct + val_pct + test_pct != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    split = (F.when(bucket < train_pct, "train")
+             .when(bucket < train_pct + val_pct, "val").otherwise("test"))
     return labeled.select(id_col, "split_key", split.alias("split"))
 
 
@@ -393,7 +396,11 @@ def bigram_likelihood(docs: DataFrame, model_docs: DataFrame = None,
     ``floor(1e6 · c/cw1)`` (int), per-doc sum is an order-free int64, and
     ``score = floor(sum/n)`` — every step replayable in plain SQL, so
     the operator carries a DuckDB twin in its test. Unseen bigrams score
-    0 (the left join's null → 0), the standard harsh-OOV choice.
+    0 (the left join's null → 0), the standard harsh-OOV choice. Docs
+    with fewer than 2 tokens produce no bigrams; they still get a row
+    (q_sum=0, n_bigrams=0, score=0 — the same harsh floor) so a
+    downstream quality gate drops them VISIBLY by threshold rather than
+    by silent absence from the score table.
 
     Scale: model = two aggregates over the reference corpus's bigrams
     (vocabulary-bounded); scoring = one explode + one join keyed on the
@@ -417,13 +424,21 @@ def bigram_likelihood(docs: DataFrame, model_docs: DataFrame = None,
                                    / F.col("c1")).cast("long").alias("q")))
     dbg = docs.select(F.col(id_col),
                       F.explode(ngrams_udf(2)(F.col(text_col))).alias("bg"))
-    return (dbg.join(model, "bg", "left")
-            .groupBy(id_col)
-            .agg(F.sum(F.coalesce("q", F.lit(0))).alias("q_sum"),
-                 F.count(F.lit(1)).alias("n_bigrams"))
-            .select(id_col, "q_sum", "n_bigrams",
-                    F.floor(F.col("q_sum") / F.col("n_bigrams"))
-                    .cast("long").alias("score")))
+    agg = (dbg.join(model, "bg", "left")
+           .groupBy(id_col)
+           .agg(F.sum(F.coalesce("q", F.lit(0))).alias("q_sum"),
+                F.count(F.lit(1)).alias("n_bigrams")))
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("q_sum", F.lit(0)).cast("long")
+                    .alias("q_sum"),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.when(F.col("n_bigrams").isNull(),
+                           F.lit(0).cast("long"))
+                    .otherwise(F.floor(F.col("q_sum")
+                                       / F.col("n_bigrams")).cast("long"))
+                    .alias("score")))
 
 
 def curate(docs: DataFrame, emb: DataFrame = None,

@@ -184,18 +184,26 @@ def incremental_minhash_dedup(batch: DataFrame, store_index: DataFrame,
     Store precedence over batch is deliberate: a doc colliding with both
     is already represented in the corpus, so its batch-mates should not
     elect it keeper. Scale: two equi-joins on 16-byte (band, bh) keys —
-    one semi-join batch×store, one batch self-join via
-    :func:`minhash_lsh_pairs` — both linear in batch size, independent
-    of corpus size."""
+    one semi-join batch×store, one min-per-bucket aggregate + join for
+    the batch self-dedup — both linear in batch size, independent of
+    corpus size. The self-dedup deliberately does NOT route through
+    :func:`minhash_lsh_pairs`: that query's ≤1000-id degenerate-bucket
+    cap would classify a >1000-doc duplicate family arriving in one
+    batch as entirely 'novel' (and append every copy's index rows to
+    the store). "Has a lower-id band-mate" ≡ "id > min(id) of some
+    shared bucket", so one cap-free aggregate over the already-built
+    band index gives identical keeper semantics without materializing
+    any pair list."""
     bidx = minhash_band_index(batch, text_col, id_col, k, num_hashes,
                               bands, seed)
     store_hit = (bidx.join(store_index.select("band", "bh").distinct(),
                            ["band", "bh"], "left_semi")
                  .select("id").distinct()
                  .withColumn("_store", F.lit(True)))
-    batch_dup = (minhash_lsh_pairs(batch, text_col, id_col, k, num_hashes,
-                                   bands, seed)
-                 .select(F.col("id_b").alias("id")).distinct()
+    keepers = bidx.groupBy("band", "bh").agg(F.min("id").alias("_keeper"))
+    batch_dup = (bidx.join(keepers, ["band", "bh"])
+                 .where(F.col("id") > F.col("_keeper"))
+                 .select("id").distinct()
                  .withColumn("_batch", F.lit(True)))
     ids = batch.select(F.col(id_col).alias("id"))
     return (ids.join(store_hit, "id", "left")

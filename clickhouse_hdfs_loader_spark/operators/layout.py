@@ -115,24 +115,46 @@ def write_zorder_layout(df: DataFrame, path: str, col1: str, col2: str,
 
 
 def compact_parquet(spark, path: str, target_mb: int = 256,
-                    preserve_sort: str | None = None) -> int:
+                    preserve_sort: str | None = None,
+                    rename=None, remove_dir=None) -> int:
     """Compact a small-file parquet directory in place: coalesce to
     ``ceil(total_bytes / target_mb)`` files (the small-file problem —
     thousands of KB-size files from incremental appends turn every scan
     into a listing+open storm; the reference side-steps it with
     ``--input-split-max-bytes``, a READ-time workaround this fixes at
-    REST). Returns the new file count.
+    REST — MainCliParameterParser.java:102-103). Returns the new file
+    count.
 
-    Writes to a sibling temp dir then atomically swaps via two renames —
-    a crash mid-compact leaves either the old or the new directory
-    intact, never a mix. ``preserve_sort`` re-sorts within partitions so
-    a compacted range/Z-order layout keeps its footer-stats pruning
-    (plain coalesce would interleave file contents and widen every
-    min/max interval).
+    Swap protocol: write to a sibling ``._compact_tmp`` dir, rename the
+    live dir aside to ``._compact_old``, rename tmp into place, delete
+    old. A crash leaves the OLD data or the NEW data fully intact (data
+    is never mixed), but between the two renames there is a brief window
+    with no directory at ``path`` — readers racing the swap can see a
+    missing path; recovery is manual (rename ``._compact_old`` back).
+    Leftover ``._compact_tmp``/``._compact_old`` dirs from a previously
+    crashed run make this run fail fast with a named error instead of a
+    confusing mid-swap OSError.
+
+    The default ``rename``/``remove_dir`` pair is POSIX
+    (``os.rename``/``shutil.rmtree``) and assumes a local or HDFS-like
+    filesystem where same-device dir rename is atomic. Object stores
+    (S3) have NO atomic rename — callers there must inject their own
+    pair (e.g. a manifest/pointer swap); a cross-device POSIX rename
+    raises ``OSError(EXDEV)`` loudly rather than degrading to
+    copy+delete.
+
+    ``preserve_sort`` re-sorts within partitions so a compacted
+    range/Z-order layout keeps its footer-stats pruning (plain coalesce
+    would interleave file contents and widen every min/max interval).
     """
     import math
     import os
     import shutil
+
+    if rename is None:
+        rename = os.rename
+    if remove_dir is None:
+        remove_dir = shutil.rmtree
 
     parts = [d for d in os.listdir(path)
              if os.path.isdir(os.path.join(path, d)) and "=" in d]
@@ -144,6 +166,14 @@ def compact_parquet(spark, path: str, target_mb: int = 256,
         raise ValueError(
             f"{path} is hive-partitioned ({parts[:3]}...); compact each "
             f"partition directory individually to preserve pruning")
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"{leftover} exists — a previous compact crashed mid-swap; "
+                f"inspect it (._compact_old holds the pre-swap data) and "
+                f"remove it before re-running")
     total = sum(os.path.getsize(os.path.join(path, f))
                 for f in os.listdir(path) if f.endswith(".parquet"))
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
@@ -153,16 +183,15 @@ def compact_parquet(spark, path: str, target_mb: int = 256,
                .sortWithinPartitions(preserve_sort))
     else:
         out = df.coalesce(n)
-    tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    rename(path, old)
+    rename(tmp, path)
+    remove_dir(old)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
 
-def compact_partitioned(spark, path: str, target_mb: int = 256) -> dict:
+def compact_partitioned(spark, path: str, target_mb: int = 256,
+                        rename=None, remove_dir=None) -> dict:
     """Compact a hive-partitioned store partition-BY-partition (the
     companion to :func:`compact_parquet`, which refuses such stores):
     each ``key=value`` directory is compacted independently with the
@@ -180,9 +209,11 @@ def compact_partitioned(spark, path: str, target_mb: int = 256) -> dict:
             continue
         if any(os.path.isdir(os.path.join(sub, g)) and "=" in g
                for g in os.listdir(sub)):
-            out.update(compact_partitioned(spark, sub, target_mb))
+            out.update(compact_partitioned(spark, sub, target_mb,
+                                           rename, remove_dir))
         else:
-            out[sub] = compact_parquet(spark, sub, target_mb)
+            out[sub] = compact_parquet(spark, sub, target_mb,
+                                       rename=rename, remove_dir=remove_dir)
     if not out:
         raise ValueError(f"{path} has no key=value partition dirs — "
                          f"use compact_parquet for flat stores")

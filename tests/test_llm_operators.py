@@ -994,13 +994,19 @@ def test_bigram_likelihood_oracle_and_discrimination(spark, sf_dir):
                FROM c2 GROUP BY 1),
         model AS (
           SELECT bg, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS q
-          FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
-        SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
-               count(*) AS n_bigrams,
-               CAST(floor(sum(coalesce(q, 0)) * 1.0 / count(*)) AS BIGINT)
+          FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+        agg AS (
+          SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
+                 count(*) AS n_bigrams
+          FROM bg b LEFT JOIN model USING (bg)
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(q_sum, 0) AS BIGINT) AS q_sum,
+               CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(CASE WHEN n_bigrams IS NULL THEN 0
+                    ELSE floor(q_sum * 1.0 / n_bigrams) END AS BIGINT)
                  AS score
-        FROM bg b LEFT JOIN model USING (bg)
-        GROUP BY b.doc_id
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """).fetchall()))
     assert got == want and len(got) > 0
     # discrimination on a held-out pair scored under the corpus model
@@ -1008,12 +1014,17 @@ def test_bigram_likelihood_oracle_and_discrimination(spark, sf_dir):
         [(100001, "the quick brown fox jumps over the lazy dog and "
                   "the quick brown fox jumps again"),
          (100002, "fox the jumps dog quick over brown lazy the and "
-                  "again jumps fox brown quick the")],
+                  "again jumps fox brown quick the"),
+         (100003, "word")],
         ["doc_id", "text"])
-    s = {r["doc_id"]: r["score"] for r in
-         bigram_likelihood(probe, model_docs=probe.where(
-             F.col("doc_id") == 100001)).collect()}
-    assert s[100001] > s[100002]
+    rows = {r["doc_id"]: r for r in
+            bigram_likelihood(probe, model_docs=probe.where(
+                F.col("doc_id") == 100001)).collect()}
+    assert rows[100001]["score"] > rows[100002]["score"]
+    # a sub-2-token doc still gets a row, at the harsh score-0 floor —
+    # quality gates drop it visibly by threshold, not by silent absence
+    assert (rows[100003]["score"], rows[100003]["n_bigrams"],
+            rows[100003]["q_sum"]) == (0, 0, 0)
 
 
 def test_anomaly_zscore_oracle_and_planted_spike(spark, sf_dir):
@@ -1276,3 +1287,54 @@ def test_media_header_heif_family():
     assert parse_media_header(mp)[1:] == (640, 480, 1, "mp4")
     alien = b"\x00\x00\x00\x14ftypabcd" + b"\x00" * 24
     assert parse_media_header(alien) is None
+
+
+def test_incremental_minhash_big_family_not_capped(spark):
+    """A duplicate family larger than minhash_lsh_pairs' 1000-id
+    degenerate-bucket cap arriving in ONE batch must still self-dedup:
+    the min-id copy is novel, every other copy is dup_batch (the capped
+    pair query would have called all 1100 'novel' and appended every
+    copy's index rows to the store)."""
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_band_index)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the river runs past the old stone mill every morning")
+    store = spark.createDataFrame(
+        [(1, "completely different content about spark adaptive execution "
+             "plans shuffles partitions codegen arrow batches and buckets")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100 + i, base) for i in range(1100)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"] for r in
+           incremental_minhash_dedup(batch, minhash_band_index(store))
+           .collect()}
+    assert got[100] == "novel"
+    assert all(got[100 + i] == "dup_batch" for i in range(1, 1100))
+
+
+def test_cosine_pairs_udf_zero_norm_sentinel(spark):
+    """Zero-norm vectors: 0/0 would be NaN, which Spark sorts ABOVE every
+    double — a degenerate vector would pass every threshold and win every
+    desc top-k. The arrow kernel must emit the -2.0 sentinel instead
+    (below the cosine range, excluded by any threshold), mirroring the
+    centroid=-1 stance; end-to-end, the brute arrow pair generator must
+    never surface a zero-norm vector as a near-dup."""
+    from clickhouse_hdfs_loader_spark.functions.vectors import (
+        cosine_pairs_udf)
+    pairs = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]),
+         (2, [0.0, 0.0], [1.0, 0.0]),
+         (3, [1.0, 0.0], [0.0, 0.0]),
+         (4, [0.0, 0.0], [0.0, 0.0])],
+        ["pid", "a", "b"])
+    got = {r["pid"]: r["c"] for r in pairs.select(
+        "pid", cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c"))
+        .collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == got[3] == got[4] == -2.0
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 1e-9, 0.0]),
+         (3, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = DD.embedding_near_dup_pairs(emb, threshold=0.9, kernel="arrow")
+    assert sorted((r["id_a"], r["id_b"]) for r in out.collect()) == [(1, 2)]

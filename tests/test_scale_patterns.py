@@ -357,3 +357,43 @@ def test_compact_partitioned_preserves_ivf_serving(spark, sf_dir, tmp_path):
     after = sorted(map(tuple,
                        query_ivf_index(spark, path, cents, q).collect()))
     assert after == before and len(after) > 0
+
+
+def test_compact_parquet_injectable_swap_backend(spark, sf_dir, tmp_path):
+    """The swap's rename/delete pair is injectable so object-store
+    backends (no atomic rename on S3) can supply their own: the injected
+    callables must carry the whole swap (local defaults untouched), and
+    leftovers from a crashed prior run must fail fast with a named error
+    instead of a confusing mid-swap OSError."""
+    import os
+    import shutil
+
+    import pytest as PT
+    from clickhouse_hdfs_loader_spark.operators.layout import compact_parquet
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    path = str(tmp_path / "store")
+    li.repartition(16).write.parquet(path)
+    before = sorted(map(tuple, li.collect()))
+    calls = []
+
+    def fake_rename(src, dst):
+        calls.append(("rename", src, dst))
+        os.rename(src, dst)
+
+    def fake_remove(p):
+        calls.append(("remove", p))
+        shutil.rmtree(p)
+
+    n = compact_parquet(spark, path, target_mb=256,
+                        rename=fake_rename, remove_dir=fake_remove)
+    assert n < 16
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # the injected pair carried the whole swap: aside, into place, delete
+    assert [c[0] for c in calls] == ["rename", "rename", "remove"]
+    assert calls[0][1] == path and calls[1][2] == path
+    # a leftover dir from a crashed run blocks the next run loudly
+    os.makedirs(path + "._compact_old")
+    with PT.raises(RuntimeError, match="mid-swap"):
+        compact_parquet(spark, path)
