@@ -79,3 +79,22 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .groupBy(F.unix_timestamp("cohort").alias("cohort_epoch"),
                      "offset")
             .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+def histogram_fixed(df: DataFrame, value_col: str = "value",
+                    width: float = 50.0) -> DataFrame:
+    """Equi-width histogram: bucket = floor(value / width), count per
+    bucket — the exact building block under every profiler bar chart
+    (ClickHouse's ``histogram()`` combinator uses adaptive bins; fixed
+    bins are the deterministic, merge-friendly choice — two histograms
+    over disjoint data add bucket-wise, so partial aggregation and
+    cross-day rollups are exact). NULLs are excluded explicitly (both
+    engines would otherwise differ on NULL bucket placement). One
+    map-side-combined aggregate; output rows = distinct buckets."""
+    bucket = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
+    return (df.where(F.col(value_col).isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("bucket",
+                    F.round(F.col("bucket") * F.lit(float(width)), 2)
+                    .alias("bucket_lo"), "cnt"))

@@ -113,3 +113,32 @@ def anomaly_zscore(events, ts_col: str = "ts", key_col: str = "event_type",
                     .alias("mean_cnt"),
                     (F.floor(F.col("_z") * 10000 + 0.5) / 10000)
                     .alias("z")))
+
+
+def ohlc_resample(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "event_type", value_col: str = "value",
+                  id_col: str = "event_id") -> DataFrame:
+    """OHLC bar resampling — the canonical time-series downsample (every
+    market-data / metrics store ships it): per (series, hour) the
+    opening value, high, low, closing value and tick count.
+
+    Open/close are argmin/argmax over event TIME, which is not unique —
+    ``id_col`` is the explicit tie-breaker, so the bars are
+    deterministic and SQL-replayable (min/max of a (ts, id, value)
+    struct: Spark orders structs lexicographically by field, and the
+    oracle replays it as a row_number window). One shuffle (series ×
+    hour keys), map-side partial min/max/count — nothing scales with
+    raw volume past the partial aggregate."""
+    h = F.date_trunc("hour", F.col(ts_col))
+    pick = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                    F.col(value_col).alias("v"))
+    return (events
+            .where(F.col(value_col).isNotNull())
+            .groupBy(F.col(key_col), h.alias("h"))
+            .agg(F.round(F.min(pick)["v"], 2).alias("open"),
+                 F.round(F.max(value_col), 2).alias("high"),
+                 F.round(F.min(value_col), 2).alias("low"),
+                 F.round(F.max(pick)["v"], 2).alias("close"),
+                 F.count(F.lit(1)).alias("ticks"))
+            .select(key_col, F.unix_timestamp("h").alias("hour_epoch"),
+                    "open", "high", "low", "close", "ticks"))

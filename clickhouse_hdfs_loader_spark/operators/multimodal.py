@@ -329,8 +329,12 @@ def build_mp4(w: int, h: int, duration_ms: int = 1000) -> bytes:
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic real-container binary payload per row —
-    format cycles png/gif/bmp/wav/mp4 on ``doc_id % 5``, geometry derived
-    from the id. Runs Arrow-batched per partition; no driver round-trip."""
+    format cycles png/gif/bmp/wav/mp4/webp/flac/heic/avif on
+    ``doc_id % 9`` (every sniff the header decoder supports), geometry
+    derived from the id. The WEBP chunk variant cycles vp8/vp8l/vp8x on
+    ``(doc_id // 9) % 3`` (``doc_id % 3`` is constant on the
+    ``% 9 == 5`` residue class, so it could never vary the variant).
+    Runs Arrow-batched per partition; no driver round-trip."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -338,7 +342,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did in pdf[id_col]:
                 did = int(did)
                 w, h = 1 + did % 512, 1 + (did * 7) % 512
-                kind = did % 5
+                kind = did % 9
                 if kind == 0:
                     payloads.append(build_png(w, h))
                 elif kind == 1:
@@ -347,8 +351,18 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payloads.append(build_bmp(w, h))
                 elif kind == 3:
                     payloads.append(build_wav(16000, 16, 1 + did % 2))
-                else:
+                elif kind == 4:
                     payloads.append(build_mp4(w, h, 1000 + did % 3600))
+                elif kind == 5:
+                    variant = ("vp8", "vp8l", "vp8x")[(did // 9) % 3]
+                    payloads.append(build_webp(w, h, variant))
+                elif kind == 6:
+                    payloads.append(build_flac(8000 + (did % 8) * 4000,
+                                               16, 1 + did % 2))
+                elif kind == 7:
+                    payloads.append(build_heif(w, h, b"heic"))
+                else:
+                    payloads.append(build_heif(w, h, b"avif"))
             yield pd.DataFrame({id_col: pdf[id_col].values,
                                 "payload": payloads})
 

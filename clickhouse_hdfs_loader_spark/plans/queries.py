@@ -1287,25 +1287,35 @@ def multimodal_decode(spark, sf_dir):
 
 @query("multimodal_header_decode", oracle="""
     SELECT doc_id,
-           CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
-                                WHEN 3 THEN 44 ELSE 236 END AS INT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 5 = 3 THEN 16000
+           CAST(CASE doc_id % 9
+                WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+                WHEN 3 THEN 44 WHEN 4 THEN 236
+                WHEN 5 THEN CASE (doc_id // 9) % 3 WHEN 1 THEN 26
+                            ELSE 30 END
+                WHEN 6 THEN 42 ELSE 104 END AS INT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 9 = 3 THEN 16000
+                     WHEN doc_id % 9 = 6 THEN 8000 + (doc_id % 8) * 4000
                      ELSE 1 + doc_id % 512 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 5 = 3 THEN 16
+           CAST(CASE WHEN doc_id % 9 IN (3, 6) THEN 16
                      ELSE 1 + (doc_id * 7) % 512 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
-                     WHEN doc_id % 5 = 4 THEN 1
+           CAST(CASE WHEN doc_id % 9 IN (3, 6) THEN 1 + doc_id % 2
+                     WHEN doc_id % 9 = 4 THEN 1
+                     WHEN doc_id % 9 = 5 AND (doc_id // 9) % 3 = 2 THEN 4
                      ELSE 3 END AS INT) AS channels,
-           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+           CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
                            WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
-                           ELSE 'mp4' END AS format
+                           WHEN 4 THEN 'mp4' WHEN 5 THEN 'webp'
+                           WHEN 6 THEN 'flac' WHEN 7 THEN 'heic'
+                           ELSE 'avif' END AS format
     FROM documents
 """)
 def multimodal_header_decode(spark, sf_dir):
-    """REAL media decode, end-to-end: byte-exact PNG/GIF/BMP/WAV/MP4
-    containers synthesized per doc (geometry derived from doc_id), then
-    parsed back by the pure-Python header decoder (operators/multimodal.py:
-    parse_media_header — incl. the ISO-BMFF moov/trak/tkhd box walk) under
+    """REAL media decode, end-to-end: byte-exact
+    PNG/GIF/BMP/WAV/MP4/WEBP/FLAC/HEIC/AVIF containers synthesized per
+    doc (geometry derived from doc_id; WEBP variant cycles
+    vp8/vp8l/vp8x), then parsed back by the pure-Python header decoder
+    (operators/multimodal.py:parse_media_header — incl. the ISO-BMFF
+    moov/trak/tkhd and meta→iprp→ipco→ispe box walks) under
     ``fake=False`` — no stub anywhere on this path. The oracle recomputes
     the expected container sizes and geometry arithmetically."""
     d = MM.synthesize_media(_t(spark, sf_dir, "documents").select("doc_id"))
@@ -3553,6 +3563,294 @@ def quality_expectations(spark, sf_dir):
     ])
 
 
+@query("bigram_likelihood", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l FROM ws),
+    bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+           FROM toks WHERE i < len(l)),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+           FROM c2 GROUP BY 1),
+    model AS (
+      SELECT bg, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS q
+      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+    agg AS (
+      SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
+             count(*) AS n_bigrams
+      FROM bg b LEFT JOIN model USING (bg)
+      GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(q_sum, 0) AS BIGINT) AS q_sum,
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN n_bigrams IS NULL THEN 0
+                ELSE floor(q_sum * 1.0 / n_bigrams) END AS BIGINT) AS score
+    FROM documents d LEFT JOIN agg USING (doc_id)
+""")
+def bigram_likelihood(spark, sf_dir):
+    """CCNet-style LM quality filter (Wenzek et al. 2020) without a
+    neural LM: bigram continuation probabilities trained on the corpus
+    itself, per-doc mean continuation score in fixed-point int arithmetic
+    (no log/exp — engine-exact, fully SQL-replayable). Sub-2-token docs
+    get an explicit score-0 row. operators/corpus.py:bigram_likelihood;
+    promoted from its in-test oracle to a graded registry entry (r7)."""
+    from ..operators.corpus import bigram_likelihood as _bl
+    return _bl(_t(spark, sf_dir, "documents"))
+
+
+@query("anomaly_zscore", oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, h, cnt,
+             count(*) OVER w AS n,
+             sum(CAST(cnt AS DOUBLE)) OVER w AS s,
+             sum(CAST(cnt * cnt AS DOUBLE)) OVER w AS sq
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT event_type, h, cnt, n, s / n AS mean,
+             (sq - s * s / n) / (n - 1) AS var,
+             (cnt - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
+      FROM stats)
+    SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_epoch, cnt,
+           floor(mean * 10000 + 0.5) / 10000 AS mean_cnt,
+           floor(z * 10000 + 0.5) / 10000 AS z
+    FROM scored
+    WHERE n >= 8 AND var > 0 AND abs(z) >= 2.0
+""")
+def anomaly_zscore(spark, sf_dir):
+    """Trailing-window z-score anomaly detection on hourly event counts:
+    fixed-order sum/sum-sq variance (never stddev_samp — engines
+    disagree on accumulation order), every quotient inside a lazy CASE
+    (Spark 4 ANSI raises on double division by zero), floor-rounded at
+    1e4. operators/asof.py:anomaly_zscore; promoted from its in-test
+    oracle to a graded registry entry (r7)."""
+    from ..operators.asof import anomaly_zscore as _az
+    return _az(_t(spark, sf_dir, "events"), z_threshold=2.0)
+
+
+@query("funnel", oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+    SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s0) AS users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+""")
+def funnel(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel with
+    earliest-completion semantics (the deterministic greedy funnel —
+    ClickHouse's windowFunnel shape). operators/analytics.py:funnel;
+    promoted from its in-test oracle to a graded registry entry (r7)."""
+    from ..operators.analytics import funnel as _fn
+    return _fn(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+@query("funnel_conversion_window", oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t, s0.t0 AS t0
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t
+             AND e.ts <= s0.t0 + INTERVAL 24 HOUR
+           GROUP BY e.user_id, s0.t0),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t, s1.t0 AS t0
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t
+             AND e.ts <= s1.t0 + INTERVAL 24 HOUR
+           GROUP BY e.user_id, s1.t0)
+    SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s0) AS users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+""")
+def funnel_conversion_window(spark, sf_dir):
+    """The windowFunnel(N) variant: every later step must land within 24
+    hours of the user's step-0 time (plus strict ordering). Same
+    operator, ``within_hours=24`` — the conversion-window oracle row the
+    r6 verdict asked for. operators/analytics.py:funnel."""
+    from ..operators.analytics import funnel as _fn
+    return _fn(_t(spark, sf_dir, "events"), ["view", "click", "purchase"],
+               within_hours=24)
+
+
+@query("retention_cohorts", oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      FROM events)
+    SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_epoch,
+           CAST(date_diff('day', cohort, wk) / 7 AS INT) AS offset,
+           count(*) AS active_users
+    FROM active JOIN first USING (user_id)
+    WHERE date_diff('day', cohort, wk) BETWEEN 0 AND 56
+    GROUP BY 1, 2
+""")
+def retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (cohort = week of first event; count
+    active cohort members per week offset). Shuffle bounded by |users| +
+    |user-weeks|. operators/analytics.py:retention_cohorts; promoted
+    from its in-test oracle to a graded registry entry (r7)."""
+    from ..operators.analytics import retention_cohorts as _rc
+    return _rc(_t(spark, sf_dir, "events"))
+
+
+@query("cdc_apply", oracle="""
+    WITH ops AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op
+      FROM orders),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM ops)
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+""")
+def cdc_apply(spark, sf_dir):
+    """CDC log materialization (latest-op-wins; the Debezium/binlog →
+    table-state collapse, ClickHouse's ReplacingMergeTree semantics made
+    explicit): the orders table doubles as a deterministic op log — key
+    o_custkey, op order (o_orderdate, o_orderkey), every 7th orderkey a
+    delete marker. One row_number window per key; a key whose latest op
+    is a delete vanishes. operators/cdc.py:cdc_apply."""
+    from ..operators.cdc import cdc_apply as _cdc
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"))
+    return (_cdc(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    "o_orderstatus"))
+
+
+@query("merge_upsert", oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+             c_mktsegment
+      FROM customer),
+    changes AS (
+      SELECT c_custkey, c_name,
+             round(round(c_acctbal, 2) + 100, 2) AS acctbal, c_mktsegment,
+             CASE WHEN c_custkey % 9 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT b.c_custkey, b.c_name, b.acctbal, b.c_mktsegment FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM changes c
+                      WHERE c.c_custkey = b.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal, c_mktsegment
+    FROM changes WHERE op <> 'delete'
+""")
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO (Delta/Iceberg upsert) semantics as one anti-join +
+    union: a change batch (every 3rd customer updated, every 9th
+    deleted) merged into the customer snapshot — matched keys replaced
+    or dropped, untouched rows pass through; AQE broadcasts the small
+    change side at scale. operators/cdc.py:merge_upsert."""
+    from ..operators.cdc import merge_upsert as _mu
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment")
+    ch = (c.where(F.col("c_custkey") % 3 == 0)
+          .withColumn("acctbal", F.round(F.col("acctbal") + 100, 2))
+          .withColumn("op", F.when(F.col("c_custkey") % 9 == 0,
+                                   F.lit("delete"))
+                      .otherwise(F.lit("upsert"))))
+    return _mu(c, ch, ["c_custkey"])
+
+
+@query("pivot_wide", oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_p
+    FROM orders GROUP BY o_orderpriority
+""")
+def pivot_wide(spark, sf_dir):
+    """Long→wide pivot (crosstab): order counts by priority × status via
+    ``groupBy().pivot()`` with an EXPLICIT value list — the list keeps
+    the plan a single pass (no extra distinct-values job) and the output
+    schema static, which is what a 100 TB pivot needs. Missing cells
+    coalesce to 0 to match the conditional-sum oracle."""
+    p = (_t(spark, sf_dir, "orders")
+         .groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"))
+
+
+@query("ohlc_resample", oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_epoch,
+           round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+           count(*) AS ticks
+    FROM r GROUP BY 1, 2
+""")
+def ohlc_resample(spark, sf_dir):
+    """Hourly OHLC bars per event series — argmin/argmax over event time
+    with an explicit event_id tie-break (min/max of a (ts, id, value)
+    struct — lexicographic struct ordering makes open/close
+    deterministic where a bare arg_min on a non-unique timestamp would
+    not be). operators/asof.py:ohlc_resample."""
+    from ..operators.asof import ohlc_resample as _ohlc
+    return _ohlc(_t(spark, sf_dir, "events"))
+
+
+@query("histogram_fixed", oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           round(floor(value / 50.0) * CAST(50.0 AS DOUBLE), 2)
+             AS bucket_lo,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+""")
+def histogram_fixed(spark, sf_dir):
+    """Equi-width histogram of event values (bucket = floor(v/50)) —
+    fixed bins are merge-exact (partial histograms add bucket-wise), so
+    the aggregate map-side combines and cross-partition/cross-day
+    rollups stay exact where adaptive-bin histograms would not.
+    operators/analytics.py:histogram_fixed."""
+    from ..operators.analytics import histogram_fixed as _hist
+    return _hist(_t(spark, sf_dir, "events"), width=50.0)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -3563,28 +3861,36 @@ def quality_expectations(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
-# r6 rotation (r5 verdict item 1): the §2.A/§2.B reference core and the
-# loader end-to-end stay pinned. The 9 queries ADDED in r5 after that
-# round's window rotation (so never driver-graded) take the first open
-# slots — once they grade green, every pre-r6 registry query has been
-# driver-verified at least once. ALL 23 queries NEW in r6 (the completed
-# TPC-H suite, sliding windows + streaming twin, FULL OUTER, TF-IDF,
-# mixture sampling, stream-stream interval join, approx-profile
-# contract, passage/semantic dedup, quality expectations) are graded in
-# their own round per registry discipline. Three already-green entries
-# ceded their slots to the late additions — distinct_projection (green
-# r1-r5), dedup_materialize and multimodal_header_decode (green r5) —
-# give them re-confirmation slots in a future window, along with the
-# r5 first-graded simple shapes (limit_offset, having_filter,
-# nulls_ordering, regexp_extract_groups, case_when_bucketing, array_ops,
-# set_except_all, set_intersect_all, union_distinct).
+# r7 rotation (r6 verdict items 1/3/5): the §2.A/§2.B reference core and
+# the loader end-to-end stay pinned. The two r6 reds
+# (q12_priority_shipping, quality_expectations — oracle HUGEINT
+# artifact, now cast to BIGINT) keep their slots until green. The three
+# r6 slot-ceders (distinct_projection, dedup_materialize,
+# multimodal_header_decode — the latter's golden now covers
+# WEBP/FLAC/HEIC/AVIF too) get their re-confirmation slots, plus the
+# first 3 of the 9 r5 single-grade simple shapes (limit_offset,
+# having_filter, nulls_ordering). The four in-test-oracle operators
+# (bigram_likelihood, anomaly_zscore, funnel + conversion-window
+# variant, retention_cohorts) are promoted to registry entries and —
+# per registry discipline — graded in this same round, as are the five
+# NEW r7 operators (cdc_apply, merge_upsert, pivot_wide, ohlc_resample,
+# histogram_fixed). Remaining slots carry the heaviest r6 entries for a
+# second confirmation.
+#
+# Future-window schedule (single-grade queries still owed a second
+# confirmation; fold 3-6 per round):
+#   r8: regexp_extract_groups, case_when_bucketing, array_ops +
+#       q2_min_cost_supplier, q4_order_priority, q6_forecast_revenue
+#   r9: set_except_all, set_intersect_all, union_distinct +
+#       q8_market_share, q9_product_profit, q11_important_stock
+#   r10+: remaining r6-graded TPC-H (q14-q22), pii_scrub,
+#       embedding_quantize, q19_disjunctive_predicates, then r7 first-
+#       grades on the same cadence.
 _GRADING_WINDOW = [
-    # §2.B — the SQL shapes the reference itself issues (pinned; this
-    # round distinct_projection — the simplest shape, green in all five
-    # prior rounds — cedes its slot so the late-r6 quality_expectations
-    # query is graded in its own round per registry discipline)
+    # §2.B — the SQL shapes the reference itself issues (pinned), with
+    # distinct_projection restored for its re-confirmation grade
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
-    "grouparray_topology", "concat_qualified",
+    "grouparray_topology", "concat_qualified", "distinct_projection",
     "like_prefix", "rlike_range", "insert_select_union",
     # §2.A — the dataflow pipeline (pinned)
     "transform_chain", "tokenize_pipe", "null_normalize_rules",
@@ -3592,27 +3898,25 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- the 9 r5-added entries that missed the r5 window (never graded)
-    "ann_ivf_gemm_topk", "pii_scrub", "embedding_quantize",
-    "q12_priority_shipping", "q19_disjunctive_predicates",
-    "streaming_incremental_dedup", "approx_quantile_contract",
-    "domain_quota_sample", "dedup_incremental",
-    # --- new in r6: graded in their own round, not a future one
-    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
-    "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
-    "q21_waiting_supplier", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q16_supplier_relationship", "q20_potential_promotion",
-    "profile_approx_contract", "events_sliding_windows",
-    "streaming_sliding_windows", "full_outer_reconcile", "tf_idf_topk",
-    "domain_mixture_sample", "streaming_interval_join",
-    # --- late-r6 additions take the final slots (registry discipline:
-    # anything registered in round N is graded in round N — the two
-    # second-confirmation candidates they displace, dedup_materialize and
-    # multimodal_header_decode, stay green on their r5 grade)
-    "passage_dedup_spans",
-    "semantic_dedup",
-    "quality_expectations",
+    # --- the two r6 reds: keep until green (oracle cast fix this round)
+    "q12_priority_shipping", "quality_expectations",
+    # --- r6 slot-ceders' re-confirmation (verdict item 3)
+    "dedup_materialize", "multimodal_header_decode",
+    # --- r5 single-grade shapes, second confirmation batch 1 of 3
+    "limit_offset", "having_filter", "nulls_ordering",
+    # --- promotions: in-test-oracle operators now registry-graded
+    "bigram_likelihood", "anomaly_zscore", "funnel",
+    "funnel_conversion_window", "retention_cohorts",
+    # --- new in r7: graded in their own round per registry discipline
+    "cdc_apply", "merge_upsert", "pivot_wide", "ohlc_resample",
+    "histogram_fixed",
+    # --- heaviest r6 entries, second confirmation
+    "semantic_dedup", "passage_dedup_spans", "streaming_interval_join",
+    "streaming_sliding_windows", "events_sliding_windows", "tf_idf_topk",
+    "domain_mixture_sample", "full_outer_reconcile",
+    "profile_approx_contract", "ann_ivf_gemm_topk",
+    "streaming_incremental_dedup", "dedup_incremental",
+    "domain_quota_sample", "approx_quantile_contract",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -1,0 +1,64 @@
+"""CDC materialization + OHLC edge semantics (the cases the fixture
+oracles can't force: delete-last vs delete-then-reinsert keys, order
+tie-breaks, same-timestamp open/close picks)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from clickhouse_hdfs_loader_spark.operators.cdc import cdc_apply, merge_upsert
+
+
+def test_cdc_apply_latest_op_wins(spark):
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    ops = spark.createDataFrame(
+        [  # key 1: upsert then delete → vanishes
+         (1, "a1", t, 1, "upsert"),
+         (1, "a2", t + h, 2, "delete"),
+         # key 2: delete then re-insert → present with latest payload
+         (2, "b1", t, 3, "delete"),
+         (2, "b2", t + h, 4, "upsert"),
+         # key 3: same ts, seq tie-break — seq 6 wins
+         (3, "c-low", t, 5, "upsert"),
+         (3, "c-high", t, 6, "upsert"),
+         # key 4: single upsert
+         (4, "d", t, 7, "upsert")],
+        "k long, payload string, ts timestamp, seq long, op string")
+    got = {r["k"]: r["payload"]
+           for r in cdc_apply(ops, ["k"], ["ts", "seq"]).collect()}
+    assert got == {2: "b2", 3: "c-high", 4: "d"}
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "new2", "upsert"),          # replace
+         (3, None, "delete"),            # drop
+         (9, "new9", "upsert")],         # insert
+        "k long, v string, op string")
+    got = sorted(map(tuple, merge_upsert(base, changes, ["k"]).collect()))
+    assert got == [(1, "old1"), (2, "new2"), (9, "new9")]
+
+
+def test_ohlc_same_timestamp_tie_break(spark):
+    from clickhouse_hdfs_loader_spark.operators.asof import ohlc_resample
+    t = dt.datetime(2024, 1, 1, 10, 15)
+    ev = spark.createDataFrame(
+        [  # all in the same hour; events 1 and 2 share the open ts,
+           # events 3 and 4 share the close ts — id breaks both ties
+         (2, 1, "click", t, 20.0),
+         (1, 1, "click", t, 10.0),
+         (3, 1, "click", t + dt.timedelta(minutes=5), 99.0),
+         (4, 1, "click", t + dt.timedelta(minutes=5), 5.0),
+         (5, 1, "click", t + dt.timedelta(minutes=5), None)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = ohlc_resample(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["open"], r["close"]) == (10.0, 5.0)   # id 1 opens, id 4 closes
+    assert (r["high"], r["low"], r["ticks"]) == (99.0, 5.0, 4)  # null excluded

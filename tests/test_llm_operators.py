@@ -194,19 +194,34 @@ def test_media_header_parsing_real_containers():
 
 def test_synthesize_media_decodes_exactly(spark):
     """synthesize_media → decode_image_batch(fake=False) round-trips the
-    real parser over every built format with id-derived geometry."""
-    df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    real parser over every built format with id-derived geometry — all 9
+    sniffs (incl. the three WEBP chunk variants, which need ids from
+    distinct // 9 cohorts)."""
+    ids = list(range(9)) + [12, 14, 15, 16, 23, 26]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
     out = {r["doc_id"]: r for r in
            MM.decode_image_batch(MM.synthesize_media(df), fake=False).collect()}
     assert out[0]["format"] == "png" and out[0]["width"] == 1
     assert out[1]["format"] == "gif" and out[1]["height"] == 8
     assert out[2]["format"] == "bmp" and out[2]["n_bytes"] == 54
     assert out[3]["format"] == "wav" and out[3]["width"] == 16000
-    assert out[3]["channels"] == 2 and out[8]["channels"] == 1
+    assert out[3]["channels"] == 2 and out[12]["channels"] == 1  # wav 3, 12
     assert out[4]["format"] == "mp4" and out[4]["n_bytes"] == 236
-    assert out[9]["format"] == "mp4" and out[9]["width"] == 10
-    assert out[9]["height"] == 1 + 63 % 512 and out[9]["channels"] == 1
-    assert out[6]["width"] == 1 + 6 % 512 and out[6]["height"] == 1 + 42 % 512
+    # webp: id 5 → vp8 (5//9=0), 14 → vp8l (14//9=1), 23 → vp8x (23//9=2)
+    assert out[5]["format"] == "webp" and out[5]["n_bytes"] == 30 \
+        and out[5]["channels"] == 3 and out[5]["width"] == 6
+    assert out[14]["format"] == "webp" and out[14]["n_bytes"] == 26 \
+        and out[14]["width"] == 15 and out[14]["height"] == 1 + 98 % 512
+    assert out[23]["format"] == "webp" and out[23]["n_bytes"] == 30 \
+        and out[23]["channels"] == 4 and out[23]["width"] == 24
+    assert out[6]["format"] == "flac" and out[6]["width"] == 8000 + 6 * 4000
+    assert out[6]["height"] == 16 and out[6]["channels"] == 1
+    assert out[15]["channels"] == 2 and out[15]["n_bytes"] == 42
+    assert out[7]["format"] == "heic" and out[7]["width"] == 8 \
+        and out[7]["n_bytes"] == 104
+    assert out[16]["format"] == "heic" and out[16]["height"] == 1 + 112 % 512
+    assert out[8]["format"] == "avif" and out[8]["width"] == 9
+    assert out[26]["format"] == "avif" and out[26]["n_bytes"] == 104
 
 
 def test_numpy_topk_matches_native(spark, sf_dir):
