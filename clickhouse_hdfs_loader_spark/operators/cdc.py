@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 
 def cdc_apply(ops: DataFrame, key_cols: list[str], order_cols: list[str],
-              op_col: str = "op", delete_value: str = "delete") -> DataFrame:
+              op_col: str = "op", delete_value: str = "delete",
+              keep_deletes: bool = False) -> DataFrame:
     """Collapse a CDC op log into current state: for each key keep the
     payload of the op with the HIGHEST ``order_cols`` tuple — unless
     that op is a delete, in which case the key vanishes.
@@ -37,12 +38,22 @@ def cdc_apply(ops: DataFrame, key_cols: list[str], order_cols: list[str],
     ``[commit_ts, seq_no]`` — pass the tie-breaker explicitly; a bare
     timestamp with duplicates would make the snapshot
     nondeterministic). Plan: one shuffle on the key, one row_number
-    window, one filter — never a self-join, never a driver action.
+    window (Spark pushes a WindowGroupLimit partial top-1 below the
+    shuffle, so only per-partition winners move), one filter — never a
+    self-join, never a driver action.
+
+    ``keep_deletes=True`` keeps the winning delete markers (and the
+    ``op_col``) instead of dropping those keys — the CHANGE-SET shape
+    :func:`merge_upsert` consumes, used by the incremental
+    apply-then-merge pipeline (streaming/events.py:stream_cdc_merge).
     """
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols])
-    return (ops.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) & (F.col(op_col) != delete_value))
+    latest = (ops.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1))
+    if keep_deletes:
+        return latest.drop("_rn")
+    return (latest.where(F.col(op_col) != delete_value)
             .drop("_rn", op_col))
 
 

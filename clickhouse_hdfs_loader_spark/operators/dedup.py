@@ -243,6 +243,45 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            threshold: float = 0.5,
+                            max_df: int | None = None) -> DataFrame:
+    """Asymmetric near-dup detection via shingle CONTAINMENT
+    (Broder 1997): C(A→B) = |A∩B| / |A| — catches a short document
+    wholly embedded in a longer one (quote farms, boilerplate wrappers,
+    passage lifting), where symmetric Jaccard is diluted toward 0 by
+    the size ratio and never fires. Emits a pair when EITHER direction
+    reaches ``threshold``, with both directions reported.
+
+    Same one-pass posting-list intersection as
+    :func:`ngram_jaccard_pairs` (never an all-pairs join); divisors are
+    shingle-set sizes of docs that produced ≥1 shingle, so the ANSI
+    division is structurally nonzero. ``max_df`` is the same
+    stopword-gram skew cap."""
+    sh = _shingle_hashes(docs, text_col, id_col, k)
+    if max_df is not None:
+        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.where(F.col("df") <= max_df).select("h"), "h")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shared = _pairs_from_posting_lists(sh)
+    return (shared
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n").alias("n_b")), "id_b")
+            .withColumn("cont_a_in_b",
+                        F.round(F.col("shared").cast("double")
+                                / F.col("n_a"), 6))
+            .withColumn("cont_b_in_a",
+                        F.round(F.col("shared").cast("double")
+                                / F.col("n_b"), 6))
+            .where((F.col("cont_a_in_b") >= threshold)
+                   | (F.col("cont_b_in_a") >= threshold))
+            .select("id_a", "id_b", "shared", "cont_a_in_b",
+                    "cont_b_in_a"))
+
+
 def simhash_bits(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document, fully native.

@@ -136,6 +136,38 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
             h = int.from_bytes(data[7:10], "little") + 1
             return n, w, h, 4 if data[0] & 0x10 else 3, "webp"
         return None
+    if p[:4] in (b"II*\x00", b"MM\x00*") and n >= 14:
+        # TIFF: byte-order magic contains a NUL, so utf-8 text can never
+        # impersonate it. Walk the first IFD for ImageWidth(256)/
+        # ImageLength(257)/SamplesPerPixel(277); SHORT/LONG values are
+        # left-justified in the 4-byte value field per the spec.
+        bo = "<" if p[:2] == b"II" else ">"
+        off = struct.unpack(bo + "I", p[4:8])[0]
+        if off + 2 > n or off < 8:
+            return None
+        cnt = struct.unpack(bo + "H", p[off:off + 2])[0]
+        if cnt == 0 or off + 2 + cnt * 12 > n:
+            return None
+        w = h = 0
+        spp = 1
+        for i in range(cnt):
+            e = off + 2 + i * 12
+            tag, typ = struct.unpack(bo + "HH", p[e:e + 4])
+            if typ == 3:                          # SHORT
+                val = struct.unpack(bo + "H", p[e + 8:e + 10])[0]
+            elif typ == 4:                        # LONG
+                val = struct.unpack(bo + "I", p[e + 8:e + 12])[0]
+            else:
+                continue
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            elif tag == 277:
+                spp = val
+        if w > 0 and h > 0:
+            return n, w, h, spp, "tiff"
+        return None
     if p[:4] == b"fLaC" and n >= 42 and (p[4] & 0x7F) == 0 \
             and int.from_bytes(p[5:8], "big") == 34:
         # STREAMINFO must be the first metadata block (type 0, len 34);
@@ -293,6 +325,20 @@ def build_flac(rate: int, bits: int, channels: int) -> bytes:
           + packed.to_bytes(8, "big") + b"\x00" * 16)
     assert len(si) == 34
     return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+
+
+def build_tiff(w: int, h: int, channels: int = 3,
+               big_endian: bool = False) -> bytes:
+    """Minimal TIFF: header + one IFD with width/height/samples-per-pixel
+    SHORT entries (both byte orders). 50 bytes."""
+    bo = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    entries = b"".join(
+        struct.pack(bo + "HHIHH", tag, 3, 1, val, 0)
+        for tag, val in ((256, w), (257, h), (277, channels)))
+    return (magic + struct.pack(bo + "I", 8)
+            + struct.pack(bo + "H", 3) + entries
+            + struct.pack(bo + "I", 0))
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:

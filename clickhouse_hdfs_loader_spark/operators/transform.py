@@ -284,3 +284,20 @@ def transform_pipeline(df: DataFrame, *, exclude: tuple[int, ...] = (),
     if target_width is not None:
         validate_width(out, target_width)
     return out
+
+
+def json_tabularize(df, json_col: str, schema: str,
+                    keep: tuple = ()) -> "DataFrame":
+    """Parse a JSON string column into typed top-level columns under an
+    EXPLICIT schema — schema-on-read without schema INFERENCE (an
+    inference pass over 100 TB of logs is a full extra scan; a declared
+    schema makes the parse one codegen'd projection). Malformed records
+    and missing keys yield NULL fields instead of failing the scan —
+    the PERMISSIVE posture an ingest pipeline needs; pair with an
+    expectations gate (operators/expectations.py) to count them.
+    Extends the reference's fixed TSV/ORC field decode
+    (AbstractClickhouseLoaderMapper.java:154-205) to the third common
+    log format."""
+    parsed = df.select(*keep,
+                       F.from_json(F.col(json_col), schema).alias("_j"))
+    return parsed.select(*keep, "_j.*")

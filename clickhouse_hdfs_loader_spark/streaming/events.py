@@ -286,3 +286,57 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not state:
         raise RuntimeError("stream produced no batches")
     return state[0]
+
+
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the cdc_apply→merge_upsert pipeline —
+    continuous CDC ingest: micro-batches of the op log (the orders
+    table with the same deterministic op derivation as the graded
+    ``cdc_apply`` query) each collapse to their per-key latest op
+    (``cdc_apply(keep_deletes=True)``) and MERGE into the running
+    snapshot via ``merge_upsert`` inside ``foreachBatch``.
+
+    Correctness contract: per-batch collapse + sequential merge equals
+    the one-shot ``cdc_apply`` over the whole log IFF batches partition
+    the log in op order per key — true of any ordered commit log
+    (binlog; Kafka preserves order within a key-hashed partition) and
+    trivially of this availableNow file source; pinned against the
+    batch query by test, with the two-batch in-order case covered at
+    unit level (tests/test_cdc.py). At scale the snapshot is a table
+    the closure MERGEs into; here it is a driver-held checkpointed
+    DataFrame so runs compare deterministically."""
+    from ..operators.cdc import cdc_apply, merge_upsert
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "orders.parquet")
+              .parquet(sf_dir))
+
+    def as_ops(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert")).alias("op"))
+
+    state: list = []
+
+    def merge(bdf: DataFrame, _epoch: int) -> None:
+        changes = cdc_apply(as_ops(bdf), ["o_custkey"],
+                            ["o_orderdate", "o_orderkey"],
+                            keep_deletes=True)
+        if not state:
+            base = changes.drop("op").limit(0)
+        else:
+            base = state[0]
+        state[:] = [merge_upsert(base, changes, ["o_custkey"])
+                    .localCheckpoint(eager=True)]
+
+    q = (stream.writeStream.foreachBatch(merge)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return (state[0].select("o_custkey", "o_orderkey", "o_totalprice",
+                            "o_orderstatus"))

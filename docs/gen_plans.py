@@ -22,7 +22,11 @@ PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
          "q2_min_cost_supplier", "q9_product_profit", "q20_potential_promotion",
          "events_sliding_windows", "full_outer_reconcile",
          "passage_dedup_spans", "semantic_dedup", "tf_idf_topk",
-         "quality_expectations"]
+         "quality_expectations",
+         # new in r7
+         "cdc_apply", "merge_upsert", "pivot_wide", "ohlc_resample",
+         "histogram_fixed", "funnel", "funnel_conversion_window",
+         "retention_cohorts", "anomaly_zscore", "bigram_likelihood"]
 
 
 def main() -> None:

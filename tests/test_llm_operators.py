@@ -1353,3 +1353,102 @@ def test_cosine_pairs_udf_zero_norm_sentinel(spark):
         ["vec_id", "embedding"])
     out = DD.embedding_near_dup_pairs(emb, threshold=0.9, kernel="arrow")
     assert sorted((r["id_a"], r["id_b"]) for r in out.collect()) == [(1, 2)]
+
+
+def test_ngram_containment_oracle_and_asymmetry(spark, sf_dir):
+    """In-test DuckDB oracle for shingle containment on the real corpus,
+    plus the asymmetry case the operator exists for: a short doc wholly
+    embedded in a long one has containment 1.0 while Jaccard stays
+    below a typical near-dup threshold."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(map(tuple,
+                     ngram_containment_pairs(docs, threshold=0.5).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                       FOR i IN generate_series(1, len(w) - 2)])) AS s
+          FROM ws WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, shared,
+               round(CAST(shared AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+               round(CAST(shared AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+        FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / sa.n >= 0.5
+           OR CAST(shared AS DOUBLE) / sb.n >= 0.5
+    """).fetchall()))
+    assert got == want
+    long_text = ("the quick brown fox jumps over the lazy dog while "
+                 "rivers run past old stone mills every cold morning "
+                 "and markets open under pale northern light")
+    short_text = "rivers run past old stone mills every cold morning"
+    synth = spark.createDataFrame(
+        [(1, long_text), (2, short_text),
+         (3, "entirely unrelated text about query planners and shuffles")],
+        ["doc_id", "text"])
+    cont = {(r["id_a"], r["id_b"]): r["cont_b_in_a"]
+            for r in ngram_containment_pairs(synth, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}       # short doc fully contained
+    jac = ngram_jaccard_pairs(synth, threshold=0.5).collect()
+    assert jac == []                   # symmetric jaccard never fires
+
+
+def test_exact_median_by_group_oracle(spark, sf_dir):
+    """Lower median is an element of the data, so Spark and DuckDB
+    agree bit-for-bit with no interpolation caveat."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        exact_median_by_group)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    li = read_table(spark, sf_dir, "lineitem")
+    got = sorted(map(tuple, exact_median_by_group(
+        li, "l_linestatus", "l_quantity").collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH r AS (
+          SELECT l_linestatus, l_quantity,
+                 row_number() OVER (PARTITION BY l_linestatus
+                                    ORDER BY l_quantity) AS rn,
+                 count(*) OVER (PARTITION BY l_linestatus) AS n
+          FROM lineitem WHERE l_quantity IS NOT NULL)
+        SELECT l_linestatus, l_quantity AS median_lo
+        FROM r WHERE rn = (n + 1) // 2
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    # odd-count hand case: median of [1, 7, 9] is 7; even [1,3,5,9] -> 3
+    synth = spark.createDataFrame(
+        [("a", 9.0), ("a", 1.0), ("a", 7.0),
+         ("b", 5.0), ("b", 1.0), ("b", 9.0), ("b", 3.0)], ["g", "v"])
+    m = {r["g"]: r["median_lo"] for r in
+         exact_median_by_group(synth, "g", "v").collect()}
+    assert m == {"a": 7.0, "b": 3.0}
+
+
+def test_tiff_header_roundtrip_both_byte_orders():
+    for be in (False, True):
+        p = MM.build_tiff(640, 480, 3, big_endian=be)
+        assert MM.parse_media_header(p) == (50, 640, 480, 3, "tiff")
+    p = MM.build_tiff(1, 65535, 1, big_endian=True)
+    assert MM.parse_media_header(p) == (50, 1, 65535, 1, "tiff")
+    # truncated IFD and zero-dimension files are rejected, not crashed
+    assert MM.parse_media_header(MM.build_tiff(2, 2)[:20]) is None
+    assert MM.parse_media_header(MM.build_tiff(0, 5)) is None

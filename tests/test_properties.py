@@ -85,12 +85,20 @@ def test_hive_partition_extraction_total(parts):
 
 def _any_container(did: int) -> bytes:
     from clickhouse_hdfs_loader_spark.operators import multimodal as MM
-    kind = did % 5
     w, h = 1 + did % 512, 1 + (did * 7) % 512
-    return [lambda: MM.build_png(w, h), lambda: MM.build_gif(w, h),
-            lambda: MM.build_bmp(w, h),
-            lambda: MM.build_wav(16000, 16, 1 + did % 2),
-            lambda: MM.build_mp4(w, h)][kind]()
+    builders = [lambda: MM.build_png(w, h), lambda: MM.build_gif(w, h),
+                lambda: MM.build_bmp(w, h),
+                lambda: MM.build_wav(16000, 16, 1 + did % 2),
+                lambda: MM.build_mp4(w, h),
+                lambda: MM.build_webp(w, h, "vp8"),
+                lambda: MM.build_webp(w, h, "vp8l"),
+                lambda: MM.build_webp(w, h, "vp8x"),
+                lambda: MM.build_flac(8000 + (did % 8) * 4000, 16,
+                                      1 + did % 2),
+                lambda: MM.build_heif(w, h, b"heic"),
+                lambda: MM.build_heif(w, h, b"avif"),
+                lambda: MM.build_tiff(w, h, 3, big_endian=bool(did % 2))]
+    return builders[did % len(builders)]()
 
 
 @given(st.binary(min_size=0, max_size=200))

@@ -119,3 +119,48 @@ def test_permissive_csv_reject_accounting(spark, tmp_path):
     df = df.cache()  # SPARK-21610: corrupt-col-only queries need persisted input
     stats = T.count_malformed(df)
     assert (stats.total, stats.rejected) == (4, 1)
+
+
+def test_json_tabularize_typed_and_permissive(spark, sf_dir, tmp_path):
+    """from_json under an explicit schema: typed columns come back
+    exactly (DuckDB json_extract twin over the same serialized rows);
+    malformed JSON and missing keys yield NULL fields, not failures."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from clickhouse_hdfs_loader_spark.operators.transform import (
+        json_tabularize)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    js = docs.select(
+        "doc_id",
+        F.to_json(F.struct("lang", "n_chars",
+                           F.struct(F.col("source").alias("d")).alias("meta"))
+                  ).alias("payload"))
+    path = str(tmp_path / "js")
+    js.write.parquet(path)
+    back = spark.read.parquet(path)
+    got = sorted(map(tuple, json_tabularize(
+        back, "payload",
+        "lang string, n_chars long, meta struct<d: string>",
+        keep=("doc_id",))
+        .select("doc_id", "lang", "n_chars", F.col("meta.d").alias("d"))
+        .collect()))
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(f"""
+        SELECT doc_id,
+               json_extract_string(payload, '$.lang') AS lang,
+               CAST(json_extract(payload, '$.n_chars') AS BIGINT) AS n_chars,
+               json_extract_string(payload, '$.meta.d') AS d
+        FROM '{path}/*.parquet'
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    bad = spark.createDataFrame(
+        [(1, '{"lang": "en", "n_chars": 7}'),   # missing meta -> NULL
+         (2, 'not json at all'),                # corrupt -> all NULL
+         (3, None)],                            # null input -> all NULL
+        ["doc_id", "payload"])
+    rows = {r["doc_id"]: r for r in json_tabularize(
+        bad, "payload", "lang string, n_chars long, meta struct<d: string>",
+        keep=("doc_id",)).collect()}
+    assert rows[1]["lang"] == "en" and rows[1]["meta"] is None
+    assert rows[2]["lang"] is None and rows[3]["n_chars"] is None
