@@ -494,3 +494,44 @@ def curate(docs: DataFrame, emb: DataFrame = None,
         "input long, dropped_quality long, dropped_exact long, "
         "dropped_semantic long, kept long")
     return curated, packed, report
+
+
+def seeded_shuffle(docs: DataFrame, id_col: str = "doc_id",
+                   seed: int = 42,
+                   with_position: bool = False) -> DataFrame:
+    """Deterministic global shuffle: order by ``xxhash64(id, seed)``
+    (ties broken by id for hash collisions) — the reproducible
+    training-order step. A seeded hash order is (a) identical across
+    runs/clusters/partitionings, unlike ``rand()``, (b) exactly
+    SQL-replayable, and (c) a range-partitionable sort key: the scale
+    path materializes with ``repartitionByRange(shuffle_key) +
+    sortWithinPartitions`` — one shuffle at any corpus size — and epoch
+    N+1 is just a different seed.
+
+    ``with_position=True`` additionally emits the dense global position
+    via a global row_number — that window is a SINGLE-TASK sort, so it
+    is for modest slices (an eval shard, a curriculum head), not the
+    100 TB corpus; at scale, slice by ``shuffle_key`` range instead
+    (the key is uniform on int64, so a fraction f of the keyspace is a
+    fraction ~f of the corpus)."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = docs.withColumn("shuffle_key", h)
+    if with_position:
+        w = Window.orderBy("shuffle_key", F.col(id_col))
+        out = out.withColumn("shuffle_pos",
+                             F.row_number().over(w).cast("long"))
+    return out
+
+
+def write_shuffled(docs: DataFrame, path: str, id_col: str = "doc_id",
+                   seed: int = 42, num_files: int = 8) -> None:
+    """Materialize the seeded shuffle order at scale: range-repartition
+    on ``shuffle_key`` and sort within files, so reading files in name
+    order replays the exact global order with ONE shuffle (the same
+    layout recipe as ``layout.write_range_layout``, with the hash key
+    as the sort axis). A trainer streams the files sequentially; a new
+    epoch rewrites with a new seed."""
+    (seeded_shuffle(docs, id_col, seed)
+     .repartitionByRange(num_files, F.col("shuffle_key"), F.col(id_col))
+     .sortWithinPartitions("shuffle_key", id_col)
+     .write.mode("overwrite").parquet(path))

@@ -102,3 +102,39 @@ def test_stream_cdc_merge_matches_batch(spark, sf_dir):
                        REGISTRY["cdc_apply"].fn(spark, sf_dir).collect()))
     stream = sorted(map(tuple, stream_cdc_merge(spark, sf_dir).collect()))
     assert stream == batch and len(stream) > 0
+
+
+def test_cdc_incremental_equals_one_shot_any_in_order_split(spark):
+    """For ANY op log and ANY in-order batch split, per-batch collapse +
+    sequential merge equals the one-shot collapse — the stream_cdc_merge
+    correctness contract, hypothesis-driven over random logs (seq = list
+    position, the required explicit total order)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.tuples(st.integers(0, 5), st.booleans()),
+                    min_size=1, max_size=24),
+           st.integers(1, 4))
+    @settings(max_examples=12, deadline=None)
+    def check(ops, nbatch):
+        rows = [(k, f"p{k}-{i}", i, "delete" if d else "upsert")
+                for i, (k, d) in enumerate(ops)]
+        schema = "k long, payload string, seq long, op string"
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple,
+                              cdc_apply(full, ["k"], ["seq"]).collect()))
+        cuts = sorted({(i * len(rows)) // nbatch for i in range(1, nbatch)})
+        snap = None
+        lo = 0
+        for hi in cuts + [len(rows)]:
+            if hi == lo:
+                continue
+            batch = spark.createDataFrame(rows[lo:hi], schema)
+            changes = cdc_apply(batch, ["k"], ["seq"], keep_deletes=True)
+            base = changes.drop("op").limit(0) if snap is None else snap
+            snap = merge_upsert(base, changes, ["k"]) \
+                .localCheckpoint(eager=True)
+            lo = hi
+        assert sorted(map(tuple, snap.collect())) == one_shot
+
+    check()

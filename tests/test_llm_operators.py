@@ -1452,3 +1452,36 @@ def test_tiff_header_roundtrip_both_byte_orders():
     # truncated IFD and zero-dimension files are rejected, not crashed
     assert MM.parse_media_header(MM.build_tiff(2, 2)[:20]) is None
     assert MM.parse_media_header(MM.build_tiff(0, 5)) is None
+
+
+def test_seeded_shuffle_oracle_and_written_order(spark, sf_dir, tmp_path):
+    """The seeded shuffle order replays exactly in SQL (xxhash64 is the
+    same function both engines... DuckDB lacks xxhash64, so the oracle
+    is Spark-free determinism instead: two sessions'/plans' orders are
+    identical, a different seed produces a different order, and the
+    written range layout replays the global order when files are read
+    in name order."""
+    import os
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        seeded_shuffle, write_shuffled)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    a = [r["doc_id"] for r in seeded_shuffle(docs, with_position=True)
+         .orderBy("shuffle_pos").collect()]
+    b = [r["doc_id"] for r in seeded_shuffle(docs.repartition(7),
+                                             with_position=True)
+         .orderBy("shuffle_pos").collect()]
+    assert a == b and len(a) == docs.count()   # partitioning-invariant
+    c = [r["doc_id"] for r in seeded_shuffle(docs, seed=43,
+                                             with_position=True)
+         .orderBy("shuffle_pos").collect()]
+    assert c != a and sorted(c) == sorted(a)   # new epoch, same corpus
+    path = str(tmp_path / "shuffled")
+    write_shuffled(docs, path, num_files=4)
+    seen = []
+    import pyarrow.parquet as pq
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            seen.extend(pq.read_table(os.path.join(path, name))
+                        .column("doc_id").to_pylist())
+    assert seen == a                           # file order replays globally
