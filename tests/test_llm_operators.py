@@ -1485,3 +1485,62 @@ def test_seeded_shuffle_oracle_and_written_order(spark, sf_dir, tmp_path):
             seen.extend(pq.read_table(os.path.join(path, name))
                         .column("doc_id").to_pylist())
     assert seen == a                           # file order replays globally
+
+
+def test_bpe_train_matches_independent_sennrich_replay(spark, sf_dir):
+    """The distributed merge sequence is pinned against an independent
+    pure-Python Sennrich (2016) implementation over the same word
+    frequencies (same stance as the murmur goldens: re-derive the truth
+    Spark-free), and encoding round-trips the text."""
+    import re
+    from collections import Counter
+    from clickhouse_hdfs_loader_spark.operators.bpe import (
+        bpe_encode, bpe_train)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    assert len(merges) == 8
+
+    wc = Counter()
+    for (text,) in docs.select("text").collect():
+        wc.update(re.findall(r"[a-z0-9]+", text.lower()))
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    want = []
+    for _ in range(8):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), total = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if total < 2:
+            break
+        want.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+        vocab = new_vocab
+    assert merges == want
+
+    enc = bpe_encode(docs.limit(20), merges)
+    for r in enc.collect():
+        assert r["n_tokens"] == len(r["tokens"]) > 0
+    # round-trip: concatenated tokens reproduce the word stream
+    sample = docs.limit(5).collect()
+    enc_map = {r["doc_id"]: r["tokens"] for r in
+               bpe_encode(docs.limit(5), merges).collect()}
+    for row in sample:
+        words = re.findall(r"[a-z0-9]+", row["text"].lower())
+        joined = "".join(enc_map[row["doc_id"]])
+        assert joined == "".join(w + "</w>" for w in words)
