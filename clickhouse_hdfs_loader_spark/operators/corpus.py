@@ -25,7 +25,8 @@ from ..functions.text import whitespace_token_count
 
 def pack_token_budget(docs: DataFrame, budget: int = 2048,
                       group_col: str = "source", id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      count_col: str | None = None) -> DataFrame:
     """Assign documents to fixed token-budget bins ("sequence packing" for
     context-window training batches): within each ``group_col`` stream,
     ordered by ``id_col``, bin = floor(cumulative-tokens-before / budget).
@@ -45,9 +46,14 @@ def pack_token_budget(docs: DataFrame, budget: int = 2048,
     """
     w = (Window.partitionBy("grp").orderBy("id")
          .rowsBetween(Window.unboundedPreceding, -1))
+    # token source: a precomputed count column (e.g. bpe_encode's exact
+    # n_tokens, joined upstream) beats the whitespace estimate when a
+    # real tokenizer is in play; the default keeps the operator
+    # self-contained on raw text
+    tokens = (F.col(count_col).cast("long") if count_col is not None
+              else whitespace_token_count(F.col(text_col)).cast("long"))
     d = docs.select(F.col(group_col).alias("grp"), F.col(id_col).alias("id"),
-                    whitespace_token_count(F.col(text_col)).cast("long")
-                    .alias("n_tokens"))
+                    tokens.alias("n_tokens"))
     d = d.withColumn("bin", F.floor(
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(float(budget))))
     return (d.groupBy("grp", "bin")

@@ -1544,3 +1544,27 @@ def test_bpe_train_matches_independent_sennrich_replay(spark, sf_dir):
         words = re.findall(r"[a-z0-9]+", row["text"].lower())
         joined = "".join(enc_map[row["doc_id"]])
         assert joined == "".join(w + "</w>" for w in words)
+
+
+def test_pack_token_budget_with_bpe_counts(spark, sf_dir):
+    """pack_token_budget consumes bpe_encode's exact token counts via
+    count_col — bins differ from the whitespace estimate (BPE emits
+    subwords + end markers) and bin token sums still respect the
+    cumulative-start invariant."""
+    from clickhouse_hdfs_loader_spark.operators.bpe import (
+        bpe_encode, bpe_train)
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        pack_token_budget)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=4)
+    counted = docs.join(bpe_encode(docs, merges)
+                        .select("doc_id", "n_tokens"), "doc_id")
+    packed = pack_token_budget(counted, budget=512,
+                               count_col="n_tokens").collect()
+    assert packed and all(r["n_docs"] > 0 for r in packed)
+    total_docs = sum(r["n_docs"] for r in packed)
+    assert total_docs == docs.count()
+    baseline = pack_token_budget(docs, budget=512).collect()
+    assert (sum(r["bin_tokens"] for r in packed)
+            > sum(r["bin_tokens"] for r in baseline))  # subword inflation
