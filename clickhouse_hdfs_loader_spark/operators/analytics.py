@@ -124,3 +124,78 @@ def exact_median_by_group(df: DataFrame, group_col: str, value_col: str,
             .withColumn("_n", F.count(F.lit(1)).over(wall))
             .where(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
             .select(group_col, F.col(value_col).alias(alias)))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 10,
+                  capacity: int = 256) -> DataFrame:
+    """Exact top-k frequent values WITHOUT a full-key shuffle — the
+    two-pass Misra-Gries pattern (ClickHouse's ``topK`` combinator, but
+    with an exactness certificate instead of an approximation):
+
+    1. Each partition summarizes its rows into ≤ ``capacity``
+       Misra-Gries candidates (Arrow-batched; classic guarantee: any
+       value with global count > N/capacity survives in at least one
+       partition summary).
+    2. Only candidate values are exactly recounted (broadcast semi-join
+       + aggregate over the candidate subset), then top-k with a
+       (count desc, value asc) deterministic tie-break.
+
+    The output carries the certificate: if NO partition ever evicted a
+    candidate, every distinct value is a candidate and the result is
+    trivially exact; otherwise the k-th recounted count must exceed
+    N/capacity (then no non-candidate can outrank it — any value absent
+    from all summaries has global count ≤ N/capacity). When neither
+    holds the operator RAISES (loud, like quota_sample's margin check)
+    — raise ``capacity`` rather than ship a silently approximate
+    answer. At 100 TB the first pass moves ≤ partitions × capacity rows
+    instead of |distinct keys|. Driver-side state: the top-k rows, one
+    total, one boolean — documented tiny collects."""
+    import pandas as pd
+
+    def summarize(batches):
+        counts: dict = {}
+        evicted = False
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < capacity:
+                    counts[v] = 1
+                else:
+                    evicted = True
+                    dead = [u for u in counts if counts[u] == 1]
+                    for u in dead:
+                        del counts[u]
+                    for u in counts:
+                        counts[u] -= 1
+        # the NULL sentinel row carries the eviction flag even when the
+        # summary dict ends empty (flat data can churn out every entry);
+        # object dtype keeps int keys int (float64+NaN would not)
+        yield pd.DataFrame({col: pd.Series(list(counts) + [None],
+                                           dtype="object"),
+                            "_evicted": [evicted] * (len(counts) + 1)})
+
+    src = df.select(col).where(F.col(col).isNotNull())
+    dtype = dict(src.dtypes)[col]
+    summ = src.mapInPandas(summarize,
+                           schema=f"{col} {dtype}, _evicted boolean")
+    evicted_any = bool(summ.agg(F.max("_evicted")).first()[0])
+    cands = summ.select(col).where(F.col(col).isNotNull()).distinct()
+    counted = (src.join(F.broadcast(cands), col)
+               .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+    total = src.count()
+    top = (counted.orderBy(F.col("cnt").desc(), col).limit(k)
+           .collect())
+    if evicted_any and (len(top) < k
+                        or top[-1]["cnt"] * capacity <= total):
+        kth = top[-1]["cnt"] if top else 0
+        raise ValueError(
+            f"heavy_hitters certificate failed: kth count {kth} <= "
+            f"N/capacity = {total}/{capacity} with evictions observed — "
+            f"a non-candidate could outrank it; raise capacity")
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r[col], r["cnt"], i + 1) for i, r in enumerate(top)],
+        schema=f"value {dtype}, cnt long, rank int")

@@ -1568,3 +1568,41 @@ def test_pack_token_budget_with_bpe_counts(spark, sf_dir):
     baseline = pack_token_budget(docs, budget=512).collect()
     assert (sum(r["bin_tokens"] for r in packed)
             > sum(r["bin_tokens"] for r in baseline))  # subword inflation
+
+
+def test_heavy_hitters_exact_with_certificate(spark, sf_dir):
+    """Two-pass Misra-Gries top-k equals the exact full-shuffle top-k
+    (DuckDB oracle) whenever the certificate passes; an undersized
+    capacity on adversarially flat data raises instead of silently
+    approximating; capacity above the distinct count is trivially exact
+    with no evictions."""
+    import duckdb
+    import pytest as PT
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        heavy_hitters)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, heavy_hitters(ev, "event_type", k=3,
+                                          capacity=64).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_type AS value, count(*) AS cnt,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
+                    AS INT) AS rank
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY cnt DESC, value LIMIT 3
+    """).fetchall()))
+    assert got == want and len(got) == 3
+    # flat distribution + tiny capacity: no value can certify -> raises
+    flat = spark.range(0, 5000).select(
+        (F.col("id") % 2500).cast("string").alias("v"))
+    with PT.raises(ValueError, match="certificate"):
+        heavy_hitters(flat, "v", k=3, capacity=4)
+    # skewed head + small capacity: head certifies and is exact
+    skew = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 != 0, F.lit("hot"))
+        .otherwise((F.col("id") % 7).cast("string")).alias("v"))
+    top1 = heavy_hitters(skew, "v", k=1, capacity=16).collect()
+    assert top1[0]["value"] == "hot" and top1[0]["cnt"] == 2000
