@@ -148,17 +148,23 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     holds the operator RAISES (loud, like quota_sample's margin check)
     — raise ``capacity`` rather than ship a silently approximate
     answer. At 100 TB the first pass moves ≤ partitions × capacity rows
-    instead of |distinct keys|. Driver-side state: the top-k rows, one
-    total, one boolean — documented tiny collects."""
+    instead of |distinct keys| (size capacity so partitions × capacity
+    stays broadcast-sized — the candidate set is the pass-2 build
+    side). The summary is persisted so the MG pass over the data runs
+    exactly ONCE across its two consumers (flag aggregate + candidate
+    distinct); driver-side state is the top-k rows and two scalars —
+    documented tiny collects."""
     import pandas as pd
 
     def summarize(batches):
         counts: dict = {}
         evicted = False
+        n = 0
         for pdf in batches:
             for v in pdf[col]:
                 if v is None:
                     continue
+                n += 1
                 if v in counts:
                     counts[v] += 1
                 elif len(counts) < capacity:
@@ -170,24 +176,37 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
                         del counts[u]
                     for u in counts:
                         counts[u] -= 1
-        # the NULL sentinel row carries the eviction flag even when the
-        # summary dict ends empty (flat data can churn out every entry);
-        # object dtype keeps int keys int (float64+NaN would not)
+        # the NULL sentinel row carries the eviction flag and the
+        # partition's row count even when the summary dict ends empty
+        # (flat data can churn out every entry); object dtype keeps int
+        # keys int (float64+NaN would not)
         yield pd.DataFrame({col: pd.Series(list(counts) + [None],
                                            dtype="object"),
-                            "_evicted": [evicted] * (len(counts) + 1)})
+                            "_evicted": [evicted] * (len(counts) + 1),
+                            "_n": [0] * len(counts) + [n]})
 
     src = df.select(col).where(F.col(col).isNotNull())
     dtype = dict(src.dtypes)[col]
-    summ = src.mapInPandas(summarize,
-                           schema=f"{col} {dtype}, _evicted boolean")
-    evicted_any = bool(summ.agg(F.max("_evicted")).first()[0])
-    cands = summ.select(col).where(F.col(col).isNotNull()).distinct()
-    counted = (src.join(F.broadcast(cands), col)
-               .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
-    total = src.count()
-    top = (counted.orderBy(F.col("cnt").desc(), col).limit(k)
-           .collect())
+    spark = df.sparkSession
+    # persist: the expensive MG pass over the data materializes once;
+    # the flag/total aggregate and the candidate distinct both read the
+    # (tiny: <= partitions x (capacity+1) rows) cached summary. N rides
+    # the sentinel row counts, so no separate src.count() scan either.
+    summ = (src.mapInPandas(
+        summarize, schema=f"{col} {dtype}, _evicted boolean, _n long")
+        .persist())
+    try:
+        flag, total = summ.agg(F.max("_evicted"),
+                               F.sum("_n")).first()
+        evicted_any, total = bool(flag), int(total or 0)
+        cands = (summ.where(F.col(col).isNotNull())
+                 .select(col).distinct())
+        counted = (src.join(F.broadcast(cands), col)
+                   .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+        top = (counted.orderBy(F.col("cnt").desc(), col).limit(k)
+               .collect())
+    finally:
+        summ.unpersist()
     if evicted_any and (len(top) < k
                         or top[-1]["cnt"] * capacity <= total):
         kth = top[-1]["cnt"] if top else 0
@@ -195,7 +214,6 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
             f"heavy_hitters certificate failed: kth count {kth} <= "
             f"N/capacity = {total}/{capacity} with evictions observed — "
             f"a non-candidate could outrank it; raise capacity")
-    spark = df.sparkSession
     return spark.createDataFrame(
         [(r[col], r["cnt"], i + 1) for i, r in enumerate(top)],
         schema=f"value {dtype}, cnt long, rank int")

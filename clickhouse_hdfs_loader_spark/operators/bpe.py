@@ -86,8 +86,11 @@ def bpe_train(docs: DataFrame, num_merges: int = 50,
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
+        prev = sym
         sym = (sym.withColumn("syms", _merge_udf(a, b)(F.col("syms")))
                .localCheckpoint(eager=True))
+        prev.unpersist()      # drop the superseded checkpoint's blocks —
+        # without this the loop pins num_merges vocab copies in storage
     return merges
 
 

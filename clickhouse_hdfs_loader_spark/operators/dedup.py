@@ -258,7 +258,10 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     :func:`ngram_jaccard_pairs` (never an all-pairs join); divisors are
     shingle-set sizes of docs that produced ≥1 shingle, so the ANSI
     division is structurally nonzero. ``max_df`` is the same
-    stopword-gram skew cap."""
+    stopword-gram skew cap. Ratios round via the knife-edge-safe
+    ``floor(x*1e6 + 0.5)/1e6`` (CLAUDE.md: Spark HALF_UP vs DuckDB
+    float round() disagree on exact .5 products); the threshold
+    compares the UNROUNDED ratio."""
     sh = _shingle_hashes(docs, text_col, id_col, k)
     if max_df is not None:
         df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -270,16 +273,17 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
                                F.col("n").alias("n_a")), "id_a")
             .join(sizes.select(F.col("id").alias("id_b"),
                                F.col("n").alias("n_b")), "id_b")
-            .withColumn("cont_a_in_b",
-                        F.round(F.col("shared").cast("double")
-                                / F.col("n_a"), 6))
-            .withColumn("cont_b_in_a",
-                        F.round(F.col("shared").cast("double")
-                                / F.col("n_b"), 6))
-            .where((F.col("cont_a_in_b") >= threshold)
-                   | (F.col("cont_b_in_a") >= threshold))
-            .select("id_a", "id_b", "shared", "cont_a_in_b",
-                    "cont_b_in_a"))
+            .withColumn("_ca", F.col("shared").cast("double")
+                        / F.col("n_a"))
+            .withColumn("_cb", F.col("shared").cast("double")
+                        / F.col("n_b"))
+            .where((F.col("_ca") >= threshold)
+                   | (F.col("_cb") >= threshold))
+            .select("id_a", "id_b", "shared",
+                    (F.floor(F.col("_ca") * 1000000 + 0.5) / 1000000)
+                    .alias("cont_a_in_b"),
+                    (F.floor(F.col("_cb") * 1000000 + 0.5) / 1000000)
+                    .alias("cont_b_in_a")))
 
 
 def simhash_bits(docs: DataFrame, text_col: str = "text",

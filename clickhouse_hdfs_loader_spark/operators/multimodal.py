@@ -153,6 +153,12 @@ def parse_media_header(p: bytes) -> tuple[int, int, int, int, str] | None:
         for i in range(cnt):
             e = off + 2 + i * 12
             tag, typ = struct.unpack(bo + "HH", p[e:e + 4])
+            vcnt = struct.unpack(bo + "I", p[e + 4:e + 8])[0]
+            if vcnt != 1:
+                # count>1 means the 4-byte field holds a file OFFSET,
+                # not the value — reading it as a dimension would emit
+                # confident garbage; our tags are all scalar
+                continue
             if typ == 3:                          # SHORT
                 val = struct.unpack(bo + "H", p[e + 8:e + 10])[0]
             elif typ == 4:                        # LONG

@@ -298,6 +298,16 @@ def json_tabularize(df, json_col: str, schema: str,
     Extends the reference's fixed TSV/ORC field decode
     (AbstractClickhouseLoaderMapper.java:154-205) to the third common
     log format."""
+    if "_j" in keep:
+        raise ValueError("'_j' is reserved by json_tabularize")
     parsed = df.select(*keep,
                        F.from_json(F.col(json_col), schema).alias("_j"))
-    return parsed.select(*keep, "_j.*")
+    out = parsed.select(*keep, "_j.*")
+    dupes = sorted({c for c in out.columns if out.columns.count(c) > 1})
+    if dupes:
+        # logs usually repeat the record id inside the JSON — fail HERE
+        # with the cause named, not later with AMBIGUOUS_REFERENCE
+        raise ValueError(
+            f"keep columns collide with JSON schema fields: {dupes}; "
+            f"rename one side (e.g. alias the keep column first)")
+    return out

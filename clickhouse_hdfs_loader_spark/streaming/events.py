@@ -276,8 +276,12 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(bdf: DataFrame, _epoch: int) -> None:
         part = build_rollup(bdf)
-        state[:] = [part if not state else merge_rollups(state[0], part)]
-        state[0] = state[0].localCheckpoint(eager=True)
+        nxt = (part if not state else merge_rollups(state[0], part)) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()   # release the superseded state's
+            # blocks (one rollup copy per micro-batch otherwise)
+        state[:] = [nxt]
 
     q = (stream.writeStream.foreachBatch(merge)
          .trigger(availableNow=True)
@@ -329,8 +333,13 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             base = changes.drop("op").limit(0)
         else:
             base = state[0]
-        state[:] = [merge_upsert(base, changes, ["o_custkey"])
-                    .localCheckpoint(eager=True)]
+        nxt = merge_upsert(base, changes, ["o_custkey"]) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()   # drop the superseded snapshot's
+            # blocks — a long-running stream would otherwise pin one
+            # full snapshot copy per micro-batch
+        state[:] = [nxt]
 
     q = (stream.writeStream.foreachBatch(merge)
          .trigger(availableNow=True)

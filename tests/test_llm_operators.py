@@ -1387,8 +1387,10 @@ def test_ngram_containment_oracle_and_asymmetry(spark, sf_dir):
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT id_a, id_b, shared,
-               round(CAST(shared AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
-               round(CAST(shared AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+               floor(CAST(shared AS DOUBLE) / sa.n * 1000000 + 0.5)
+                 / 1000000 AS cont_a_in_b,
+               floor(CAST(shared AS DOUBLE) / sb.n * 1000000 + 0.5)
+                 / 1000000 AS cont_b_in_a
         FROM shared JOIN sizes sa ON sa.doc_id = id_a
                     JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(shared AS DOUBLE) / sa.n >= 0.5
@@ -1452,6 +1454,12 @@ def test_tiff_header_roundtrip_both_byte_orders():
     # truncated IFD and zero-dimension files are rejected, not crashed
     assert MM.parse_media_header(MM.build_tiff(2, 2)[:20]) is None
     assert MM.parse_media_header(MM.build_tiff(0, 5)) is None
+    # count>1 entries carry offsets, not values — must not decode
+    import struct
+    p_mut = bytearray(MM.build_tiff(9, 9))
+    # first IFD entry (tag 256) starts at 10; count field at +4
+    p_mut[14:18] = struct.pack("<I", 2)
+    assert MM.parse_media_header(bytes(p_mut)) is None
 
 
 def test_seeded_shuffle_oracle_and_written_order(spark, sf_dir, tmp_path):

@@ -164,3 +164,18 @@ def test_json_tabularize_typed_and_permissive(spark, sf_dir, tmp_path):
         keep=("doc_id",)).collect()}
     assert rows[1]["lang"] == "en" and rows[1]["meta"] is None
     assert rows[2]["lang"] is None and rows[3]["n_chars"] is None
+
+
+def test_json_tabularize_rejects_column_collisions(spark):
+    import pytest as PT
+    from clickhouse_hdfs_loader_spark.operators.transform import (
+        json_tabularize)
+    df = spark.createDataFrame([(1, '{"doc_id": 9, "x": "a"}')],
+                               ["doc_id", "payload"])
+    with PT.raises(ValueError, match="collide"):
+        json_tabularize(df, "payload", "doc_id long, x string",
+                        keep=("doc_id",))
+    with PT.raises(ValueError, match="reserved"):
+        json_tabularize(df, "payload", "x string", keep=("_j",))
+    ok = json_tabularize(df, "payload", "x string", keep=("doc_id",))
+    assert ok.columns == ["doc_id", "x"]
