@@ -217,3 +217,40 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     return spark.createDataFrame(
         [(r[col], r["cnt"], i + 1) for i, r in enumerate(top)],
         schema=f"value {dtype}, cnt long, rank int")
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (ClickHouse expresses this with ``neighbor``/window chains; product
+    analytics calls it the "next-event" or path matrix). Per user,
+    events are ordered by (ts, id) — the explicit id tie-break keeps
+    equal-timestamp neighbors deterministic and SQL-replayable — and
+    each adjacent pair contributes one (from_type, to_type) observation.
+
+    Returns ``from_type, to_type, n, p_milli`` where ``p_milli`` is the
+    row-normalized transition probability in integer milli-units
+    (``(n*1000) div Σn over from_type`` — pure integer arithmetic, no
+    float anywhere, so the DuckDB oracle replays hash-exactly).
+
+    Scale: ONE shuffle on the user key; the lead() window runs inside
+    each user partition; the pair aggregate is map-side combinable and
+    its output is bounded by |event_type|^2, not event volume. The
+    normalizing total rides a tiny second aggregate over that bounded
+    matrix, never the raw events."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (events
+             .select(user_col, ts_col, id_col,
+                     F.col(type_col).alias("from_type"))
+             .withColumn("to_type", F.lead("from_type").over(w))
+             .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    wtot = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("_tot", F.sum("n").over(wtot))
+            .select("from_type", "to_type", "n",
+                    F.expr("(n * 1000) div _tot").alias("p_milli")))

@@ -1614,3 +1614,52 @@ def test_heavy_hitters_exact_with_certificate(spark, sf_dir):
         .otherwise((F.col("id") % 7).cast("string")).alias("v"))
     top1 = heavy_hitters(skew, "v", k=1, capacity=16).collect()
     assert top1[0]["value"] == "hot" and top1[0]["cnt"] == 2000
+
+
+def test_event_transitions_oracle_and_tiebreak(spark, sf_dir):
+    """In-test DuckDB oracle for the first-order Markov transition
+    matrix on the real events table (integer milli probabilities replay
+    hash-exactly), plus a synthetic stream proving the (ts, event_id)
+    tie-break pins equal-timestamp neighbor order."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        event_transitions)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, event_transitions(ev).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH ordered AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*) AS n
+              FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+               CAST((n * 1000) // tot AS BIGINT) AS p_milli
+        FROM c JOIN t USING (from_type)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    # per-row normalization: milli probs over a from_type sum to <= 1000
+    # and within 1 milli per to_type of it (pure floor loss)
+    by_from: dict = {}
+    for from_type, _to, _n, p in got:
+        by_from.setdefault(from_type, []).append(p)
+    for ps in by_from.values():
+        assert 1000 - len(ps) <= sum(ps) <= 1000
+    # synthetic: user 1 has two events at the SAME ts — event_id orders
+    # them, so a->b->c, never a->c
+    t0 = dt.datetime(2024, 1, 1)
+    synth = spark.createDataFrame(
+        [(1, 1, "a", t0, 1.0), (2, 1, "b", t0, 1.0),
+         (3, 1, "c", t0 + dt.timedelta(hours=1), 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {(r["from_type"], r["to_type"]): (r["n"], r["p_milli"])
+            for r in event_transitions(synth).collect()}
+    assert rows == {("a", "b"): (1, 1000), ("b", "c"): (1, 1000)}
