@@ -1,0 +1,129 @@
+"""BM25 full-text retrieval over the document corpus ([EXT]) — the
+classic inverted-index ranking function, expressed as pure DataFrame
+algebra with EXACT integer arithmetic so results replay hash-identically
+in any SQL engine (the repo-wide determinism contract; see
+``bigram_likelihood`` for the same floor-quantized style).
+
+Why integer: BM25's idf is a logarithm, and cross-engine ``ln``/``log2``
+can differ in the last ulp — enough to flip a ``floor``. Instead of a
+transcendental we use an exact piecewise-linear milli-log2 computed from
+integer bit-length (``floor(log2 x)`` = number of binary digits − 1,
+identical in Spark's ``conv(x,10,2)`` and DuckDB's ``bin(x)``) plus a
+linearly interpolated fractional part in pure integer division. The
+result is a monotone, deterministic, engine-exact approximation of
+log2 — ranking-faithful (monotone in the true idf) and reproducible.
+
+Scale shape (the 100 TB plan):
+- the postings table (term, doc_id, tf) is ONE explode + one map-side
+  combinable aggregate over the corpus;
+- query terms are broadcast (a query set is small by construction), so
+  matching never shuffles the postings;
+- corpus scalars (N docs, total tokens) ride a broadcast 1-row
+  aggregate — fully lazy, no driver collect;
+- scores aggregate on (query_id, doc_id) — bounded by matched postings,
+  not corpus size — and per-query top-k goes through a rank window that
+  Spark pushes down as ``WindowGroupLimit`` partial top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words_array
+
+# milli-log2 of 1e6 under the same piecewise-linear scheme (e=19,
+# frac=(1e6-2^19)*1000 div 2^19 = 907); subtracting it rescales
+# ilog2_milli(x * 1e6) back to milli-log2(x) deterministically.
+_ILOG2_MILLI_1E6 = 19907
+
+
+def with_ilog2_milli(df: DataFrame, x_col: str, out_col: str) -> DataFrame:
+    """Append ``out_col`` = exact-integer milli-log2 of positive integer
+    column ``x_col``: ``e*1000 + ((x - 2^e) * 1000) div 2^e`` with
+    ``e = bitlength(x) - 1``. Monotone in x, pure integer ops, and
+    SQL-replayable (DuckDB: ``length(ltrim(bin(x),'0'))-1`` and
+    ``1::BIGINT << e``). Valid for 1 <= x < 2^62 (the *1000 product
+    stays under 2^63)."""
+    return (df
+            .withColumn("_e", (F.length(F.conv(F.col(x_col), 10, 2)) - 1)
+                        .cast("long"))
+            # 2^e: powers of two are exact in double for any e <= 62
+            .withColumn("_p", F.pow(F.lit(2.0), F.col("_e")).cast("long"))
+            .withColumn(out_col,
+                        F.col("_e") * 1000
+                        + F.expr(f"(({x_col} - _p) * 1000) div _p"))
+            .drop("_e", "_p"))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k1_milli: int = 1200, b_milli: int = 750) -> DataFrame:
+    """Top-k documents per query under quantized-rational BM25
+    (k1=1.2, b=0.75 by default, in milli-units).
+
+    Per matched (query term, doc) posting, all in int64:
+
+    - ``idf_milli = ilog2m((2*(N+1)*1e6) div (2*df+1)) - ilog2m(1e6)``
+      — milli-log2 of ``(N+1)/(df+0.5)``, the Robertson idf with the
+      +1-inside-the-log smoothing (never negative);
+    - ``dl_rel_milli = (dl * 1000 * N) div S`` — dl/avgdl;
+    - ``ndl_milli = (1000 - b) + (b * dl_rel_milli) div 1000``;
+    - ``denom_milli = tf*1000 + (k1 * ndl_milli) div 1000``;
+    - contribution ``(idf_milli * tf * (k1+1000) * 1000) div denom_milli``
+      (micro-units), summed per (query, doc).
+
+    Ties break deterministically: score desc, then doc_id asc. Duplicate
+    query terms are collapsed (set semantics — the common BM25 practice
+    for short queries). Overflow bound: the contribution numerator is
+    ``idf_milli(<~63e3) * tf * 2.2e6`` — safe for tf up to ~6e10.
+
+    Returns ``query_id, doc_id, score_micro, rank``.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(words_array(F.col(text_col)))
+                       .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus scalars as a lazy 1-row broadcast (token-less docs count
+    # toward N and add 0 to S) — no driver action inside the operator
+    stats = (docs.agg(F.count(F.lit(1)).alias("n"))
+             .crossJoin(toks.agg(F.count(F.lit(1)).alias("s"))))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(words_array(F.col(query_text_col))))
+        .alias("term"))
+
+    matched = (tf
+               .join(F.broadcast(qterms), "term")
+               .join(dfreq, "term")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats)))
+    matched = matched.withColumn(
+        "_x", F.expr("(2 * (n + 1) * 1000000) div (2 * df + 1)"))
+    matched = with_ilog2_milli(matched, "_x", "_lg")
+    contrib = (matched
+               .withColumn("idf_milli",
+                           F.col("_lg") - F.lit(_ILOG2_MILLI_1E6))
+               .withColumn("dl_rel_milli",
+                           F.expr("(dl * 1000 * n) div s"))
+               .withColumn("ndl_milli",
+                           F.lit(1000 - b_milli)
+                           + F.expr(f"({b_milli} * dl_rel_milli) div 1000"))
+               .withColumn("denom_milli",
+                           F.expr(f"tf * 1000 "
+                                  f"+ ({k1_milli} * ndl_milli) div 1000"))
+               .withColumn("contrib_micro",
+                           F.expr(f"(idf_milli * tf * {k1_milli + 1000} "
+                                  f"* 1000) div denom_milli")))
+    scored = (contrib.groupBy("query_id", "doc_id")
+              .agg(F.sum("contrib_micro").alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score_micro", "rank"))
