@@ -1,0 +1,85 @@
+"""Bloom-filter join pruning ([EXT] — 100 TB posture: "minimize
+shuffles, prune the fact side BEFORE the expensive join").
+
+Spark's own runtime bloom filters (``spark.sql.optimizer.runtime.
+bloomFilter.enabled``) only inject under planner heuristics and are
+invisible to the user; this module makes the pattern an explicit,
+testable operator: build a compact bitmap from the key side as a
+DataFrame aggregate, broadcast it, and drop fact rows whose keys are
+definitely absent — all JVM-side expressions (xxhash64 + bit ops), no
+Python in the hot path, no shuffle of the fact until after the prune.
+
+The filter is one-sided exact: a key present in ``keys`` ALWAYS passes
+(no false negatives); an absent key passes with probability ~(1-e^{-kn/m})^k.
+``bloom_semi_join`` therefore finishes with the true semi-join by
+default, making the composite result IDENTICAL to a plain left-semi —
+the bloom stage only shrinks what reaches the join's shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(col, num_bits: int, num_hashes: int):
+    """The ``num_hashes`` bit positions for a key, Kirsch-Mitzenmacher
+    double hashing: pos_i = (h1 + i*h2) mod m with h1/h2 reduced mod m
+    FIRST so the combination never overflows int64 under ANSI mode
+    (h1 + i*h2 on raw 64-bit hashes would)."""
+    a = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(num_bits))
+    b = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(num_bits))
+    return [F.pmod(a + F.lit(i) * b, F.lit(num_bits))
+            for i in range(num_hashes)]
+
+
+def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 20,
+                num_hashes: int = 3) -> DataFrame:
+    """Build the bloom bitmap as a (word_idx, bits) DataFrame: each of
+    the key's positions contributes one bit via a map-side-combinable
+    ``bit_or`` aggregate. The result has at most num_bits/64 rows
+    (16 Ki rows for the 1 Mi-bit default — broadcast-sized by
+    construction, independent of |keys|)."""
+    assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of 2"
+    pos = F.explode(F.array(*_positions(F.col(key_col), num_bits,
+                                        num_hashes))).alias("_pos")
+    return (keys.select(pos)
+            .select(F.expr("_pos >> 6").alias("word_idx"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(_pos % 64 AS INT))").alias("_mask"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(_mask)").alias("bits")))
+
+
+def bloom_semi_join(fact: DataFrame, keys: DataFrame, on: str,
+                    num_bits: int = 1 << 20, num_hashes: int = 3,
+                    exact: bool = True) -> DataFrame:
+    """Semi-join ``fact`` to ``keys`` on column ``on`` with a bloom
+    prefilter: build bitmap from keys → broadcast-probe fact → (when
+    ``exact``, the default) finish with the true left-semi join over the
+    SURVIVORS only. Result is row-identical to
+    ``fact.join(keys, on, "left_semi")``; the prefilter exists purely to
+    cut the fact volume entering the join's shuffle (at 100 TB the
+    bitmap probe is a broadcast, the exact join's exchange sees only
+    prefiltered rows). With ``exact=False`` you get the raw bloom pass
+    (false positives possible, never false negatives) — the building
+    block for joins against sets too large to broadcast exactly.
+
+    NULL keys never match a semi-join; the bloom may pass them but the
+    exact stage removes them (and with ``exact=False`` xxhash64 treats
+    NULL deterministically, so behavior is stable)."""
+    bloom = bloom_build(keys.select(on), on, num_bits, num_hashes)
+    out = fact
+    for i, p in enumerate(_positions(F.col(on), num_bits, num_hashes)):
+        words_i = (bloom.select(F.col("word_idx").alias(f"_wi{i}"),
+                                F.col("bits").alias(f"_bits{i}")))
+        out = (out
+               .withColumn(f"_p{i}", p)
+               .join(F.broadcast(words_i),
+                     F.expr(f"_p{i} >> 6") == F.col(f"_wi{i}"))
+               .where(F.expr(f"(_bits{i} & shiftleft(CAST(1 AS BIGINT), "
+                             f"CAST(_p{i} % 64 AS INT))) != 0"))
+               .drop(f"_p{i}", f"_wi{i}", f"_bits{i}"))
+    if exact:
+        out = out.join(keys.select(on).distinct(), on, "left_semi")
+    return out
