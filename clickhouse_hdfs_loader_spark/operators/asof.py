@@ -142,3 +142,47 @@ def ohlc_resample(events: DataFrame, ts_col: str = "ts",
                  F.count(F.lit(1)).alias("ticks"))
             .select(key_col, F.unix_timestamp("h").alias("hour_epoch"),
                     "open", "high", "low", "close", "ticks"))
+
+
+def time_weighted_avg(events: DataFrame, ts_col: str = "ts",
+                      key_col: str = "event_type",
+                      value_col: str = "value",
+                      id_col: str = "event_id") -> DataFrame:
+    """Per-series time-weighted average (TWAP — the metric stores and
+    market-data engines report when samples arrive irregularly): each
+    observation is weighted by how long it remained current, i.e. the
+    whole microseconds until the series' next event; the final event
+    carries zero weight (no horizon assumption).
+
+    Integer-exact and SQL-replayable end to end: values quantize to
+    milli units (``floor(v*1000)``), durations are whole µs from the
+    epoch, and the output is ``(Σ v_milli·dur) div (Σ dur)`` — both
+    engines truncate integer division toward zero, so even negative
+    values replay hash-exactly. Singleton series (zero total duration)
+    emit NULL explicitly — never an ANSI divide-by-zero.
+
+    Overflow bound: Σ v_milli·dur_µs must stay under 2^63 — holds for
+    |v| < 1e6 over a ~3-century span per series; quantize coarser for
+    wilder magnitudes.
+
+    Scale: ONE shuffle on the series key; the lead() window and both
+    sums run inside each partition (map-side combinable after the
+    window). Equal timestamps order by ``id_col`` (zero-µs weight, but
+    deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    rows = (events
+            .where(F.col(value_col).isNotNull())
+            .withColumn("_us", us)
+            .withColumn("_dur", F.coalesce(
+                F.lead("_us").over(w) - F.col("_us"), F.lit(0)))
+            .withColumn("_vm", F.floor(F.col(value_col) * 1000)
+                        .cast("long")))
+    return (rows.groupBy(key_col)
+            .agg(F.sum(F.expr("_vm * _dur")).alias("num"),
+                 F.sum("_dur").alias("den"))
+            .select(key_col, "num", "den",
+                    F.expr("CASE WHEN den = 0 THEN NULL "
+                           "ELSE num div den END").alias("twap_milli")))

@@ -541,3 +541,37 @@ def write_shuffled(docs: DataFrame, path: str, id_col: str = "doc_id",
      .repartitionByRange(num_files, F.col("shuffle_key"), F.col(id_col))
      .sortWithinPartitions("shuffle_key", id_col)
      .write.mode("overwrite").parquet(path))
+
+
+def kfold_assign(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                 seed: int = 42, fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold split assignment for cross-validation:
+    ``fold = md5(seed ":" id) 32-bit prefix mod k`` — a pure function of
+    (seed, id), so folds are identical across runs, partitionings and
+    engines (the md5-prefix coin of ``quota_sample``/``mixture_sample``,
+    here as a modulus instead of a threshold). Uniform per stratum by
+    construction: within ANY subset the hash is uniform, so every
+    stratum splits ~1/k per fold without a stratified shuffle.
+
+    Leakage note: to keep duplicate families within one fold, pass the
+    near-dup component label (see ``leakage_safe_split``) as ``id_col``
+    — fold membership is then constant per family.
+
+    Scale: stateless row-local expression — no shuffle, no window, no
+    driver state. SQL twin:
+    ``CAST(('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT
+    % k AS INT)``."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return docs.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
+
+
+def kfold_counts(assigned: DataFrame, strata_col: str = "source",
+                 fold_col: str = "fold") -> DataFrame:
+    """Fold-balance report: rows of (stratum, fold, n) — the audit pair
+    to :func:`kfold_assign` (ONE map-side-combinable aggregate bounded
+    by |strata| x k, never corpus-sized)."""
+    return (assigned.groupBy(strata_col, fold_col)
+            .agg(F.count(F.lit(1)).alias("n")))
