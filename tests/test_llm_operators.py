@@ -1663,3 +1663,185 @@ def test_event_transitions_oracle_and_tiebreak(spark, sf_dir):
     rows = {(r["from_type"], r["to_type"]): (r["n"], r["p_milli"])
             for r in event_transitions(synth).collect()}
     assert rows == {("a", "b"): (1, 1000), ("b", "c"): (1, 1000)}
+
+
+def test_bm25_topk_oracle_and_ranking(spark, sf_dir):
+    """In-test DuckDB oracle for quantized-rational BM25 top-k on the
+    real documents table (full pipeline: tokenize -> postings ->
+    integer milli-log2 idf -> per-query rank window replays
+    hash-exactly), plus a synthetic discrimination check: the doc
+    containing the rare query term outranks term-free docs entirely."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.retrieval import (
+        bm25_topk, with_ilog2_milli)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    # milli-log2 helper: exact integer endpoints, linear interior
+    probe = spark.createDataFrame(
+        [(1,), (2,), (3,), (1000000,)], "x long")
+    got_lg = dict((r["x"], r["lg"]) for r in
+                  with_ilog2_milli(probe, "x", "lg").collect())
+    assert got_lg == {1: 0, 2: 1000, 3: 1500, 1000000: 19907}
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "vector hash join"), (2, "customer order stream"),
+         (3, "zzzunseen fast fast")],   # dup + unknown query terms
+        "query_id long, query_text string")
+    got = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w <> '') AS l
+          FROM documents),
+        toks AS (SELECT doc_id, unnest(l) AS term FROM ws),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT count(*) FROM toks) AS s),
+        qraw(query_id, qtext) AS (VALUES
+          (1, 'vector hash join'), (2, 'customer order stream'),
+          (3, 'zzzunseen fast fast')),
+        q AS (SELECT DISTINCT query_id,
+                     unnest(list_filter(string_split_regex(lower(qtext),
+                            '[^a-z0-9]+'), w -> w <> '')) AS term
+              FROM qraw),
+        m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df,
+                     stats.n, stats.s,
+                     (2 * (n + 1) * 1000000) // (2 * df + 1) AS x
+              FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats),
+        lg AS (SELECT *, length(ltrim(bin(x), '0')) - 1 AS e FROM m),
+        c AS (SELECT query_id, doc_id, tf,
+                     CAST(e AS BIGINT) * 1000
+                       + ((x - (1::BIGINT << e)) * 1000)
+                         // (1::BIGINT << e) - 19907 AS idf,
+                     250 + (750 * ((dl * 1000 * n) // s)) // 1000 AS ndl
+              FROM lg),
+        c2 AS (SELECT query_id, doc_id,
+                      (idf * tf * 2200 * 1000)
+                        // (tf * 1000 + (1200 * ndl) // 1000) AS contrib
+               FROM c),
+        sc AS (SELECT query_id, doc_id,
+                      CAST(sum(contrib) AS BIGINT) AS score_micro
+               FROM c2 GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id ASC) AS rank FROM sc)
+        SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    # every query with any in-vocabulary term produced a full page
+    from collections import Counter
+    per_q = Counter(q for q, *_ in got)
+    assert per_q[1] == 10 and per_q[2] == 10 and per_q[3] == 10
+
+    # discrimination: only banana-bearing docs surface; the focused one
+    # (higher tf density) outranks the diluted one
+    synth = spark.createDataFrame(
+        [(1, "banana banana apple"), (2, "apple pear plum grape melon"),
+         (3, "banana apple pear plum grape melon kiwi fig date lime")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(7, "banana")],
+                               "query_id long, query_text string")
+    rows = bm25_topk(synth, qs, k=5).collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] \
+        == [1, 3]
+
+
+def test_kfold_assign_oracle_balance_determinism(spark, sf_dir):
+    """In-test DuckDB oracle: the md5-prefix fold coin replays exactly
+    in SQL; folds are in range, deterministic across invocations, and
+    per-stratum balanced within hash noise."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        kfold_assign, kfold_counts)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    assigned = kfold_assign(docs, k=3, seed=42)
+    got = sorted((r["doc_id"], r["fold"]) for r in
+                 assigned.select("doc_id", "fold").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT % 3 AS INT) AS fold
+        FROM documents
+    """).fetchall()))
+    assert got == want and len(got) == 500
+    assert {f for _i, f in got} == {0, 1, 2}
+    # deterministic: a second independent plan produces the same folds
+    again = sorted((r["doc_id"], r["fold"]) for r in
+                   kfold_assign(read_table(spark, sf_dir, "documents"),
+                                k=3, seed=42)
+                   .select("doc_id", "fold").collect())
+    assert again == got
+    # per-stratum balance: every (source, fold) cell populated, within
+    # hash noise of n_stratum/k
+    cells = {(r["source"], r["fold"]): r["n"]
+             for r in kfold_counts(assigned).collect()}
+    assert len(cells) == 60           # 20 sources x 3 folds
+    for (_s, _f), n in cells.items():
+        assert 1 <= n <= 25           # 25/3 = 8.3 expected per cell
+    # a different seed reshuffles membership
+    other = sorted((r["doc_id"], r["fold"]) for r in
+                   kfold_assign(docs, k=3, seed=43)
+                   .select("doc_id", "fold").collect())
+    assert other != got
+
+
+def test_time_weighted_avg_oracle_and_hand_case(spark, sf_dir):
+    """In-test DuckDB oracle for integer-exact TWAP on the real events
+    table, plus a hand case with known durations and a singleton series
+    emitting NULL (not vanishing)."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.asof import (
+        time_weighted_avg)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, time_weighted_avg(ev).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH r AS (
+          SELECT event_type, value,
+                 coalesce(lead(epoch_us(ts)) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id)
+                   - epoch_us(ts), 0) AS dur
+          FROM events WHERE value IS NOT NULL),
+        a AS (SELECT event_type,
+                     CAST(sum(CAST(floor(value * 1000) AS BIGINT) * dur)
+                          AS BIGINT) AS num,
+                     CAST(sum(dur) AS BIGINT) AS den
+              FROM r GROUP BY 1)
+        SELECT event_type, num, den,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE CAST(num // den AS BIGINT) END AS twap_milli
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    # hand case: v=1.0 held 3s then v=5.0 held 1s -> (1000*3e6 + 5000*1e6)
+    # div 4e6 = 2000; series 'solo' has one event -> den 0, NULL twap
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "a", t0, 1.0), (2, 1, "a", t0 + 3 * s, 5.0),
+         (3, 1, "a", t0 + 4 * s, 9.0),
+         (4, 2, "solo", t0, 7.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {r["event_type"]: (r["num"], r["den"], r["twap_milli"])
+            for r in time_weighted_avg(synth).collect()}
+    assert rows["a"] == (1000 * 3_000_000 + 5000 * 1_000_000,
+                         4_000_000, 2000)
+    assert rows["solo"] == (0, 0, None)

@@ -397,3 +397,58 @@ def test_compact_parquet_injectable_swap_backend(spark, sf_dir, tmp_path):
     os.makedirs(path + "._compact_old")
     with PT.raises(RuntimeError, match="mid-swap"):
         compact_parquet(spark, path)
+
+
+def test_bloom_semi_join_identity_and_pruning(spark, sf_dir):
+    """bloom_semi_join == plain left-semi (DuckDB-oracle-verified), the
+    raw bloom pass has NO false negatives and actually prunes, and the
+    fact-side probes plan as broadcast hash joins (no fact shuffle
+    before the prefilter)."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.prune import (
+        bloom_build, bloom_semi_join)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # a selective key set: customers in one nation
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where(F.col("c_nationkey") == 7) \
+        .select(F.col("c_custkey").alias("o_custkey"))
+
+    got = sorted(r["o_orderkey"] for r in
+                 bloom_semi_join(orders, cust, "o_custkey")
+                 .select("o_orderkey").collect())
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+    want = [r[0] for r in con.execute("""
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_nationkey = 7)
+        ORDER BY o_orderkey
+    """).fetchall()]
+    assert got == want and len(got) > 0
+
+    # raw pass (exact=False): superset of true matches, subset of fact —
+    # tiny bitmap (2^12 bits) to force real collisions while proving the
+    # no-false-negative guarantee
+    raw = bloom_semi_join(orders, cust, "o_custkey",
+                          num_bits=1 << 12, exact=False)
+    raw_keys = set(r["o_orderkey"] for r in
+                   raw.select("o_orderkey").collect())
+    assert set(want) <= raw_keys
+    n_fact = orders.count()
+    assert len(raw_keys) < n_fact          # it pruned something
+    # and at the default size, pruning is near-exact
+    raw_big = bloom_semi_join(orders, cust, "o_custkey",
+                              exact=False).count()
+    assert len(want) <= raw_big <= int(len(want) * 1.05) + 10
+
+    # bitmap is bounded by num_bits/64 regardless of key count
+    assert bloom_build(cust, "o_custkey", num_bits=1 << 12).count() <= 64
+
+    # plan shape: every probe is a BroadcastHashJoin; the fact scan has
+    # no Exchange below the first probe
+    plan = bloom_semi_join(orders, cust, "o_custkey") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
