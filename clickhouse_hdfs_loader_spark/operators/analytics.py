@@ -239,6 +239,16 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
     its output is bounded by |event_type|^2, not event volume. The
     normalizing total rides a tiny second aggregate over that bounded
     matrix, never the raw events."""
+    return normalize_transitions(
+        transition_counts(events, user_col, ts_col, type_col, id_col))
+
+
+def transition_counts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """The un-normalized (from_type, to_type, n) transition counts —
+    the MERGEABLE state (plain int64 sums) behind
+    :func:`event_transitions` and :func:`transitions_update`."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -247,10 +257,90 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
                      F.col(type_col).alias("from_type"))
              .withColumn("to_type", F.lead("from_type").over(w))
              .where(F.col("to_type").isNotNull()))
-    counts = (pairs.groupBy("from_type", "to_type")
-              .agg(F.count(F.lit(1)).alias("n")))
+    return (pairs.groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def normalize_transitions(counts: DataFrame) -> DataFrame:
+    """Row-normalize a transition-count table to integer milli
+    probabilities (the tiny |types|^2-bounded aggregate — see
+    :func:`event_transitions`)."""
+    from pyspark.sql import Window
+
     wtot = Window.partitionBy("from_type")
     return (counts
             .withColumn("_tot", F.sum("n").over(wtot))
             .select("from_type", "to_type", "n",
                     F.expr("(n * 1000) div _tot").alias("p_milli")))
+
+
+def transitions_update(state_counts: "DataFrame | None",
+                       state_last: "DataFrame | None",
+                       batch: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       id_col: str = "event_id"):
+    """Incremental transition-matrix maintenance: fold one micro-batch
+    into ``(counts, last_event)`` state and return the new pair — the
+    continuous-ingest twin of :func:`transition_counts`.
+
+    The boundary pair (a user's last event of the previous batches →
+    first event of this batch) is recovered by unioning the carried
+    one-row-per-user ``last_event`` table into the batch before the
+    lead() window, so folding ANY in-order batch split reproduces the
+    one-shot counts exactly (the cdc_apply/merge_upsert
+    incremental-equals-one-shot contract; hypothesis-tested over the
+    split space). In-order means per-user (ts, id) never goes backwards
+    across batches — true of an ordered commit log or a key-partitioned
+    Kafka topic.
+
+    Scale: state is |users| rows (last) + |types|^2 rows (counts); each
+    update shuffles only the batch plus those — never history. Pass
+    ``None`` state to bootstrap."""
+    cols = [user_col, ts_col, id_col, type_col]
+    ext = batch.select(*cols)
+    if state_last is not None:
+        ext = state_last.select(*cols).unionByName(ext)
+    new_pairs = transition_counts(ext, user_col, ts_col, type_col, id_col)
+    new_counts = new_pairs if state_counts is None else (
+        state_counts.unionByName(new_pairs)
+        .groupBy("from_type", "to_type").agg(F.sum("n").alias("n")))
+    # struct max orders by (ts, id) — unique per user by contract — with
+    # the type riding along
+    m = F.max(F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                       F.col(type_col).alias("y"))).alias("m")
+    new_last = (ext.groupBy(user_col).agg(m)
+                .select(user_col, F.col("m.t").alias(ts_col),
+                        F.col("m.i").alias(id_col),
+                        F.col("m.y").alias(type_col)))
+    return new_counts, new_last
+
+
+def exact_quantiles_by_group(df: DataFrame, group_col: str,
+                             value_col: str,
+                             qs_milli: "tuple[int, ...]" = (250, 500, 750),
+                             ) -> DataFrame:
+    """Exact per-group LOWER quantiles at milli-fractions ``qs_milli``
+    (500 reproduces :func:`exact_median_by_group`): the value at sorted
+    position ``max(1, ceil(n*q/1000))``. Like the lower median, each
+    output is an ELEMENT of the data — no midpoint interpolation — so
+    any engine that can sort agrees bit-for-bit, ties in the value
+    column notwithstanding (the value at a rank is well-defined even
+    when row_number's choice among equal values isn't).
+
+    Plan: the same one-shuffle window pair as the median, then a
+    |qs|-way literal explode + filter (Generate streams; no second
+    shuffle). Returns ``group, q_milli, q_value``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wall = Window.partitionBy(group_col)
+    qarr = F.array(*[F.lit(int(q)) for q in qs_milli])
+    return (df.select(group_col, value_col)
+            .where(F.col(value_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .withColumn("q_milli", F.explode(qarr))
+            .where(F.col("_rn") == F.greatest(
+                F.lit(1), F.expr("(_n * q_milli + 999) div 1000")))
+            .select(group_col, "q_milli",
+                    F.col(value_col).alias("q_value")))

@@ -349,3 +349,44 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("stream produced no batches")
     return (state[0].select("o_custkey", "o_orderkey", "o_totalprice",
                             "o_orderstatus"))
+
+
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/analytics.event_transitions —
+    continuous next-event matrix maintenance: each micro-batch folds
+    into the (counts, last_event_per_user) state via
+    ``transitions_update`` inside ``foreachBatch``; the boundary pair
+    carried per user makes per-batch folding ≡ one-shot (the
+    incremental-equals-one-shot contract, hypothesis-tested at unit
+    level over arbitrary in-order splits). At scale the two state
+    tables live in storage the closure merges into; here they are
+    driver-held checkpointed DataFrames so availableNow runs compare
+    deterministically against the batch operator."""
+    from ..operators.analytics import (normalize_transitions,
+                                       transitions_update)
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    stream = normalize_event_time(spark, stream)
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        prev_counts, prev_last = state[0] if state else (None, None)
+        counts, last = transitions_update(prev_counts, prev_last, bdf)
+        counts = counts.localCheckpoint(eager=True)
+        last = last.localCheckpoint(eager=True)
+        if state:
+            state[0][0].unpersist()
+            state[0][1].unpersist()
+        state[:] = [(counts, last)]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return normalize_transitions(state[0][0])
