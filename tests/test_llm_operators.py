@@ -1845,3 +1845,188 @@ def test_time_weighted_avg_oracle_and_hand_case(spark, sf_dir):
     assert rows["a"] == (1000 * 3_000_000 + 5000 * 1_000_000,
                          4_000_000, 2000)
     assert rows["solo"] == (0, 0, None)
+
+
+def test_feature_scaling_oracles_and_ranges(spark, sf_dir):
+    """In-test DuckDB oracles for per-dimension stats, min-max
+    normalization and mean-centering on the real embeddings table
+    (micro-quantize -> integer aggregate -> identical floor-division
+    expression order replays hash-exactly), plus range/attainment
+    invariants and the train-stats-applied-to-eval direction."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        dimension_stats, minmax_normalize, mean_center)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    con.execute("""
+        CREATE VIEW x AS
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings WHERE embedding IS NOT NULL""")
+    con.execute("""
+        CREATE VIEW st AS
+        SELECT dim, min(q) AS qmin, max(q) AS qmax,
+               CAST(sum(q) AS BIGINT) AS qsum, count(q) AS n
+        FROM x GROUP BY dim""")
+
+    got_st = sorted(map(tuple, dimension_stats(emb).collect()))
+    want_st = sorted(map(tuple, con.execute(
+        "SELECT dim, qmin, qmax, qsum, CAST(n AS BIGINT) FROM st"
+    ).fetchall()))
+    assert got_st == want_st and len(got_st) > 0
+
+    got_nv = {r["vec_id"]: list(r["normalized"]) for r in
+              minmax_normalize(emb).select("vec_id", "normalized")
+              .collect()}
+    want_nv = dict(con.execute("""
+        SELECT vec_id,
+               array_agg(CASE WHEN qmax - qmin = 0 THEN 0
+                         ELSE CAST(floor(CAST((q - qmin) * 1000 AS DOUBLE)
+                                   / (qmax - qmin)) AS BIGINT) END
+                         ORDER BY dim) AS normalized
+        FROM x JOIN st USING (dim) GROUP BY vec_id
+    """).fetchall())
+    assert got_nv == want_nv and len(got_nv) > 0
+    # range + attainment: every value in [0,1000]; each dim attains both
+    dims = len(got_st)
+    lo_hit, hi_hit = [False] * dims, [False] * dims
+    for v in got_nv.values():
+        for d, m in enumerate(v):
+            assert 0 <= m <= 1000
+            lo_hit[d] |= m == 0
+            hi_hit[d] |= m == 1000
+    assert all(lo_hit) and all(hi_hit)
+
+    got_c = {r["vec_id"]: list(r["centered_micro"]) for r in
+             mean_center(emb).select("vec_id", "centered_micro")
+             .collect()}
+    want_c = dict(con.execute("""
+        WITH m AS (SELECT dim,
+                          CAST(CASE WHEN qsum >= 0 THEN qsum // n
+                               ELSE -((-qsum) // n) END AS BIGINT) AS mu
+                   FROM st)
+        SELECT vec_id, array_agg(q - mu ORDER BY dim)
+        FROM x JOIN m USING (dim) GROUP BY vec_id
+    """).fetchall())
+    assert got_c == want_c
+    # centering: per-dim sum of centered values within n of zero
+    # (pure truncation residue)
+    n_rows = len(got_c)
+    for d in range(dims):
+        assert abs(sum(v[d] for v in got_c.values())) <= n_rows
+
+    # leakage-correct direction: eval rows scaled with TRAIN stats only
+    train = emb.where(F.col("vec_id") % 2 == 0)
+    eval_ = emb.where(F.col("vec_id") % 2 == 1)
+    st_train = dimension_stats(train)
+    out = minmax_normalize(eval_, stats=st_train).select("normalized")
+    vals = [m for r in out.collect() for m in r["normalized"]]
+    # train min/max need not bound eval — values may leave [0,1000],
+    # which is exactly the honest no-leakage behavior
+    assert len(vals) > 0 and all(isinstance(m, int) for m in vals)
+
+
+def test_stream_event_transitions_matches_batch(spark, sf_dir):
+    """The foreachBatch transition-matrix twin reproduces the batch
+    operator exactly on the real events table."""
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        event_transitions)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_event_transitions)
+    batch = sorted(map(tuple, event_transitions(
+        read_table(spark, sf_dir, "events")).collect()))
+    stream = sorted(map(tuple,
+                        stream_event_transitions(spark, sf_dir).collect()))
+    assert stream == batch and len(stream) > 0
+
+
+def test_transitions_incremental_equals_one_shot_any_in_order_split(spark):
+    """For ANY event log and ANY in-order batch split, folding batches
+    through transitions_update (with the carried last-event boundary
+    rows) equals the one-shot transition counts — hypothesis-driven
+    over random logs and split counts."""
+    import datetime as dt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        transition_counts, transitions_update)
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    @given(st.lists(st.tuples(st.integers(0, 3),       # user
+                              st.integers(0, 2),       # type index
+                              st.integers(0, 5)),      # ts jitter (dups ok)
+                    min_size=1, max_size=30),
+           st.integers(1, 4))
+    @settings(max_examples=10, deadline=None)
+    def check(evs, nbatch):
+        rows = [(i, u, f"t{y}", t0 + dt.timedelta(seconds=j), 1.0)
+                for i, (u, y, j) in enumerate(evs)]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, transition_counts(full).collect()))
+        # in-order split: global (ts, event_id) order preserves per-user
+        # order; contiguous chunks of that order are valid batches
+        ordered = sorted(rows, key=lambda r: (r[3], r[0]))
+        cuts = sorted({(i * len(ordered)) // nbatch
+                       for i in range(1, nbatch)})
+        counts, last = None, None
+        lo = 0
+        for hi in cuts + [len(ordered)]:
+            if hi == lo:
+                continue
+            bdf = spark.createDataFrame(ordered[lo:hi], schema)
+            counts, last = transitions_update(counts, last, bdf)
+            counts = counts.localCheckpoint(eager=True)
+            last = last.localCheckpoint(eager=True)
+            lo = hi
+        got = sorted(map(tuple, counts.collect()))
+        assert got == one_shot
+
+    check()
+
+
+def test_exact_quantiles_by_group_oracle(spark, sf_dir):
+    """In-test DuckDB oracle for exact lower quantiles per group on the
+    real events table; q=500 coincides with exact_median_by_group, and
+    extreme fractions clamp to min/max elements."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        exact_median_by_group, exact_quantiles_by_group)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, exact_quantiles_by_group(
+        ev, "event_type", "value", (0, 250, 500, 750, 1000)).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL),
+        q(q_milli) AS (VALUES (0), (250), (500), (750), (1000))
+        SELECT event_type, CAST(q_milli AS INT) AS q_milli,
+               value AS q_value
+        FROM r CROSS JOIN q
+        WHERE rn = greatest(1, (n * q_milli + 999) // 1000)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    med = {(r[0], r[1]) for r in
+           exact_median_by_group(ev, "event_type", "value").collect()}
+    assert {(g, v) for g, q, v in got if q == 500} == med
+    # clamps: q=0 is the min element, q=1000 the max
+    import collections
+    by_g = collections.defaultdict(dict)
+    for g, q, v in got:
+        by_g[g][q] = v
+    for g, qs in by_g.items():
+        assert qs[0] <= qs[250] <= qs[500] <= qs[750] <= qs[1000]
