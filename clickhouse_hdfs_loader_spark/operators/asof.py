@@ -24,21 +24,34 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               value_cols: list[str], direction: str = "backward") -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` (direction='backward') per key.
+    ``right.ts <= left.ts`` (direction='backward') or the earliest right
+    row with ``right.ts >= left.ts`` (direction='forward') per key —
+    both inclusive at equal timestamps, matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` / ``l.ts <= r.ts`` (the oracle).
 
     Left columns are preserved; ``value_cols`` from the right arrive
-    null-filled when no prior right row exists.
+    null-filled when no prior (resp. later) right row exists. Same
+    union+window shape in both directions: one shuffle on the key, a
+    single per-key sort, no range explosion.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     lt = left.withColumn("_side", F.lit(1))
     rt = (right.select(key, ts, *value_cols)
           .withColumn("_side", F.lit(0)))
     merged = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows (side 0) sort before left rows at equal ts → "<=" semantics
-    w = (Window.partitionBy(key).orderBy(F.asc(ts), F.asc("_side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+    if direction == "backward":
+        # right rows (side 0) sort before left rows at equal ts → "<="
+        w = (Window.partitionBy(key).orderBy(F.asc(ts), F.asc("_side"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = F.last
+    else:
+        # left rows (side 1) sort before right rows at equal ts, and the
+        # frame looks FORWARD → equal-ts right rows stay in frame (">=")
+        w = (Window.partitionBy(key).orderBy(F.asc(ts), F.desc("_side"))
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.first
+    carried = [pick(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
                .over(w).alias(f"asof_{c}") for c in value_cols]
     out = merged.select("*", *carried).where(F.col("_side") == 1)
     return out.drop("_side", *value_cols)
