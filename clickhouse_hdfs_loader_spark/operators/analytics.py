@@ -344,3 +344,86 @@ def exact_quantiles_by_group(df: DataFrame, group_col: str,
                 F.lit(1), F.expr("(_n * q_milli + 999) div 1000")))
             .select(group_col, "q_milli",
                     F.col(value_col).alias("q_value")))
+
+
+def sequence_match(events: DataFrame, steps: list[str],
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   within_hours: int | None = None) -> DataFrame:
+    """Per-user ordered-subsequence flag — ClickHouse's
+    ``sequenceMatch('(?1).*(?2)...')`` combinator: did this user emit the
+    step types in strict time order (greedy earliest-completion chain,
+    the same deterministic semantics as :func:`funnel`)?
+    ``within_hours`` bounds the whole chain to N hours after the user's
+    first step-0 event (the ``windowFunnel`` conversion window).
+
+    Returns one row per user that has ANY event: ``user, matched``.
+    Scale: the funnel's per-step filtered aggregates (|users| rows each)
+    plus one distinct-users aggregate and a final left semi-style join —
+    nothing rescans raw events more than once per step."""
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("t"))
+           .withColumn("t0", F.col("t")))
+    for s in steps[1:]:
+        nxt = (events.where(F.col(type_col) == s)
+               .select(user_col, F.col(ts_col).alias("_ts"))
+               .join(cur, user_col)
+               .where(F.col("_ts") > F.col("t")))
+        if within_hours is not None:
+            nxt = nxt.where(
+                F.col("_ts") <= F.col("t0")
+                + F.expr(f"INTERVAL {int(within_hours)} HOURS"))
+        cur = (nxt.groupBy(user_col, "t0")
+               .agg(F.min("_ts").alias("t"))
+               .select(user_col, "t", "t0"))
+    users = events.select(user_col).distinct()
+    hit = cur.select(user_col, F.lit(True).alias("matched"))
+    return (users.join(hit, user_col, "left")
+            .select(user_col,
+                    F.coalesce("matched", F.lit(False)).alias("matched")))
+
+
+def linreg_by_group(events: DataFrame, group_col: str = "event_type",
+                    ts_col: str = "ts", value_col: str = "value",
+                    ) -> DataFrame:
+    """Per-group simple least-squares trend — ClickHouse's
+    ``simpleLinearRegression`` over (time, value): slope of value (milli
+    units) per SECOND, scaled to micro: ``slope_micro_per_s =
+    floor((n·Σxy − Σx·Σy) · 1000 / (n·Σxx − Σx²))``.
+
+    Determinism recipe (the repo's two-layer pattern): the five
+    sufficient statistics are INTEGER sums (x = whole seconds since the
+    group's first event, y = floor(value·1000)) — order-free and exact
+    under int64 (bounds: |x|<2.6e6 s ≈ a month, |y|≤1e9 milli, groups to
+    ~1e6 rows; widen units for wilder data) — while the final combine
+    runs in DOUBLE with one fixed expression order, identical on both
+    engines, so results replay hash-exactly even though n·Σxy can pass
+    2^53. Constant-x groups (single instant) yield NULL slope explicitly
+    — never an ANSI divide-by-zero.
+
+    Scale: one tiny per-group min join (|groups| rows, broadcast) + ONE
+    map-side-combinable aggregate; output is |groups| rows with the
+    stats carried alongside for auditing/merging (the sums are
+    mergeable state, like the rollup's)."""
+    base = (events.where(F.col(value_col).isNotNull())
+            .select(group_col,
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    F.floor(F.col(value_col) * 1000).cast("long")
+                    .alias("_y")))
+    g0 = base.groupBy(group_col).agg(F.min("_us").alias("_us0"))
+    xy = (base.join(F.broadcast(g0), group_col)
+          .withColumn("_x", F.expr("(_us - _us0) div 1000000")))
+    stats = (xy.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+                  F.sum(F.expr("_x * _y")).alias("sxy"),
+                  F.sum(F.expr("_x * _x")).alias("sxx")))
+    den = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+           "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    num = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+           "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    return stats.select(
+        group_col, "n", "sx", "sy", "sxy", "sxx",
+        F.expr(f"CASE WHEN {den} = 0.0 THEN NULL "
+               f"ELSE CAST(floor({num} * 1000.0 / {den}) AS BIGINT) "
+               f"END").alias("slope_micro_per_s"))
