@@ -2030,3 +2030,154 @@ def test_exact_quantiles_by_group_oracle(spark, sf_dir):
         by_g[g][q] = v
     for g, qs in by_g.items():
         assert qs[0] <= qs[250] <= qs[500] <= qs[750] <= qs[1000]
+
+
+def test_asof_join_forward_oracle_and_equal_ts(spark, sf_dir):
+    """Forward as-of (closes the long-declared backward-only limit):
+    every click carries the NEXT purchase value of the same user,
+    oracled against DuckDB's native forward ASOF JOIN; an equal-ts
+    synthetic case pins >= inclusivity on both sides."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.asof import asof_join
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, key="user_id", ts="ts",
+                    value_cols=["value"], direction="forward")
+    got = sorted((r["event_id"], r["next_purchase_value"]) for r in
+                 out.select("event_id",
+                            F.round(F.coalesce("asof_value", F.lit(-1.0)),
+                                    2).alias("next_purchase_value"))
+                 .collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT c.event_id,
+               round(coalesce(p.value, -1.0), 2) AS next_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events
+                        WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [(1, 10, t0), (2, 10, t0 + 5 * s)],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t0, 7.0), (10, t0 + 5 * s, 9.0)],
+        "user_id long, ts timestamp, value double")
+    fwd = {r["event_id"]: r["asof_value"] for r in
+           asof_join(left, right, "user_id", "ts", ["value"],
+                     direction="forward").collect()}
+    assert fwd == {1: 7.0, 2: 9.0}   # equal ts matches inclusively
+    bwd = {r["event_id"]: r["asof_value"] for r in
+           asof_join(left, right, "user_id", "ts", ["value"],
+                     direction="backward").collect()}
+    assert bwd == {1: 7.0, 2: 9.0}
+
+
+def test_sequence_match_oracle_and_order_semantics(spark, sf_dir):
+    """In-test DuckDB oracle for the per-user ordered-subsequence flag
+    on the real events table; matched count ties out to the funnel's
+    terminal step; order matters on a hand case."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        funnel, sequence_match)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    got = sorted(map(tuple, sequence_match(ev, steps).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        SELECT DISTINCT user_id,
+               user_id IN (SELECT user_id FROM s2) AS matched
+        FROM events
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    n_matched = sum(1 for _u, m in got if m)
+    fun = {r["step"]: r["users"] for r in funnel(ev, steps).collect()}
+    assert n_matched == fun["purchase"] > 0
+
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "a", t, 1.0), (2, 1, "b", t + h, 1.0),
+         (3, 2, "b", t, 1.0), (4, 2, "a", t + h, 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {r["user_id"]: r["matched"] for r in
+            sequence_match(synth, ["a", "b"]).collect()}
+    assert rows == {1: True, 2: False}
+
+
+def test_linreg_by_group_oracle_and_perfect_line(spark, sf_dir):
+    """In-test DuckDB oracle for per-group least squares on the real
+    events table (integer sufficient statistics + fixed-order double
+    combine replays hash-exactly); a perfect synthetic line recovers its
+    slope exactly and a single-instant group yields NULL."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        linreg_by_group)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, linreg_by_group(ev).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH b AS (
+          SELECT event_type, epoch_us(ts) AS us,
+                 CAST(floor(value * 1000) AS BIGINT) AS y
+          FROM events WHERE value IS NOT NULL),
+        g AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY 1),
+        x AS (SELECT event_type, (us - us0) // 1000000 AS x, y
+              FROM b JOIN g USING (event_type)),
+        s AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM x GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n, sx, sy, sxy, sxx,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+                    THEN NULL
+                    ELSE CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              * 1000.0
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         AS BIGINT) END AS slope_micro_per_s
+        FROM s
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    synth = spark.createDataFrame(
+        [(i, 1, "line", t0 + i * s, 2.5 * i) for i in range(10)]
+        + [(99, 1, "instant", t0, 5.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {r["event_type"]: r["slope_micro_per_s"]
+            for r in linreg_by_group(synth).collect()}
+    assert rows["line"] == 2_500_000   # 2.5 value/s = 2500 milli/s
+    assert rows["instant"] is None
