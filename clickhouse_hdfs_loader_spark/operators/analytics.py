@@ -427,3 +427,70 @@ def linreg_by_group(events: DataFrame, group_col: str = "event_type",
         F.expr(f"CASE WHEN {den} = 0.0 THEN NULL "
                f"ELSE CAST(floor({num} * 1000.0 / {den}) AS BIGINT) "
                f"END").alias("slope_micro_per_s"))
+
+
+def winsorize_by_group(df: DataFrame, group_col: str, value_col: str,
+                       lo_milli: int = 10, hi_milli: int = 990,
+                       out_col: str = "winsorized") -> DataFrame:
+    """Clamp ``value_col`` to its per-group exact lower quantiles at
+    milli-fractions [lo, hi] — outlier winsorization, the
+    training-data-safe alternative to dropping rows (sklearn's
+    ``RobustScaler`` cousin). Bounds are ELEMENTS of the data (see
+    :func:`exact_quantiles_by_group`), so the clamped output is
+    engine-exact with no interpolation arithmetic anywhere.
+
+    Plan: the quantile window pair over the (group, value) projection,
+    pivoted to one (lo, hi) row per group, broadcast back onto the full
+    rows — the fact table is never shuffled (NULL values pass through
+    unclamped)."""
+    qs = exact_quantiles_by_group(df, group_col, value_col,
+                                  (lo_milli, hi_milli))
+    bounds = (qs.groupBy(group_col)
+              .agg(F.min(F.when(F.col("q_milli") == lo_milli,
+                                F.col("q_value"))).alias("_lo"),
+                   F.min(F.when(F.col("q_milli") == hi_milli,
+                                F.col("q_value"))).alias("_hi")))
+    clamped = F.when(F.col(value_col).isNull(), F.lit(None)) \
+        .otherwise(F.greatest(F.col("_lo"),
+                              F.least(F.col("_hi"), F.col(value_col))))
+    return (df.join(F.broadcast(bounds), group_col, "left")
+            .withColumn(out_col, clamped)
+            .drop("_lo", "_hi"))
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    parallelism: int = 200) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/aggregation key:
+    ONE row of ``n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+    top_share_milli, suggested_salts`` — the numbers that decide between
+    a plain shuffle, AQE skew splitting, and explicit salting
+    (``skew.salted_aggregation``). ``suggested_salts`` is
+    ceil(max_cnt / (n_rows/parallelism)) clamped to ≥1: how many ways
+    the hottest key must split so its largest shard is no bigger than an
+    average reducer's share.
+
+    Scale: the per-key count is one map-side-combinable aggregate; the
+    summary quantiles run a window over the |keys|-row count table with
+    a constant partition key — a SINGLE-TASK sort, fine to ~1e8 distinct
+    keys (like seeded_shuffle's global window, the trade is documented:
+    switch p50/p99 to approx_percentile beyond that). NULL keys count as
+    a key (they hash to one reducer like any other value)."""
+    counts = (df.groupBy(F.col(key_col).alias("_k"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    qs = (exact_quantiles_by_group(
+        counts.withColumn("_one", F.lit(1)), "_one", "cnt", (500, 990))
+        .groupBy("_one")
+        .agg(F.min(F.when(F.col("q_milli") == 500, F.col("q_value")))
+             .alias("p50_cnt"),
+             F.min(F.when(F.col("q_milli") == 990, F.col("q_value")))
+             .alias("p99_cnt")))
+    tot = (counts.agg(F.sum("cnt").alias("n_rows"),
+                      F.count(F.lit(1)).alias("n_keys"),
+                      F.max("cnt").alias("max_cnt")))
+    return (tot.crossJoin(qs.drop("_one"))
+            .select("n_rows", "n_keys", "max_cnt", "p50_cnt", "p99_cnt",
+                    F.expr("(max_cnt * 1000) div n_rows")
+                    .alias("top_share_milli"),
+                    F.expr(f"greatest(1L, (max_cnt * {int(parallelism)} "
+                           f"+ n_rows - 1) div n_rows)")
+                    .alias("suggested_salts")))

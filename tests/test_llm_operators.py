@@ -2181,3 +2181,94 @@ def test_linreg_by_group_oracle_and_perfect_line(spark, sf_dir):
             for r in linreg_by_group(synth).collect()}
     assert rows["line"] == 2_500_000   # 2.5 value/s = 2500 milli/s
     assert rows["instant"] is None
+
+
+def test_winsorize_by_group_oracle_and_bounds(spark, sf_dir):
+    """In-test DuckDB oracle for per-group winsorization on the real
+    events table; clamped values stay inside the per-group exact
+    quantile bounds and interior values pass through untouched."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        winsorize_by_group)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    out = winsorize_by_group(ev, "event_type", "value")
+    got = sorted((r["event_id"], round(r["winsorized"], 6)) for r in
+                 out.select("event_id", "winsorized").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL),
+        b AS (
+          SELECT event_type,
+                 min(CASE WHEN rn = greatest(1, (n * 10 + 999) // 1000)
+                     THEN value END) AS lo,
+                 min(CASE WHEN rn = greatest(1, (n * 990 + 999) // 1000)
+                     THEN value END) AS hi
+          FROM r GROUP BY 1)
+        SELECT e.event_id,
+               round(CASE WHEN e.value IS NULL THEN NULL
+                     ELSE greatest(b.lo, least(b.hi, e.value)) END,
+                     6) AS winsorized
+        FROM events e LEFT JOIN b USING (event_type)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    # interior rows untouched, tails clamped to data elements
+    rows = out.select("event_type", "value", "winsorized").collect()
+    changed = [r for r in rows if r["value"] is not None
+               and r["winsorized"] != r["value"]]
+    assert 0 < len(changed) < len(rows) * 0.05   # ~2% tails at 10/990
+    for r in changed:
+        assert r["winsorized"] in (
+            min(r["winsorized"], r["value"]), max(r["winsorized"],
+                                                  r["value"]))
+
+
+def test_key_skew_report_oracle_and_salting_advice(spark, sf_dir):
+    """In-test DuckDB oracle for the one-row skew report on the real
+    events table keyed by user; a synthetic hot key yields the expected
+    salt count."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        key_skew_report)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    got = [tuple(r) for r in key_skew_report(ev, "user_id").collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = [tuple(r) for r in con.execute("""
+        WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        r AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+                     count(*) OVER () AS n FROM c),
+        q AS (SELECT
+                min(CASE WHEN rn = greatest(1, (n * 500 + 999) // 1000)
+                    THEN cnt END) AS p50_cnt,
+                min(CASE WHEN rn = greatest(1, (n * 990 + 999) // 1000)
+                    THEN cnt END) AS p99_cnt FROM r),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                     count(*) AS n_keys,
+                     CAST(max(cnt) AS BIGINT) AS max_cnt FROM c)
+        SELECT n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+               (max_cnt * 1000) // n_rows AS top_share_milli,
+               greatest(1, (max_cnt * 200 + n_rows - 1) // n_rows)
+                 AS suggested_salts
+        FROM t CROSS JOIN q
+    """).fetchall()]
+    assert got == want and len(got) == 1
+
+    # synthetic: one key holds half the rows -> at parallelism 8 the hot
+    # key must split ~4 ways
+    hot = spark.createDataFrame(
+        [(1, "hot")] * 500 + [(i, f"k{i}") for i in range(2, 502)],
+        "event_id long, k string")
+    r = key_skew_report(hot, "k", parallelism=8).collect()[0]
+    assert r["n_rows"] == 1000 and r["max_cnt"] == 500
+    assert r["top_share_milli"] == 500
+    assert r["suggested_salts"] == 4
