@@ -35,10 +35,26 @@ def funnel(events: DataFrame, steps: list[str],
                 .select(F.lit(idx).alias("step_idx"),
                         F.lit(name).alias("step"), "users"))
 
+    out = None
+    for i, s, cur in _earliest_completion_chain(
+            events, steps, user_col, ts_col, type_col, within_hours):
+        step = count_of(cur, i, s)
+        out = step if out is None else out.unionByName(step)
+    return out
+
+
+def _earliest_completion_chain(events: DataFrame, steps: list[str],
+                               user_col: str, ts_col: str, type_col: str,
+                               within_hours: "int | None"):
+    """The ONE copy of the greedy earliest-completion chain semantics
+    (strict '>' ordering, t0-anchored conversion window, min-ts
+    re-aggregate) shared by :func:`funnel` and :func:`sequence_match`.
+    Yields ``(step_idx, step_name, cur)`` where ``cur`` is the per-user
+    survivor table ``(user, t, t0)`` after that step."""
     cur = (events.where(F.col(type_col) == steps[0])
            .groupBy(user_col).agg(F.min(ts_col).alias("t"))
            .withColumn("t0", F.col("t")))
-    out = count_of(cur, 0, steps[0])
+    yield 0, steps[0], cur
     for i, s in enumerate(steps[1:], start=1):
         nxt = (events.where(F.col(type_col) == s)
                .select(user_col, F.col(ts_col).alias("_ts"))
@@ -51,8 +67,7 @@ def funnel(events: DataFrame, steps: list[str],
         cur = (nxt.groupBy(user_col, "t0")
                .agg(F.min("_ts").alias("t"))
                .select(user_col, "t", "t0"))
-        out = out.unionByName(count_of(cur, i, s))
-    return out
+        yield i, s, cur
 
 
 def retention_cohorts(events: DataFrame, user_col: str = "user_id",
@@ -361,21 +376,10 @@ def sequence_match(events: DataFrame, steps: list[str],
     Scale: the funnel's per-step filtered aggregates (|users| rows each)
     plus one distinct-users aggregate and a final left semi-style join —
     nothing rescans raw events more than once per step."""
-    cur = (events.where(F.col(type_col) == steps[0])
-           .groupBy(user_col).agg(F.min(ts_col).alias("t"))
-           .withColumn("t0", F.col("t")))
-    for s in steps[1:]:
-        nxt = (events.where(F.col(type_col) == s)
-               .select(user_col, F.col(ts_col).alias("_ts"))
-               .join(cur, user_col)
-               .where(F.col("_ts") > F.col("t")))
-        if within_hours is not None:
-            nxt = nxt.where(
-                F.col("_ts") <= F.col("t0")
-                + F.expr(f"INTERVAL {int(within_hours)} HOURS"))
-        cur = (nxt.groupBy(user_col, "t0")
-               .agg(F.min("_ts").alias("t"))
-               .select(user_col, "t", "t0"))
+    cur = None
+    for _i, _s, cur in _earliest_completion_chain(
+            events, steps, user_col, ts_col, type_col, within_hours):
+        pass   # only the terminal survivor table matters here
     users = events.select(user_col).distinct()
     hit = cur.select(user_col, F.lit(True).alias("matched"))
     return (users.join(hit, user_col, "left")
@@ -408,8 +412,10 @@ def linreg_by_group(events: DataFrame, group_col: str = "event_type",
     base = (events.where(F.col(value_col).isNotNull())
             .select(group_col,
                     F.unix_micros(F.col(ts_col)).alias("_us"),
-                    F.floor(F.col(value_col) * 1000).cast("long")
-                    .alias("_y")))
+                    # float32 -> double before the multiply (the
+                    # features.py quantize precedent)
+                    F.floor(F.col(value_col).cast("double") * 1000)
+                    .cast("long").alias("_y")))
     g0 = base.groupBy(group_col).agg(F.min("_us").alias("_us0"))
     xy = (base.join(F.broadcast(g0), group_col)
           .withColumn("_x", F.expr("(_us - _us0) div 1000000")))
@@ -484,13 +490,19 @@ def key_skew_report(df: DataFrame, key_col: str,
              .alias("p50_cnt"),
              F.min(F.when(F.col("q_milli") == 990, F.col("q_value")))
              .alias("p99_cnt")))
-    tot = (counts.agg(F.sum("cnt").alias("n_rows"),
+    tot = (counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
                       F.count(F.lit(1)).alias("n_keys"),
                       F.max("cnt").alias("max_cnt")))
-    return (tot.crossJoin(qs.drop("_one"))
+    # left join (not crossJoin): an EMPTY input makes qs zero-row, and a
+    # cross join would annihilate the report — the contract is ONE row
+    # always, with NULL quantiles/shares on empty input
+    return (tot.join(qs.drop("_one"), F.lit(True), "left")
             .select("n_rows", "n_keys", "max_cnt", "p50_cnt", "p99_cnt",
-                    F.expr("(max_cnt * 1000) div n_rows")
+                    F.expr("CASE WHEN n_rows = 0 THEN NULL "
+                           "ELSE (max_cnt * 1000) div n_rows END")
                     .alias("top_share_milli"),
-                    F.expr(f"greatest(1L, (max_cnt * {int(parallelism)} "
-                           f"+ n_rows - 1) div n_rows)")
+                    F.expr(f"CASE WHEN n_rows = 0 THEN NULL "
+                           f"ELSE greatest(1L, "
+                           f"(max_cnt * {int(parallelism)} "
+                           f"+ n_rows - 1) div n_rows) END")
                     .alias("suggested_salts")))

@@ -33,6 +33,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     null-filled when no prior (resp. later) right row exists. Same
     union+window shape in both directions: one shuffle on the key, a
     single per-key sort, no range explosion.
+
+    The carried payload is ONE struct of all ``value_cols`` (the
+    ohlc_resample struct-pick pattern), not per-column ignorenulls
+    picks: the struct is non-null exactly when a right ROW exists, so a
+    matching row whose value column is NULL yields NULL — DuckDB ASOF
+    semantics — instead of skipping ahead to a farther row (and all
+    columns always come from the SAME right row).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
@@ -51,10 +58,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         w = (Window.partitionBy(key).orderBy(F.asc(ts), F.desc("_side"))
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
         pick = F.first
-    carried = [pick(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-               .over(w).alias(f"asof_{c}") for c in value_cols]
-    out = merged.select("*", *carried).where(F.col("_side") == 1)
-    return out.drop("_side", *value_cols)
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    row = pick(F.when(F.col("_side") == 0, payload), ignorenulls=True) \
+        .over(w).alias("_asof_row")
+    out = (merged.select("*", row).where(F.col("_side") == 1)
+           .select("*", *[F.col(f"_asof_row.{c}").alias(f"asof_{c}")
+                          for c in value_cols]))
+    return out.drop("_side", "_asof_row", *value_cols)
 
 
 def range_join(left: DataFrame, right: DataFrame, key: str,
@@ -191,7 +201,9 @@ def time_weighted_avg(events: DataFrame, ts_col: str = "ts",
             .withColumn("_us", us)
             .withColumn("_dur", F.coalesce(
                 F.lead("_us").over(w) - F.col("_us"), F.lit(0)))
-            .withColumn("_vm", F.floor(F.col(value_col) * 1000)
+            .withColumn("_vm",
+                        # float32 -> double before the multiply
+                        F.floor(F.col(value_col).cast("double") * 1000)
                         .cast("long")))
     return (rows.groupBy(key_col)
             .agg(F.sum(F.expr("_vm * _dur")).alias("num"),

@@ -560,12 +560,16 @@ def kfold_assign(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     Scale: stateless row-local expression — no shuffle, no window, no
     driver state. SQL twin:
     ``CAST(('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT
-    % k AS INT)``."""
+    % k AS INT)``. NULL ids fold to NULL on BOTH sides (the SQL twin's
+    ``||`` propagates NULL; Spark's concat_ws would silently skip it and
+    pile every NULL-id row into one fold — guarded explicitly)."""
     h = F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit(str(seed)),
                           F.col(id_col).cast("string"))), 1, 8),
         16, 10).cast("long")
-    return docs.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
+    fold = F.when(F.col(id_col).isNotNull(),
+                  F.pmod(h, F.lit(k)).cast("int"))
+    return docs.withColumn(fold_col, fold)
 
 
 def kfold_counts(assigned: DataFrame, strata_col: str = "source",

@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 QUANT_SCALE = 1_000_000
 
 
+def _quantize(x):
+    """THE module's determinism contract, in one place: float32 ->
+    double BEFORE the multiply (kmeans-sums precedent: a float-precision
+    product can floor across a different integer boundary than the
+    double product DuckDB computes), then floor to int64 micro-units."""
+    return F.floor(x.cast("double") * F.lit(float(QUANT_SCALE)))         .cast("long")
+
+
 def dimension_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension ``dim, qmin, qmax, qsum, n`` over micro-quantized
     values (``floor(x*1e6)`` as int64). NULL vectors are skipped; NULL
@@ -35,11 +43,7 @@ def dimension_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Overflow: |x| < 9e6 per element and qsum bounded by n·9e12 — safe
     under int64 for n up to ~1e6 rows per dimension at extreme
     magnitudes, far looser for unit-norm embeddings."""
-    # float32 -> double BEFORE the multiply (kmeans-sums precedent:
-    # a float-precision product can floor across a different integer
-    # boundary than the double product DuckDB computes)
-    q = F.floor(F.col("x").cast("double")
-                * F.lit(float(QUANT_SCALE))).cast("long")
+    q = _quantize(F.col("x"))
     return (emb.where(F.col(vec_col).isNotNull())
             .select(F.posexplode(vec_col).alias("dim", "x"))
             .select("dim", q.alias("q"))
@@ -67,16 +71,21 @@ def minmax_normalize(emb: DataFrame, stats: DataFrame = None,
     if rows:
         assert [r["dim"] for r in rows] == list(range(len(rows))), \
             "dimension_stats must cover contiguous dims 0..d-1"
-    mins = F.array(*[F.lit(int(r["qmin"])) for r in rows])
-    rngs = F.array(*[F.lit(int(r["qmax"] - r["qmin"])) for r in rows])
-    q = lambda x: F.floor(x.cast("double")
-                          * F.lit(float(QUANT_SCALE))).cast("long")  # noqa: E731
+    # a dimension with zero non-NULL values (n=0) has NULL qmin/qmax —
+    # pin it like a constant dimension (offset 0, range 0 -> output 0)
+    mins = F.array(*[F.lit(int(r["qmin"]) if r["n"] else 0)
+                     for r in rows])
+    rngs = F.array(*[F.lit(int(r["qmax"] - r["qmin"]) if r["n"] else 0)
+                     for r in rows])
     centered = F.zip_with(F.col(vec_col), mins,
-                          lambda x, m: q(x) - m)
-    scaled = F.zip_with(centered, rngs,
-                        lambda d, r: F.when(r == 0, F.lit(0))
-                        .otherwise(F.floor((d * 1000).cast("double") / r)
-                                   .cast("long")))
+                          lambda x, m: _quantize(x) - m)
+    # NULL elements stay NULL in every branch — the constant-dimension
+    # zero would otherwise shadow a missing value as a real 0
+    scaled = F.zip_with(
+        centered, rngs,
+        lambda d, r: F.when(d.isNull(), F.lit(None).cast("long"))
+        .when(r == 0, F.lit(0))
+        .otherwise(F.floor((d * 1000).cast("double") / r).cast("long")))
     return emb.withColumn(
         out_col, F.when(F.col(vec_col).isNotNull(), scaled))
 
@@ -98,8 +107,7 @@ def mean_center(emb: DataFrame, stats: DataFrame = None,
 
     means = F.array(*[F.lit(tdiv(int(r["qsum"]), int(r["n"]))
                             if r["n"] else 0) for r in rows])
-    q = lambda x: F.floor(x.cast("double")
-                          * F.lit(float(QUANT_SCALE))).cast("long")  # noqa: E731
-    centered = F.zip_with(F.col(vec_col), means, lambda x, m: q(x) - m)
+    centered = F.zip_with(F.col(vec_col), means,
+                          lambda x, m: _quantize(x) - m)
     return emb.withColumn(
         out_col, F.when(F.col(vec_col).isNotNull(), centered))

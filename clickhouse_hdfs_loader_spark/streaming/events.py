@@ -266,12 +266,9 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically."""
     from ..operators.rollup import build_rollup, merge_rollups
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    stream = normalize_event_time(spark, stream)
+    # events_stream sets nanosAsLong BEFORE the schema read — inlining
+    # the two steps in the wrong order breaks on NANOS-typed fixtures
+    stream = events_stream(spark, sf_dir)
     state: list = []
 
     def merge(bdf: DataFrame, _epoch: int) -> None:
@@ -365,12 +362,7 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import (normalize_transitions,
                                        transitions_update)
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    stream = normalize_event_time(spark, stream)
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
     state: list = []
 
     def fold(bdf: DataFrame, _epoch: int) -> None:

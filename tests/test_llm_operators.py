@@ -2272,3 +2272,60 @@ def test_key_skew_report_oracle_and_salting_advice(spark, sf_dir):
     assert r["n_rows"] == 1000 and r["max_cnt"] == 500
     assert r["top_share_milli"] == 500
     assert r["suggested_salts"] == 4
+
+
+def test_review_fixes_degenerate_paths(spark):
+    """Regression pins for the r7 review findings: (a) as-of must return
+    the NEAREST right row's NULL value, not skip to a farther row — and
+    take all value_cols from the SAME row; (b) key_skew_report emits its
+    one-row contract even on empty input; (c) NULL ids fold to NULL (not
+    a silent shared fold); (d) a dimension with zero non-NULL values
+    normalizes to 0, not a crash."""
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.asof import asof_join
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        key_skew_report)
+    from clickhouse_hdfs_loader_spark.operators.corpus import kfold_assign
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        minmax_normalize)
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    left = spark.createDataFrame([(1, 10, t0 + 3 * s)],
+                                 "event_id long, user_id long, "
+                                 "ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t0 + 4 * s, None, "a"), (10, t0 + 6 * s, 9.0, "b")],
+        "user_id long, ts timestamp, value double, tag string")
+    fwd = asof_join(left, right, "user_id", "ts", ["value", "tag"],
+                    direction="forward").collect()[0]
+    # nearest match (ts=4s) wins even though its value is NULL; tag
+    # comes from the SAME row
+    assert fwd["asof_value"] is None and fwd["asof_tag"] == "a"
+    right_b = spark.createDataFrame(
+        [(10, t0 + 1 * s, 7.0, "x"), (10, t0 + 2 * s, None, "y")],
+        "user_id long, ts timestamp, value double, tag string")
+    bwd = asof_join(left, right_b, "user_id", "ts", ["value", "tag"],
+                    direction="backward").collect()[0]
+    assert bwd["asof_value"] is None and bwd["asof_tag"] == "y"
+
+    empty = spark.createDataFrame([], "k string")
+    r = key_skew_report(empty, "k").collect()
+    assert len(r) == 1 and r[0]["n_rows"] == 0 and r[0]["n_keys"] == 0
+    assert r[0]["suggested_salts"] is None
+
+    docs = spark.createDataFrame([(1,), (None,), (None,)], "doc_id long")
+    folds = [r["fold"] for r in
+             kfold_assign(docs, k=3).orderBy("doc_id").collect()]
+    assert folds[0] is None and folds[1] is None and folds[2] is not None
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, None, 0.1]), (2, [0.7, None, 0.9])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: list(r["normalized"]) for r in
+           minmax_normalize(emb).collect()}
+    # dim 1 has zero non-NULL values -> pinned to 0... but the element
+    # itself is NULL, so the zip lambda yields NULL - 0 = NULL
+    assert out[1][0] == 0 and out[2][0] == 1000
+    assert out[1][1] is None and out[2][1] is None
+    assert out[1][2] == 0 and out[2][2] == 1000
