@@ -1,0 +1,98 @@
+"""Cross-table fuzzy matching / record linkage ([EXT]) — the entity-
+resolution workload: find (left, right) row pairs whose TEXT is
+near-identical across two DIFFERENT tables (ingest batch vs master,
+vendor feed vs catalog), without the |L|×|R| cross join.
+
+Blocking-then-verification, both stages reusing the intra-table dedup
+machinery (``operators/dedup.py``):
+
+1. **Block**: MinHash band indexes on both sides
+   (:func:`dedup.minhash_band_index`, same seed) joined on
+   ``(band, band_hash)`` — only pairs agreeing on ≥1 band become
+   candidates. Probabilistic recall (tunable via bands/num_hashes, the
+   standard LSH s-curve), NO false negatives among pairs sharing a band.
+2. **Verify**: EXACT k-gram Jaccard on the candidates only — shingle
+   sets intersected through the candidate pair list, integer
+   ``jaccard_milli = (shared*1000) div (na+nb-shared)`` (FP-free, SQL-
+   replayable). Every emitted pair is exactly verified: the output has
+   NO false positives by construction; blocking only affects recall.
+
+Scale shape: band join + per-bucket caps bound candidate volume
+(degenerate buckets — boilerplate text — are dropped with the same cap
+stance as ``minhash_lsh_pairs``); the verify join's cost is
+Σ|shingles| over candidate pairs, never over the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_hashes, minhash_band_index
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
+               left_id: str = "doc_id", right_id: str = "doc_id",
+               threshold_milli: int = 500, k: int = 3,
+               num_hashes: int = 32, bands: int = 8, seed: int = 42,
+               max_bucket: int = 1000) -> DataFrame:
+    """Matched pairs ``left_id, right_id, shared, na, nb, jaccard_milli``
+    with exact k-gram Jaccard ≥ ``threshold_milli``. Ids need not be
+    disjoint across tables (sides are tracked separately); a row can
+    match many partners — dedup to best-match with a downstream
+    WindowGroupLimit top-1 if the use case needs it.
+
+    Buckets with more than ``max_bucket`` members on either side are
+    dropped from blocking (skew control; same documented-miss stance as
+    ``minhash_lsh_pairs`` — raise the cap or add bands for boilerplate-
+    heavy corpora)."""
+    li = (minhash_band_index(left, text_col, left_id, k, num_hashes,
+                             bands, seed)
+          .select(F.col("id").alias("_lid"), "band", "bh"))
+    ri = (minhash_band_index(right, text_col, right_id, k, num_hashes,
+                             bands, seed)
+          .select(F.col("id").alias("_rid"), "band", "bh"))
+    lc = li.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_ln"))
+    rc = ri.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_rn"))
+    ok = (lc.join(rc, ["band", "bh"])
+          .where((F.col("_ln") <= max_bucket)
+                 & (F.col("_rn") <= max_bucket))
+          .select("band", "bh"))
+    cands = (li.join(ok, ["band", "bh"])
+             .join(ri, ["band", "bh"])
+             .select("_lid", "_rid").distinct())
+
+    ls = _shingle_hashes(left, text_col, left_id, k).distinct() \
+        .select(F.col("id").alias("_lid"), "h")
+    rs = _shingle_hashes(right, text_col, right_id, k).distinct() \
+        .select(F.col("id").alias("_rid"), "h")
+    lsz = ls.groupBy("_lid").agg(F.count(F.lit(1)).alias("na"))
+    rsz = rs.groupBy("_rid").agg(F.count(F.lit(1)).alias("nb"))
+    shared = (cands.join(ls, "_lid")
+              .join(rs, ["_rid", "h"])
+              .groupBy("_lid", "_rid")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared.join(lsz, "_lid").join(rsz, "_rid")
+            .withColumn("jaccard_milli",
+                        F.expr("(shared * 1000) div (na + nb - shared)"))
+            .where(F.col("jaccard_milli") >= threshold_milli)
+            .select(F.col("_lid").alias(left_id if left_id != right_id
+                                        else f"left_{left_id}"),
+                    F.col("_rid").alias(right_id if left_id != right_id
+                                        else f"right_{right_id}"),
+                    "shared", "na", "nb", "jaccard_milli"))
+
+
+def fuzzy_join_best(left: DataFrame, right: DataFrame, **kwargs) -> DataFrame:
+    """One best match per left row (highest jaccard, then lowest right
+    id — deterministic): the linkage shape master-data reconciliation
+    wants. Same cost as :func:`fuzzy_join` plus a per-left-id
+    WindowGroupLimit top-1."""
+    from pyspark.sql import Window
+
+    pairs = fuzzy_join(left, right, **kwargs)
+    lcol, rcol = pairs.columns[0], pairs.columns[1]
+    w = Window.partitionBy(lcol).orderBy(
+        F.col("jaccard_milli").desc(), F.col(rcol).asc())
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))

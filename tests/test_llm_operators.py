@@ -2329,3 +2329,81 @@ def test_review_fixes_degenerate_paths(spark):
     assert out[1][0] == 0 and out[2][0] == 1000
     assert out[1][1] is None and out[2][1] is None
     assert out[1][2] == 0 and out[2][2] == 1000
+
+
+def test_fuzzy_join_planted_recall_and_exactness(spark, sf_dir):
+    """Cross-table fuzzy join: plant perturbed copies of real documents
+    as the right table; every emitted pair must appear in a DuckDB
+    brute-force exact-jaccard oracle (no false positives — verification
+    is exact), every planted twin must be found (recall at this
+    similarity level), and fuzzy_join_best returns exactly one
+    deterministic best match per left row."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.linkage import (
+        fuzzy_join, fuzzy_join_best)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 100).select("doc_id", "text")
+    right = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzextra zzzmore")).alias("text"))
+
+    # 16 bands x 2 rows: P(block miss) ~ (1-s^2)^16 < 1e-7 at the
+    # planted similarity (~0.8+); the default 8x4 misses ~1.5% there
+    pairs = fuzzy_join(docs, right, threshold_milli=500, bands=16)
+    got = {(r["left_doc_id"], r["right_doc_id"]): r["jaccard_milli"]
+           for r in pairs.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    oracle = dict(((a, b), j) for a, b, j in con.execute("""
+        WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        r AS (SELECT doc_id + 100000 AS doc_id,
+                     text || ' zzzextra zzzmore' AS text FROM l),
+        uni AS (SELECT 'L' AS side, * FROM l
+                UNION ALL SELECT 'R', * FROM r),
+        ws AS (SELECT side, doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^a-z0-9]+'), w -> w <> '') AS w
+               FROM uni),
+        sh AS (SELECT DISTINCT side, doc_id,
+                      unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])) AS s
+               FROM ws WHERE len(w) >= 3),
+        sizes AS (SELECT side, doc_id, count(*) AS n FROM sh
+                  GROUP BY 1, 2),
+        shared AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+          FROM (SELECT * FROM sh WHERE side = 'L') a
+          JOIN (SELECT * FROM sh WHERE side = 'R') b ON a.s = b.s
+          GROUP BY 1, 2)
+        SELECT id_l, id_r,
+               CAST((shared * 1000)
+                    // (sa.n + sb.n - shared) AS BIGINT) AS jm
+        FROM shared
+        JOIN (SELECT * FROM sizes WHERE side = 'L') sa
+          ON sa.doc_id = id_l
+        JOIN (SELECT * FROM sizes WHERE side = 'R') sb
+          ON sb.doc_id = id_r
+        WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 500
+    """).fetchall())
+    # exactness: every emitted pair is in the brute-force oracle with
+    # the identical integer jaccard (verification stage is exact)
+    for p, j in got.items():
+        assert p in oracle and oracle[p] == j
+    # recall: every planted twin survives blocking at this similarity
+    planted = {(i, i + 100000) for i in range(100)
+               if (i, i + 100000) in oracle}
+    assert planted and planted <= set(got)
+    # LSH blocking kept recall near-total on the oracle's pair set
+    assert len(got) >= len(oracle) * 9 // 10
+
+    best = fuzzy_join_best(docs, right, threshold_milli=500, bands=16)
+    rows = best.collect()
+    assert len(rows) == len({r["left_doc_id"] for r in rows})
+    by_left = {r["left_doc_id"]: r for r in rows}
+    for lid, r in by_left.items():
+        # the best match is the pair's max jaccard for that left id
+        peers = [j for (a, _b), j in got.items() if a == lid]
+        assert r["jaccard_milli"] == max(peers)
