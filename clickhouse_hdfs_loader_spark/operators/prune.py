@@ -59,27 +59,40 @@ def bloom_semi_join(fact: DataFrame, keys: DataFrame, on: str,
     ``exact``, the default) finish with the true left-semi join over the
     SURVIVORS only. Result is row-identical to
     ``fact.join(keys, on, "left_semi")``; the prefilter exists purely to
-    cut the fact volume entering the join's shuffle (at 100 TB the
-    bitmap probe is a broadcast, the exact join's exchange sees only
-    prefiltered rows). With ``exact=False`` you get the raw bloom pass
-    (false positives possible, never false negatives) — the building
-    block for joins against sets too large to broadcast exactly.
+    cut the fact volume entering the join's shuffle. With
+    ``exact=False`` you get the raw bloom pass (false positives
+    possible, never false negatives) — the building block for joins
+    against sets too large to broadcast exactly.
+
+    Probe shape: the (word_idx → bits) table is packed into a SINGLE
+    one-row map column and cross-broadcast onto the fact, so all
+    ``num_hashes`` bit tests are one stateless filter expression — the
+    keys side is scanned ONCE and the fact side reaches its first real
+    exchange already pruned (the first cut of this operator probed via
+    k broadcast hash joins, which re-planned the bitmap build k times —
+    the plan audit caught it). The map holds only non-empty words:
+    ≤ min(num_bits/64, num_hashes·|keys|) entries, broadcast-sized by
+    construction.
 
     NULL keys never match a semi-join; the bloom may pass them but the
     exact stage removes them (and with ``exact=False`` xxhash64 treats
     NULL deterministically, so behavior is stable)."""
     bloom = bloom_build(keys.select(on), on, num_bits, num_hashes)
-    out = fact
+    packed = bloom.agg(F.map_from_entries(
+        F.collect_list(F.struct("word_idx", "bits"))).alias("_bm"))
+    out = fact.crossJoin(F.broadcast(packed))
+    pos_cols = []
     for i, p in enumerate(_positions(F.col(on), num_bits, num_hashes)):
-        words_i = (bloom.select(F.col("word_idx").alias(f"_wi{i}"),
-                                F.col("bits").alias(f"_bits{i}")))
-        out = (out
-               .withColumn(f"_p{i}", p)
-               .join(F.broadcast(words_i),
-                     F.expr(f"_p{i} >> 6") == F.col(f"_wi{i}"))
-               .where(F.expr(f"(_bits{i} & shiftleft(CAST(1 AS BIGINT), "
-                             f"CAST(_p{i} % 64 AS INT))) != 0"))
-               .drop(f"_p{i}", f"_wi{i}", f"_bits{i}"))
+        out = out.withColumn(f"_p{i}", p)
+        pos_cols.append(f"_p{i}")
+    tests = [F.expr(f"(coalesce(element_at(_bm, {c} div 64), 0L) "
+                    f"& shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({c} % 64 AS INT))) != 0")
+             for c in pos_cols]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    out = out.where(cond).drop("_bm", *pos_cols)
     if exact:
         out = out.join(keys.select(on).distinct(), on, "left_semi")
     return out

@@ -29,6 +29,44 @@ PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
          "retention_cohorts", "anomaly_zscore", "bigram_likelihood"]
 
 
+def _operator_picks(spark, sf):
+    """Late-r7 operators that live outside the query registry — built
+    directly so their plans land in the audit too."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        event_transitions, key_skew_report, linreg_by_group,
+        winsorize_by_group)
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        minmax_normalize)
+    from clickhouse_hdfs_loader_spark.operators.linkage import fuzzy_join
+    from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
+    from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf, "documents")
+    ev = read_table(spark, sf, "events")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = (spark.read.parquet(f"{sf}/customer.parquet")
+            .where(F.col("c_nationkey") == 7)
+            .select(F.col("c_custkey").alias("o_custkey")))
+    qs = spark.createDataFrame([(1, "vector hash join")],
+                               "query_id long, query_text string")
+    right = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.concat("text", F.lit(" z")).alias("text"))
+    return {
+        "bm25_topk": bm25_topk(docs, qs),
+        "bloom_semi_join": bloom_semi_join(orders, cust, "o_custkey"),
+        "event_transitions": event_transitions(ev),
+        "winsorize_by_group": winsorize_by_group(ev, "event_type", "value"),
+        "linreg_by_group": linreg_by_group(ev),
+        "key_skew_report": key_skew_report(ev, "user_id"),
+        "minmax_normalize": minmax_normalize(emb),
+        "fuzzy_join": fuzzy_join(docs, right),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="plandoc")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,8 +78,12 @@ def main() -> None:
            "pruned read schemas, broadcast vs shuffle join choices, and",
            "whole-stage-codegen coverage of the headline queries. Regenerate with",
            "`python docs/gen_plans.py`.", ""]
-    for name in PICKS:
-        df = REGISTRY[name].fn(spark, sf)
+    builders = {name: (lambda n=name: REGISTRY[n].fn(spark, sf))
+                for name in PICKS}
+    builders.update({name: (lambda d=df: d)
+                     for name, df in _operator_picks(spark, sf).items()})
+    for name, build in builders.items():
+        df = build()
         qe = df._jdf.queryExecution()
         plan = qe.explainString(mode.fromString("simple"))
         lines = [line[:160] for line in plan.splitlines() if line.strip()]

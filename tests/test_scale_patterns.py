@@ -447,8 +447,13 @@ def test_bloom_semi_join_identity_and_pruning(spark, sf_dir):
     # bitmap is bounded by num_bits/64 regardless of key count
     assert bloom_build(cust, "o_custkey", num_bits=1 << 12).count() <= 64
 
-    # plan shape: every probe is a BroadcastHashJoin; the fact scan has
-    # no Exchange below the first probe
+    # plan shape: the bitmap is packed into ONE broadcast row (a single
+    # bit_or partial+final pair — the keys side is scanned once, not
+    # once per probe) and probing is a stateless filter under a
+    # broadcast cross join, so the fact side reaches its first real
+    # exchange already pruned
     plan = bloom_semi_join(orders, cust, "o_custkey") \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "element_at(_bm" in plan
+    assert plan.count("partial_bit_or") == 1
