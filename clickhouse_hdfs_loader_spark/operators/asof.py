@@ -44,7 +44,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
     lt = left.withColumn("_side", F.lit(1))
+    # NULL-ts right rows can never satisfy either inequality (SQL
+    # comparisons with NULL are never true) — without this filter they
+    # sort first and become phantom backward matches
     rt = (right.select(key, ts, *value_cols)
+          .where(F.col(ts).isNotNull())
           .withColumn("_side", F.lit(0)))
     merged = lt.unionByName(rt, allowMissingColumns=True)
     if direction == "backward":
@@ -61,9 +65,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     payload = F.struct(*[F.col(c) for c in value_cols])
     row = pick(F.when(F.col("_side") == 0, payload), ignorenulls=True) \
         .over(w).alias("_asof_row")
+    # a NULL-ts LEFT row matches nothing either (forward frames would
+    # otherwise see every right row after it sorts first)
     out = (merged.select("*", row).where(F.col("_side") == 1)
-           .select("*", *[F.col(f"_asof_row.{c}").alias(f"asof_{c}")
-                          for c in value_cols]))
+           .select("*", *[F.when(F.col(ts).isNotNull(),
+                                 F.col(f"_asof_row.{c}"))
+                          .alias(f"asof_{c}") for c in value_cols]))
     return out.drop("_side", "_asof_row", *value_cols)
 
 

@@ -46,25 +46,31 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
     dropped from blocking (skew control; same documented-miss stance as
     ``minhash_lsh_pairs`` — raise the cap or add bands for boilerplate-
     heavy corpora)."""
-    li = (minhash_band_index(left, text_col, left_id, k, num_hashes,
+    # ONE band-index scan per side: bucket membership lists carry both
+    # the cap check and the pair generation (the dedup.py posting-list
+    # pattern) — a separate count branch would recompute the whole
+    # shingle+signature pipeline per side (review-caught)
+    lg = (minhash_band_index(left, text_col, left_id, k, num_hashes,
                              bands, seed)
-          .select(F.col("id").alias("_lid"), "band", "bh"))
-    ri = (minhash_band_index(right, text_col, right_id, k, num_hashes,
+          .groupBy("band", "bh")
+          .agg(F.collect_list("id").alias("_lids")))
+    rg = (minhash_band_index(right, text_col, right_id, k, num_hashes,
                              bands, seed)
-          .select(F.col("id").alias("_rid"), "band", "bh"))
-    lc = li.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_ln"))
-    rc = ri.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_rn"))
-    ok = (lc.join(rc, ["band", "bh"])
-          .where((F.col("_ln") <= max_bucket)
-                 & (F.col("_rn") <= max_bucket))
-          .select("band", "bh"))
-    cands = (li.join(ok, ["band", "bh"])
-             .join(ri, ["band", "bh"])
-             .select("_lid", "_rid").distinct())
+          .groupBy("band", "bh")
+          .agg(F.collect_list("id").alias("_rids")))
+    cands = (lg.join(rg, ["band", "bh"])
+             .where((F.size("_lids") <= max_bucket)
+                    & (F.size("_rids") <= max_bucket))
+             .select(F.explode("_lids").alias("_lid"), "_rids")
+             .select("_lid", F.explode("_rids").alias("_rid"))
+             .distinct())
 
-    ls = _shingle_hashes(left, text_col, left_id, k).distinct() \
+    # shingles_udf emits per-doc SETS, so (id, h) is already distinct
+    # (barring 64-bit collisions) — no dedup shuffle needed, matching
+    # the dedup.py consumers
+    ls = _shingle_hashes(left, text_col, left_id, k) \
         .select(F.col("id").alias("_lid"), "h")
-    rs = _shingle_hashes(right, text_col, right_id, k).distinct() \
+    rs = _shingle_hashes(right, text_col, right_id, k) \
         .select(F.col("id").alias("_rid"), "h")
     lsz = ls.groupBy("_lid").agg(F.count(F.lit(1)).alias("na"))
     rsz = rs.groupBy("_rid").agg(F.count(F.lit(1)).alias("nb"))

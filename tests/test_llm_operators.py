@@ -2309,6 +2309,21 @@ def test_review_fixes_degenerate_paths(spark):
                     direction="backward").collect()[0]
     assert bwd["asof_value"] is None and bwd["asof_tag"] == "y"
 
+    # NULL-ts rows (either side) must never produce a phantom match
+    right_n = spark.createDataFrame(
+        [(10, None, 5.0, "n")],
+        "user_id long, ts timestamp, value double, tag string")
+    nb = asof_join(left, right_n, "user_id", "ts", ["value", "tag"],
+                   direction="backward").collect()[0]
+    nf = asof_join(left, right_n, "user_id", "ts", ["value", "tag"],
+                   direction="forward").collect()[0]
+    assert nb["asof_value"] is None and nf["asof_value"] is None
+    left_n = spark.createDataFrame(
+        [(5, 10, None)], "event_id long, user_id long, ts timestamp")
+    lf = asof_join(left_n, right, "user_id", "ts", ["value", "tag"],
+                   direction="forward").collect()[0]
+    assert lf["asof_value"] is None and lf["asof_tag"] is None
+
     empty = spark.createDataFrame([], "k string")
     r = key_skew_report(empty, "k").collect()
     assert len(r) == 1 and r[0]["n_rows"] == 0 and r[0]["n_keys"] == 0
