@@ -506,3 +506,44 @@ def key_skew_report(df: DataFrame, key_col: str,
                            f"(max_cnt * {int(parallelism)} "
                            f"+ n_rows - 1) div n_rows) END")
                     .alias("suggested_salts")))
+
+
+def exact_weighted_quantiles_by_group(
+        df: DataFrame, group_col: str, value_col: str, weight_col: str,
+        qs_milli: "tuple[int, ...]" = (250, 500, 750)) -> DataFrame:
+    """Exact per-group WEIGHTED lower quantiles — ClickHouse's
+    ``quantileExactWeighted``: the value at the point where cumulative
+    weight first reaches ``ceil(q · W / 1000)`` (W = group weight sum).
+    Rows with NULL or non-positive weight are excluded explicitly.
+
+    Engine-exact by the same element-of-data argument as
+    :func:`exact_quantiles_by_group`: the crossing ROW depends on the
+    tie order among equal values, but the crossing VALUE does not (the
+    crossing always lands inside the run of equal values), so engines
+    agree bit-for-bit while each picks its own row. The cumulative sum
+    uses an explicit ROWS frame — the default RANGE frame pools tied
+    rows and breaks crossing detection.
+
+    Plan: one shuffle on the group key, one running-sum window + one
+    group-total window over the same sort, a |qs| literal explode, one
+    filter. Returns ``group, q_milli, q_value``."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col).orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(group_col)
+    qarr = F.array(*[F.lit(int(q)) for q in qs_milli])
+    base = (df.select(group_col, value_col,
+                      F.col(weight_col).cast("long").alias("_w"))
+            .where(F.col(value_col).isNotNull()
+                   & F.col("_w").isNotNull() & (F.col("_w") > 0)))
+    return (base
+            .withColumn("_cum", F.sum("_w").over(w))
+            .withColumn("_tot", F.sum("_w").over(wall))
+            .withColumn("q_milli", F.explode(qarr))
+            .withColumn("_t", F.greatest(
+                F.lit(1), F.expr("(_tot * q_milli + 999) div 1000")))
+            .where((F.col("_cum") >= F.col("_t"))
+                   & (F.col("_cum") - F.col("_w") < F.col("_t")))
+            .select(group_col, "q_milli",
+                    F.col(value_col).alias("q_value")))

@@ -2422,3 +2422,59 @@ def test_fuzzy_join_planted_recall_and_exactness(spark, sf_dir):
         # the best match is the pair's max jaccard for that left id
         peers = [j for (a, _b), j in got.items() if a == lid]
         assert r["jaccard_milli"] == max(peers)
+
+
+def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
+    """In-test DuckDB oracle for weighted exact quantiles on the real
+    events table (event_id % 5 + 1 as a deterministic weight); with all
+    weights equal the result coincides with the unweighted exact
+    quantiles, and a hand case pins the weighted crossing."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        exact_quantiles_by_group, exact_weighted_quantiles_by_group)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events") \
+        .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1)
+    got = sorted(map(tuple, exact_weighted_quantiles_by_group(
+        ev, "event_type", "value", "wt", (250, 500, 750)).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH b AS (
+          SELECT event_type, value, (event_id % 5) + 1 AS w
+          FROM events WHERE value IS NOT NULL),
+        r AS (
+          SELECT event_type, value, w,
+                 sum(w) OVER (PARTITION BY event_type ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(w) OVER (PARTITION BY event_type) AS tot
+          FROM b),
+        q(q_milli) AS (VALUES (250), (500), (750))
+        SELECT event_type, CAST(q_milli AS INT) AS q_milli,
+               value AS q_value
+        FROM r CROSS JOIN q
+        WHERE cum >= greatest(1, (tot * q_milli + 999) // 1000)
+          AND cum - w < greatest(1, (tot * q_milli + 999) // 1000)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    # all-equal weights degenerate to the unweighted exact quantiles
+    ev1 = ev.withColumn("wt", F.lit(1))
+    wq = sorted(map(tuple, exact_weighted_quantiles_by_group(
+        ev1, "event_type", "value", "wt", (250, 500, 750)).collect()))
+    uq = sorted(map(tuple, exact_quantiles_by_group(
+        ev, "event_type", "value", (250, 500, 750)).collect()))
+    assert wq == uq
+
+    # hand case: values 1,2,3 with weights 1,1,8 -> W=10; q=500 target 5
+    # lands inside value 3's mass; q=250 target 3 also inside value 3
+    # (cum: 1,2,10); q=100 target 1 -> value 1
+    synth = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 8)],
+        "g string, v double, w long")
+    rows = {r["q_milli"]: r["q_value"] for r in
+            exact_weighted_quantiles_by_group(
+                synth, "g", "v", "w", (100, 250, 500)).collect()}
+    assert rows == {100: 1.0, 250: 3.0, 500: 3.0}
