@@ -2478,3 +2478,54 @@ def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
             exact_weighted_quantiles_by_group(
                 synth, "g", "v", "w", (100, 250, 500)).collect()}
     assert rows == {100: 1.0, 250: 3.0, 500: 3.0}
+
+
+def test_sequence_count_python_replay_and_coherence(spark, sf_dir):
+    """sequence_count vs an independent Spark-free pure-Python replay
+    over the raw parquet (the bpe_train oracle pattern), plus coherence
+    with sequence_match and a non-overlap hand case."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_count, sequence_match)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    steps = ["view", "click", "purchase"]
+    ev = read_table(spark, sf_dir, "events")
+    got = {r["user_id"]: r["matches"]
+           for r in sequence_count(ev, steps).collect()}
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet' "
+        f"ORDER BY user_id, ts, event_id").fetchall()
+    want: dict = {}
+    state: dict = {}
+    for u, t in rows:
+        want.setdefault(u, 0)
+        idx = state.get(u, 0)
+        if t == steps[idx]:
+            idx += 1
+            if idx == len(steps):
+                want[u] = want[u] + 1
+                idx = 0
+        state[u] = idx
+    assert got == want and len(got) > 0 and sum(got.values()) > 0
+
+    # coherence: matches >= 1 exactly for sequence_match'd users
+    matched = {r["user_id"] for r in sequence_match(ev, steps).collect()
+               if r["matched"]}
+    assert {u for u, n in got.items() if n >= 1} == matched
+
+    # non-overlap: a-b-a-b counts ab TWICE, a-a-b-b counts it ONCE
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "a", t0, 1.0), (2, 1, "b", t0 + s, 1.0),
+         (3, 1, "a", t0 + 2 * s, 1.0), (4, 1, "b", t0 + 3 * s, 1.0),
+         (5, 2, "a", t0, 1.0), (6, 2, "a", t0 + s, 1.0),
+         (7, 2, "b", t0 + 2 * s, 1.0), (8, 2, "b", t0 + 3 * s, 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    counts = {r["user_id"]: r["matches"] for r in
+              sequence_count(synth, ["a", "b"]).collect()}
+    assert counts == {1: 2, 2: 1}
