@@ -591,3 +591,33 @@ def sequence_count(events: DataFrame, steps: list[str],
     return (events.select(user_col, ts_col, id_col, type_col)
             .groupBy(user_col)
             .applyInPandas(count_fn, f"{user_col} long, matches long"))
+
+
+def retention_flags(events: DataFrame, conds: list[str],
+                    user_col: str = "user_id",
+                    type_col: str = "event_type") -> DataFrame:
+    """ClickHouse's ``retention(cond1, …, condN)`` combinator: per user,
+    flag i is 1 iff the user satisfied cond 0 (the anchor) AND cond i —
+    aggregated here to the number the report actually wants, users per
+    condition: ``cond_idx, cond, users`` (cond_idx 0 is the anchor
+    count; conditions are event-type equality, the fixture-expressible
+    form).
+
+    Scale: ONE pass over events (a per-user max-flag aggregate, map-side
+    combinable, |users| rows out) + one tiny |conds|-row summary via a
+    literal explode — no joins, no window, integer-only output."""
+    flags = events.groupBy(user_col).agg(
+        *[F.max(F.when(F.col(type_col) == c, 1).otherwise(0))
+          .alias(f"_f{i}") for i, c in enumerate(conds)])
+    anchored = flags.select(
+        *[(F.col("_f0") * F.col(f"_f{i}")).alias(f"_r{i}")
+          for i in range(len(conds))])
+    sums = anchored.agg(*[F.sum(f"_r{i}").alias(f"_s{i}")
+                          for i in range(len(conds))])
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("cond_idx"), F.lit(c).alias("cond"),
+                 F.col(f"_s{i}").alias("users"))
+        for i, c in enumerate(conds)])
+    return (sums.select(F.explode(pairs).alias("r"))
+            .select("r.cond_idx", "r.cond",
+                    F.col("r.users").cast("long").alias("users")))

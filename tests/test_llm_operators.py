@@ -2529,3 +2529,47 @@ def test_sequence_count_python_replay_and_coherence(spark, sf_dir):
     counts = {r["user_id"]: r["matches"] for r in
               sequence_count(synth, ["a", "b"]).collect()}
     assert counts == {1: 2, 2: 1}
+
+
+def test_retention_flags_oracle_and_anchor_semantics(spark, sf_dir):
+    """In-test DuckDB oracle for the retention(cond...) combinator on
+    the real events table; the anchor gate is pinned by a hand case
+    (a user with cond_i but NO anchor contributes nothing)."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        retention_flags)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    conds = ["view", "click", "purchase"]
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, retention_flags(ev, conds).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH f AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f0,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS f2
+          FROM events GROUP BY 1)
+        SELECT 0 AS cond_idx, 'view' AS cond,
+               CAST(sum(f0) AS BIGINT) AS users FROM f
+        UNION ALL SELECT 1, 'click', CAST(sum(f0 * f1) AS BIGINT) FROM f
+        UNION ALL SELECT 2, 'purchase', CAST(sum(f0 * f2) AS BIGINT) FROM f
+    """).fetchall()))
+    assert got == want and len(got) == 3
+    by_idx = {i: u for i, _c, u in got}
+    assert by_idx[0] >= by_idx[1] and by_idx[0] >= by_idx[2] > 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    synth = spark.createDataFrame(
+        [(1, 1, "view", t0, 1.0), (2, 1, "click", t0, 1.0),
+         # user 2 clicks but never views -> no anchor, contributes 0
+         (3, 2, "click", t0, 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {r["cond_idx"]: r["users"] for r in
+            retention_flags(synth, ["view", "click"]).collect()}
+    assert rows == {0: 1, 1: 1}
