@@ -35,7 +35,8 @@ def _operator_picks(spark, sf):
     from pyspark.sql import functions as F
 
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        event_transitions, key_skew_report, linreg_by_group,
+        event_transitions, exact_weighted_quantiles_by_group,
+        key_skew_report, linreg_by_group, retention_flags, sequence_count,
         winsorize_by_group)
     from clickhouse_hdfs_loader_spark.operators.features import (
         minmax_normalize)
@@ -64,6 +65,12 @@ def _operator_picks(spark, sf):
         "key_skew_report": key_skew_report(ev, "user_id"),
         "minmax_normalize": minmax_normalize(emb),
         "fuzzy_join": fuzzy_join(docs, right),
+        "exact_weighted_quantiles": exact_weighted_quantiles_by_group(
+            ev.withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1),
+            "event_type", "value", "wt"),
+        "sequence_count": sequence_count(ev, ["view", "click", "purchase"]),
+        "retention_flags": retention_flags(ev, ["view", "click",
+                                                "purchase"]),
     }
 
 
