@@ -524,6 +524,12 @@ def exact_weighted_quantiles_by_group(
     uses an explicit ROWS frame — the default RANGE frame pools tied
     rows and breaks crossing detection.
 
+    Weights are integer COUNTS (frequency semantics — ClickHouse's
+    quantileExactWeighted takes UInt weights); a fractional weight
+    RAISES rather than silently truncating (0.9 would otherwise vanish
+    through the cast + positivity filter). Scale fractional weights to
+    integers first.
+
     Plan: one shuffle on the group key, one running-sum window + one
     group-total window over the same sort, a |qs| literal explode, one
     filter. Returns ``group, q_milli, q_value``."""
@@ -533,8 +539,16 @@ def exact_weighted_quantiles_by_group(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wall = Window.partitionBy(group_col)
     qarr = F.array(*[F.lit(int(q)) for q in qs_milli])
-    base = (df.select(group_col, value_col,
-                      F.col(weight_col).cast("long").alias("_w"))
+    # the guard lives INSIDE the weight expression so column pruning
+    # can never optimize the check away
+    w_int = F.expr(
+        f"CASE WHEN CAST({weight_col} AS DOUBLE) "
+        f"= floor(CAST({weight_col} AS DOUBLE)) "
+        f"THEN CAST({weight_col} AS BIGINT) "
+        f"ELSE raise_error('exact_weighted_quantiles_by_group: weights "
+        f"must be integral counts; scale fractional weights to integers "
+        f"first') END")
+    base = (df.select(group_col, value_col, w_int.alias("_w"))
             .where(F.col(value_col).isNotNull()
                    & F.col("_w").isNotNull() & (F.col("_w") > 0)))
     return (base
@@ -555,10 +569,15 @@ def sequence_count(events: DataFrame, steps: list[str],
                    id_col: str = "event_id") -> DataFrame:
     """Per-user count of NON-OVERLAPPING completions of the step
     sequence — ClickHouse's ``sequenceCount('(?1).*(?2)...')``: scan the
-    user's events in (ts, id) order with a greedy automaton; each
-    completed chain consumes its events and the automaton restarts, so
-    completions never share events (the greedy count is the standard
-    deterministic choice, and maximal for this pattern class).
+    user's events in (ts, id) order with a greedy automaton; each step
+    must be STRICTLY LATER in time than the previously accepted step
+    (the same '>' ordering as :func:`sequence_match`, so matches >= 1
+    coheres with matched=True even under tied timestamps); each
+    completed chain consumes its events and the automaton restarts.
+    The count is maximal among NON-INTERLEAVED (sequential) chains —
+    interleaved event-disjoint chains (a,a,b,b → 2) are deliberately
+    not counted, matching ClickHouse's restart semantics (the a-a-b-b
+    hand case pins 1).
 
     An iterative per-row automaton is genuinely outside DataFrame
     algebra (the brief's escalation ladder: composition → Arrow UDF),
@@ -574,23 +593,28 @@ def sequence_count(events: DataFrame, steps: list[str],
     import pandas as pd
 
     step_list = list(steps)
+    key_type = events.schema[user_col].dataType.simpleString()
 
     def count_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values([ts_col, id_col])
         idx = 0
         n = 0
-        for t in pdf[type_col]:
-            if t == step_list[idx]:
+        last_ts = None
+        for t, ts in zip(pdf[type_col], pdf[ts_col]):
+            if t == step_list[idx] and (idx == 0 or ts > last_ts):
+                last_ts = ts
                 idx += 1
                 if idx == len(step_list):
                     n += 1
                     idx = 0
+                    last_ts = None
         return pd.DataFrame({user_col: [pdf[user_col].iloc[0]],
                              "matches": [n]})
 
     return (events.select(user_col, ts_col, id_col, type_col)
             .groupBy(user_col)
-            .applyInPandas(count_fn, f"{user_col} long, matches long"))
+            .applyInPandas(count_fn,
+                           f"{user_col} {key_type}, matches long"))
 
 
 def retention_flags(events: DataFrame, conds: list[str],
@@ -612,8 +636,10 @@ def retention_flags(events: DataFrame, conds: list[str],
     anchored = flags.select(
         *[(F.col("_f0") * F.col(f"_f{i}")).alias(f"_r{i}")
           for i in range(len(conds))])
-    sums = anchored.agg(*[F.sum(f"_r{i}").alias(f"_s{i}")
-                          for i in range(len(conds))])
+    # coalesce: a global agg over an EMPTY frame yields one row of
+    # NULL sums — the contract is integer 0s (key_skew_report precedent)
+    sums = anchored.agg(*[F.coalesce(F.sum(f"_r{i}"), F.lit(0))
+                          .alias(f"_s{i}") for i in range(len(conds))])
     pairs = F.array(*[
         F.struct(F.lit(i).alias("cond_idx"), F.lit(c).alias("cond"),
                  F.col(f"_s{i}").alias("users"))

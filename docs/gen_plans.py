@@ -30,8 +30,9 @@ PICKS = ["transform_chain", "q1_pricing_summary", "q5_region_revenue",
 
 
 def _operator_picks(spark, sf):
-    """Late-r7 operators that live outside the query registry — built
-    directly so their plans land in the audit too."""
+    """Operators that live outside the query registry (the late-r7
+    additions and everything after) — built directly so their plans
+    land in the audit too."""
     from pyspark.sql import functions as F
 
     from clickhouse_hdfs_loader_spark.operators.analytics import (

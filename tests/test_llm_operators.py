@@ -2478,6 +2478,12 @@ def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
             exact_weighted_quantiles_by_group(
                 synth, "g", "v", "w", (100, 250, 500)).collect()}
     assert rows == {100: 1.0, 250: 3.0, 500: 3.0}
+    # fractional weights raise loudly instead of silently truncating
+    import pytest as _pytest
+    frac = spark.createDataFrame([("g", 1.0, 0.9)],
+                                 "g string, v double, w double")
+    with _pytest.raises(Exception, match="integral"):
+        exact_weighted_quantiles_by_group(frac, "g", "v", "w").collect()
 
 
 def test_sequence_count_python_replay_and_coherence(spark, sf_dir):
@@ -2496,19 +2502,20 @@ def test_sequence_count_python_replay_and_coherence(spark, sf_dir):
 
     con = duckdb.connect()
     rows = con.execute(
-        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet' "
+        f"SELECT user_id, event_type, ts FROM '{sf_dir}/events.parquet' "
         f"ORDER BY user_id, ts, event_id").fetchall()
     want: dict = {}
     state: dict = {}
-    for u, t in rows:
+    for u, t, ts in rows:
         want.setdefault(u, 0)
-        idx = state.get(u, 0)
-        if t == steps[idx]:
+        idx, last = state.get(u, (0, None))
+        if t == steps[idx] and (idx == 0 or ts > last):
+            last = ts
             idx += 1
             if idx == len(steps):
                 want[u] = want[u] + 1
-                idx = 0
-        state[u] = idx
+                idx, last = 0, None
+        state[u] = (idx, last)
     assert got == want and len(got) > 0 and sum(got.values()) > 0
 
     # coherence: matches >= 1 exactly for sequence_match'd users
@@ -2529,6 +2536,15 @@ def test_sequence_count_python_replay_and_coherence(spark, sf_dir):
     counts = {r["user_id"]: r["matches"] for r in
               sequence_count(synth, ["a", "b"]).collect()}
     assert counts == {1: 2, 2: 1}
+    # tied timestamps: a@T then b@T does NOT complete (strict '>' like
+    # sequence_match), so coherence holds even on tied fixtures
+    tied = spark.createDataFrame(
+        [(1, 1, "a", t0, 1.0), (2, 1, "b", t0, 1.0),
+         (3, 1, "b", t0 + s, 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    assert sequence_count(tied, ["a", "b"]).collect()[0]["matches"] == 1
+    assert sequence_match(tied, ["a", "b"]).collect()[0]["matched"]
 
 
 def test_retention_flags_oracle_and_anchor_semantics(spark, sf_dir):
@@ -2573,3 +2589,8 @@ def test_retention_flags_oracle_and_anchor_semantics(spark, sf_dir):
     rows = {r["cond_idx"]: r["users"] for r in
             retention_flags(synth, ["view", "click"]).collect()}
     assert rows == {0: 1, 1: 1}
+    # empty input keeps the integer-0 contract (never NULL users)
+    empty = synth.limit(0)
+    assert {r["cond_idx"]: r["users"] for r in
+            retention_flags(empty, ["view", "click"]).collect()} \
+        == {0: 0, 1: 0}
