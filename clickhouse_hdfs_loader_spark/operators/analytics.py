@@ -647,3 +647,58 @@ def retention_flags(events: DataFrame, conds: list[str],
     return (sums.select(F.explode(pairs).alias("r"))
             .select("r.cond_idx", "r.cond",
                     F.col("r.users").cast("long").alias("users")))
+
+
+def funnel_update(state_chain: "DataFrame | None", batch: DataFrame,
+                  steps: list[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  within_hours: "int | None" = None) -> DataFrame:
+    """Incremental funnel maintenance: fold one micro-batch into the
+    per-user chain state ``(user, t_0, …, t_{k-1})`` (earliest
+    completion time per step, NULL beyond the user's progress) and
+    return the new state — the continuous-ingest twin of :func:`funnel`.
+
+    Correctness reduction: the chain minima are a SUFFICIENT summary of
+    history for the greedy earliest-completion semantics, because under
+    in-order arrival a set ``t_i`` is final (no later event can lower a
+    min) and an unset one can only be set going forward. So the update
+    re-runs the ONE shared chain (:func:`_earliest_completion_chain`)
+    over the batch unioned with the state re-expressed as synthetic
+    step events at their chain times — identical to the one-shot funnel
+    over all events seen so far, for ANY in-order batch split
+    (hypothesis-tested over the split space, conversion window
+    included).
+
+    Scale: state is |users| × k timestamps; each fold shuffles the
+    batch plus that state, never history."""
+    k = len(steps)
+    ev = batch.select(user_col, ts_col, type_col)
+    if state_chain is not None:
+        for i in range(k):
+            synth = (state_chain
+                     .where(F.col(f"t_{i}").isNotNull())
+                     .select(F.col(user_col),
+                             F.col(f"t_{i}").alias(ts_col),
+                             F.lit(steps[i]).alias(type_col)))
+            ev = ev.unionByName(synth)
+    out = None
+    for i, _s, cur in _earliest_completion_chain(
+            ev, steps, user_col, ts_col, type_col, within_hours):
+        step_t = cur.select(user_col, F.col("t").alias(f"t_{i}"))
+        out = step_t if out is None else out.join(step_t, user_col, "left")
+    return out
+
+
+def funnel_counts(chain: DataFrame, steps: list[str]) -> DataFrame:
+    """The :func:`funnel` report derived from a maintained chain state:
+    one row per step with the users whose ``t_i`` is set (a single tiny
+    aggregate over |users| rows — raw events are never touched)."""
+    agg = chain.agg(*[F.count(F.col(f"t_{i}")).alias(f"_u{i}")
+                      for i in range(len(steps))])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"_u{i}").alias("users"))
+        for i, s in enumerate(steps)])
+    return (agg.select(F.explode(rows).alias("r"))
+            .select("r.step_idx", "r.step",
+                    F.col("r.users").cast("long").alias("users")))

@@ -382,3 +382,36 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not state:
         raise RuntimeError("stream produced no batches")
     return normalize_transitions(state[0][0])
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str,
+                  steps: "list[str] | None" = None,
+                  within_hours: "int | None" = None) -> DataFrame:
+    """Streaming twin of operators/analytics.funnel — continuous funnel
+    maintenance: each micro-batch folds into the per-user chain state
+    via ``funnel_update`` inside ``foreachBatch`` (the synthetic-chain-
+    event reduction makes per-batch folding ≡ the one-shot funnel for
+    any in-order split; hypothesis-tested at unit level). The final
+    report derives from the |users|-row state alone."""
+    from ..operators.analytics import funnel_counts, funnel_update
+
+    steps = steps or ["view", "click", "purchase"]
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        prev = state[0] if state else None
+        chain = funnel_update(prev, bdf, steps,
+                              within_hours=within_hours) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [chain]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return funnel_counts(state[0], steps)

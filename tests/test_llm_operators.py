@@ -2594,3 +2594,65 @@ def test_retention_flags_oracle_and_anchor_semantics(spark, sf_dir):
     assert {r["cond_idx"]: r["users"] for r in
             retention_flags(empty, ["view", "click"]).collect()} \
         == {0: 0, 1: 0}
+
+
+def test_stream_funnel_matches_batch_and_split_space(spark, sf_dir):
+    """The foreachBatch funnel twin reproduces the batch funnel exactly
+    (with and without the conversion window), and folding ANY in-order
+    split through funnel_update equals the one-shot funnel —
+    hypothesis-driven, window included."""
+    import datetime as dt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        funnel, funnel_counts, funnel_update)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    from clickhouse_hdfs_loader_spark.streaming.events import stream_funnel
+
+    steps = ["view", "click", "purchase"]
+    ev = read_table(spark, sf_dir, "events")
+    batch = sorted(map(tuple, funnel(ev, steps).collect()))
+    stream = sorted(map(tuple, stream_funnel(spark, sf_dir).collect()))
+    assert stream == batch and len(stream) == 3
+
+    batch_w = sorted(map(tuple,
+                         funnel(ev, steps, within_hours=24).collect()))
+    stream_w = sorted(map(tuple, stream_funnel(
+        spark, sf_dir, within_hours=24).collect()))
+    assert stream_w == batch_w
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    @given(st.lists(st.tuples(st.integers(0, 3),       # user
+                              st.integers(0, 2),       # step index
+                              st.integers(0, 80)),     # ts hours
+                    min_size=1, max_size=24),
+           st.integers(1, 4),
+           st.sampled_from([None, 24]))
+    @settings(max_examples=8, deadline=None)
+    def check(evs, nbatch, window):
+        names = ["a", "b", "c"]
+        rows = [(i, u, names[y], t0 + dt.timedelta(hours=j), 1.0)
+                for i, (u, y, j) in enumerate(evs)]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, funnel(
+            full, names, within_hours=window).collect()))
+        ordered = sorted(rows, key=lambda r: (r[3], r[0]))
+        cuts = sorted({(i * len(ordered)) // nbatch
+                       for i in range(1, nbatch)})
+        chain = None
+        lo = 0
+        for hi in cuts + [len(ordered)]:
+            if hi == lo:
+                continue
+            bdf = spark.createDataFrame(ordered[lo:hi], schema)
+            chain = funnel_update(chain, bdf, names,
+                                  within_hours=window) \
+                .localCheckpoint(eager=True)
+            lo = hi
+        got = sorted(map(tuple, funnel_counts(chain, names).collect()))
+        assert got == one_shot
+
+    check()
