@@ -86,6 +86,14 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     active = (events.select(user_col,
                             F.date_trunc("week", F.col(ts_col)).alias("wk"))
               .distinct())
+    return _retention_counts(first, active, user_col, max_offset)
+
+
+def _retention_counts(first: DataFrame, active: DataFrame, user_col: str,
+                      max_offset: int) -> DataFrame:
+    """The shared report tail of :func:`retention_cohorts` and
+    :func:`retention_update`: join per-user cohorts to distinct active
+    weeks, bucket by offset, count."""
     return (active.join(first, user_col)
             .withColumn("offset",
                         (F.datediff(F.col("wk"), F.col("cohort")) / 7)
@@ -94,6 +102,42 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .groupBy(F.unix_timestamp("cohort").alias("cohort_epoch"),
                      "offset")
             .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+def retention_update(state_first: "DataFrame | None",
+                     state_active: "DataFrame | None", batch: DataFrame,
+                     user_col: str = "user_id", ts_col: str = "ts"):
+    """Incremental retention maintenance: fold one micro-batch into the
+    ``(first_ts per user, distinct (user, week))`` state pair and return
+    the new pair. Both states are commutative monoids — per-user MIN and
+    set UNION — so per-batch folding equals the one-shot computation for
+    ANY batch partition, in ANY order (strictly stronger than the
+    in-order contract funnel/transitions need; hypothesis-tested over
+    random partitions). State is |users| + |user-weeks| rows; each fold
+    shuffles the batch plus that, never history."""
+    b_first = batch.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    if state_first is not None:
+        b_first = (state_first.unionByName(b_first)
+                   .groupBy(user_col)
+                   .agg(F.min("first_ts").alias("first_ts")))
+    b_active = (batch.select(user_col,
+                             F.date_trunc("week", F.col(ts_col))
+                             .alias("wk")))
+    if state_active is not None:
+        b_active = state_active.unionByName(b_active)
+    return b_first, b_active.distinct()
+
+
+def retention_from_state(state_first: DataFrame, state_active: DataFrame,
+                         user_col: str = "user_id",
+                         max_offset: int = 8) -> DataFrame:
+    """The :func:`retention_cohorts` report derived purely from
+    maintained state (raw events never touched): week-truncate the
+    carried per-user minimum (truncation commutes with min) and run the
+    shared report tail."""
+    first = state_first.select(
+        user_col, F.date_trunc("week", F.col("first_ts")).alias("cohort"))
+    return _retention_counts(first, state_active, user_col, max_offset)
 
 
 def histogram_fixed(df: DataFrame, value_col: str = "value",

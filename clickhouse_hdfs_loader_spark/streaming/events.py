@@ -415,3 +415,36 @@ def stream_funnel(spark: SparkSession, sf_dir: str,
     if not state:
         raise RuntimeError("stream produced no batches")
     return funnel_counts(state[0], steps)
+
+
+def stream_retention(spark: SparkSession, sf_dir: str,
+                     max_offset: int = 8) -> DataFrame:
+    """Streaming twin of operators/analytics.retention_cohorts: each
+    micro-batch folds into the (first-event, active-weeks) state pair
+    via ``retention_update`` inside ``foreachBatch``. Both state tables
+    are commutative monoids (min / set-union), so the fold is
+    order-insensitive — the strongest of the incremental contracts in
+    this module — and the report derives from state alone."""
+    from ..operators.analytics import retention_from_state, retention_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        pf, pa = state[0] if state else (None, None)
+        first, active = retention_update(pf, pa, bdf)
+        first = first.localCheckpoint(eager=True)
+        active = active.localCheckpoint(eager=True)
+        if state:
+            state[0][0].unpersist()
+            state[0][1].unpersist()
+        state[:] = [(first, active)]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return retention_from_state(state[0][0], state[0][1],
+                                max_offset=max_offset)

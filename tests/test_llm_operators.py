@@ -2656,3 +2656,52 @@ def test_stream_funnel_matches_batch_and_split_space(spark, sf_dir):
         assert got == one_shot
 
     check()
+
+
+def test_stream_retention_matches_batch_any_partition(spark, sf_dir):
+    """The foreachBatch retention twin reproduces the batch operator
+    exactly, and folding ANY random partition of the events (order-free
+    — min/set-union monoid states) equals the one-shot cohort table."""
+    import datetime as dt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        retention_cohorts, retention_from_state, retention_update)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_retention)
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = sorted(map(tuple, retention_cohorts(ev).collect()))
+    stream = sorted(map(tuple, stream_retention(spark, sf_dir).collect()))
+    assert stream == batch and len(stream) > 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    @given(st.lists(st.tuples(st.integers(0, 3),        # user
+                              st.integers(0, 70)),      # ts days
+                    min_size=1, max_size=20),
+           st.lists(st.integers(0, 2), min_size=1, max_size=20))
+    @settings(max_examples=8, deadline=None)
+    def check(evs, assignment):
+        rows = [(i, u, "e", t0 + dt.timedelta(days=j), 1.0)
+                for i, (u, j) in enumerate(evs)]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, retention_cohorts(full).collect()))
+        # ARBITRARY partition into up to 3 batches, arbitrary order
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        first, active = None, None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            first, active = retention_update(first, active, bdf)
+            first = first.localCheckpoint(eager=True)
+            active = active.localCheckpoint(eager=True)
+        got = sorted(map(tuple,
+                         retention_from_state(first, active).collect()))
+        assert got == one_shot
+
+    check()
