@@ -111,12 +111,41 @@ def anomaly_zscore(events, ts_col: str = "ts", key_col: str = "event_type",
     window per series partition — series count bounds parallelism, hours
     bound partition size; nothing scales with raw event volume past the
     first aggregate."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     hourly = (events.groupBy(key_col,
                              F.date_trunc("hour", F.col(ts_col)).alias("h"))
               .agg(F.count(F.lit(1)).alias("cnt")))
+    return anomaly_from_hourly(hourly, key_col, window_hours,
+                               z_threshold, min_history)
+
+
+def hourly_counts_update(state: "DataFrame | None", batch,
+                         ts_col: str = "ts",
+                         key_col: str = "event_type"):
+    """Incremental hourly-count maintenance for
+    :func:`anomaly_from_hourly`: per-(series, hour) counts ADD — a
+    commutative monoid, so folding any batch partition in any order
+    equals the one-shot hourly aggregate (the rollup contract). State is
+    |series| x |hours| rows; each fold shuffles the batch plus that."""
+    part = (batch.groupBy(key_col,
+                          F.date_trunc("hour", F.col(ts_col)).alias("h"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    if state is None:
+        return part
+    return (state.unionByName(part)
+            .groupBy(key_col, "h")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def anomaly_from_hourly(hourly, key_col: str = "event_type",
+                        window_hours: int = 24, z_threshold: float = 3.0,
+                        min_history: int = 8):
+    """The :func:`anomaly_zscore` detector tail over a prebuilt (or
+    incrementally maintained — :func:`hourly_counts_update`) hourly
+    count table: raw events are never rescanned, so a continuously-
+    ingesting pipeline serves fresh anomalies from |series| x |hours|
+    rows of state."""
+    from pyspark.sql import Window
+
     w = (Window.partitionBy(key_col).orderBy("h")
          .rowsBetween(-window_hours, -1))
     n = F.count(F.lit(1)).over(w)

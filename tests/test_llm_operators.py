@@ -2705,3 +2705,58 @@ def test_stream_retention_matches_batch_any_partition(spark, sf_dir):
         assert got == one_shot
 
     check()
+
+
+def test_anomaly_from_incremental_hourly_state(spark, sf_dir):
+    """Anomaly detection served from incrementally-maintained hourly
+    state equals the one-shot detector for ANY partition of the events
+    (per-hour counts add — order-free monoid), on both the real events
+    table and a hypothesis-driven partition space."""
+    import datetime as dt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from clickhouse_hdfs_loader_spark.operators.asof import (
+        anomaly_from_hourly, anomaly_zscore, hourly_counts_update)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    one_shot = sorted(map(tuple, anomaly_zscore(ev, z_threshold=2.0)
+                          .collect()))
+    # fold the real table in three arbitrary slices
+    state = None
+    for m in (0, 1, 2):
+        state = hourly_counts_update(
+            state, ev.where(F.pmod("event_id", F.lit(3)) == m)) \
+            .localCheckpoint(eager=True)
+    got = sorted(map(tuple, anomaly_from_hourly(state, z_threshold=2.0)
+                     .collect()))
+    assert got == one_shot and len(got) > 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    @given(st.lists(st.tuples(st.integers(0, 1),        # series
+                              st.integers(0, 40)),      # ts hours
+                    min_size=1, max_size=24),
+           st.lists(st.integers(0, 2), min_size=1, max_size=8))
+    @settings(max_examples=8, deadline=None)
+    def check(evs, assignment):
+        rows = [(i, 1, f"s{k}", t0 + dt.timedelta(hours=j), 1.0)
+                for i, (k, j) in enumerate(evs)]
+        full = spark.createDataFrame(rows, schema)
+        want = sorted(map(tuple, anomaly_zscore(
+            full, z_threshold=1.0, min_history=2).collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        st_ = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            st_ = hourly_counts_update(
+                st_, spark.createDataFrame(chunk, schema)) \
+                .localCheckpoint(eager=True)
+        have = sorted(map(tuple, anomaly_from_hourly(
+            st_, z_threshold=1.0, min_history=2).collect()))
+        assert have == want
+
+    check()
