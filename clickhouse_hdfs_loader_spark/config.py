@@ -70,9 +70,11 @@ def _parse_int_set(s: str) -> tuple[int, ...]:
 
 def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     p = argparse.ArgumentParser(prog="clickhouse-hdfs-loader-spark")
-    p.add_argument("--connect", default="")
+    # --connect/--table/--export-dir/--dt are required=true in the
+    # reference (MainCliParameterParser.java:14,20,23,41)
+    p.add_argument("--connect", required=True)
     p.add_argument("--driver", default="clickhouse")
-    p.add_argument("--export-dir", dest="export_dir", default="")
+    p.add_argument("--export-dir", dest="export_dir", required=True)
     p.add_argument("--clickhouse-format", dest="clickhouse_format", default="TabSeparated")
     p.add_argument("--fields-terminated-by", dest="fields_terminated_by", default="|")
     p.add_argument("--null-string", dest="null_string", default="")
@@ -81,8 +83,8 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     p.add_argument("--escape-null", dest="escape_null", default="true")
     p.add_argument("--batch-size", dest="batch_size", type=int, default=150_000)
     p.add_argument("--max-tries", dest="max_tries", type=int, default=3)
-    p.add_argument("--table", default="")
-    p.add_argument("--dt", default="")
+    p.add_argument("--table", required=True)
+    p.add_argument("--dt", required=True)
     p.add_argument("--daily", default="false")
     p.add_argument("--daily-expires", dest="daily_expires", type=int, default=3)
     p.add_argument("--daily-expires-process", dest="daily_expires_process", default="merge")
@@ -92,7 +94,9 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     p.add_argument("--exclude-fields", dest="exclude_fields", default="")
     p.add_argument("--additional-cols", dest="additional_cols", default="")
     p.add_argument("--direct", default="false")
-    p.add_argument("--input-format", dest="input_format", default="text")
+    # "-i" is the reference's PRIMARY spelling (MainCliParameterParser
+    # .java:56); "--input-format" is its deprecated alias (:59)
+    p.add_argument("-i", "--input-format", dest="input_format", default="text")
     p.add_argument("--input-split-max-bytes", dest="input_split_max_bytes", type=int,
                    default=268_435_456)
     p.add_argument("--clickhouse-http-port", dest="clickhouse_http_port", type=int, default=8123)

@@ -586,7 +586,11 @@ def exact_weighted_quantiles_by_group(
     # the guard lives INSIDE the weight expression so column pruning
     # can never optimize the check away
     w_int = F.expr(
-        f"CASE WHEN CAST({weight_col} AS DOUBLE) "
+        # NULL weights must reach the isNotNull exclusion below — without
+        # the leading branch a NULL comparison is NULL (not true) and
+        # evaluation falls into the raise_error ELSE
+        f"CASE WHEN {weight_col} IS NULL THEN NULL "
+        f"WHEN CAST({weight_col} AS DOUBLE) "
         f"= floor(CAST({weight_col} AS DOUBLE)) "
         f"THEN CAST({weight_col} AS BIGINT) "
         f"ELSE raise_error('exact_weighted_quantiles_by_group: weights "

@@ -71,7 +71,11 @@ def bpe_train(docs: DataFrame, num_merges: int = 50,
     sym = _word_symbols(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs = (sym.select(
+        # fully-merged words collapse to ONE symbol; F.sequence(0, -1)
+        # on those yields [0, -1] and syms[i+1] trips ANSI
+        # INVALID_ARRAY_INDEX — exclude them (they have no pairs)
+        pairs = (sym.where(F.size("syms") >= 2)
+            .select(
             "cnt",
             F.explode(F.transform(
                 F.sequence(F.lit(0), F.size("syms") - 2),

@@ -1554,6 +1554,55 @@ def test_bpe_train_matches_independent_sennrich_replay(spark, sf_dir):
         assert joined == "".join(w + "</w>" for w in words)
 
 
+def test_bpe_train_survives_full_word_collapse(spark):
+    """A corpus whose most frequent word fully merges into ONE symbol
+    (e.g. 'ab</w>') must not crash the pair scan — the r7 ADVICE repro:
+    F.sequence(0, size-2) on a 1-element array is [0, -1] and syms[i+1]
+    trips ANSI INVALID_ARRAY_INDEX. Asking for more merges than exist
+    must also terminate via the early-stop."""
+    import re
+    from collections import Counter
+    from clickhouse_hdfs_loader_spark.operators.bpe import bpe_train
+    docs = spark.createDataFrame(
+        [(i, "ab ab ab ab cd cd") for i in range(4)],
+        "doc_id long, text string")
+    merges = bpe_train(docs, num_merges=50, min_pair_count=2)
+    # replay independently: 'ab'->a+b merges then 'ab'+'</w>' collapses
+    # the word to one symbol; same for 'cd'
+    wc = Counter()
+    for _ in range(4):
+        wc.update(re.findall(r"[a-z0-9]+", "ab ab ab ab cd cd"))
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    want = []
+    while True:
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), total = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if total < 2:
+            break
+        want.append((a, b))
+        nv = {}
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + c
+        vocab = nv
+    assert merges == want
+    assert ("ab", "</w>") in merges      # a word really did collapse
+
+
 def test_pack_token_budget_with_bpe_counts(spark, sf_dir):
     """pack_token_budget consumes bpe_encode's exact token counts via
     count_col — bins differ from the whitespace estimate (BPE emits
@@ -2484,6 +2533,16 @@ def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
                                  "g string, v double, w double")
     with _pytest.raises(Exception, match="integral"):
         exact_weighted_quantiles_by_group(frac, "g", "v", "w").collect()
+    # NULL weights are EXCLUDED (docstring contract), not raised on —
+    # the r7 ADVICE repro: without the leading IS NULL branch the CASE
+    # fell through to raise_error before the isNotNull filter ran
+    withnull = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, None), ("g", 3.0, 8)],
+        "g string, v double, w long")
+    rows = {r["q_milli"]: r["q_value"] for r in
+            exact_weighted_quantiles_by_group(
+                withnull, "g", "v", "w", (100, 250, 500)).collect()}
+    assert rows == {100: 1.0, 250: 3.0, 500: 3.0}   # same as dropping the row
 
 
 def test_sequence_count_python_replay_and_coherence(spark, sf_dir):

@@ -61,6 +61,7 @@ def test_quickstart_shaped_direct_load(spark, tmp_path, cluster):
     export_dir = _write_input(tmp_path, lines)
     entry = cluster[0]
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", export_dir,
         "--fields-terminated-by", "|", "--exclude-fields", "1,3",
@@ -103,6 +104,7 @@ def test_width_mismatch_rejected(spark, tmp_path, cluster):
     export_dir = _write_input(tmp_path, ["a|b|c|d|e"])
     entry = cluster[0]
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", export_dir,
         "--exclude-fields", "1",    # 5 − 1 = 4 ≠ 3 target columns
@@ -143,6 +145,7 @@ def test_hive_partition_and_additional_cols_load(spark, tmp_path, cluster):
     lines = [f"{i % 3}|x|did_{i}|y|{i}" for i in range(12)]
     export_dir = _write_input(tmp_path, lines)
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", export_dir,
         "--exclude-fields", "1,3", "--direct", "true",
@@ -171,6 +174,7 @@ def test_orc_input_direct_load(spark, tmp_path, cluster):
     df.coalesce(1).write.orc(orc_dir)
     entry = cluster[0]
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", orc_dir,
         "--exclude-fields", "1,3", "--direct", "true",
@@ -202,6 +206,7 @@ def test_json_input_direct_load(spark, tmp_path, cluster):
     (p / "part-00000.json").write_text("\n".join(lines) + "\n")
     entry = cluster[0]
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", str(p),
         "--exclude-fields", "1,3", "--direct", "true",
@@ -221,6 +226,7 @@ def test_csv_input_direct_load(spark, tmp_path, cluster):
         "\n".join(f"{i % 7},junk,did_{i},junk2,{i}" for i in range(15)) + "\n")
     entry = cluster[0]
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", str(p),
         "--exclude-fields", "1,3", "--direct", "true",
@@ -238,6 +244,7 @@ def test_credentials_and_reduce_tasks_options(spark, tmp_path, cluster):
     export_dir = _write_input(tmp_path, lines)
     entry = cluster[0]
     cfg = parse_args([
+        "--dt", "2021-06-01",
         "--connect", f"jdbc:clickhouse://{entry.host}:{entry.port}/test",
         "--table", "t1", "--export-dir", export_dir,
         "--exclude-fields", "1,3", "--direct", "true",
@@ -390,12 +397,31 @@ def test_quickstart_exact_invocation_staged(spark, tmp_path, qs_cluster):
                for s in stmts)
 
 
+REQUIRED_MIN = ["--connect", "jdbc:clickhouse://h:9000/db",
+                "--table", "t", "--export-dir", "/tmp/x",
+                "--dt", "2021-06-01"]
+
+
 def test_mapper_class_orc_mapping():
-    cfg = parse_args([
+    cfg = parse_args(REQUIRED_MIN + [
         "--mapper-class", "com.kugou.loader.clickhouse.mapper.OrcLoaderMapper",
     ])
     assert cfg.input_format == "orc"
     # explicit -i wins over the deprecated alias
-    cfg2 = parse_args(["--input-format", "parquet",
+    cfg2 = parse_args(REQUIRED_MIN + ["--input-format", "parquet",
                        "--mapper-class", "whatever.OrcLoaderMapper"])
     assert cfg2.input_format == "parquet"
+
+
+def test_primary_i_flag_and_required_options():
+    """-i is the reference's PRIMARY input-format spelling
+    (MainCliParameterParser.java:56; --input-format is the deprecated
+    alias, :59) and --connect/--table/--export-dir/--dt are
+    required=true (:14,20,23,41)."""
+    cfg = parse_args(REQUIRED_MIN + ["-i", "orc"])
+    assert cfg.input_format == "orc"
+    with pytest.raises(SystemExit):      # required options enforced
+        parse_args(["-i", "orc"])
+    with pytest.raises(SystemExit):      # --dt missing
+        parse_args(["--connect", "jdbc:clickhouse://h:9000/db",
+                    "--table", "t", "--export-dir", "/tmp/x"])
