@@ -95,8 +95,11 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     p.add_argument("--additional-cols", dest="additional_cols", default="")
     p.add_argument("--direct", default="false")
     # "-i" is the reference's PRIMARY spelling (MainCliParameterParser
-    # .java:56); "--input-format" is its deprecated alias (:59)
-    p.add_argument("-i", "--input-format", dest="input_format", default="text")
+    # .java:56); "--input-format" is its deprecated alias (:59).
+    # default=None so an EXPLICIT "-i text" is distinguishable from the
+    # default: any non-blank -i takes priority over --mapper-class
+    # (ClickhouseHdfsLoader.java:165)
+    p.add_argument("-i", "--input-format", dest="input_format", default=None)
     p.add_argument("--input-split-max-bytes", dest="input_split_max_bytes", type=int,
                    default=268_435_456)
     p.add_argument("--clickhouse-http-port", dest="clickhouse_http_port", type=int, default=8123)
@@ -107,9 +110,15 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     ns = p.parse_args(argv)
 
     # deprecated --mapper-class (MainCliParameterParser.java:62): derive the
-    # input format from the reference mapper class name when -i is defaulted
-    if ns.mapper_class and ns.input_format == "text":
-        ns.input_format = "orc" if "orc" in ns.mapper_class.lower() else "text"
+    # input format from the reference mapper class name ONLY when -i was not
+    # given at all (ClickhouseHdfsLoader.java:165 gives any non-blank -i
+    # priority over --mapper-class)
+    if ns.input_format is None:
+        if ns.mapper_class:
+            ns.input_format = ("orc" if "orc" in ns.mapper_class.lower()
+                               else "text")
+        else:
+            ns.input_format = "text"
 
     def b(v: str | bool) -> bool:
         return v if isinstance(v, bool) else v.strip().lower() in ("true", "1", "yes")

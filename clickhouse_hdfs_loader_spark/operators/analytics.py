@@ -590,6 +590,12 @@ def exact_weighted_quantiles_by_group(
         # the leading branch a NULL comparison is NULL (not true) and
         # evaluation falls into the raise_error ELSE
         f"CASE WHEN {weight_col} IS NULL THEN NULL "
+        # NaN satisfies the integrality check (NaN = NaN is TRUE under
+        # Spark's total ordering and floor(NaN) is NaN), then explodes
+        # in the ANSI CAST — route it to the descriptive raise instead
+        f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
+        f"THEN raise_error('exact_weighted_quantiles_by_group: NaN "
+        f"weight; weights must be integral counts') "
         f"WHEN CAST({weight_col} AS DOUBLE) "
         f"= floor(CAST({weight_col} AS DOUBLE)) "
         f"THEN CAST({weight_col} AS BIGINT) "

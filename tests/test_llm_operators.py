@@ -2543,6 +2543,13 @@ def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
             exact_weighted_quantiles_by_group(
                 withnull, "g", "v", "w", (100, 250, 500)).collect()}
     assert rows == {100: 1.0, 250: 3.0, 500: 3.0}   # same as dropping the row
+    # NaN weights hit the DESCRIPTIVE raise, not the bare ANSI
+    # CAST(NaN AS BIGINT) error (NaN = NaN is true under Spark's total
+    # ordering, so NaN slips past the integrality check) — r8 ADVICE
+    nan = spark.createDataFrame([("g", 1.0, float("nan"))],
+                                "g string, v double, w double")
+    with _pytest.raises(Exception, match="NaN weight"):
+        exact_weighted_quantiles_by_group(nan, "g", "v", "w").collect()
 
 
 def test_sequence_count_python_replay_and_coherence(spark, sf_dir):

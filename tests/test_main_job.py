@@ -411,6 +411,14 @@ def test_mapper_class_orc_mapping():
     cfg2 = parse_args(REQUIRED_MIN + ["--input-format", "parquet",
                        "--mapper-class", "whatever.OrcLoaderMapper"])
     assert cfg2.input_format == "parquet"
+    # an EXPLICIT "-i text" also wins over --mapper-class — any
+    # non-blank -i has priority (ClickhouseHdfsLoader.java:165), so the
+    # default must be distinguishable from the explicit spelling
+    cfg3 = parse_args(REQUIRED_MIN + ["-i", "text",
+                       "--mapper-class", "whatever.OrcLoaderMapper"])
+    assert cfg3.input_format == "text"
+    # with neither flag, the default stays text
+    assert parse_args(REQUIRED_MIN).input_format == "text"
 
 
 def test_primary_i_flag_and_required_options():
