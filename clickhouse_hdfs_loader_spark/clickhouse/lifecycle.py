@@ -197,6 +197,42 @@ class LifecycleManager:
                              max_tries=self.max_tries,
                              backoff_scale=self.backoff_scale)
 
+    def list_partitions(self, database: str, table: str) -> dict[int, list[str]]:
+        """Per-shard partition inventory — the discovery step the
+        reference's alter tool performs before a drop by walking the
+        cluster map (clickhouse_alter_table:100-116 builds shard→hosts
+        from ``system.clusters``; eval_alter:155-170 then iterates the
+        shards). One ``system.parts`` query per shard against the first
+        replica that answers (replicas of a shard hold the same active
+        partition set, the same one-replica stance as the Replicated
+        drop path); a shard whose every replica fails raises — a silent
+        gap would make the caller drop against a partial inventory.
+
+        Returns ``{shard_num: sorted partition ids}``."""
+        sql = (f"SELECT DISTINCT partition FROM system.parts "
+               f"WHERE database = '{database}' AND table = '{table}' "
+               f"AND active")
+        out: dict[int, list[str]] = {}
+        for node in self.topology.nodes:
+            last_err: Exception | None = None
+            for h in node.hosts:
+                cli = get_client(h, self.http_port, user=self.user,
+                                 password=self.password)
+                try:
+                    rows = with_retries(lambda c=cli: c.query_rows(sql),
+                                        tier="ddl", max_tries=self.max_tries,
+                                        backoff_scale=self.backoff_scale)
+                except Exception as e:  # noqa: BLE001 — try next replica
+                    last_err = e
+                    continue
+                out[node.shard_num] = sorted(r[0] for r in rows if r)
+                break
+            else:
+                raise RuntimeError(
+                    f"list_partitions: no replica of shard "
+                    f"{node.shard_num} answered") from last_err
+        return out
+
     # -- D1 ------------------------------------------------------------
     def clean_temp_tables(self, prefix: str, temp_db: str = "temp") -> None:
         """Drop ``temp.<prefix>%`` leftovers on every host — the end-of-job

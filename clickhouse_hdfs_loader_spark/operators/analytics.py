@@ -756,3 +756,200 @@ def funnel_counts(chain: DataFrame, steps: list[str]) -> DataFrame:
     return (agg.select(F.explode(rows).alias("r"))
             .select("r.step_idx", "r.step",
                     F.col("r.users").cast("long").alias("users")))
+
+
+def heavy_hitters_weighted(df: DataFrame, col: str, weight_col: str,
+                           k: int = 10, capacity: int = 256) -> DataFrame:
+    """Exact top-k values by TOTAL WEIGHT without a full-key shuffle —
+    ClickHouse's ``topKWeighted`` combinator, with the same exactness
+    certificate as :func:`heavy_hitters` (two-pass weighted Misra-Gries;
+    never a silent approximation).
+
+    Pass 1 summarizes each partition into ≤ ``capacity`` weighted-MG
+    candidates: an untracked value arriving with weight w against a full
+    table triggers the classic decrement round — subtract
+    ``m = min(w, min counter)`` from every counter AND from w, delete
+    zeros, insert the remainder if any. Every decrement round destroys
+    ``m × (capacity+1)`` units of weight, so Σ destroyed ≤ W and any
+    value's per-partition undercount ≤ W_p/(capacity+1); a value with
+    global weight > W/(capacity+1) therefore survives in at least one
+    summary. Pass 2 exactly re-weighs only the candidates (broadcast
+    semi-join + int64 sum) and takes top-k with a (weight desc, value
+    asc) tie-break.
+
+    Certificate: no evictions anywhere (trivially exact), or the k-th
+    recounted weight × capacity > W (no non-candidate can outrank it);
+    otherwise RAISE and ask for more capacity.
+
+    Weights are integral counts: NULL-weight rows are excluded,
+    NaN/fractional/negative weights raise loudly (a negative weight
+    breaks the MG accounting silently — same stance as
+    ``exact_weighted_quantiles_by_group``), zero weights contribute
+    nothing and are dropped."""
+    import pandas as pd
+
+    w_int = F.expr(
+        f"CASE WHEN {weight_col} IS NULL THEN NULL "
+        f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
+        f"THEN raise_error('heavy_hitters_weighted: NaN weight; weights "
+        f"must be integral counts') "
+        f"WHEN CAST({weight_col} AS DOUBLE) < 0.0 "
+        f"THEN raise_error('heavy_hitters_weighted: negative weight "
+        f"breaks the Misra-Gries accounting; weights must be "
+        f"non-negative integral counts') "
+        f"WHEN CAST({weight_col} AS DOUBLE) "
+        f"= floor(CAST({weight_col} AS DOUBLE)) "
+        f"THEN CAST({weight_col} AS BIGINT) "
+        f"ELSE raise_error('heavy_hitters_weighted: weights must be "
+        f"integral counts; scale fractional weights to integers first') "
+        f"END")
+    src = (df.select(F.col(col), w_int.alias("_w"))
+           .where(F.col(col).isNotNull() & F.col("_w").isNotNull()
+                  & (F.col("_w") > 0)))
+    dtype = dict(src.dtypes)[col]
+    spark = df.sparkSession
+
+    def summarize(batches):
+        counts: dict = {}
+        evicted = False
+        w_total = 0
+        for pdf in batches:
+            for v, w in zip(pdf[col], pdf["_w"]):
+                w = int(w)
+                w_total += w
+                if v in counts:
+                    counts[v] += w
+                    continue
+                if len(counts) < capacity:
+                    counts[v] = w
+                    continue
+                evicted = True
+                m = min(counts.values())
+                if w < m:
+                    m = w
+                dead = []
+                for u in counts:
+                    counts[u] -= m
+                    if counts[u] == 0:
+                        dead.append(u)
+                for u in dead:
+                    del counts[u]
+                if w > m:
+                    counts[v] = w - m
+        # NULL sentinel carries the eviction flag + partition weight
+        # even when churn empties the dict (heavy_hitters precedent)
+        yield pd.DataFrame({col: pd.Series(list(counts) + [None],
+                                           dtype="object"),
+                            "_evicted": [evicted] * (len(counts) + 1),
+                            "_wsum": [0] * len(counts) + [w_total]})
+
+    summ = (src.mapInPandas(
+        summarize, schema=f"{col} {dtype}, _evicted boolean, _wsum long")
+        .persist())
+    try:
+        flag, total = summ.agg(F.max("_evicted"), F.sum("_wsum")).first()
+        evicted_any, total = bool(flag), int(total or 0)
+        cands = (summ.where(F.col(col).isNotNull())
+                 .select(col).distinct())
+        counted = (src.join(F.broadcast(cands), col)
+                   .groupBy(col).agg(F.sum("_w").alias("weight")))
+        top = (counted.orderBy(F.col("weight").desc(), col).limit(k)
+               .collect())
+    finally:
+        summ.unpersist()
+    if evicted_any and (len(top) < k
+                        or top[-1]["weight"] * capacity <= total):
+        kth = top[-1]["weight"] if top else 0
+        raise ValueError(
+            f"heavy_hitters_weighted certificate failed: kth weight "
+            f"{kth} <= W/capacity = {total}/{capacity} with evictions "
+            f"observed — a non-candidate could outrank it; raise "
+            f"capacity")
+    return spark.createDataFrame(
+        [(r[col], r["weight"], i + 1) for i, r in enumerate(top)],
+        schema=f"value {dtype}, weight long, rank int")
+
+
+def group_array_moving_sum(events: DataFrame, n: int = 5,
+                           group_col: str = "event_type",
+                           ts_col: str = "ts", value_col: str = "value",
+                           id_col: str = "event_id") -> DataFrame:
+    """ClickHouse's ``groupArrayMovingSum(n)`` combinator: per group, in
+    (ts, id) order, the moving sum of the last ``n`` values — emitted as
+    ``group, pos, moving_milli`` rows rather than one array per group
+    (same information, hash-comparable, and no per-group collect_list
+    memory spike). Values are milli-quantized to int64 before summing,
+    so partial sums are order-free-exact and the SQL twin replays
+    hash-identically (the kmeans quantize-then-sum trick).
+
+    Scale: ONE shuffle on the group key; the ROWS frame streams through
+    each partition (bounded by n, never materializing the group); output
+    is |input| rows. NULL values and NULL timestamps are excluded
+    up-front (engines disagree on NULL ordering)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    wm = w.rowsBetween(-(n - 1), Window.currentRow)
+    base = (events
+            .where(F.col(value_col).isNotNull()
+                   & F.col(ts_col).isNotNull())
+            .withColumn("_vm",
+                        F.floor(F.col(value_col).cast("double") * 1000)
+                        .cast("long")))
+    return base.select(F.col(group_col),
+                       F.row_number().over(w).alias("pos"),
+                       F.sum("_vm").over(wm).alias("moving_milli"))
+
+
+def uniq_up_to(df: DataFrame, group_col: str, value_col: str,
+               n: int = 100) -> DataFrame:
+    """ClickHouse's ``uniqUpTo(N)`` combinator: per group, the exact
+    distinct count when it is ≤ n, else the sentinel n+1 ("more than
+    n") — the bounded-state cardinality check ("does this key have more
+    than N variants?") that never pays for full distinct counting.
+
+    State really is bounded: a per-partition ``mapInPandas`` pass caps
+    each group's tracked set at n+1 values, so at most
+    |groups| × (n+1) pairs leave any partition regardless of the true
+    cardinality. The capped partials merge exactly: every partial is a
+    subset of the true value set (union never overcounts), and a
+    partition that hit its cap already holds n+1 distinct values — so
+    the merged count, capped at n+1, equals least(true distinct, n+1)
+    by construction. NULL values AND NULL group keys are excluded (a
+    NULL numeric group arrives in pandas as NaN, whose self-unequal
+    hashing would silently split the group — excluded loudly up-front
+    instead; match the SQL twin with ``WHERE g IS NOT NULL AND v IS NOT
+    NULL``).
+
+    Returns ``group, uniq_up_to`` with ``uniq_up_to`` ∈ [1, n+1]."""
+    import pandas as pd
+
+    cap = n + 1
+
+    def partial(batches):
+        seen: dict = {}
+        for pdf in batches:
+            for g, v in zip(pdf[group_col], pdf[value_col]):
+                s = seen.setdefault(g, set())
+                if len(s) < cap:
+                    s.add(v)
+        gs, vs = [], []
+        for g, s in seen.items():
+            for v in s:
+                gs.append(g)
+                vs.append(v)
+        yield pd.DataFrame({group_col: pd.Series(gs, dtype="object"),
+                            value_col: pd.Series(vs, dtype="object")})
+
+    src = (df.select(group_col, value_col)
+           .where(F.col(value_col).isNotNull()
+                  & F.col(group_col).isNotNull()))
+    dtypes = dict(src.dtypes)
+    pairs = src.mapInPandas(
+        partial,
+        schema=f"{group_col} {dtypes[group_col]}, "
+               f"{value_col} {dtypes[value_col]}")
+    return (pairs.distinct()
+            .groupBy(group_col)
+            .agg(F.least(F.count(F.lit(1)), F.lit(cap).cast("long"))
+                 .alias("uniq_up_to")))

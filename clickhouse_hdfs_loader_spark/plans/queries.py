@@ -1287,37 +1287,42 @@ def multimodal_decode(spark, sf_dir):
 
 @query("multimodal_header_decode", oracle="""
     SELECT doc_id,
-           CAST(CASE doc_id % 9
+           CAST(CASE doc_id % 10
                 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
                 WHEN 3 THEN 44 WHEN 4 THEN 236
-                WHEN 5 THEN CASE (doc_id // 9) % 3 WHEN 1 THEN 26
+                WHEN 5 THEN CASE (doc_id // 10) % 3 WHEN 1 THEN 26
                             ELSE 30 END
-                WHEN 6 THEN 42 ELSE 104 END AS INT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 9 = 3 THEN 16000
-                     WHEN doc_id % 9 = 6 THEN 8000 + (doc_id % 8) * 4000
+                WHEN 6 THEN 42 WHEN 9 THEN 50
+                ELSE 104 END AS INT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 10 = 3 THEN 16000
+                     WHEN doc_id % 10 = 6 THEN 8000 + (doc_id % 8) * 4000
                      ELSE 1 + doc_id % 512 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 9 IN (3, 6) THEN 16
+           CAST(CASE WHEN doc_id % 10 IN (3, 6) THEN 16
                      ELSE 1 + (doc_id * 7) % 512 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 9 IN (3, 6) THEN 1 + doc_id % 2
-                     WHEN doc_id % 9 = 4 THEN 1
-                     WHEN doc_id % 9 = 5 AND (doc_id // 9) % 3 = 2 THEN 4
+           CAST(CASE WHEN doc_id % 10 IN (3, 6)
+                          THEN 1 + (doc_id // 10) % 2
+                     WHEN doc_id % 10 = 4 THEN 1
+                     WHEN doc_id % 10 = 5 AND (doc_id // 10) % 3 = 2 THEN 4
+                     WHEN doc_id % 10 = 9 THEN 1 + doc_id % 3
                      ELSE 3 END AS INT) AS channels,
-           CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                           WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
-                           WHEN 4 THEN 'mp4' WHEN 5 THEN 'webp'
-                           WHEN 6 THEN 'flac' WHEN 7 THEN 'heic'
-                           ELSE 'avif' END AS format
+           CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                            WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
+                            WHEN 4 THEN 'mp4' WHEN 5 THEN 'webp'
+                            WHEN 6 THEN 'flac' WHEN 7 THEN 'heic'
+                            WHEN 8 THEN 'avif' ELSE 'tiff' END AS format
     FROM documents
 """)
 def multimodal_header_decode(spark, sf_dir):
     """REAL media decode, end-to-end: byte-exact
-    PNG/GIF/BMP/WAV/MP4/WEBP/FLAC/HEIC/AVIF containers synthesized per
-    doc (geometry derived from doc_id; WEBP variant cycles
-    vp8/vp8l/vp8x), then parsed back by the pure-Python header decoder
+    PNG/GIF/BMP/WAV/MP4/WEBP/FLAC/HEIC/AVIF/TIFF containers synthesized
+    per doc (geometry derived from doc_id; WEBP variant cycles
+    vp8/vp8l/vp8x, TIFF alternates byte order), then parsed back by the
+    pure-Python header decoder
     (operators/multimodal.py:parse_media_header — incl. the ISO-BMFF
-    moov/trak/tkhd and meta→iprp→ipco→ispe box walks) under
-    ``fake=False`` — no stub anywhere on this path. The oracle recomputes
-    the expected container sizes and geometry arithmetically."""
+    moov/trak/tkhd and meta→iprp→ipco→ispe box walks and both-endian
+    TIFF IFD walk) under ``fake=False`` — no stub anywhere on this
+    path. The oracle recomputes the expected container sizes and
+    geometry arithmetically."""
     d = MM.synthesize_media(_t(spark, sf_dir, "documents").select("doc_id"))
     return MM.decode_image_batch(d, fake=False)
 
@@ -3852,6 +3857,510 @@ def histogram_fixed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# [EXT] r9 promotions: the in-test-oracle operator backlog, lifted to
+# driver-graded registry entries (r7/r8 verdict item 1). Each oracle is
+# the SAME DuckDB twin its pytest has replayed since the operator landed.
+# ---------------------------------------------------------------------------
+
+@query("event_transitions", oracle="""
+    WITH ordered AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+           CAST((n * 1000) // tot AS BIGINT) AS p_milli
+    FROM c JOIN t USING (from_type)
+""")
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (ClickHouse neighbor/path
+    analytics) with integer milli probabilities and the (ts, event_id)
+    tie-break. operators/analytics.py:event_transitions."""
+    from ..operators.analytics import event_transitions as _tr
+    return _tr(_t(spark, sf_dir, "events"))
+
+
+@query("heavy_hitters", oracle="""
+    SELECT event_type AS value, count(*) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
+                AS INT) AS rank
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY cnt DESC, value LIMIT 3
+""")
+def heavy_hitters(spark, sf_dir):
+    """Two-pass Misra-Gries top-k with an exactness certificate
+    (ClickHouse's topK, but certified-exact or loudly raising).
+    operators/analytics.py:heavy_hitters."""
+    from ..operators.analytics import heavy_hitters as _hh
+    return _hh(_t(spark, sf_dir, "events"), "event_type", k=3,
+               capacity=64)
+
+
+@query("bm25_topk", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM ws),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT count(*) FROM toks) AS s),
+    qraw(query_id, qtext) AS (VALUES
+      (1, 'vector hash join'), (2, 'customer order stream'),
+      (3, 'zzzunseen fast fast')),
+    q AS (SELECT DISTINCT query_id,
+                 unnest(list_filter(string_split_regex(lower(qtext),
+                        '[^a-z0-9]+'), w -> w <> '')) AS term
+          FROM qraw),
+    m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df,
+                 stats.n, stats.s,
+                 (2 * (n + 1) * 1000000) // (2 * df + 1) AS x
+          FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats),
+    lg AS (SELECT *, length(ltrim(bin(x), '0')) - 1 AS e FROM m),
+    c AS (SELECT query_id, doc_id, tf,
+                 CAST(e AS BIGINT) * 1000
+                   + ((x - (1::BIGINT << e)) * 1000)
+                     // (1::BIGINT << e) - 19907 AS idf,
+                 250 + (750 * ((dl * 1000 * n) // s)) // 1000 AS ndl
+          FROM lg),
+    c2 AS (SELECT query_id, doc_id,
+                  (idf * tf * 2200 * 1000)
+                    // (tf * 1000 + (1200 * ndl) // 1000) AS contrib
+           FROM c),
+    sc AS (SELECT query_id, doc_id,
+                  CAST(sum(contrib) AS BIGINT) AS score_micro
+           FROM c2 GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id ASC) AS rank FROM sc)
+    SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+""")
+def bm25_topk(spark, sf_dir):
+    """Quantized-rational BM25 retrieval over the documents table:
+    tokenize → postings → integer milli-log2 idf → per-query top-k with
+    a deterministic (score desc, doc_id) tie-break — transcendental-free
+    so the oracle replays hash-exactly. operators/retrieval.py:bm25_topk."""
+    from ..operators.retrieval import bm25_topk as _bm
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "vector hash join"), (2, "customer order stream"),
+         (3, "zzzunseen fast fast")],
+        "query_id long, query_text string")
+    return _bm(docs, queries, k=10)
+
+
+@query("bloom_semi_join", oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_nationkey = 7)
+""")
+def bloom_semi_join(spark, sf_dir):
+    """Bloom-filter semi-join pruning (exact=True: bloom prefilter + an
+    exact semi-join residual, so the result is identical to the plain
+    semi-join while the fact side reaches its first exchange already
+    pruned). One broadcast bitmap row, single probe filter.
+    operators/prune.py:bloom_semi_join."""
+    from ..operators.prune import bloom_semi_join as _bl
+    orders = _t(spark, sf_dir, "orders")
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_nationkey") == 7)
+            .select(F.col("c_custkey").alias("o_custkey")))
+    return _bl(orders, cust, "o_custkey").select("o_orderkey")
+
+
+@query("exact_quantiles_by_group", oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    q(q_milli) AS (VALUES (0), (250), (500), (750), (1000))
+    SELECT event_type, CAST(q_milli AS INT) AS q_milli,
+           value AS q_value
+    FROM r CROSS JOIN q
+    WHERE rn = greatest(1, (n * q_milli + 999) // 1000)
+""")
+def exact_quantiles_by_group(spark, sf_dir):
+    """Exact per-group lower quantiles — every output is an ELEMENT of
+    the data, so engines agree bit-for-bit with no interpolation.
+    operators/analytics.py:exact_quantiles_by_group."""
+    from ..operators.analytics import exact_quantiles_by_group as _q
+    return _q(_t(spark, sf_dir, "events"), "event_type", "value",
+              (0, 250, 500, 750, 1000))
+
+
+@query("exact_median_by_group", oracle="""
+    WITH r AS (
+      SELECT l_linestatus, l_quantity,
+             row_number() OVER (PARTITION BY l_linestatus
+                                ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_linestatus) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL)
+    SELECT l_linestatus, l_quantity AS median_lo
+    FROM r WHERE rn = (n + 1) // 2
+""")
+def exact_median_by_group(spark, sf_dir):
+    """Exact per-group LOWER median (an element of the data — the
+    engine-exact alternative to interpolating percentile_cont).
+    operators/analytics.py:exact_median_by_group."""
+    from ..operators.analytics import exact_median_by_group as _m
+    return _m(_t(spark, sf_dir, "lineitem"), "l_linestatus", "l_quantity")
+
+
+@query("sequence_match", oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+    SELECT DISTINCT user_id,
+           CAST(user_id IN (SELECT user_id FROM s2) AS INT) AS matched
+    FROM events
+""")
+def sequence_match(spark, sf_dir):
+    """ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): per-user strict
+    time-ordered subsequence flag (greedy earliest-completion chain,
+    shared with funnel). Cast to INT on both sides so the driver's hash
+    path never sees engine-specific boolean rendering.
+    operators/analytics.py:sequence_match."""
+    from ..operators.analytics import sequence_match as _sm
+    return (_sm(_t(spark, sf_dir, "events"),
+                ["view", "click", "purchase"])
+            .select("user_id", F.col("matched").cast("int")
+                    .alias("matched")))
+
+
+@query("asof_join_forward", oracle="""
+    SELECT c.event_id,
+           floor(coalesce(p.value, -1.0) * 100 + 0.5) / 100
+             AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+""")
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of join: every click carries the NEXT purchase value
+    of the same user (inclusive at equal ts), oracled against DuckDB's
+    native forward ASOF JOIN. One struct payload per right row — a
+    matching row with a NULL value yields NULL, never a farther row.
+    operators/asof.py:asof_join(direction='forward')."""
+    from ..operators.asof import asof_join as _aj
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = _aj(clicks, purchases, key="user_id", ts="ts",
+              value_cols=["value"], direction="forward")
+    # knife-edge-safe rounding, identical expression order both sides
+    return out.select(
+        "event_id",
+        (F.floor(F.coalesce("asof_value", F.lit(-1.0)) * 100 + 0.5) / 100)
+        .alias("next_purchase_value"))
+
+
+@query("fuzzy_join_exact", oracle="""
+    WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    r AS (SELECT doc_id + 100000 AS doc_id,
+                 text || ' zzzextra zzzmore' AS text FROM l),
+    uni AS (SELECT 'L' AS side, * FROM l
+            UNION ALL SELECT 'R', * FROM r),
+    ws AS (SELECT side, doc_id,
+                  list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), w -> w <> '') AS w
+           FROM uni),
+    sh AS (SELECT DISTINCT side, doc_id,
+                  unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(w) - 2)])) AS s
+           FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
+    shared AS (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+      FROM (SELECT * FROM sh WHERE side = 'L') a
+      JOIN (SELECT * FROM sh WHERE side = 'R') b ON a.s = b.s
+      GROUP BY 1, 2)
+    SELECT id_l AS left_doc_id, id_r AS right_doc_id,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+           CAST((shared * 1000)
+                // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_milli
+    FROM shared
+    JOIN (SELECT * FROM sizes WHERE side = 'L') sa ON sa.doc_id = id_l
+    JOIN (SELECT * FROM sizes WHERE side = 'R') sb ON sb.doc_id = id_r
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 500
+""")
+def fuzzy_join_exact(spark, sf_dir):
+    """Cross-table record linkage, graded on its EXACT path: exhaustive
+    shared-shingle blocking (every pair with jaccard > 0 is a
+    candidate) + exact k-gram Jaccard verify — result-identical to the
+    brute-force oracle by construction. Production blocking is the LSH
+    band mode of the same operator (recall graded by the s-curve, not a
+    hash match — see tests). operators/linkage.py:fuzzy_join."""
+    from ..operators.linkage import fuzzy_join as _fj
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100).select("doc_id", "text"))
+    right = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzextra zzzmore")).alias("text"))
+    return _fj(docs, right, threshold_milli=500, exhaustive=True)
+
+
+@query("ngram_containment", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(w) - 2)])) AS s
+      FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, shared,
+           floor(CAST(shared AS DOUBLE) / sa.n * 1000000 + 0.5)
+             / 1000000 AS cont_a_in_b,
+           floor(CAST(shared AS DOUBLE) / sb.n * 1000000 + 0.5)
+             / 1000000 AS cont_b_in_a
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / sa.n >= 0.5
+       OR CAST(shared AS DOUBLE) / sb.n >= 0.5
+""")
+def ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment (Broder 1997) — catches a short
+    doc wholly embedded in a long one where symmetric Jaccard never
+    fires. One-pass posting-list intersection, knife-edge-safe ratio
+    rounding. operators/dedup.py:ngram_containment_pairs."""
+    from ..operators.dedup import ngram_containment_pairs as _nc
+    return _nc(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("json_tabularize", oracle="""
+    SELECT doc_id, lang, n_chars, source AS d FROM documents
+""")
+def json_tabularize(spark, sf_dir):
+    """JSON→columns under an explicit schema: serialize documents rows
+    to JSON in-flight (to_json), tabularize back with from_json, project
+    the typed fields — the identity oracle grades the full round-trip
+    including nested-struct extraction.
+    operators/transform.py:json_tabularize."""
+    from ..operators.transform import json_tabularize as _jt
+    docs = _t(spark, sf_dir, "documents")
+    js = docs.select(
+        "doc_id",
+        F.to_json(F.struct("lang", "n_chars",
+                           F.struct(F.col("source").alias("d"))
+                           .alias("meta"))).alias("payload"))
+    return (_jt(js, "payload",
+                "lang string, n_chars long, meta struct<d: string>",
+                keep=("doc_id",))
+            .select("doc_id", "lang", "n_chars",
+                    F.col("meta.d").alias("d")))
+
+
+@query("kfold_assign", oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                 1, 8))::BIGINT % 3 AS INT) AS fold
+    FROM documents
+""")
+def kfold_assign(spark, sf_dir):
+    """Deterministic k-fold assignment via the md5-prefix coin — a pure
+    function of (seed, id): identical across runs, partitionings and
+    engines, uniform within any stratum. operators/corpus.py:kfold_assign."""
+    from ..operators.corpus import kfold_assign as _kf
+    return (_kf(_t(spark, sf_dir, "documents"), k=3, seed=42)
+            .select("doc_id", "fold"))
+
+
+@query("time_weighted_avg", oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             coalesce(lead(epoch_us(ts)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id)
+               - epoch_us(ts), 0) AS dur
+      FROM events WHERE value IS NOT NULL),
+    a AS (SELECT event_type,
+                 CAST(sum(CAST(floor(value * 1000) AS BIGINT) * dur)
+                      AS BIGINT) AS num,
+                 CAST(sum(dur) AS BIGINT) AS den
+          FROM r GROUP BY 1)
+    SELECT event_type, num, den,
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST(num // den AS BIGINT) END AS twap_milli
+    FROM a
+""")
+def time_weighted_avg(spark, sf_dir):
+    """Integer-exact TWAP per series: milli-quantized values × exact
+    µs durations, singleton series emit NULL (never an ANSI
+    divide-by-zero). operators/asof.py:time_weighted_avg."""
+    from ..operators.asof import time_weighted_avg as _tw
+    return _tw(_t(spark, sf_dir, "events"))
+
+
+@query("linreg_by_group", oracle="""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(floor(value * 1000) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY 1),
+    x AS (SELECT event_type, (us - us0) // 1000000 AS x, y
+          FROM b JOIN g USING (event_type)),
+    s AS (SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM x GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n, sx, sy, sxy, sxx,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+                THEN NULL
+                ELSE CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          * 1000.0
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     AS BIGINT) END AS slope_micro_per_s
+    FROM s
+""")
+def linreg_by_group(spark, sf_dir):
+    """Per-group least squares from integer sufficient statistics
+    (mergeable state) with a fixed-order double combine — replays
+    hash-exactly; degenerate groups yield NULL.
+    operators/analytics.py:linreg_by_group."""
+    from ..operators.analytics import linreg_by_group as _lr
+    return _lr(_t(spark, sf_dir, "events"))
+
+
+@query("winsorize_by_group", oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT event_type,
+             min(CASE WHEN rn = greatest(1, (n * 10 + 999) // 1000)
+                 THEN value END) AS lo,
+             min(CASE WHEN rn = greatest(1, (n * 990 + 999) // 1000)
+                 THEN value END) AS hi
+      FROM r GROUP BY 1)
+    SELECT e.event_id,
+           floor((CASE WHEN e.value IS NULL THEN NULL
+                  ELSE greatest(b.lo, least(b.hi, e.value)) END)
+                 * 1000000 + 0.5) / 1000000 AS winsorized
+    FROM events e LEFT JOIN b USING (event_type)
+""")
+def winsorize_by_group(spark, sf_dir):
+    """Per-group winsorization: clamp to exact lower quantiles at
+    [10, 990] milli — bounds are ELEMENTS of the data, the fact side is
+    never shuffled (broadcast bounds). Knife-edge-safe rounding on both
+    sides. operators/analytics.py:winsorize_by_group."""
+    from ..operators.analytics import winsorize_by_group as _wz
+    out = _wz(_t(spark, sf_dir, "events"), "event_type", "value")
+    return out.select(
+        "event_id",
+        (F.floor(F.col("winsorized") * 1000000 + 0.5) / 1000000)
+        .alias("winsorized"))
+
+
+@query("exact_weighted_quantiles_by_group", oracle="""
+    WITH b AS (
+      SELECT event_type, value, (event_id % 5) + 1 AS w
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, value, w,
+             sum(w) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS tot
+      FROM b),
+    q(q_milli) AS (VALUES (250), (500), (750))
+    SELECT event_type, CAST(q_milli AS INT) AS q_milli,
+           value AS q_value
+    FROM r CROSS JOIN q
+    WHERE cum >= greatest(1, (tot * q_milli + 999) // 1000)
+      AND cum - w < greatest(1, (tot * q_milli + 999) // 1000)
+""")
+def exact_weighted_quantiles_by_group(spark, sf_dir):
+    """Weighted exact lower quantiles (weight = the first value whose
+    cumulative weight crosses ⌈W·q⌉) — with unit weights it coincides
+    with exact_quantiles_by_group; fractional/NaN weights raise loudly.
+    Deterministic weight derived from event_id.
+    operators/analytics.py:exact_weighted_quantiles_by_group."""
+    from ..operators.analytics import (
+        exact_weighted_quantiles_by_group as _wq)
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1))
+    return _wq(ev, "event_type", "value", "wt", (250, 500, 750))
+
+
+@query("retention_flags", oracle="""
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f0,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS f2
+      FROM events GROUP BY 1)
+    SELECT CAST(0 AS INT) AS cond_idx, 'view' AS cond,
+           CAST(sum(f0) AS BIGINT) AS users FROM f
+    UNION ALL SELECT 1, 'click', CAST(sum(f0 * f1) AS BIGINT) FROM f
+    UNION ALL SELECT 2, 'purchase', CAST(sum(f0 * f2) AS BIGINT) FROM f
+""")
+def retention_flags(spark, sf_dir):
+    """ClickHouse's retention(cond1..condN) combinator: per-condition
+    user counts gated on the anchor condition — one pass, map-side
+    combinable, integer-only output (empty input yields 0s, never
+    NULL). operators/analytics.py:retention_flags."""
+    from ..operators.analytics import retention_flags as _rf
+    return _rf(_t(spark, sf_dir, "events"),
+               ["view", "click", "purchase"])
+
+
+@query("stream_funnel", oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+    SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s0) AS users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+""")
+def stream_funnel(spark, sf_dir):
+    """Streaming funnel twin: each micro-batch folds into per-user chain
+    state via funnel_update inside foreachBatch (availableNow), the
+    report derives from the |users|-row state alone — graded against the
+    SAME oracle as the batch funnel, proving the streaming path
+    end-to-end. streaming/events.py:stream_funnel."""
+    from ..streaming.events import stream_funnel as _sf
+    return _sf(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
 # every §2.A/§2.B reference-core query plus one representative per extension
@@ -3861,34 +4370,39 @@ def histogram_fixed(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
-# r7 rotation (r6 verdict items 1/3/5): the §2.A/§2.B reference core and
-# the loader end-to-end stay pinned. The two r6 reds
-# (q12_priority_shipping, quality_expectations — oracle HUGEINT
-# artifact, now cast to BIGINT) keep their slots until green. The three
-# r6 slot-ceders (distinct_projection, dedup_materialize,
-# multimodal_header_decode — the latter's golden now covers
-# WEBP/FLAC/HEIC/AVIF too) get their re-confirmation slots, plus the
-# first 3 of the 9 r5 single-grade simple shapes (limit_offset,
-# having_filter, nulls_ordering). The four in-test-oracle operators
-# (bigram_likelihood, anomaly_zscore, funnel + conversion-window
-# variant, retention_cohorts) are promoted to registry entries and —
-# per registry discipline — graded in this same round, as are the five
-# NEW r7 operators (cdc_apply, merge_upsert, pivot_wide, ohlc_resample,
-# histogram_fixed). Remaining slots carry the heaviest r6 entries for a
-# second confirmation.
+# r9 rotation (r8 verdict item 1 — the slipped r8 batch folded in): the
+# §2.A/§2.B reference core and the loader end-to-end stay pinned.
+# multimodal_header_decode keeps a slot because its golden WIDENED this
+# round (media cycle %9 → %10, TIFF joins the graded formats — window
+# slot required by the golden-change rule). The slipped r8
+# re-confirmation batch AND the scheduled r9 batch both get their slots.
+# The remaining 18 slots execute the promotion backlog: every name was
+# previously pinned only by an in-test DuckDB oracle (same SQL, same
+# rigor — now also driver-graded): bm25_topk, bloom_semi_join,
+# event_transitions, exact_quantiles_by_group, sequence_match,
+# asof_join_forward, heavy_hitters, fuzzy_join_exact (the exactness
+# path; LSH recall stays s-curve-graded in tests), exact_median_by_group,
+# ngram_containment, json_tabularize, kfold_assign, time_weighted_avg,
+# linreg_by_group, winsorize_by_group, exact_weighted_quantiles_by_group,
+# retention_flags, and stream_funnel (first driver-graded foreachBatch
+# streaming twin).
 #
-# Future-window schedule (single-grade queries still owed a second
-# confirmation; fold 3-6 per round):
-#   r8: regexp_extract_groups, case_when_bucketing, array_ops +
-#       q2_min_cost_supplier, q4_order_priority, q6_forecast_revenue
-#   r9: set_except_all, set_intersect_all, union_distinct +
-#       q8_market_share, q9_product_profit, q11_important_stock
-#   r10+: remaining r6-graded TPC-H (q14-q22), pii_scrub,
-#       embedding_quantize, q19_disjunctive_predicates, then r7 first-
-#       grades on the same cadence.
+# Future-window schedule (fold 3-6 re-confirmations per round; new
+# registrations ALWAYS take same-round slots):
+#   r10: promotion queue drain — sequence_count, dimension_stats/
+#        minmax_normalize (feature scaling), key_skew_report,
+#        seeded_shuffle, bpe merge-sequence golden, stream_cdc_merge,
+#        pack_token_budget(count_col), plus the three late-r9 combinator
+#        twins (heavy_hitters_weighted, group_array_moving_sum,
+#        uniq_up_to — in-test oracles at tests/test_llm_operators.py
+#        tail) + re-confirmations from the r9 displaced set
+#        (q12_priority_shipping, quality_expectations, limit_offset,
+#        having_filter, nulls_ordering)
+#   r11+: remaining r6-graded TPC-H (q14-q22), pii_scrub,
+#        embedding_quantize, q19_disjunctive_predicates, then second
+#        confirmations of the r9 first-grades on the same cadence.
 _GRADING_WINDOW = [
-    # §2.B — the SQL shapes the reference itself issues (pinned), with
-    # distinct_projection restored for its re-confirmation grade
+    # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
     "grouparray_topology", "concat_qualified", "distinct_projection",
     "like_prefix", "rlike_range", "insert_select_union",
@@ -3898,25 +4412,22 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- the two r6 reds: keep until green (oracle cast fix this round)
-    "q12_priority_shipping", "quality_expectations",
-    # --- r6 slot-ceders' re-confirmation (verdict item 3)
-    "dedup_materialize", "multimodal_header_decode",
-    # --- r5 single-grade shapes, second confirmation batch 1 of 3
-    "limit_offset", "having_filter", "nulls_ordering",
-    # --- promotions: in-test-oracle operators now registry-graded
-    "bigram_likelihood", "anomaly_zscore", "funnel",
-    "funnel_conversion_window", "retention_cohorts",
-    # --- new in r7: graded in their own round per registry discipline
-    "cdc_apply", "merge_upsert", "pivot_wide", "ohlc_resample",
-    "histogram_fixed",
-    # --- heaviest r6 entries, second confirmation
-    "semantic_dedup", "passage_dedup_spans", "streaming_interval_join",
-    "streaming_sliding_windows", "events_sliding_windows", "tf_idf_topk",
-    "domain_mixture_sample", "full_outer_reconcile",
-    "profile_approx_contract", "ann_ivf_gemm_topk",
-    "streaming_incremental_dedup", "dedup_incremental",
-    "domain_quota_sample", "approx_quantile_contract",
+    # --- golden widened this round (TIFF in the %10 media cycle)
+    "multimodal_header_decode",
+    # --- the slipped r8 re-confirmation batch
+    "regexp_extract_groups", "case_when_bucketing", "array_ops",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    # --- the scheduled r9 re-confirmation batch
+    "set_except_all", "set_intersect_all", "union_distinct",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    # --- r9 promotions: the in-test-oracle backlog, now driver-graded
+    "bm25_topk", "bloom_semi_join", "event_transitions",
+    "exact_quantiles_by_group", "sequence_match", "asof_join_forward",
+    "heavy_hitters", "fuzzy_join_exact", "exact_median_by_group",
+    "ngram_containment", "json_tabularize", "kfold_assign",
+    "time_weighted_avg", "linreg_by_group", "winsorize_by_group",
+    "exact_weighted_quantiles_by_group", "retention_flags",
+    "stream_funnel",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -13,6 +13,7 @@ DuckDB oracle as the batch query.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,7 +21,34 @@ from pyspark.sql import functions as F
 from ..sources.tables import normalize_event_time
 
 
-def _run_to_completion(q, timeout: int = 120) -> None:
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of one
+    availableNow streaming run, restoring the caller's value after.
+
+    Stateful streaming operators (window aggs, stream-stream joins,
+    dropDuplicatesWithinWatermark) open one state store PER shuffle
+    partition PER micro-batch, and — unlike batch — AQE cannot coalesce
+    them: the partition count is fixed when the query starts. Under a
+    vanilla session (the round driver / verify harness) the default is
+    200, which on a small local cluster spends more time opening and
+    committing near-empty HDFS-backed state stores than computing (a
+    2-hour-interval stream-stream join at sf0.01 blew a 120 s budget at
+    151/200 stores; measured 200→timeout, 32→91 s, 8→19 s, 4→5 s with
+    identical results). These helpers always start from a FRESH implicit
+    checkpoint, so re-pinning the count per run is safe; a long-lived
+    production stream would instead size the count once to match its
+    state volume and keep it for the checkpoint's lifetime."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _run_to_completion(q, timeout: int = 300) -> None:
     """Await an availableNow query and FAIL LOUDLY on timeout:
     ``awaitTermination(t)`` returns False when the query is still running
     — stopping it there and reading the memory sink would silently return
@@ -62,12 +90,13 @@ def hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink), return the materialized result. Complete output mode because the
     sink is the full aggregate state."""
     sink = f"evt_hourly_{uuid.uuid4().hex[:8]}"
-    q = (hourly_window_agg(events_stream(spark, sf_dir))
-         .writeStream.format("memory").queryName(sink)
-         .outputMode("complete")
-         .trigger(availableNow=True)
-         .start())
-    _run_to_completion(q)
+    with _stream_shuffle_partitions(spark):
+        q = (hourly_window_agg(events_stream(spark, sf_dir))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        _run_to_completion(q)
     return spark.table(sink)
 
 
@@ -87,11 +116,12 @@ def sliding_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("value"), 2).alias("total_value"))
            .select(F.unix_timestamp(F.col("w.start")).alias("win_start"),
                    "event_type", "cnt", "total_value"))
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("complete")
-         .trigger(availableNow=True)
-         .start())
-    _run_to_completion(q)
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        _run_to_completion(q)
     return spark.table(sink)
 
 
@@ -108,11 +138,12 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                .drop("copy"))
     deduped = (doubled.withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(["event_id"]))
-    q = (deduped.writeStream.format("memory").queryName(sink)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    _run_to_completion(q)
+    with _stream_shuffle_partitions(spark):
+        q = (deduped.writeStream.format("memory").queryName(sink)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        _run_to_completion(q)
     return (spark.table(sink).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -169,12 +200,13 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         buys,
         F.expr("c_user = p_user AND p_ts >= c_ts "
                "AND p_ts < c_ts + INTERVAL 1 HOUR"))
-    q = (pairs.select("click_id", "purchase_id")
-         .writeStream.format("memory").queryName(sink)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    _run_to_completion(q)
+    with _stream_shuffle_partitions(spark):
+        q = (pairs.select("click_id", "purchase_id")
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        _run_to_completion(q)
     return spark.table(sink)
 
 

@@ -66,6 +66,7 @@ def _operator_picks(spark, sf):
         "key_skew_report": key_skew_report(ev, "user_id"),
         "minmax_normalize": minmax_normalize(emb),
         "fuzzy_join": fuzzy_join(docs, right),
+        "fuzzy_join_exact": fuzzy_join(docs, right, exhaustive=True),
         "exact_weighted_quantiles": exact_weighted_quantiles_by_group(
             ev.withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1),
             "event_type", "value", "wt"),

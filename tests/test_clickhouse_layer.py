@@ -222,6 +222,45 @@ def test_lifecycle_partition_drop_gate_and_fanout(mocks):
     assert len(mocks[1].statements) == before  # one replica suffices
 
 
+def test_list_partitions_inventory_failover_and_loud_gap(mocks):
+    """D4 round-out: per-shard partition inventory before the drop
+    (clickhouse_alter_table:100-116 cluster walk + eval_alter shard
+    loop). One replica per shard suffices; a dead first replica fails
+    over; a fully-dead shard raises instead of returning a partial
+    inventory."""
+    import pytest as PT
+
+    # two shards, distinct partition sets, unsorted on the wire
+    mocks[0].canned["system.parts"] = "202001\n201912\n"
+    mocks[1].canned["system.parts"] = "202002\n"
+    topo = ClusterTopology([
+        ShardNode(1, 1, (f"{mocks[0].host}:{mocks[0].port}",)),
+        ShardNode(2, 1, (f"{mocks[1].host}:{mocks[1].port}",))])
+    lm = LifecycleManager(topo, backoff_scale=0.001)
+    assert lm.list_partitions("db", "t") == {
+        1: ["201912", "202001"], 2: ["202002"]}
+    assert any("system.parts" in s and "database = 'db'" in s
+               and "active" in s for s in mocks[0].statements)
+
+    # replica failover: first replica dead for this query, second answers
+    mocks[2].canned["system.parts"] = "202003\n"
+    dead_then_alive = ClusterTopology([
+        ShardNode(1, 1, (f"{mocks[0].host}:{mocks[0].port}",
+                         f"{mocks[2].host}:{mocks[2].port}"))])
+    mocks[0].fail_substring = "system.parts"
+    mocks[0].fail_first = 99
+    lm2 = LifecycleManager(dead_then_alive, max_tries=2,
+                           backoff_scale=0.001)
+    assert lm2.list_partitions("db", "t") == {1: ["202003"]}
+
+    # every replica dead -> loud error, never a silent partial inventory
+    all_dead = ClusterTopology([
+        ShardNode(7, 1, (f"{mocks[0].host}:{mocks[0].port}",))])
+    with PT.raises(RuntimeError, match="shard 7"):
+        LifecycleManager(all_dead, max_tries=2,
+                         backoff_scale=0.001).list_partitions("db", "t")
+
+
 def test_clean_temp_tables(mocks):
     m = mocks[0]
     m.canned["system.tables"] = "temp.t_x_p000001_0\ntemp.t_x_p000002_0\n"

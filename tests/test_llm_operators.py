@@ -194,10 +194,12 @@ def test_media_header_parsing_real_containers():
 
 def test_synthesize_media_decodes_exactly(spark):
     """synthesize_media → decode_image_batch(fake=False) round-trips the
-    real parser over every built format with id-derived geometry — all 9
-    sniffs (incl. the three WEBP chunk variants, which need ids from
-    distinct // 9 cohorts)."""
-    ids = list(range(9)) + [12, 14, 15, 16, 23, 26]
+    real parser over every built format with id-derived geometry — all
+    10 sniffs of the %10 cycle (incl. the three WEBP chunk variants and
+    both TIFF byte orders, which need ids from distinct // 10 cohorts;
+    doc_id % 2 is CONSTANT per residue class, so channel/endian
+    variants ride (did // 10) % 2)."""
+    ids = list(range(10)) + [13, 15, 16, 17, 19, 25, 29]
     df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
     out = {r["doc_id"]: r for r in
            MM.decode_image_batch(MM.synthesize_media(df), fake=False).collect()}
@@ -205,23 +207,31 @@ def test_synthesize_media_decodes_exactly(spark):
     assert out[1]["format"] == "gif" and out[1]["height"] == 8
     assert out[2]["format"] == "bmp" and out[2]["n_bytes"] == 54
     assert out[3]["format"] == "wav" and out[3]["width"] == 16000
-    assert out[3]["channels"] == 2 and out[12]["channels"] == 1  # wav 3, 12
+    assert out[3]["channels"] == 1 and out[13]["channels"] == 2  # wav 3, 13
     assert out[4]["format"] == "mp4" and out[4]["n_bytes"] == 236
-    # webp: id 5 → vp8 (5//9=0), 14 → vp8l (14//9=1), 23 → vp8x (23//9=2)
+    # webp: id 5 → vp8 (5//10=0), 15 → vp8l (15//10=1), 25 → vp8x
     assert out[5]["format"] == "webp" and out[5]["n_bytes"] == 30 \
         and out[5]["channels"] == 3 and out[5]["width"] == 6
-    assert out[14]["format"] == "webp" and out[14]["n_bytes"] == 26 \
-        and out[14]["width"] == 15 and out[14]["height"] == 1 + 98 % 512
-    assert out[23]["format"] == "webp" and out[23]["n_bytes"] == 30 \
-        and out[23]["channels"] == 4 and out[23]["width"] == 24
+    assert out[15]["format"] == "webp" and out[15]["n_bytes"] == 26 \
+        and out[15]["width"] == 16 and out[15]["height"] == 1 + 105 % 512
+    assert out[25]["format"] == "webp" and out[25]["n_bytes"] == 30 \
+        and out[25]["channels"] == 4 and out[25]["width"] == 26
     assert out[6]["format"] == "flac" and out[6]["width"] == 8000 + 6 * 4000
     assert out[6]["height"] == 16 and out[6]["channels"] == 1
-    assert out[15]["channels"] == 2 and out[15]["n_bytes"] == 42
+    assert out[16]["channels"] == 2 and out[16]["n_bytes"] == 42 \
+        and out[16]["width"] == 8000        # 16 % 8 == 0
     assert out[7]["format"] == "heic" and out[7]["width"] == 8 \
         and out[7]["n_bytes"] == 104
-    assert out[16]["format"] == "heic" and out[16]["height"] == 1 + 112 % 512
+    assert out[17]["format"] == "heic" and out[17]["height"] == 1 + 119 % 512
     assert out[8]["format"] == "avif" and out[8]["width"] == 9
-    assert out[26]["format"] == "avif" and out[26]["n_bytes"] == 104
+    # tiff: id 9 little-endian ch 1, 19 big-endian ch 2, 29 LE ch 3
+    assert out[9]["format"] == "tiff" and out[9]["n_bytes"] == 50 \
+        and out[9]["width"] == 10 and out[9]["height"] == 1 + 63 % 512 \
+        and out[9]["channels"] == 1
+    assert out[19]["format"] == "tiff" and out[19]["channels"] == 2 \
+        and out[19]["width"] == 20
+    assert out[29]["format"] == "tiff" and out[29]["channels"] == 3 \
+        and out[29]["n_bytes"] == 50
 
 
 def test_numpy_topk_matches_native(spark, sf_dir):
@@ -2463,6 +2473,13 @@ def test_fuzzy_join_planted_recall_and_exactness(spark, sf_dir):
     # LSH blocking kept recall near-total on the oracle's pair set
     assert len(got) >= len(oracle) * 9 // 10
 
+    # exhaustive blocking (shared-shingle posting lists) EQUALS the
+    # brute-force oracle — the registry-graded exactness path
+    exact = {(r["left_doc_id"], r["right_doc_id"]): r["jaccard_milli"]
+             for r in fuzzy_join(docs, right, threshold_milli=500,
+                                 exhaustive=True).collect()}
+    assert exact == oracle
+
     best = fuzzy_join_best(docs, right, threshold_milli=500, bands=16)
     rows = best.collect()
     assert len(rows) == len({r["left_doc_id"] for r in rows})
@@ -2826,3 +2843,160 @@ def test_anomaly_from_incremental_hourly_state(spark, sf_dir):
         assert have == want
 
     check()
+
+
+def test_heavy_hitters_weighted_oracle_certificate_and_guards(spark, sf_dir):
+    """topKWeighted twin: two-pass weighted Misra-Gries equals the exact
+    full-shuffle weighted top-k (DuckDB oracle); unit weights degenerate
+    to heavy_hitters; flat data + tiny capacity raises the certificate;
+    NaN/fractional/negative weights raise loudly, NULL weights drop."""
+    import duckdb
+    import pytest as PT
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        heavy_hitters, heavy_hitters_weighted)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events") \
+        .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1)
+    got = sorted(map(tuple, heavy_hitters_weighted(
+        ev, "event_type", "wt", k=3, capacity=64).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_type AS value,
+               CAST(sum((event_id % 5) + 1) AS BIGINT) AS weight,
+               CAST(row_number() OVER (
+                 ORDER BY sum((event_id % 5) + 1) DESC, event_type)
+                 AS INT) AS rank
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY weight DESC, value LIMIT 3
+    """).fetchall()))
+    assert got == want and len(got) == 3
+
+    # unit weights degenerate to the unweighted operator exactly
+    ev1 = ev.withColumn("wt", F.lit(1))
+    wu = sorted((r["value"], r["weight"], r["rank"]) for r in
+                heavy_hitters_weighted(ev1, "event_type", "wt", k=3,
+                                       capacity=64).collect())
+    uu = sorted((r["value"], r["cnt"], r["rank"]) for r in
+                heavy_hitters(ev, "event_type", k=3,
+                              capacity=64).collect())
+    assert wu == uu
+
+    # flat distribution + tiny capacity: certificate fails loudly
+    flat = spark.range(0, 5000).select(
+        (F.col("id") % 2500).cast("string").alias("v"),
+        F.lit(1).alias("w"))
+    with PT.raises(ValueError, match="certificate"):
+        heavy_hitters_weighted(flat, "v", "w", k=3, capacity=4)
+
+    # skewed head + small capacity: head certifies and is exact — the
+    # hot value's WEIGHT dominates even though its row count does not
+    skew = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("hot"))
+        .otherwise((F.col("id") % 7).cast("string")).alias("v"),
+        F.when(F.col("id") % 3 == 0, F.lit(50)).otherwise(F.lit(1))
+        .alias("w"))
+    top1 = heavy_hitters_weighted(skew, "v", "w", k=1,
+                                  capacity=16).collect()
+    assert top1[0]["value"] == "hot" and top1[0]["weight"] == 1000 * 50
+
+    # weight guards: NULL drops, NaN / fractional / negative raise
+    withnull = spark.createDataFrame(
+        [("a", 5), ("a", None), ("b", 1)], "v string, w long")
+    rows = {r["value"]: r["weight"] for r in
+            heavy_hitters_weighted(withnull, "v", "w", k=2,
+                                   capacity=8).collect()}
+    assert rows == {"a": 5, "b": 1}
+    for badw, msg in [(float("nan"), "NaN weight"),
+                      (0.5, "integral"), (-2.0, "negative")]:
+        bad = spark.createDataFrame([("a", badw)], "v string, w double")
+        with PT.raises(Exception, match=msg):
+            heavy_hitters_weighted(bad, "v", "w", k=1,
+                                   capacity=8).collect()
+
+
+def test_group_array_moving_sum_oracle_and_hand_case(spark, sf_dir):
+    """groupArrayMovingSum twin: milli-quantized ROWS-frame moving sums
+    replay hash-exactly in DuckDB; a hand case pins the frame width and
+    the (ts, id) tie-break."""
+    import duckdb
+    import datetime as dt
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        group_array_moving_sum)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, group_array_moving_sum(ev, n=5).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_type,
+               CAST(row_number() OVER w AS INT) AS pos,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+                 w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS moving_milli
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    # hand case: values 1,2,3,4 with n=2 -> sums 1000,3000,5000,7000;
+    # the two tied-ts middle rows order by event_id
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "g", t0, 1.0), (2, 1, "g", t0 + h, 2.0),
+         (3, 1, "g", t0 + h, 3.0), (4, 1, "g", t0 + 2 * h, 4.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {r["pos"]: r["moving_milli"] for r in
+            group_array_moving_sum(synth, n=2).collect()}
+    assert rows == {1: 1000, 2: 3000, 3: 5000, 4: 7000}
+
+
+def test_uniq_up_to_oracle_cap_and_partition_invariance(spark, sf_dir):
+    """uniqUpTo(N) twin: bounded-state capped distinct equals
+    least(exact distinct, N+1) (DuckDB oracle) at a cap the data
+    crosses AND at one it does not; the result is invariant under
+    repartitioning (the capped partials merge exactly); NULL groups and
+    values are excluded on both sides."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        uniq_up_to)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    for n in (10, 10_000_000):
+        got = sorted(map(tuple, uniq_up_to(
+            ev, "event_type", "user_id", n=n).collect()))
+        want = sorted(map(tuple, con.execute(f"""
+            SELECT event_type,
+                   least(count(DISTINCT user_id), {n + 1}) AS uniq_up_to
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1
+        """).fetchall()))
+        assert got == want and len(got) > 0
+    # the small cap actually engaged (fixtures have > 10 users/type)
+    small = {r["event_type"]: r["uniq_up_to"] for r in
+             uniq_up_to(ev, "event_type", "user_id", n=10).collect()}
+    assert any(v == 11 for v in small.values())
+
+    # partition invariance: capped partials merge to the same answer
+    repart = sorted(map(tuple, uniq_up_to(
+        ev.repartition(13), "event_type", "user_id", n=10).collect()))
+    assert repart == sorted(small.items())
+
+    # NULLs excluded from both roles; sentinel is exactly n+1
+    synth = spark.createDataFrame(
+        [("g", v) for v in range(5)] + [("g", None), (None, 99)],
+        "g string, v long")
+    assert uniq_up_to(synth, "g", "v", n=3).collect()[0]["uniq_up_to"] == 4
+    assert uniq_up_to(synth, "g", "v", n=10).collect()[0]["uniq_up_to"] == 5

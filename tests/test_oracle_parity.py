@@ -117,10 +117,14 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        "bigram_likelihood", "anomaly_zscore", "funnel",
-        "funnel_conversion_window", "retention_cohorts",
-        "cdc_apply", "merge_upsert", "pivot_wide", "ohlc_resample",
-        "histogram_fixed",
+        # r9: the promotion backlog + the streaming twin
+        "bm25_topk", "bloom_semi_join", "event_transitions",
+        "exact_quantiles_by_group", "sequence_match", "asof_join_forward",
+        "heavy_hitters", "fuzzy_join_exact", "exact_median_by_group",
+        "ngram_containment", "json_tabularize", "kfold_assign",
+        "time_weighted_avg", "linreg_by_group", "winsorize_by_group",
+        "exact_weighted_quantiles_by_group", "retention_flags",
+        "stream_funnel",
     }
     missing = added_this_round - window
     assert not missing, (
