@@ -953,3 +953,183 @@ def uniq_up_to(df: DataFrame, group_col: str, value_col: str,
             .groupBy(group_col)
             .agg(F.least(F.count(F.lit(1)), F.lit(cap).cast("long"))
                  .alias("uniq_up_to")))
+
+
+def delta_sum(events: DataFrame, group_col: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value",
+              id_col: str = "event_id") -> DataFrame:
+    """ClickHouse's ``deltaSum`` combinator: per group, the sum of the
+    POSITIVE deltas between consecutive values in (ts, id) order — the
+    monotone-counter-with-resets pattern (total bytes served from a
+    gauge that occasionally restarts at 0).
+
+    Values are milli-quantized to int64 before differencing (the
+    ``group_array_moving_sum`` convention), so the lag + greatest(0, Δ)
+    chain is exact and replays hash-identically in a SQL twin. NULL
+    values and NULL timestamps are excluded up-front.
+
+    Scale: ONE shuffle on the group key; lag streams through each
+    sorted partition; output is |groups| rows.
+
+    Returns ``group, delta_sum_milli``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    base = (events
+            .where(F.col(value_col).isNotNull()
+                   & F.col(ts_col).isNotNull())
+            .withColumn("_vm",
+                        F.floor(F.col(value_col).cast("double") * 1000)
+                        .cast("long")))
+    prev = F.lag("_vm").over(w)
+    step = (F.when(prev.isNull(), F.lit(0).cast("long"))
+            .otherwise(F.greatest(F.lit(0).cast("long"),
+                                  F.col("_vm") - prev)))
+    return (base.withColumn("_d", step)
+            .groupBy(group_col)
+            .agg(F.sum("_d").alias("delta_sum_milli")))
+
+
+def bounding_ratio(events: DataFrame, group_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   id_col: str = "event_id") -> DataFrame:
+    """ClickHouse's ``boundingRatio``: per group, the slope between the
+    first and last points of the (ts, value) series —
+    ``(y_last − y_first) / (x_last − x_first)``.
+
+    First/last are picked by ``row_number`` over ``(ts, id)`` asc/desc —
+    NOT ``max_by``/``arg_max``, whose composite-key tie-breaks differ
+    across engines (DuckDB's ``arg_max`` takes no composite key at all).
+    The exact integer numerator (milli-quantized value delta) and
+    denominator (epoch-microsecond span) are returned alongside the
+    rounded slope so the output is hash-comparable; the slope itself is
+    rounded with the knife-edge-safe ``floor(x·1e4 + 0.5)/1e4`` form in
+    an expression order a SQL twin can copy verbatim. Single-point
+    groups have den = 0 → NULL slope (guarded CASE, never a division).
+
+    Returns ``group, num_milli, den_us, slope_milli_per_sec_e4``."""
+    from pyspark.sql import Window
+
+    base = (events
+            .where(F.col(value_col).isNotNull()
+                   & F.col(ts_col).isNotNull())
+            .withColumn("_vm",
+                        F.floor(F.col(value_col).cast("double") * 1000)
+                        .cast("long"))
+            .withColumn("_tus", F.unix_micros(F.col(ts_col))))
+    wa = Window.partitionBy(group_col).orderBy(
+        F.col("_tus").asc(), F.col(id_col).asc())
+    wd = Window.partitionBy(group_col).orderBy(
+        F.col("_tus").desc(), F.col(id_col).desc())
+    marked = (base
+              .withColumn("_ra", F.row_number().over(wa))
+              .withColumn("_rd", F.row_number().over(wd)))
+    agg = (marked.groupBy(group_col)
+           .agg(F.max(F.when(F.col("_ra") == 1, F.col("_vm")))
+                .alias("_y_first"),
+                F.max(F.when(F.col("_rd") == 1, F.col("_vm")))
+                .alias("_y_last"),
+                (F.max("_tus") - F.min("_tus")).alias("den_us")))
+    return agg.select(
+        group_col,
+        (F.col("_y_last") - F.col("_y_first")).alias("num_milli"),
+        "den_us",
+        F.expr(
+            # floor() is BIGINT in Spark and the bare 10000.0 literal is
+            # DECIMAL — cast both or the quotient types DECIMAL and the
+            # driver hash path diverges from the oracle's DOUBLE
+            "CASE WHEN den_us = 0 THEN NULL ELSE "
+            "CAST(floor(CAST(_y_last - _y_first AS DOUBLE) * 1000000.0 "
+            "/ CAST(den_us AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) "
+            "/ CAST(10000.0 AS DOUBLE) "
+            "END").alias("slope_milli_per_sec_e4"))
+
+
+def sequence_next_node(events: DataFrame, steps: list[str],
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id") -> DataFrame:
+    """ClickHouse's ``sequenceNextNode`` (forward / first_match): for
+    every user whose event history completes the ``steps`` chain under
+    the funnel's earliest-completion semantics, the type of the FIRST
+    event strictly after the chain's final step — "what do users do
+    right after view→click→purchase?".
+
+    Reuses the one shared greedy chain (``_earliest_completion_chain``,
+    the same semantics the graded funnel/sequence_match queries pin), so
+    chain ties and strictness cannot drift between siblings. The next
+    event per user is picked by ``row_number`` over ``(ts, id)`` — a
+    deterministic tie-break a SQL twin replays with ``QUALIFY``.
+
+    Returns ``next_event_type, users`` (users whose chain has no later
+    event at all are absent — count them as a separate funnel query if
+    needed).
+
+    Scale: the chain is #steps small per-user aggregates; the next-event
+    pick is one user-keyed join + window over only post-chain events."""
+    from pyspark.sql import Window
+
+    cur = None
+    for _i, _s, cur in _earliest_completion_chain(
+            events, steps, user_col, ts_col, type_col, None):
+        pass
+    nxt = (events.select(user_col, type_col,
+                         F.col(ts_col), F.col(id_col))
+           .join(cur.select(user_col, "t"), user_col)
+           .where(F.col(ts_col) > F.col("t")))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    first = (nxt.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1))
+    return (first.groupBy(type_col)
+            .agg(F.count(F.lit(1)).alias("users"))
+            .select(F.col(type_col).alias("next_event_type"), "users"))
+
+
+def window_funnel_strict_order(events: DataFrame, steps: list[str],
+                               within_hours: "int | None" = None,
+                               user_col: str = "user_id",
+                               ts_col: str = "ts",
+                               type_col: str = "event_type",
+                               id_col: str = "event_id") -> DataFrame:
+    """ClickHouse ``windowFunnel(window, 'strict_order')``: the max
+    funnel level each user reaches when the steps must be CONSECUTIVE
+    events in the user's (ts, id)-ordered stream — any intervening
+    event of another type breaks the chain (contrast :func:`funnel`,
+    which lets arbitrary events sit between steps). ``within_hours``
+    additionally requires every matched step to fall within that many
+    hours of the chain's FIRST event.
+
+    Because strict order pins each step to a fixed offset from the
+    chain start, the whole search is a lead()-chain expression — no
+    automaton, no Python: event p starts a level-k chain iff
+    ``type[p..p+k-1]`` equals the step prefix (and the window holds),
+    and the user's level is the max over p. One shuffle on the user
+    key; the histogram rolls up |users| rows.
+
+    Returns ``level, users`` for every reached level 0..len(steps)
+    (level 0 = users whose stream never starts the chain), so Σ users =
+    the distinct-user count over NULL-ts-excluded rows (mirror ``WHERE
+    ts IS NOT NULL`` in any SQL twin)."""
+    from pyspark.sql import Window
+
+    base = (events.where(F.col(ts_col).isNotNull())
+            .select(user_col, type_col,
+                    F.unix_micros(F.col(ts_col)).alias("_tus"),
+                    F.col(id_col)))
+    w = Window.partitionBy(user_col).orderBy("_tus", id_col)
+    matched = F.col(type_col) == steps[0]
+    level = F.when(matched, F.lit(1)).otherwise(F.lit(0))
+    for k, s in enumerate(steps[1:], start=1):
+        step_ok = F.lead(type_col, k).over(w) == s
+        if within_hours is not None:
+            step_ok = step_ok & (
+                F.lead("_tus", k).over(w)
+                <= F.col("_tus")
+                + F.lit(int(within_hours) * 3_600_000_000))
+        matched = matched & step_ok
+        level = F.when(matched, F.lit(k + 1)).otherwise(level)
+    per_user = (base.select(user_col, level.alias("_lvl"))
+                .groupBy(user_col).agg(F.max("_lvl").alias("level")))
+    return (per_user.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("users")))

@@ -4395,9 +4395,15 @@ def stream_funnel(spark, sf_dir):
 #        pack_token_budget(count_col), plus the three late-r9 combinator
 #        twins (heavy_hitters_weighted, group_array_moving_sum,
 #        uniq_up_to — in-test oracles at tests/test_llm_operators.py
-#        tail) + re-confirmations from the r9 displaced set
-#        (q12_priority_shipping, quality_expectations, limit_offset,
-#        having_filter, nulls_ordering)
+#        tail) and the late-r9 interval/series combinators
+#        (interval_length_sum, max_intersections, delta_sum,
+#        bounding_ratio, sequence_next_node, window_funnel_strict_order
+#        — in-test oracles at tests/test_interval_combinators.py;
+#        lttb_downsample stays replay-pinned, not SQL-expressible)
+#        + re-confirmations from
+#        the r9 displaced set (q12_priority_shipping,
+#        quality_expectations, limit_offset, having_filter,
+#        nulls_ordering)
 #   r11+: remaining r6-graded TPC-H (q14-q22), pii_scrub,
 #        embedding_quantize, q19_disjunctive_predicates, then second
 #        confirmations of the r9 first-grades on the same cadence.

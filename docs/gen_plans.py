@@ -36,11 +36,17 @@ def _operator_picks(spark, sf):
     from pyspark.sql import functions as F
 
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        event_transitions, exact_weighted_quantiles_by_group,
-        key_skew_report, linreg_by_group, retention_flags, sequence_count,
+        bounding_ratio, delta_sum, event_transitions,
+        exact_weighted_quantiles_by_group, key_skew_report,
+        linreg_by_group, retention_flags, sequence_count,
+        sequence_next_node, window_funnel_strict_order,
         winsorize_by_group)
+    from clickhouse_hdfs_loader_spark.operators.downsample import (
+        lttb_downsample)
     from clickhouse_hdfs_loader_spark.operators.features import (
         minmax_normalize)
+    from clickhouse_hdfs_loader_spark.operators.intervals import (
+        interval_length_sum, max_intersections)
     from clickhouse_hdfs_loader_spark.operators.linkage import fuzzy_join
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
@@ -57,6 +63,12 @@ def _operator_picks(spark, sf):
                                "query_id long, query_text string")
     right = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
                         F.concat("text", F.lit(" z")).alias("text"))
+    sec = F.unix_timestamp("ts")
+    iv = (ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  F.col("event_id").alias("id"), sec.alias("s"),
+                  (sec + F.floor(F.col("value") * 10).cast("long"))
+                  .alias("e")))
     return {
         "bm25_topk": bm25_topk(docs, qs),
         "bloom_semi_join": bloom_semi_join(orders, cust, "o_custkey"),
@@ -73,6 +85,19 @@ def _operator_picks(spark, sf):
         "sequence_count": sequence_count(ev, ["view", "click", "purchase"]),
         "retention_flags": retention_flags(ev, ["view", "click",
                                                 "purchase"]),
+        "interval_length_sum": interval_length_sum(iv, "g", "s", "e",
+                                                   id_col="id"),
+        "max_intersections": max_intersections(iv, "g", "s", "e"),
+        "delta_sum": delta_sum(ev),
+        "bounding_ratio": bounding_ratio(ev),
+        "sequence_next_node": sequence_next_node(ev, ["view", "click"]),
+        "window_funnel_strict_order": window_funnel_strict_order(
+            ev, ["view", "click", "purchase"], within_hours=24),
+        "lttb_downsample": lttb_downsample(
+            ev.select("event_type",
+                      F.unix_micros("ts").cast("double").alias("x"),
+                      F.col("value").alias("y")),
+            "event_type", "x", "y", 100),
     }
 
 

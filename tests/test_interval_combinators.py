@@ -1,0 +1,416 @@
+"""Interval/series ClickHouse-combinator analogs: intervalLengthSum,
+maxIntersections(Position), deltaSum, boundingRatio, sequenceNextNode,
+largestTriangleThreeBuckets.
+
+Each relational operator carries its in-test DuckDB exact-replay oracle
+(the r6 pattern — same rigor as a registry grade, promotion-ready: every
+aggregate is CAST so no HUGEINT/DECIMAL ever reaches a driver hash
+path). LTTB is pinned by an EXACT-RATIONAL independent replay
+(fractions.Fraction), not a float twin — matching rounding cannot mask a
+selection bug.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+# interval derivation shared by the interval-op tests: each event opens
+# a half-open interval of floor(value*10) seconds at floor(epoch) —
+# integer-exact on both engines (identical float expression order)
+_IV_SQL = """
+    SELECT event_type AS g, event_id AS id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             + CAST(floor(value * 10) AS BIGINT) AS e
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+"""
+
+
+def _iv_spark(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    return (ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+            .select(F.col("event_type").alias("g"),
+                    F.col("event_id").alias("id"),
+                    sec.alias("s"),
+                    (sec + F.floor(F.col("value") * 10).cast("long"))
+                    .alias("e")))
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    return con
+
+
+def test_interval_length_sum_oracle_and_hand_case(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.intervals import (
+        interval_length_sum)
+
+    got = sorted(map(tuple, interval_length_sum(
+        _iv_spark(spark, sf_dir), "g", "s", "e", id_col="id").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH iv AS ({_IV_SQL}),
+        f AS (SELECT * FROM iv WHERE e >= s),
+        m AS (SELECT g, id, s, e,
+                CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                     THEN 1 ELSE 0 END AS nw
+              FROM f
+              WINDOW pw AS (PARTITION BY g ORDER BY s, e, id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)),
+        seg AS (SELECT g, e, s, sum(nw) OVER (
+                  PARTITION BY g ORDER BY s, e, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+                FROM m),
+        per AS (SELECT g, sid, max(e) - min(s) AS len, count(*) AS n
+                FROM seg GROUP BY 1, 2)
+        SELECT g, CAST(sum(len) AS BIGINT) AS union_len,
+               CAST(count(*) AS BIGINT) AS segments,
+               CAST(sum(n) AS BIGINT) AS intervals
+        FROM per GROUP BY g
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # hand case: [0,10) ∪ [5,12) ∪ [12,20) merge (touching joins the
+    # covered segment); [25,30) stands alone -> 25 covered, 2 segments
+    synth = spark.createDataFrame(
+        [("g", 1, 0, 10), ("g", 2, 5, 12), ("g", 3, 12, 20),
+         ("g", 4, 25, 30)],
+        "g string, id int, s long, e long")
+    row = interval_length_sum(synth, "g", "s", "e", id_col="id").first()
+    assert (row["union_len"], row["segments"], row["intervals"]) \
+        == (25, 2, 4)
+
+
+def test_interval_length_sum_tie_and_exclusion_rules(spark):
+    from clickhouse_hdfs_loader_spark.operators.intervals import (
+        interval_length_sum)
+
+    # duplicate intervals, a zero-length interval (contributes 0 inside
+    # its segment), and an inverted interval (excluded)
+    synth = spark.createDataFrame(
+        [("g", 1, 0, 4), ("g", 2, 0, 4), ("g", 3, 2, 2),
+         ("g", 4, 9, 5)],
+        "g string, id int, s long, e long")
+    row = interval_length_sum(synth, "g", "s", "e", id_col="id").first()
+    assert (row["union_len"], row["segments"], row["intervals"]) \
+        == (4, 1, 3)
+
+
+def test_max_intersections_oracle_and_hand_case(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.intervals import (
+        max_intersections)
+
+    got = sorted(map(tuple, max_intersections(
+        _iv_spark(spark, sf_dir), "g", "s", "e").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH iv AS ({_IV_SQL}),
+        f AS (SELECT * FROM iv WHERE e > s),
+        pts AS (SELECT g, s AS p, 1 AS d FROM f
+                UNION ALL SELECT g, e, -1 FROM f),
+        c AS (SELECT g, p, sum(d) OVER (
+                PARTITION BY g ORDER BY p, d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM pts),
+        mx AS (SELECT g, CAST(max(c) AS BIGINT) AS max_intersections
+               FROM c GROUP BY g)
+        SELECT c.g, mx.max_intersections,
+               CAST(min(c.p) AS BIGINT) AS position
+        FROM c JOIN mx ON c.g = mx.g AND c.c = mx.max_intersections
+        GROUP BY 1, 2
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert all(r[1] >= 1 for r in got)
+
+    # hand case: 3 intervals open at point 9; [10,11) does NOT stack on
+    # [0,10) (half-open: the close at 10 applies before the open)
+    synth = spark.createDataFrame(
+        [("g", 0, 10), ("g", 5, 12), ("g", 9, 10), ("g", 10, 11),
+         ("h", 0, 1), ("h", 1, 2)],
+        "g string, s long, e long")
+    rows = {r["g"]: (r["max_intersections"], r["position"])
+            for r in max_intersections(synth, "g", "s", "e").collect()}
+    assert rows == {"g": (3, 9), "h": (1, 0)}
+
+
+def test_delta_sum_oracle_and_hand_case(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import delta_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, delta_sum(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          lag(CAST(floor(value * 1000) AS BIGINT)) OVER (
+                            PARTITION BY event_type ORDER BY ts, event_id)
+                            AS pv
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL)
+        SELECT event_type,
+               CAST(sum(CASE WHEN pv IS NULL THEN 0
+                             ELSE greatest(0, vm - pv) END) AS BIGINT)
+                 AS delta_sum_milli
+        FROM v GROUP BY event_type
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # counter with a reset: 1 -> 3 (+2), 3 -> 2 (reset, +0), 2 -> 5 (+3)
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, "g", t0, 1.0), (2, "g", t0 + h, 3.0),
+         (3, "g", t0 + 2 * h, 2.0), (4, "g", t0 + 3 * h, 5.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    assert delta_sum(synth).first()["delta_sum_milli"] == 5000
+
+
+def test_bounding_ratio_oracle_and_hand_case(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        bounding_ratio)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, bounding_ratio(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          epoch_us(ts) AS tus,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts), event_id) AS ra,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+                            AS rd
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL),
+        a AS (SELECT event_type,
+                     max(CASE WHEN ra = 1 THEN vm END) AS yf,
+                     max(CASE WHEN rd = 1 THEN vm END) AS yl,
+                     max(tus) - min(tus) AS den_us
+              FROM v GROUP BY event_type)
+        SELECT event_type, CAST(yl - yf AS BIGINT) AS num_milli,
+               CAST(den_us AS BIGINT) AS den_us,
+               CASE WHEN den_us = 0 THEN NULL ELSE
+                 floor(CAST(yl - yf AS DOUBLE) * 1000000.0
+                       / CAST(den_us AS DOUBLE) * 10000.0 + 0.5)
+                 / 10000.0 END AS slope_milli_per_sec_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # hand case: (t=0, 1.0) -> (t=10s, 21.0): +20000 milli over 10 s
+    # = 2000 milli/sec; a single-point group yields NULL slope
+    t0 = dt.datetime(2024, 1, 1)
+    synth = spark.createDataFrame(
+        [(1, "g", t0, 1.0), (2, "g", t0 + dt.timedelta(seconds=10), 21.0),
+         (3, "solo", t0, 7.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    rows = {r["event_type"]: r for r in bounding_ratio(synth).collect()}
+    assert rows["g"]["num_milli"] == 20000
+    assert rows["g"]["den_us"] == 10_000_000
+    assert rows["g"]["slope_milli_per_sec_e4"] == 2000.0
+    assert rows["solo"]["den_us"] == 0
+    assert rows["solo"]["slope_milli_per_sec_e4"] is None
+
+
+def test_sequence_next_node_oracle_and_hand_case(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_next_node)
+
+    ev = read_table(spark, sf_dir, "events")
+    steps = ["view", "click"]
+    got = sorted(map(tuple, sequence_next_node(ev, steps).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        nxt AS (SELECT e.user_id, e.event_type
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.ts > s1.t
+                QUALIFY row_number() OVER (PARTITION BY e.user_id
+                  ORDER BY e.ts, e.event_id) = 1)
+        SELECT event_type AS next_event_type,
+               CAST(count(*) AS BIGINT) AS users
+        FROM nxt GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    # hand case: the chain completes at the click; the NEXT event is the
+    # error (ties with the purchase broken by event_id? no — strictly
+    # later rows only; the error at +2h precedes the purchase at +3h)
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "view", t0), (2, 1, "click", t0 + h),
+         (3, 1, "error", t0 + 2 * h), (4, 1, "purchase", t0 + 3 * h),
+         (5, 2, "view", t0), (6, 2, "click", t0 + h)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    synth = synth.withColumn("value", F.lit(1.0))
+    rows = sorted(map(tuple,
+                      sequence_next_node(synth, ["view", "click"])
+                      .collect()))
+    # user 2 has no event after the chain -> absent by contract
+    assert rows == [("error", 1)]
+
+
+def test_sequence_next_node_tie_break(spark):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_next_node)
+
+    # two candidate next events at the SAME timestamp: min event_id wins
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "view", t0), (2, 1, "click", t0 + h),
+         (9, 1, "error", t0 + 2 * h), (3, 1, "purchase", t0 + 2 * h)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    rows = sorted(map(tuple,
+                      sequence_next_node(synth, ["view", "click"])
+                      .collect()))
+    assert rows == [("purchase", 1)]
+
+
+def test_window_funnel_strict_order_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        window_funnel_strict_order)
+
+    ev = read_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    got = sorted(map(tuple, window_funnel_strict_order(
+        ev, steps, within_hours=24).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+                          event_id
+                   FROM events WHERE ts IS NOT NULL),
+        l AS (SELECT user_id,
+                CASE WHEN event_type = 'view'
+                      AND lead(event_type, 1) OVER w = 'click'
+                      AND lead(tus, 1) OVER w <= tus + 86400000000
+                      AND lead(event_type, 2) OVER w = 'purchase'
+                      AND lead(tus, 2) OVER w <= tus + 86400000000
+                     THEN 3
+                     WHEN event_type = 'view'
+                      AND lead(event_type, 1) OVER w = 'click'
+                      AND lead(tus, 1) OVER w <= tus + 86400000000
+                     THEN 2
+                     WHEN event_type = 'view' THEN 1 ELSE 0 END AS lvl
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        p AS (SELECT user_id, max(lvl) AS level FROM l GROUP BY 1)
+        SELECT level, CAST(count(*) AS BIGINT) AS users
+        FROM p GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    n_users = _duck(sf_dir).execute(
+        "SELECT count(DISTINCT user_id) FROM events WHERE ts IS NOT "
+        "NULL").fetchone()[0]
+    assert sum(u for _l, u in got) == n_users
+
+    # hand cases: user 1 completes view->click->purchase consecutively;
+    # user 2's intervening error BREAKS the chain at level 1 (the same
+    # history passes the non-strict funnel); user 3's click lands
+    # outside the 1-hour window -> level 1
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=10)
+    synth = spark.createDataFrame(
+        [(1, 1, "view", t0), (2, 1, "click", t0 + m),
+         (3, 1, "purchase", t0 + 2 * m),
+         (4, 2, "view", t0), (5, 2, "error", t0 + m),
+         (6, 2, "click", t0 + 2 * m),
+         (7, 3, "view", t0), (8, 3, "click", t0 + 9 * m)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    rows = {r["level"]: r["users"] for r in window_funnel_strict_order(
+        synth, ["view", "click", "purchase"], within_hours=1).collect()}
+    assert rows == {3: 1, 1: 2}
+    # without the window, user 3's chain holds to level 2
+    rows = {r["level"]: r["users"] for r in window_funnel_strict_order(
+        synth, ["view", "click", "purchase"]).collect()}
+    assert rows == {3: 1, 1: 1, 2: 1}
+
+
+def test_lttb_downsample_exact_rational_replay(spark, sf_dir):
+    """Independent replay: re-derive every LTTB pick with EXACT rational
+    arithmetic (Fraction means and areas) over the same sorted series —
+    a float-rounding bug in the operator cannot produce a matching
+    selection here."""
+    from fractions import Fraction
+
+    from clickhouse_hdfs_loader_spark.operators.downsample import (
+        lttb_downsample)
+
+    threshold = 24
+    ev = (read_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.unix_micros("ts").cast("double").alias("x"),
+                  F.col("value").alias("y")))
+    got = {}
+    for r in lttb_downsample(ev, "event_type", "x", "y",
+                             threshold).collect():
+        got.setdefault(r["event_type"], {})[r["pos"]] = (r["x"], r["y"])
+
+    pts = _duck(sf_dir).execute(
+        "SELECT event_type, CAST(epoch_us(ts) AS DOUBLE) AS x, value "
+        "AS y FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "ORDER BY event_type, x, y").fetchall()
+    series: dict = {}
+    for g, x, y in pts:
+        series.setdefault(g, []).append((x, y))
+
+    assert set(got) == set(series)
+    for g, s in series.items():
+        xs = [p[0] for p in s]
+        ys = [p[1] for p in s]
+        n = len(xs)
+        if n <= threshold:
+            idx = list(range(n))
+        else:
+            every = (n - 2) / (threshold - 2)
+            idx = [0]
+            a = 0
+            for i in range(threshold - 2):
+                lo = int((i * every) // 1) + 1
+                hi = int(((i + 1) * every) // 1) + 1
+                nb_lo = hi
+                nb_hi = min(int(((i + 2) * every) // 1) + 1, n)
+                if nb_lo >= nb_hi:
+                    nb_lo, nb_hi = n - 1, n
+                m = nb_hi - nb_lo
+                bx = sum(Fraction(xs[j]) for j in range(nb_lo, nb_hi)) / m
+                by = sum(Fraction(ys[j]) for j in range(nb_lo, nb_hi)) / m
+                ax, ay = Fraction(xs[a]), Fraction(ys[a])
+                best, best_area = lo, Fraction(-1)
+                for c in range(lo, hi):
+                    area = abs((ax - bx) * (Fraction(ys[c]) - ay)
+                               - (ax - Fraction(xs[c])) * (by - ay))
+                    if area > best_area:
+                        best, best_area = c, area
+                idx.append(best)
+                a = best
+            idx.append(n - 1)
+        expect = {pos: (xs[i], ys[i]) for pos, i in enumerate(idx)}
+        assert got[g] == expect, f"series {g} selection diverged"
+        assert len(got[g]) == min(threshold, n)
+        assert got[g][0] == (xs[0], ys[0])
+        assert got[g][len(got[g]) - 1] == (xs[n - 1], ys[n - 1])
+
+
+def test_lttb_downsample_guards(spark):
+    from clickhouse_hdfs_loader_spark.operators.downsample import (
+        lttb_downsample)
+
+    df = spark.createDataFrame([("g", 1.0, 1.0)],
+                               "g string, x double, y double")
+    with pytest.raises(ValueError, match="threshold"):
+        lttb_downsample(df, "g", "x", "y", 2)
+    # short series pass through whole
+    rows = lttb_downsample(df, "g", "x", "y", 3).collect()
+    assert [(r["x"], r["y"], r["pos"]) for r in rows] == [(1.0, 1.0, 0)]
