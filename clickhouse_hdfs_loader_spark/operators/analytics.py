@@ -1133,3 +1133,50 @@ def window_funnel_strict_order(events: DataFrame, steps: list[str],
                 .groupBy(user_col).agg(F.max("_lvl").alias("level")))
     return (per_user.groupBy("level")
             .agg(F.count(F.lit(1)).alias("users")))
+
+
+def entropy_by_group(df: DataFrame, group_col: str = "event_type",
+                     value_col: str = "user_id") -> DataFrame:
+    """ClickHouse's ``entropy`` aggregate: Shannon entropy (in
+    milli-bits) of the ``value_col`` distribution within each group —
+    "how spread are this key's values?", the column-profiling /
+    key-quality signal.
+
+    Engine-exact by the same trick as BM25's idf: with per-value counts
+    ``c`` and ``N = Σc``,
+
+        H = log2(N) − (1/N)·Σ c·log2(c)
+          → entropy_milli = (N·ilog2m(N) − Σ c·ilog2m(c)) div N
+
+    where ``ilog2m`` is the exact integer milli-log2 (bitlength +
+    linear interior, ``retrieval.with_ilog2_milli``) — monotone,
+    transcendental-free, and SQL-replayable, so the twin hashes
+    identically. The piecewise-linear log overestimates interior points
+    by ≤ ~86 milli-bits; the CONTRACT is this exact formula, not IEEE
+    log2 (document the same formula in any consumer). Gibbs holds for
+    any monotone log approximation applied to both terms built from the
+    same counts: 0 ≤ entropy_milli ≤ ilog2m(N).
+
+    NULL values are excluded (mirror ``WHERE v IS NOT NULL``); NULL
+    group keys form their own group, as in SQL. Overflow-safe for
+    N < 2^62 / 1000 per group (the ``c·ilog2m(c)`` product caps near
+    4·10^16 at N = 10^12).
+
+    Scale: the (group, value) count is the classic two-level exact
+    distinct aggregation — one shuffle on (group, value) with map-side
+    partial counts, then the |distinct pairs|-row rollup to |groups|.
+
+    Returns ``group, n, entropy_milli``."""
+    from .retrieval import with_ilog2_milli
+
+    c = (df.where(F.col(value_col).isNotNull())
+         .groupBy(group_col, value_col)
+         .agg(F.count(F.lit(1)).alias("_c")))
+    c = with_ilog2_milli(c, "_c", "_lg")
+    per = (c.groupBy(group_col)
+           .agg(F.sum("_c").alias("n"),
+                F.sum(F.col("_c") * F.col("_lg")).alias("_s")))
+    per = with_ilog2_milli(per, "n", "_lgn")
+    return per.select(group_col, "n",
+                      F.expr("(n * _lgn - _s) div n")
+                      .alias("entropy_milli"))

@@ -46,6 +46,69 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels
 
 
+def pagerank(edges: DataFrame, src_col: str = "src",
+             dst_col: str = "dst", damping_milli: int = 850,
+             iters: int = 10) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list — the
+    link-structure quality signal web-corpus curation pipelines rank
+    documents by (the same family as CommonCrawl's harmonic-centrality
+    ordering; public PageRank formulation, Brin & Page 1998).
+
+    Deterministic by construction, like the repo's kmeans/BPE: node
+    mass lives in integer micro-units (init 1 000 000 per node), each
+    iteration computes ``share(u) = (mass_u · damping_milli) div
+    (1000 · outdeg_u)`` once per source and sums shares per target —
+    pure int64 ops, order-free sums — then
+    ``mass'(v) = teleport + Σ shares`` with ``teleport = (10^6 ·
+    (1000 − damping_milli)) div 1000``. An independent pure-Python
+    replay reproduces every iteration EXACTLY (pinned by test); there
+    is no float in the loop. Dangling nodes' damped mass is dropped
+    (the standard simplification — total mass decays, the RANKING
+    contract is unaffected; redistribute explicitly if mass
+    conservation matters).
+
+    Semantics: duplicate edges collapse (set semantics — an edge is a
+    link, not a weight); NULL endpoints are excluded; nodes = every
+    distinct endpoint. Self-loops count like any edge.
+
+    Scale: edges join their source's outdegree ONCE (checkpointed);
+    each iteration is one join on the src key + one shuffle on dst +
+    a |nodes|-row merge, with ``localCheckpoint`` keeping plan depth
+    O(1) — the Pregel shape. Overflow: mass_u is bounded by the total
+    initial mass N·10^6, so ``mass_u · damping_milli`` stays under
+    2^63 for N < 10^10 nodes.
+
+    Returns ``node, mass_micro`` (descending mass = descending rank)."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    odeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    eo = e.join(odeg, "src").localCheckpoint(eager=True)
+    teleport = (1_000_000 * (1000 - int(damping_milli))) // 1000
+    mass = nodes.withColumn("mass", F.lit(1_000_000).cast("long"))
+    prev = None
+    for _ in range(int(iters)):
+        inflow = (eo.join(mass, eo.src == mass.node)
+                  .select(F.col("dst"),
+                          F.expr(f"(mass * {int(damping_milli)}) "
+                                 f"div (1000 * odeg)").alias("share"))
+                  .groupBy("dst").agg(F.sum("share").alias("infl")))
+        mass = (nodes.join(inflow, nodes.node == inflow.dst, "left")
+                .select(F.col("node"),
+                        (F.lit(teleport).cast("long")
+                         + F.coalesce(F.col("infl"), F.lit(0).cast("long")))
+                        .alias("mass"))
+                .localCheckpoint(eager=True))
+        if prev is not None:
+            prev.unpersist()   # one mass snapshot per iteration otherwise
+        prev = mass
+    return mass.select("node", F.col("mass").alias("mass_micro"))
+
+
 def dedup_components(docs: DataFrame, pairs: DataFrame,
                      id_col: str = "doc_id") -> DataFrame:
     """Materialized dedup: keep one doc (min id) per duplicate component;

@@ -111,3 +111,140 @@ def mean_center(emb: DataFrame, stats: DataFrame = None,
                           lambda x, m: _quantize(x) - m)
     return emb.withColumn(
         out_col, F.when(F.col(vec_col).isNotNull(), centered))
+
+
+def covariance_stats(emb: DataFrame,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact integer second-moment sums per dimension pair — the
+    distributed half of PCA/whitening, in the kmeans quantize-then-sum
+    shape: elements milli-quantize to int64 (``floor(double(x)·1e3)``),
+    each partition folds one n-free gemm partial (``XᵀX`` on int64 is
+    exact and ORDER-FREE, so map-side combining cannot change the
+    result), and the partials sum in Spark. The covariance combine
+    ``(n·s_ij − s_i·s_j) / n²`` is deliberately NOT done here: the
+    caller does it on the collected O(d²) rows in Python arbitrary-
+    precision ints, so it is exact at ANY n while every int64 Spark-side
+    quantity stays linear in n (s_ij bounded by n·max|q|²; at |x| ≤ 9e3
+    that is n·8.1e13 — safe past 10^5 rows per partition and 10^18
+    globally for unit-scale embeddings).
+
+    NULL vectors are skipped; NaN/NULL ELEMENTS raise (a silent NaN
+    would poison every pair sum in the gemm); ragged vector lengths
+    raise.
+
+    Returns ``i, j, n, s_i, s_j, s_ij`` for every pair 0 ≤ i ≤ j < d —
+    O(d²) rows, never corpus-sized."""
+    import numpy as np
+    import pandas as pd
+
+    src = emb.where(F.col(vec_col).isNotNull()).select(vec_col)
+    bounds = src.select(F.min(F.size(vec_col)).alias("mn"),
+                        F.max(F.size(vec_col)).alias("mx")).first()
+    if bounds["mn"] is None:
+        raise ValueError("covariance_stats: no non-NULL vectors")
+    if bounds["mn"] != bounds["mx"]:
+        raise ValueError(
+            f"covariance_stats: ragged vector lengths "
+            f"{bounds['mn']}..{bounds['mx']}")
+    d = int(bounds["mn"])
+
+    def partials(batches):
+        S = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            if not vecs:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            if np.isnan(X).any():
+                raise ValueError(
+                    "covariance_stats: NaN element in a vector — drop "
+                    "or impute before computing moments")
+            Q = np.floor(X * 1000.0).astype(np.int64)
+            S += Q.T @ Q            # int64 matmul: exact, order-free
+            s += Q.sum(axis=0)
+            n += Q.shape[0]
+        # emit the FULL per-pair partial row (s_i/s_j/n repeated across
+        # pairs — d² small rows of redundancy) so the whole operator is
+        # one scan + one aggregate; the first cut pivoted kind-tagged
+        # rows through three joins, which re-planned the gemm scan on
+        # every branch (4 source scans — plan-audit catch)
+        ii, jj = np.triu_indices(d)
+        yield pd.DataFrame({
+            "i": ii, "j": jj,
+            "n": np.full(len(ii), n, dtype=np.int64),
+            "s_i": s[ii], "s_j": s[jj], "s_ij": S[ii, jj]})
+
+    return (src.mapInPandas(
+        partials,
+        "i int, j int, n long, s_i long, s_j long, s_ij long")
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("s_i").alias("s_i"),
+             F.sum("s_j").alias("s_j"), F.sum("s_ij").alias("s_ij"))
+        .select("i", "j", "n", "s_i", "s_j", "s_ij"))
+
+
+def pca_whiten(emb: DataFrame, stats: DataFrame = None,
+               vec_col: str = "embedding", out_col: str = "whitened",
+               k: int = 8, eps: float = 1e-9) -> DataFrame:
+    """Append ``out_col``: the top-``k`` PCA-whitened projection of each
+    vector (SemDeDup-style embedding preprocessing — decorrelate and
+    unit-scale before cosine/kmeans). The d×d covariance comes from
+    :func:`covariance_stats`' exact integer sums combined on the driver
+    in Python ints (``(n·s_ij − s_i·s_j)/n²`` — exact at any n), then
+    ``numpy.linalg.eigh`` + an explicit sign convention (flip each
+    eigenvector so its largest-|coefficient| entry is positive — eigh's
+    sign is otherwise arbitrary and would flake the replay test).
+    Eigenvalues floor at ``eps`` before the inverse sqrt so a
+    rank-deficient direction maps to a huge-but-finite scale instead of
+    an ANSI division error.
+
+    The projection is a stateless ``zip_with`` + sequential
+    ``aggregate`` fold per output dim — deterministic evaluation order,
+    so an independent Python replay of the same fold is BITWISE equal
+    (pinned by test). No shuffle, no Python in the row path; at very
+    large d swap the fold for a pandas-UDF gemm (the BLAS-top-k
+    precedent) — same results apply only within float tolerance then.
+
+    NULL vectors pass through with NULL ``out_col``. ``stats`` accepts a
+    persisted TRAIN-split stats table (the leakage-correct direction,
+    like :func:`minmax_normalize`)."""
+    import numpy as np
+
+    if stats is None:
+        stats = covariance_stats(emb, vec_col)
+    rows = stats.collect()                       # O(d²) rows
+    d = max(r["j"] for r in rows) + 1
+    if not 1 <= k <= d:
+        raise ValueError(f"pca_whiten: k must be in [1, {d}], got {k}")
+    cov = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in rows:
+        num = int(r["n"]) * int(r["s_ij"]) - int(r["s_i"]) * int(r["s_j"])
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = \
+            num / (int(r["n"]) ** 2 * 1_000_000)
+        mu[r["i"]] = int(r["s_i"]) / (int(r["n"]) * 1000.0)
+        mu[r["j"]] = int(r["s_j"]) / (int(r["n"]) * 1000.0)
+    lam, vecs = np.linalg.eigh(cov)              # ascending eigenvalues
+    order = list(range(d - 1, d - 1 - k, -1))    # top-k, descending
+    comps = vecs[:, order].copy()
+    lam_k = lam[order]
+    for t in range(k):                           # deterministic sign
+        col = comps[:, t]
+        if col[int(np.argmax(np.abs(col)))] < 0:
+            comps[:, t] = -col
+    scale = 1.0 / np.sqrt(np.maximum(lam_k, eps))
+    W = comps * scale                            # (d, k)
+
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(F.col(vec_col), mu_arr,
+                          lambda x, m: x.cast("double") - m)
+    outs = []
+    for t in range(k):
+        warr = F.array(*[F.lit(float(W[j, t])) for j in range(d)])
+        prod = F.zip_with(centered, warr, lambda c, wv: c * wv)
+        outs.append(F.aggregate(prod, F.lit(0.0),
+                                lambda acc, v: acc + v))
+    return emb.withColumn(
+        out_col, F.when(F.col(vec_col).isNotNull(), F.array(*outs)))

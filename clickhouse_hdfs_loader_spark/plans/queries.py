@@ -4397,9 +4397,11 @@ def stream_funnel(spark, sf_dir):
 #        uniq_up_to — in-test oracles at tests/test_llm_operators.py
 #        tail) and the late-r9 interval/series combinators
 #        (interval_length_sum, max_intersections, delta_sum,
-#        bounding_ratio, sequence_next_node, window_funnel_strict_order
-#        — in-test oracles at tests/test_interval_combinators.py;
-#        lttb_downsample stays replay-pinned, not SQL-expressible)
+#        bounding_ratio, sequence_next_node, window_funnel_strict_order,
+#        entropy_by_group — in-test oracles at
+#        tests/test_interval_combinators.py — and covariance_stats,
+#        oracle at tests/test_whitening.py; lttb_downsample, pca_whiten
+#        and pagerank stay replay-pinned, not SQL-expressible)
 #        + re-confirmations from
 #        the r9 displaced set (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

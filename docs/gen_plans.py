@@ -36,7 +36,7 @@ def _operator_picks(spark, sf):
     from pyspark.sql import functions as F
 
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        bounding_ratio, delta_sum, event_transitions,
+        bounding_ratio, delta_sum, entropy_by_group, event_transitions,
         exact_weighted_quantiles_by_group, key_skew_report,
         linreg_by_group, retention_flags, sequence_count,
         sequence_next_node, window_funnel_strict_order,
@@ -44,7 +44,7 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.downsample import (
         lttb_downsample)
     from clickhouse_hdfs_loader_spark.operators.features import (
-        minmax_normalize)
+        covariance_stats, minmax_normalize)
     from clickhouse_hdfs_loader_spark.operators.intervals import (
         interval_length_sum, max_intersections)
     from clickhouse_hdfs_loader_spark.operators.linkage import fuzzy_join
@@ -93,6 +93,11 @@ def _operator_picks(spark, sf):
         "sequence_next_node": sequence_next_node(ev, ["view", "click"]),
         "window_funnel_strict_order": window_funnel_strict_order(
             ev, ["view", "click", "purchase"], within_hours=24),
+        "entropy_by_group": entropy_by_group(ev),
+        "covariance_stats": covariance_stats(emb),
+        # pagerank / pca_whiten run eager jobs (localCheckpoint,
+        # stats collect) during construction — replay-pinned instead
+        # of plan-audited
         "lttb_downsample": lttb_downsample(
             ev.select("event_type",
                       F.unix_micros("ts").cast("double").alias("x"),

@@ -403,6 +403,108 @@ def test_lttb_downsample_exact_rational_replay(spark, sf_dir):
         assert got[g][len(got[g]) - 1] == (xs[n - 1], ys[n - 1])
 
 
+def test_entropy_by_group_oracle_and_hand_cases(spark, sf_dir):
+    """entropy(value) per group replays hash-exactly: the DuckDB twin
+    rebuilds the exact integer milli-log2 (bitlength + linear interior,
+    the graded bm25 idiom) over the same counts."""
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        entropy_by_group)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, entropy_by_group(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH c AS (SELECT event_type AS g, user_id AS v,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        cl AS (SELECT g, c,
+                      CAST(length(ltrim(bin(c), '0')) - 1 AS BIGINT)
+                        AS e
+               FROM c),
+        clg AS (SELECT g, c,
+                       e * 1000 + ((c - (1::BIGINT << e)) * 1000)
+                         // (1::BIGINT << e) AS lg
+                FROM cl),
+        a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(c * lg) AS BIGINT) AS s
+              FROM clg GROUP BY g),
+        al AS (SELECT g, n, s,
+                      CAST(length(ltrim(bin(n), '0')) - 1 AS BIGINT)
+                        AS e
+               FROM a)
+        SELECT g AS event_type, n,
+               CAST((n * (e * 1000 + ((n - (1::BIGINT << e)) * 1000)
+                          // (1::BIGINT << e)) - s) // n AS BIGINT)
+                 AS entropy_milli
+        FROM al
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # profile sanity: every group sees many users -> entropy well above 0
+    assert all(r[2] > 1000 for r in got)
+
+    # hand cases: 4 singletons -> exactly 2000 milli-bits (log2 exact at
+    # powers of two); a constant column -> 0; skew {a:3, b:1} -> 875
+    # under the piecewise-linear log (true H = 811; the CONTRACT is the
+    # ilog2m formula, not IEEE log2)
+    synth = spark.createDataFrame(
+        [("u", 1), ("u", 2), ("u", 3), ("u", 4),
+         ("k", 9), ("k", 9), ("k", 9),
+         ("s", 1), ("s", 1), ("s", 1), ("s", 2)],
+        "event_type string, user_id long")
+    rows = {r["event_type"]: (r["n"], r["entropy_milli"])
+            for r in entropy_by_group(synth).collect()}
+    assert rows == {"u": (4, 2000), "k": (3, 0), "s": (4, 875)}
+
+
+def test_pagerank_exact_python_replay_and_hand_case(spark, sf_dir):
+    """Every iteration is pure int64 arithmetic, so an independent
+    pure-Python replay must match EXACTLY — no tolerance. Edges:
+    customer -> supplier from the order/lineitem fixtures (set
+    semantics)."""
+    from clickhouse_hdfs_loader_spark.operators.components import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1_000_000).alias("dst")))
+    iters = 10
+    got = {r["node"]: r["mass_micro"]
+           for r in pagerank(edges, iters=iters).collect()}
+
+    epairs = sorted({(r["src"], r["dst"])
+                     for r in edges.where(
+                         F.col("src").isNotNull()
+                         & F.col("dst").isNotNull()).collect()})
+    nodes = sorted({s for s, _ in epairs} | {d for _, d in epairs})
+    odeg: dict = {}
+    for s, _d in epairs:
+        odeg[s] = odeg.get(s, 0) + 1
+    mass = {v: 1_000_000 for v in nodes}
+    teleport = (1_000_000 * 150) // 1000
+    for _ in range(iters):
+        infl = {v: 0 for v in nodes}
+        for s, d in epairs:
+            infl[d] += (mass[s] * 850) // (1000 * odeg[s])
+        mass = {v: teleport + infl[v] for v in nodes}
+    assert got == mass
+    # suppliers (pure sinks here) outrank customers (pure sources,
+    # which keep only the teleport mass)
+    assert all(got[v] == teleport for v in nodes if v < 1_000_000)
+    assert any(got[v] > 1_000_000 for v in nodes if v >= 1_000_000)
+
+    # hand case: a 2-cycle plus a dangling feeder; replayed by hand:
+    # a<->b, c->a. it1: a = 150000 + 850*(1e6)/1000 [from b] +
+    # 850*(1e6)/1000 [from c] = 1850000; b = 150000 + 850000 = 1000000;
+    # c = 150000. it2: a = 150000 + 850 + (c's share)... pinned below.
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string")
+    got2 = {r["node"]: r["mass_micro"]
+            for r in pagerank(e2, iters=2).collect()}
+    # replay: it1 a=150000+850000+850000=1850000, b=1000000, c=150000
+    #         it2 a=150000+850000+127500=1127500, b=150000+1572500
+    assert got2 == {"a": 1_127_500, "b": 1_722_500, "c": 150_000}
+
+
 def test_lttb_downsample_guards(spark):
     from clickhouse_hdfs_loader_spark.operators.downsample import (
         lttb_downsample)

@@ -1,0 +1,136 @@
+"""covariance_stats + pca_whiten: exact integer moment sums (DuckDB
+oracle), bitwise projection replay, and whitening contracts."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+COV_SQL = """
+    WITH q AS (SELECT vec_id AS rid,
+                      generate_subscripts(embedding, 1) - 1 AS d2,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1000.0) AS BIGINT) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.d2 AS i, b.d2 AS j,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+          FROM q a JOIN q b ON a.rid = b.rid AND a.d2 <= b.d2
+          GROUP BY 1, 2),
+    s AS (SELECT d2, CAST(sum(q) AS BIGINT) AS sv FROM q GROUP BY 1),
+    nn AS (SELECT CAST(count(DISTINCT rid) AS BIGINT) AS n FROM q)
+    SELECT p.i, p.j, nn.n, si.sv AS s_i, sj.sv AS s_j, p.s_ij
+    FROM p
+    JOIN s si ON si.d2 = p.i
+    JOIN s sj ON sj.d2 = p.j
+    CROSS JOIN nn
+"""
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_covariance_stats_oracle(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        covariance_stats)
+
+    got = sorted(map(tuple, covariance_stats(_emb(spark, sf_dir))
+                     .collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    want = sorted(map(tuple, con.execute(COV_SQL).fetchall()))
+    assert got == want
+    d = 64
+    assert len(got) == d * (d + 1) // 2
+
+
+def test_covariance_stats_partition_invariance_and_guards(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        covariance_stats)
+
+    emb = _emb(spark, sf_dir)
+    one = sorted(map(tuple,
+                     covariance_stats(emb.coalesce(1)).collect()))
+    many = sorted(map(tuple,
+                      covariance_stats(emb.repartition(7)).collect()))
+    assert one == many  # int partials are order-free-exact
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="ragged"):
+        covariance_stats(ragged)
+    withnan = spark.createDataFrame(
+        [(1, [1.0, float("nan")])], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="NaN element"):
+        covariance_stats(withnan).collect()
+    empty = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        covariance_stats(empty)
+
+
+def test_pca_whiten_bitwise_replay_and_contracts(spark, sf_dir):
+    """Replay the driver combine (python ints -> eigh -> sign fix) and
+    the sequential projection fold in pure Python: results must be
+    BITWISE equal. Then check the whitening contract: empirical
+    covariance of the projected data ~ identity."""
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        covariance_stats, pca_whiten)
+
+    emb = _emb(spark, sf_dir)
+    k = 8
+    stats = covariance_stats(emb)
+    out = {r["vec_id"]: (list(r["embedding"]), list(r["whitened"]))
+           for r in pca_whiten(emb, stats=stats, k=k).collect()}
+
+    # independent driver-combine replay from the same stats rows
+    rows = stats.collect()
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in rows:
+        num = int(r["n"]) * int(r["s_ij"]) - int(r["s_i"]) * int(r["s_j"])
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = \
+            num / (int(r["n"]) ** 2 * 1_000_000)
+        mu[r["i"]] = int(r["s_i"]) / (int(r["n"]) * 1000.0)
+        mu[r["j"]] = int(r["s_j"]) / (int(r["n"]) * 1000.0)
+    lam, vecs = np.linalg.eigh(cov)
+    order = list(range(d - 1, d - 1 - k, -1))
+    comps = vecs[:, order].copy()
+    for t in range(k):
+        col = comps[:, t]
+        if col[int(np.argmax(np.abs(col)))] < 0:
+            comps[:, t] = -col
+    W = comps * (1.0 / np.sqrt(np.maximum(lam[order], 1e-9)))
+
+    proj = np.zeros((len(out), k))
+    for row_i, (vid, (vec, got_w)) in enumerate(sorted(out.items())):
+        assert len(got_w) == k
+        for t in range(k):
+            acc = 0.0                       # the fold, sequentially
+            for j in range(d):
+                c = float(np.float32(vec[j])) - float(mu[j])
+                acc = acc + c * float(W[j, t])
+            assert acc == got_w[t], (vid, t)
+        proj[row_i] = got_w
+
+    # whitening contract: projected covariance ~ I_k (population form,
+    # matching the /n covariance the operator diagonalizes)
+    pc = (proj - proj.mean(axis=0)).T @ (proj - proj.mean(axis=0))
+    pc /= proj.shape[0]
+    assert np.allclose(pc, np.eye(k), atol=0.05)
+
+    # NULL vectors pass through with NULL output
+    withnull = _emb(spark, sf_dir).unionByName(
+        spark.createDataFrame([(99999, None, None)],
+                              _emb(spark, sf_dir).schema))
+    r = (pca_whiten(withnull, stats=stats, k=2)
+         .where(F.col("vec_id") == 99999).first())
+    assert r["whitened"] is None
+
+    with pytest.raises(ValueError, match="k must be"):
+        pca_whiten(emb, stats=stats, k=d + 1)
