@@ -1167,15 +1167,41 @@ def entropy_by_group(df: DataFrame, group_col: str = "event_type",
     partial counts, then the |distinct pairs|-row rollup to |groups|.
 
     Returns ``group, n, entropy_milli``."""
+    counts = entropy_update(None, df, group_col, value_col)
+    return entropy_from_state(counts, group_col)
+
+
+def entropy_update(state_counts: "DataFrame | None", batch: DataFrame,
+                   group_col: str = "event_type",
+                   value_col: str = "user_id") -> DataFrame:
+    """Incremental entropy maintenance: fold one micro-batch into the
+    ``(group, value, c)`` count state and return the new state. Counts
+    are a commutative monoid (int sum), so folding ANY partition of the
+    data in ANY order equals the one-shot computation — the
+    retention-grade order-free contract (hypothesis-tested). State is
+    |distinct (group, value)| rows; each fold shuffles the batch plus
+    state, never history."""
+    b = (batch.where(F.col(value_col).isNotNull())
+         .groupBy(group_col, value_col)
+         .agg(F.count(F.lit(1)).alias("c")))
+    if state_counts is not None:
+        b = (state_counts.unionByName(b)
+             .groupBy(group_col, value_col)
+             .agg(F.sum("c").alias("c")))
+    return b
+
+
+def entropy_from_state(state_counts: DataFrame,
+                       group_col: str = "event_type") -> DataFrame:
+    """The :func:`entropy_by_group` report derived purely from the
+    maintained count state (raw rows never rescanned): the exact
+    integer milli-log2 tail over carried counts."""
     from .retrieval import with_ilog2_milli
 
-    c = (df.where(F.col(value_col).isNotNull())
-         .groupBy(group_col, value_col)
-         .agg(F.count(F.lit(1)).alias("_c")))
-    c = with_ilog2_milli(c, "_c", "_lg")
+    c = with_ilog2_milli(state_counts, "c", "_lg")
     per = (c.groupBy(group_col)
-           .agg(F.sum("_c").alias("n"),
-                F.sum(F.col("_c") * F.col("_lg")).alias("_s")))
+           .agg(F.sum("c").alias("n"),
+                F.sum(F.col("c") * F.col("_lg")).alias("_s")))
     per = with_ilog2_milli(per, "n", "_lgn")
     return per.select(group_col, "n",
                       F.expr("(n * _lgn - _s) div n")

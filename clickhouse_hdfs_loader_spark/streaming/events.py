@@ -449,6 +449,34 @@ def stream_funnel(spark: SparkSession, sf_dir: str,
     return funnel_counts(state[0], steps)
 
 
+def stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/analytics.entropy_by_group: each
+    micro-batch folds into the (group, value, c) count state via
+    ``entropy_update`` inside ``foreachBatch``. Counts are a
+    commutative int-sum monoid, so the fold is order-insensitive
+    (retention-grade contract) and the milli-log2 report derives from
+    state alone — raw events are never rescanned."""
+    from ..operators.analytics import entropy_from_state, entropy_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        nxt = entropy_update(state[0] if state else None, bdf) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return entropy_from_state(state[0])
+
+
 def stream_retention(spark: SparkSession, sf_dir: str,
                      max_offset: int = 8) -> DataFrame:
     """Streaming twin of operators/analytics.retention_cohorts: each

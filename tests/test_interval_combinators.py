@@ -455,6 +455,47 @@ def test_entropy_by_group_oracle_and_hand_cases(spark, sf_dir):
     assert rows == {"u": (4, 2000), "k": (3, 0), "s": (4, 875)}
 
 
+def test_stream_entropy_matches_batch_any_partition(spark, sf_dir):
+    """The foreachBatch entropy twin reproduces the batch operator
+    exactly, and folding ANY random partition of the rows (order-free —
+    counts are an int-sum monoid) equals the one-shot report."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        entropy_by_group, entropy_from_state, entropy_update)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_entropy)
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = sorted(map(tuple, entropy_by_group(ev).collect()))
+    stream = sorted(map(tuple, stream_entropy(spark, sf_dir).collect()))
+    assert stream == batch and len(stream) == 5
+
+    schema = "event_type string, user_id long"
+
+    @given(st.lists(st.tuples(st.integers(0, 2),       # group
+                              st.integers(0, 5)),      # value
+                    min_size=1, max_size=24),
+           st.lists(st.integers(0, 2), min_size=1, max_size=24))
+    @settings(max_examples=8, deadline=None)
+    def check(evs, assignment):
+        rows = [(f"g{g}", v) for g, v in evs]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, entropy_by_group(full).collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = entropy_update(state, bdf).localCheckpoint(eager=True)
+        got = sorted(map(tuple, entropy_from_state(state).collect()))
+        assert got == one_shot
+
+    check()
+
+
 def test_pagerank_exact_python_replay_and_hand_case(spark, sf_dir):
     """Every iteration is pure int64 arithmetic, so an independent
     pure-Python replay must match EXACTLY — no tolerance. Edges:
