@@ -110,10 +110,10 @@ def parse_args(argv: list[str] | None = None) -> LoaderConfig:
     ns = p.parse_args(argv)
 
     # deprecated --mapper-class (MainCliParameterParser.java:62): derive the
-    # input format from the reference mapper class name ONLY when -i was not
-    # given at all (ClickhouseHdfsLoader.java:165 gives any non-blank -i
-    # priority over --mapper-class)
-    if ns.input_format is None:
+    # input format from the reference mapper class name whenever -i is
+    # absent OR blank (ClickhouseHdfsLoader.java:165 gates on
+    # StringUtils.isNotBlank — only a non-blank -i takes priority)
+    if ns.input_format is None or not ns.input_format.strip():
         if ns.mapper_class:
             ns.input_format = ("orc" if "orc" in ns.mapper_class.lower()
                                else "text")

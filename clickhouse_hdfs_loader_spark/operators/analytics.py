@@ -11,6 +11,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _finite_col(colname: str, dtype: str):
+    """NULL-and-NaN exclusion predicate for value columns that feed a
+    Python-keyed mapInPandas pass (review-caught): NaN != NaN, so
+    CPython id-hashes each NaN (3.10+) and every arriving NaN becomes
+    its OWN dict/set key — silently exhausting Misra-Gries capacity /
+    uniq_up_to caps; and a NaN emitted back through an Arrow object
+    column conflates with the NULL sentinel (both arrive as null), so
+    NaN cannot be carried as a candidate either. Excluding NaN rows
+    up-front (float types only — isnan does not apply elsewhere) is the
+    one consistent stance; mirror ``AND NOT isnan(v)`` in any SQL twin
+    over a float column."""
+    cond = F.col(colname).isNotNull()
+    if dtype in ("float", "double"):
+        cond = cond & ~F.isnan(F.col(colname))
+    return cond
+
+
+def _integral_weight_expr(op: str, weight_col: str,
+                          allow_negative: bool = False):
+    """The ONE copy of the integral-weight validator (review-caught
+    triplication risk). NULL weights pass through as NULL so they reach
+    the caller's documented isNotNull exclusion; NaN weights route to a
+    descriptive raise BEFORE the integrality check (NaN = NaN is TRUE
+    under Spark's total ordering and floor(NaN) is NaN, so NaN would
+    otherwise pass integrality and explode in the ANSI CAST);
+    fractional weights raise; negative weights raise unless
+    ``allow_negative`` (callers that instead drop them with a ``> 0``
+    filter). The guard lives INSIDE the weight expression so column
+    pruning can never optimize it away."""
+    neg = ("" if allow_negative else
+           f"WHEN CAST({weight_col} AS DOUBLE) < 0.0 "
+           f"THEN raise_error('{op}: negative weight breaks the "
+           f"Misra-Gries accounting; weights must be non-negative "
+           f"integral counts') ")
+    return F.expr(
+        f"CASE WHEN {weight_col} IS NULL THEN NULL "
+        f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
+        f"THEN raise_error('{op}: NaN weight; weights "
+        f"must be integral counts') "
+        + neg +
+        f"WHEN CAST({weight_col} AS DOUBLE) "
+        f"= floor(CAST({weight_col} AS DOUBLE)) "
+        f"THEN CAST({weight_col} AS BIGINT) "
+        f"ELSE raise_error('{op}: weights "
+        f"must be integral counts; scale fractional weights to integers "
+        f"first') END")
+
 
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
@@ -206,7 +253,10 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     from all summaries has global count ≤ N/capacity). When neither
     holds the operator RAISES (loud, like quota_sample's margin check)
     — raise ``capacity`` rather than ship a silently approximate
-    answer. At 100 TB the first pass moves ≤ partitions × capacity rows
+    answer. NULL values are excluded; NaN values too when the column is
+    float-typed (see ``_finite_col`` — NaN neither keys a Python dict
+    correctly nor survives the Arrow object-column boundary).
+    At 100 TB the first pass moves ≤ partitions × capacity rows
     instead of |distinct keys| (size capacity so partitions × capacity
     stays broadcast-sized — the candidate set is the pass-2 build
     side). The summary is persisted so the MG pass over the data runs
@@ -244,8 +294,8 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
                             "_evicted": [evicted] * (len(counts) + 1),
                             "_n": [0] * len(counts) + [n]})
 
-    src = df.select(col).where(F.col(col).isNotNull())
-    dtype = dict(src.dtypes)[col]
+    dtype = dict(df.select(col).dtypes)[col]
+    src = df.select(col).where(_finite_col(col, dtype))
     spark = df.sparkSession
     # persist: the expensive MG pass over the data materializes once;
     # the flag/total aggregate and the candidate distinct both read the
@@ -312,6 +362,10 @@ def transition_counts(events: DataFrame, user_col: str = "user_id",
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     pairs = (events
+             # NULL-ts rows out: engines disagree on NULL window
+             # ordering (Spark NULLS FIRST, DuckDB NULLS LAST) — the
+             # adjacency chain must not depend on it (mirror the WHERE)
+             .where(F.col(ts_col).isNotNull())
              .select(user_col, ts_col, id_col,
                      F.col(type_col).alias("from_type"))
              .withColumn("to_type", F.lead("from_type").over(w))
@@ -583,25 +637,10 @@ def exact_weighted_quantiles_by_group(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wall = Window.partitionBy(group_col)
     qarr = F.array(*[F.lit(int(q)) for q in qs_milli])
-    # the guard lives INSIDE the weight expression so column pruning
-    # can never optimize the check away
-    w_int = F.expr(
-        # NULL weights must reach the isNotNull exclusion below — without
-        # the leading branch a NULL comparison is NULL (not true) and
-        # evaluation falls into the raise_error ELSE
-        f"CASE WHEN {weight_col} IS NULL THEN NULL "
-        # NaN satisfies the integrality check (NaN = NaN is TRUE under
-        # Spark's total ordering and floor(NaN) is NaN), then explodes
-        # in the ANSI CAST — route it to the descriptive raise instead
-        f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
-        f"THEN raise_error('exact_weighted_quantiles_by_group: NaN "
-        f"weight; weights must be integral counts') "
-        f"WHEN CAST({weight_col} AS DOUBLE) "
-        f"= floor(CAST({weight_col} AS DOUBLE)) "
-        f"THEN CAST({weight_col} AS BIGINT) "
-        f"ELSE raise_error('exact_weighted_quantiles_by_group: weights "
-        f"must be integral counts; scale fractional weights to integers "
-        f"first') END")
+    # negatives are silently dropped by the > 0 filter below (not a
+    # raise — this operator's documented stance), hence allow_negative
+    w_int = _integral_weight_expr("exact_weighted_quantiles_by_group",
+                                  weight_col, allow_negative=True)
     base = (df.select(group_col, value_col, w_int.alias("_w"))
             .where(F.col(value_col).isNotNull()
                    & F.col("_w").isNotNull() & (F.col("_w") > 0)))
@@ -785,28 +824,15 @@ def heavy_hitters_weighted(df: DataFrame, col: str, weight_col: str,
     NaN/fractional/negative weights raise loudly (a negative weight
     breaks the MG accounting silently — same stance as
     ``exact_weighted_quantiles_by_group``), zero weights contribute
-    nothing and are dropped."""
+    nothing and are dropped. NULL values are excluded, and NaN values
+    too on float columns (``_finite_col``)."""
     import pandas as pd
 
-    w_int = F.expr(
-        f"CASE WHEN {weight_col} IS NULL THEN NULL "
-        f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
-        f"THEN raise_error('heavy_hitters_weighted: NaN weight; weights "
-        f"must be integral counts') "
-        f"WHEN CAST({weight_col} AS DOUBLE) < 0.0 "
-        f"THEN raise_error('heavy_hitters_weighted: negative weight "
-        f"breaks the Misra-Gries accounting; weights must be "
-        f"non-negative integral counts') "
-        f"WHEN CAST({weight_col} AS DOUBLE) "
-        f"= floor(CAST({weight_col} AS DOUBLE)) "
-        f"THEN CAST({weight_col} AS BIGINT) "
-        f"ELSE raise_error('heavy_hitters_weighted: weights must be "
-        f"integral counts; scale fractional weights to integers first') "
-        f"END")
+    w_int = _integral_weight_expr("heavy_hitters_weighted", weight_col)
+    dtype = dict(df.select(col).dtypes)[col]
     src = (df.select(F.col(col), w_int.alias("_w"))
-           .where(F.col(col).isNotNull() & F.col("_w").isNotNull()
+           .where(_finite_col(col, dtype) & F.col("_w").isNotNull()
                   & (F.col("_w") > 0)))
-    dtype = dict(src.dtypes)[col]
     spark = df.sparkSession
 
     def summarize(batches):
@@ -919,7 +945,8 @@ def uniq_up_to(df: DataFrame, group_col: str, value_col: str,
     NULL numeric group arrives in pandas as NaN, whose self-unequal
     hashing would silently split the group — excluded loudly up-front
     instead; match the SQL twin with ``WHERE g IS NOT NULL AND v IS NOT
-    NULL``).
+    NULL``), and NaN values/groups likewise on float columns
+    (``_finite_col`` — add ``AND NOT isnan(...)`` to the twin then).
 
     Returns ``group, uniq_up_to`` with ``uniq_up_to`` ∈ [1, n+1]."""
     import pandas as pd
@@ -941,10 +968,10 @@ def uniq_up_to(df: DataFrame, group_col: str, value_col: str,
         yield pd.DataFrame({group_col: pd.Series(gs, dtype="object"),
                             value_col: pd.Series(vs, dtype="object")})
 
+    dtypes = dict(df.select(group_col, value_col).dtypes)
     src = (df.select(group_col, value_col)
-           .where(F.col(value_col).isNotNull()
-                  & F.col(group_col).isNotNull()))
-    dtypes = dict(src.dtypes)
+           .where(_finite_col(value_col, dtypes[value_col])
+                  & _finite_col(group_col, dtypes[group_col])))
     pairs = src.mapInPandas(
         partial,
         schema=f"{group_col} {dtypes[group_col]}, "

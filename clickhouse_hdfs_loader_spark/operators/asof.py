@@ -233,7 +233,12 @@ def time_weighted_avg(events: DataFrame, ts_col: str = "ts",
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     us = F.unix_micros(F.col(ts_col))
     rows = (events
-            .where(F.col(value_col).isNotNull())
+            # NULL ts excluded too: Spark windows sort NULLS FIRST,
+            # DuckDB NULLS LAST — a drifted fixture with one NULL-ts
+            # row would silently reorder the lead() chain differently
+            # per engine (mirror the WHERE in the oracle)
+            .where(F.col(value_col).isNotNull()
+                   & F.col(ts_col).isNotNull())
             .withColumn("_us", us)
             .withColumn("_dur", F.coalesce(
                 F.lead("_us").over(w) - F.col("_us"), F.lit(0)))

@@ -79,6 +79,8 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     2^63 for N < 10^10 nodes.
 
     Returns ``node, mass_micro`` (descending mass = descending rank)."""
+    if int(iters) < 1:
+        raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
@@ -106,6 +108,13 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         if prev is not None:
             prev.unpersist()   # one mass snapshot per iteration otherwise
         prev = mass
+    # the final (returned) mass checkpoint is materialized, so the two
+    # setup checkpoints can release their blocks now — repeated calls in
+    # a long session would otherwise leak |nodes| + |edges| cached rows
+    # per call (review-caught); the returned snapshot itself stays
+    # cached and is the caller's to unpersist
+    nodes.unpersist()
+    eo.unpersist()
     return mass.select("node", F.col("mass").alias("mass_micro"))
 
 

@@ -99,7 +99,12 @@ def lttb_downsample(df: DataFrame, series_col: str, x_col: str,
             "pos": range(len(idx)),
         })
 
+    # NaN excluded alongside NULL: one NaN poisons every bucket mean it
+    # touches, all areas go NaN, and `>` never fires — each affected
+    # bucket would silently keep its first point (review-caught)
     return (df.select(series_col, x_col, y_col)
-            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                   & ~F.isnan(F.col(x_col).cast("double"))
+                   & ~F.isnan(F.col(y_col).cast("double")))
             .groupBy(series_col)
             .applyInPandas(one_series, schema=out_schema))

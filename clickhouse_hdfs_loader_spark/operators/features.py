@@ -157,10 +157,12 @@ def covariance_stats(emb: DataFrame,
             if not vecs:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            if np.isnan(X).any():
+            if not np.isfinite(X).all():
                 raise ValueError(
-                    "covariance_stats: NaN element in a vector — drop "
-                    "or impute before computing moments")
+                    "covariance_stats: non-finite element (NaN/Inf) in "
+                    "a vector — drop or impute before computing moments "
+                    "(Inf would silently wrap to INT64_MIN in the "
+                    "quantized sums)")
             Q = np.floor(X * 1000.0).astype(np.int64)
             S += Q.T @ Q            # int64 matmul: exact, order-free
             s += Q.sum(axis=0)

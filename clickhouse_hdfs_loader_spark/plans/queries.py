@@ -3867,7 +3867,7 @@ def histogram_fixed(spark, sf_dir):
       SELECT event_type AS from_type,
              lead(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     c AS (SELECT from_type, to_type, count(*) AS n
           FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2),
     t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
@@ -4195,7 +4195,7 @@ def kfold_assign(spark, sf_dir):
              coalesce(lead(epoch_us(ts)) OVER (
                  PARTITION BY event_type ORDER BY ts, event_id)
                - epoch_us(ts), 0) AS dur
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     a AS (SELECT event_type,
                  CAST(sum(CAST(floor(value * 1000) AS BIGINT) * dur)
                       AS BIGINT) AS num,

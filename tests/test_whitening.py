@@ -65,7 +65,7 @@ def test_covariance_stats_partition_invariance_and_guards(spark, sf_dir):
         covariance_stats(ragged)
     withnan = spark.createDataFrame(
         [(1, [1.0, float("nan")])], "vec_id long, embedding array<float>")
-    with pytest.raises(Exception, match="NaN element"):
+    with pytest.raises(Exception, match="non-finite"):
         covariance_stats(withnan).collect()
     empty = spark.createDataFrame(
         [(1, None)], "vec_id long, embedding array<float>")
