@@ -28,6 +28,19 @@ def _finite_col(colname: str, dtype: str):
     return cond
 
 
+def _quantizable_col(colname: str):
+    """NULL/NaN/±Inf exclusion for float value columns that feed a
+    floor-milli quantize (``floor(v·1000) → BIGINT``). Under Spark 4
+    ANSI, ``floor(NaN·1000)`` silently yields 0 and ±Inf SATURATES the
+    long cast to ±2^63−1 — while the DuckDB twin raises on the same
+    BIGINT cast, so one drifted non-finite value either reds the graded
+    query or silently poisons the sums. Mirror ``AND isfinite(v)`` in
+    the SQL twin (DuckDB's isfinite is false for NaN and ±Inf)."""
+    c = F.col(colname)
+    return (c.isNotNull() & ~F.isnan(c.cast("double"))
+            & (F.abs(c.cast("double")) != F.lit(float("inf"))))
+
+
 def _integral_weight_expr(op: str, weight_col: str,
                           allow_negative: bool = False):
     """The ONE copy of the integral-weight validator (review-caught
@@ -917,7 +930,7 @@ def group_array_moving_sum(events: DataFrame, n: int = 5,
     w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
     wm = w.rowsBetween(-(n - 1), Window.currentRow)
     base = (events
-            .where(F.col(value_col).isNotNull()
+            .where(_quantizable_col(value_col)
                    & F.col(ts_col).isNotNull())
             .withColumn("_vm",
                         F.floor(F.col(value_col).cast("double") * 1000)
@@ -1003,7 +1016,7 @@ def delta_sum(events: DataFrame, group_col: str = "event_type",
 
     w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
     base = (events
-            .where(F.col(value_col).isNotNull()
+            .where(_quantizable_col(value_col)
                    & F.col(ts_col).isNotNull())
             .withColumn("_vm",
                         F.floor(F.col(value_col).cast("double") * 1000)
@@ -1038,7 +1051,7 @@ def bounding_ratio(events: DataFrame, group_col: str = "event_type",
     from pyspark.sql import Window
 
     base = (events
-            .where(F.col(value_col).isNotNull()
+            .where(_quantizable_col(value_col)
                    & F.col(ts_col).isNotNull())
             .withColumn("_vm",
                         F.floor(F.col(value_col).cast("double") * 1000)

@@ -232,12 +232,15 @@ def time_weighted_avg(events: DataFrame, ts_col: str = "ts",
 
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     us = F.unix_micros(F.col(ts_col))
+    from .analytics import _quantizable_col
     rows = (events
             # NULL ts excluded too: Spark windows sort NULLS FIRST,
             # DuckDB NULLS LAST — a drifted fixture with one NULL-ts
             # row would silently reorder the lead() chain differently
-            # per engine (mirror the WHERE in the oracle)
-            .where(F.col(value_col).isNotNull()
+            # per engine (mirror the WHERE in the oracle). NaN/Inf
+            # values excluded likewise (ANSI floor(NaN·1000) is 0, Inf
+            # saturates — mirror AND isfinite(value) in the oracle).
+            .where(_quantizable_col(value_col)
                    & F.col(ts_col).isNotNull())
             .withColumn("_us", us)
             .withColumn("_dur", F.coalesce(

@@ -114,7 +114,8 @@ def mean_center(emb: DataFrame, stats: DataFrame = None,
 
 
 def covariance_stats(emb: DataFrame,
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     dims: int | None = None) -> DataFrame:
     """Exact integer second-moment sums per dimension pair — the
     distributed half of PCA/whitening, in the kmeans quantize-then-sum
     shape: elements milli-quantize to int64 (``floor(double(x)·1e3)``),
@@ -132,21 +133,29 @@ def covariance_stats(emb: DataFrame,
     would poison every pair sum in the gemm); ragged vector lengths
     raise.
 
+    ``dims``: when the caller already knows the vector width, passing
+    it skips the eager min/max-size bounds job at construction (keeps
+    plan building lazy — the plan-audit path uses this); raggedness is
+    then still caught per batch inside the gemm pass.
+
     Returns ``i, j, n, s_i, s_j, s_ij`` for every pair 0 ≤ i ≤ j < d —
     O(d²) rows, never corpus-sized."""
     import numpy as np
     import pandas as pd
 
     src = emb.where(F.col(vec_col).isNotNull()).select(vec_col)
-    bounds = src.select(F.min(F.size(vec_col)).alias("mn"),
-                        F.max(F.size(vec_col)).alias("mx")).first()
-    if bounds["mn"] is None:
-        raise ValueError("covariance_stats: no non-NULL vectors")
-    if bounds["mn"] != bounds["mx"]:
-        raise ValueError(
-            f"covariance_stats: ragged vector lengths "
-            f"{bounds['mn']}..{bounds['mx']}")
-    d = int(bounds["mn"])
+    if dims is None:
+        bounds = src.select(F.min(F.size(vec_col)).alias("mn"),
+                            F.max(F.size(vec_col)).alias("mx")).first()
+        if bounds["mn"] is None:
+            raise ValueError("covariance_stats: no non-NULL vectors")
+        if bounds["mn"] != bounds["mx"]:
+            raise ValueError(
+                f"covariance_stats: ragged vector lengths "
+                f"{bounds['mn']}..{bounds['mx']}")
+        d = int(bounds["mn"])
+    else:
+        d = int(dims)
 
     def partials(batches):
         S = np.zeros((d, d), dtype=np.int64)
@@ -156,6 +165,10 @@ def covariance_stats(emb: DataFrame,
             vecs = [v for v in pdf[vec_col] if v is not None]
             if not vecs:
                 continue
+            if any(len(v) != d for v in vecs):
+                raise ValueError(
+                    f"covariance_stats: ragged vector lengths "
+                    f"(expected {d})")
             X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             if not np.isfinite(X).all():
                 raise ValueError(

@@ -4026,7 +4026,12 @@ def exact_median_by_group(spark, sf_dir):
            FROM events e JOIN s1 USING (user_id)
            WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
     SELECT DISTINCT user_id,
-           CAST(user_id IN (SELECT user_id FROM s2) AS INT) AS matched
+           -- coalesce: a drifted NULL user_id yields NULL for
+           -- `NULL IN (non-empty set)` here while the Spark operator
+           -- coalesces the flag to 0 — same engine-divergence-on-drift
+           -- class as the NULL ordering keys (ADVICE r9)
+           CAST(coalesce(user_id IN (SELECT user_id FROM s2), false)
+                AS INT) AS matched
     FROM events
 """)
 def sequence_match(spark, sf_dir):
@@ -4195,7 +4200,8 @@ def kfold_assign(spark, sf_dir):
              coalesce(lead(epoch_us(ts)) OVER (
                  PARTITION BY event_type ORDER BY ts, event_id)
                - epoch_us(ts), 0) AS dur
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
+        AND ts IS NOT NULL),
     a AS (SELECT event_type,
                  CAST(sum(CAST(floor(value * 1000) AS BIGINT) * dur)
                       AS BIGINT) AS num,
@@ -4284,7 +4290,10 @@ def winsorize_by_group(spark, sf_dir):
 
 @query("exact_weighted_quantiles_by_group", oracle="""
     WITH b AS (
-      SELECT event_type, value, (event_id % 5) + 1 AS w
+      -- pmod-equivalent modulus: DuckDB % is sign-of-dividend, Spark
+      -- pmod is non-negative — a drifted negative event_id must not
+      -- diverge the weights (ADVICE r9)
+      SELECT event_type, value, ((event_id % 5 + 5) % 5) + 1 AS w
       FROM events WHERE value IS NOT NULL),
     r AS (
       SELECT event_type, value, w,
@@ -4361,6 +4370,618 @@ def stream_funnel(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# [EXT] r10 promotions: the late-r9 in-test-oracle backlog, now driver-
+# graded. SQL moved verbatim from the in-test oracles
+# (tests/test_interval_combinators.py, tests/test_llm_operators.py,
+# tests/test_whitening.py) per the r9 promotion pattern; the only edits
+# are the finite-value guards added repo-wide this round (ADVICE r9) and
+# pmod-safe moduli.
+# ---------------------------------------------------------------------------
+
+# interval derivation shared by the interval-op queries: each event opens
+# a half-open interval of floor(value*10) seconds at floor(epoch) —
+# integer-exact on both engines (identical float expression order);
+# NaN/±Inf values excluded like every floor-quantize path (ADVICE r9)
+_IV_SQL = """
+    SELECT event_type AS g, event_id AS id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             + CAST(floor(value * 10) AS BIGINT) AS e
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      AND isfinite(value)
+"""
+
+
+def _iv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    finite = (F.col("value").isNotNull() & ~F.isnan("value")
+              & (F.abs("value") != F.lit(float("inf"))))
+    return (ev.where(F.col("ts").isNotNull() & finite)
+            .select(F.col("event_type").alias("g"),
+                    F.col("event_id").alias("id"),
+                    sec.alias("s"),
+                    (sec + F.floor(F.col("value") * 10).cast("long"))
+                    .alias("e")))
+
+
+@query("interval_length_sum", oracle=f"""
+    WITH iv AS ({_IV_SQL}),
+    f AS (SELECT * FROM iv WHERE e >= s),
+    m AS (SELECT g, id, s, e,
+            CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                 THEN 1 ELSE 0 END AS nw
+          FROM f
+          WINDOW pw AS (PARTITION BY g ORDER BY s, e, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)),
+    seg AS (SELECT g, e, s, sum(nw) OVER (
+              PARTITION BY g ORDER BY s, e, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sid
+            FROM m),
+    per AS (SELECT g, sid, max(e) - min(s) AS len, count(*) AS n
+            FROM seg GROUP BY 1, 2)
+    SELECT g, CAST(sum(len) AS BIGINT) AS union_len,
+           CAST(count(*) AS BIGINT) AS segments,
+           CAST(sum(n) AS BIGINT) AS intervals
+    FROM per GROUP BY g
+""")
+def interval_length_sum(spark, sf_dir):
+    """ClickHouse ``intervalLengthSum``: per-group union length of
+    half-open intervals — sweep-line as windows, no self-join.
+    operators/intervals.py:interval_length_sum."""
+    from ..operators.intervals import interval_length_sum as _ils
+    return _ils(_iv_events(spark, sf_dir), "g", "s", "e", id_col="id")
+
+
+@query("max_intersections", oracle=f"""
+    WITH iv AS ({_IV_SQL}),
+    f AS (SELECT * FROM iv WHERE e > s),
+    pts AS (SELECT g, s AS p, 1 AS d FROM f
+            UNION ALL SELECT g, e, -1 FROM f),
+    c AS (SELECT g, p, sum(d) OVER (
+            PARTITION BY g ORDER BY p, d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM pts),
+    mx AS (SELECT g, CAST(max(c) AS BIGINT) AS max_intersections
+           FROM c GROUP BY g)
+    SELECT c.g, mx.max_intersections,
+           CAST(min(c.p) AS BIGINT) AS position
+    FROM c JOIN mx ON c.g = mx.g AND c.c = mx.max_intersections
+    GROUP BY 1, 2
+""")
+def max_intersections(spark, sf_dir):
+    """ClickHouse ``maxIntersections(Position)``: peak concurrent
+    intervals per group + earliest position attaining it (±1 sweep as a
+    running-sum window; close-before-open at ties = half-open
+    semantics). operators/intervals.py:max_intersections."""
+    from ..operators.intervals import max_intersections as _mi
+    return _mi(_iv_events(spark, sf_dir), "g", "s", "e")
+
+
+@query("delta_sum", oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      lag(CAST(floor(value * 1000) AS BIGINT)) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                        AS pv
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL)
+    SELECT event_type,
+           CAST(sum(CASE WHEN pv IS NULL THEN 0
+                         ELSE greatest(0, vm - pv) END) AS BIGINT)
+             AS delta_sum_milli
+    FROM v GROUP BY event_type
+""")
+def delta_sum(spark, sf_dir):
+    """ClickHouse ``deltaSum``: per-group sum of positive deltas between
+    consecutive milli-quantized values (counter-with-resets).
+    operators/analytics.py:delta_sum."""
+    from ..operators.analytics import delta_sum as _ds
+    return _ds(_t(spark, sf_dir, "events"))
+
+
+@query("bounding_ratio", oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      epoch_us(ts) AS tus,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY epoch_us(ts), event_id) AS ra,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY epoch_us(ts) DESC, event_id DESC)
+                        AS rd
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL),
+    a AS (SELECT event_type,
+                 max(CASE WHEN ra = 1 THEN vm END) AS yf,
+                 max(CASE WHEN rd = 1 THEN vm END) AS yl,
+                 max(tus) - min(tus) AS den_us
+          FROM v GROUP BY event_type)
+    SELECT event_type, CAST(yl - yf AS BIGINT) AS num_milli,
+           CAST(den_us AS BIGINT) AS den_us,
+           CASE WHEN den_us = 0 THEN NULL ELSE
+             floor(CAST(yl - yf AS DOUBLE) * 1000000.0
+                   / CAST(den_us AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 END AS slope_milli_per_sec_e4
+    FROM a
+""")
+def bounding_ratio(spark, sf_dir):
+    """ClickHouse ``boundingRatio``: first→last slope per group with the
+    exact integer numerator/denominator alongside (knife-edge-safe
+    rounding). operators/analytics.py:bounding_ratio."""
+    from ..operators.analytics import bounding_ratio as _br
+    return _br(_t(spark, sf_dir, "events"))
+
+
+@query("sequence_next_node", oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+    nxt AS (SELECT e.user_id, e.event_type
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.ts > s1.t
+            QUALIFY row_number() OVER (PARTITION BY e.user_id
+              ORDER BY e.ts, e.event_id) = 1)
+    SELECT event_type AS next_event_type,
+           CAST(count(*) AS BIGINT) AS users
+    FROM nxt GROUP BY 1
+""")
+def sequence_next_node(spark, sf_dir):
+    """ClickHouse ``sequenceNextNode``: distribution of the event
+    immediately after a completed view→click chain ((ts, event_id)
+    tie-break). operators/analytics.py:sequence_next_node."""
+    from ..operators.analytics import sequence_next_node as _snn
+    return _snn(_t(spark, sf_dir, "events"), ["view", "click"])
+
+
+@query("window_funnel_strict_order", oracle="""
+    WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+                      event_id
+               FROM events WHERE ts IS NOT NULL),
+    l AS (SELECT user_id,
+            CASE WHEN event_type = 'view'
+                  AND lead(event_type, 1) OVER w = 'click'
+                  AND lead(tus, 1) OVER w <= tus + 86400000000
+                  AND lead(event_type, 2) OVER w = 'purchase'
+                  AND lead(tus, 2) OVER w <= tus + 86400000000
+                 THEN 3
+                 WHEN event_type = 'view'
+                  AND lead(event_type, 1) OVER w = 'click'
+                  AND lead(tus, 1) OVER w <= tus + 86400000000
+                 THEN 2
+                 WHEN event_type = 'view' THEN 1 ELSE 0 END AS lvl
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    p AS (SELECT user_id, max(lvl) AS level FROM l GROUP BY 1)
+    SELECT level, CAST(count(*) AS BIGINT) AS users
+    FROM p GROUP BY 1
+""")
+def window_funnel_strict_order(spark, sf_dir):
+    """ClickHouse ``windowFunnel(... 'strict_order')``: steps must be
+    CONSECUTIVE events (an intervening event breaks the chain — lead()
+    adjacency, not the greedy subsequence funnel), within 24h.
+    operators/analytics.py:window_funnel_strict_order."""
+    from ..operators.analytics import window_funnel_strict_order as _wf
+    return _wf(_t(spark, sf_dir, "events"),
+               ["view", "click", "purchase"], within_hours=24)
+
+
+@query("entropy_by_group", oracle="""
+    WITH c AS (SELECT event_type AS g, user_id AS v,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    cl AS (SELECT g, c,
+                  CAST(length(ltrim(bin(c), '0')) - 1 AS BIGINT)
+                    AS e
+           FROM c),
+    clg AS (SELECT g, c,
+                   e * 1000 + ((c - (1::BIGINT << e)) * 1000)
+                     // (1::BIGINT << e) AS lg
+            FROM cl),
+    a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * lg) AS BIGINT) AS s
+          FROM clg GROUP BY g),
+    al AS (SELECT g, n, s,
+                  CAST(length(ltrim(bin(n), '0')) - 1 AS BIGINT)
+                    AS e
+           FROM a)
+    SELECT g AS event_type, n,
+           CAST((n * (e * 1000 + ((n - (1::BIGINT << e)) * 1000)
+                      // (1::BIGINT << e)) - s) // n AS BIGINT)
+             AS entropy_milli
+    FROM al
+""")
+def entropy_by_group(spark, sf_dir):
+    """ClickHouse ``entropy()``: Shannon entropy of user_id per group in
+    exact integer milli-bits via the piecewise-linear ilog2 (the graded
+    bm25 idiom — the CONTRACT is the ilog2m formula, engine-exact).
+    operators/analytics.py:entropy_by_group."""
+    from ..operators.analytics import entropy_by_group as _ent
+    return _ent(_t(spark, sf_dir, "events"))
+
+
+@query("covariance_stats", oracle="""
+    WITH q AS (SELECT vec_id AS rid,
+                      generate_subscripts(embedding, 1) - 1 AS d2,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1000.0) AS BIGINT) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.d2 AS i, b.d2 AS j,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+          FROM q a JOIN q b ON a.rid = b.rid AND a.d2 <= b.d2
+          GROUP BY 1, 2),
+    s AS (SELECT d2, CAST(sum(q) AS BIGINT) AS sv FROM q GROUP BY 1),
+    nn AS (SELECT CAST(count(DISTINCT rid) AS BIGINT) AS n FROM q)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, nn.n,
+           si.sv AS s_i, sj.sv AS s_j, p.s_ij
+    FROM p
+    JOIN s si ON si.d2 = p.i
+    JOIN s sj ON sj.d2 = p.j
+    CROSS JOIN nn
+""")
+def covariance_stats(spark, sf_dir):
+    """Exact integer second-moment sums per dimension pair (the
+    distributed half of PCA/whitening) — int64 gemm partials per Arrow
+    batch, single scan + single groupBy, O(d²) output rows.
+    operators/features.py:covariance_stats."""
+    from ..operators.features import covariance_stats as _cov
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cov(emb, dims=64)
+
+
+@query("heavy_hitters_weighted", oracle="""
+    SELECT event_type AS value,
+           -- pmod-equivalent modulus (DuckDB % is sign-of-dividend)
+           CAST(sum(((event_id % 5 + 5) % 5) + 1) AS BIGINT) AS weight,
+           CAST(row_number() OVER (
+             ORDER BY sum(((event_id % 5 + 5) % 5) + 1) DESC, event_type)
+             AS INT) AS rank
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY weight DESC, value LIMIT 3
+""")
+def heavy_hitters_weighted(spark, sf_dir):
+    """ClickHouse ``topKWeighted``: two-pass weighted Misra-Gries with
+    the exactness certificate (weight-destruction bound ≤ W/(cap+1);
+    raises rather than silently approximating). Deterministic weight
+    derived from event_id. operators/analytics.py:heavy_hitters_weighted."""
+    from ..operators.analytics import heavy_hitters_weighted as _hw
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1))
+    return _hw(ev, "event_type", "wt", k=3, capacity=64)
+
+
+@query("group_array_moving_sum", oracle="""
+    SELECT event_type,
+           CAST(row_number() OVER w AS INT) AS pos,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+             w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS moving_milli
+    FROM events
+    WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""")
+def group_array_moving_sum(spark, sf_dir):
+    """ClickHouse ``groupArrayMovingSum(5)``: per-group ROWS-frame
+    moving sums of milli-quantized values in (ts, id) order, emitted as
+    rows (hash-comparable). operators/analytics.py:group_array_moving_sum."""
+    from ..operators.analytics import group_array_moving_sum as _ms
+    return _ms(_t(spark, sf_dir, "events"), n=5)
+
+
+@query("uniq_up_to", oracle="""
+    SELECT event_type,
+           CAST(least(count(DISTINCT user_id), 11) AS BIGINT)
+             AS uniq_up_to
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+""")
+def uniq_up_to(spark, sf_dir):
+    """ClickHouse ``uniqUpTo(10)``: exact distinct count up to the cap,
+    sentinel 11 beyond — bounded state by construction (capped partials
+    are subsets of the true value set, so union+cap is exact).
+    operators/analytics.py:uniq_up_to."""
+    from ..operators.analytics import uniq_up_to as _uu
+    return _uu(_t(spark, sf_dir, "events"), "event_type", "user_id",
+               n=10)
+
+
+@query("dimension_stats", oracle="""
+    WITH x AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1000000) AS BIGINT) AS q
+               FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT CAST(dim AS INT) AS dim, min(q) AS qmin, max(q) AS qmax,
+           CAST(sum(q) AS BIGINT) AS qsum,
+           CAST(count(q) AS BIGINT) AS n
+    FROM x GROUP BY dim
+""")
+def dimension_stats(spark, sf_dir):
+    """Per-dimension min/max/sum/count over micro-quantized embedding
+    values — the distributed stats half of feature scaling (one
+    posexplode + one aggregate). operators/features.py:dimension_stats."""
+    from ..operators.features import dimension_stats as _st
+    return _st(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+@query("minmax_normalize", oracle="""
+    WITH x AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1000000) AS BIGINT) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+    st AS (SELECT dim, min(q) AS qmin, max(q) AS qmax FROM x
+           GROUP BY dim)
+    SELECT vec_id,
+           array_agg(CASE WHEN qmax - qmin = 0 THEN 0
+                     ELSE CAST(floor(CAST((q - qmin) * 1000 AS DOUBLE)
+                               / (qmax - qmin)) AS BIGINT) END
+                     ORDER BY dim) AS normalized
+    FROM x JOIN st USING (dim) GROUP BY vec_id
+""")
+def minmax_normalize(spark, sf_dir):
+    """Min-max scaling to integer milli-units in [0, 1000] per
+    dimension (constant dims pinned to 0 — never an ANSI
+    divide-by-zero); stats collected once (|dims| rows), applied as a
+    stateless zip_with. operators/features.py:minmax_normalize."""
+    from ..operators.features import minmax_normalize as _mm
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _mm(emb).select("vec_id", "normalized")
+
+
+@query("key_skew_report", oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+                 count(*) OVER () AS n FROM c),
+    q AS (SELECT
+            min(CASE WHEN rn = greatest(1, (n * 500 + 999) // 1000)
+                THEN cnt END) AS p50_cnt,
+            min(CASE WHEN rn = greatest(1, (n * 990 + 999) // 1000)
+                THEN cnt END) AS p99_cnt FROM r),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt FROM c)
+    SELECT n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+           (max_cnt * 1000) // n_rows AS top_share_milli,
+           greatest(1, (max_cnt * 200 + n_rows - 1) // n_rows)
+             AS suggested_salts
+    FROM t CROSS JOIN q
+""")
+def key_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnosis for a prospective key: one row of exact
+    count quantiles + the salt count that caps the hottest reducer at
+    an average share (default parallelism 200 on both sides).
+    operators/analytics.py:key_skew_report."""
+    from ..operators.analytics import key_skew_report as _ks
+    return _ks(_t(spark, sf_dir, "events"), "user_id")
+
+
+@query("pack_token_budget_counted", oracle="""
+    WITH d AS (
+        SELECT source AS grp, doc_id AS id,
+               CAST((length(text) % 97) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT grp, id, n_tokens,
+               CAST(floor(coalesce(CAST(sum(n_tokens) OVER (
+                   PARTITION BY grp ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) / 512.0) AS BIGINT) AS bin
+        FROM d
+    )
+    SELECT grp, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(id) AS first_doc, max(id) AS last_doc
+    FROM c GROUP BY grp, bin
+""")
+def pack_token_budget_counted(spark, sf_dir):
+    """Sequence packing driven by a PRECOMPUTED token-count column
+    (``count_col`` — the path a real tokenizer like bpe_encode's
+    n_tokens feeds; here a deterministic SQL-replayable count so the
+    plumbing itself is graded). operators/corpus.py:pack_token_budget."""
+    from ..operators.corpus import pack_token_budget as pack
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("n_tok",
+                        (F.length("text") % 97 + 1).cast("long")))
+    return pack(docs, budget=512, count_col="n_tok")
+
+
+# --- streaming twins: graded against the SAME oracles as their batch
+# counterparts (output identity is the tested contract — the
+# stream_funnel r9 precedent)
+
+@query("stream_cdc_merge", oracle=REGISTRY["cdc_apply"].oracle)
+def stream_cdc_merge(spark, sf_dir):
+    """Streaming CDC ingest twin: per-micro-batch cdc_apply(keep_deletes)
+    + merge_upsert inside foreachBatch lands on the IDENTICAL snapshot
+    as the one-shot graded cdc_apply (in-order-split identity,
+    hypothesis-tested). streaming/events.py:stream_cdc_merge."""
+    from ..streaming.events import stream_cdc_merge as _scm
+    return _scm(spark, sf_dir)
+
+
+@query("stream_event_transitions", oracle=REGISTRY["event_transitions"].oracle)
+def stream_event_transitions(spark, sf_dir):
+    """Streaming Markov-matrix maintenance twin: per-batch
+    transitions_update folds counts + per-user boundary pairs; report
+    equals the batch event_transitions (same oracle).
+    streaming/events.py:stream_event_transitions."""
+    from ..streaming.events import stream_event_transitions as _st
+    return _st(spark, sf_dir)
+
+
+@query("stream_retention", oracle=REGISTRY["retention_cohorts"].oracle)
+def stream_retention(spark, sf_dir):
+    """Streaming cohort-retention twin: min/set-union monoid state pair
+    folded per batch; report equals the batch retention_cohorts (same
+    oracle). streaming/events.py:stream_retention."""
+    from ..streaming.events import stream_retention as _sr
+    return _sr(spark, sf_dir)
+
+
+@query("stream_entropy", oracle=REGISTRY["entropy_by_group"].oracle)
+def stream_entropy(spark, sf_dir):
+    """Streaming entropy twin: (group, value, count) monoid state folded
+    per batch, milli-log2 report from state alone — equals the batch
+    entropy_by_group (same oracle). streaming/events.py:stream_entropy."""
+    from ..streaming.events import stream_entropy as _se
+    return _se(spark, sf_dir)
+
+
+# --- r10 goldens: operators whose truth is not DuckDB-expressible
+# (xxhash64 order, greedy automata, Sennrich BPE, fixed-point PageRank).
+# Literals pinned at the driver's grading scale (sf0.01) and RE-DERIVED
+# Spark-free in tests/test_r10_goldens.py (the de-circularization
+# ladder); every oracle carries a named-error sf guard.
+
+# first 20 positions of the seed-42 xxhash64 shuffle order — a pure
+# function of the doc_id set (text-independent), derived from the
+# public-spec XXH64 model chained long→int like Spark's multi-arg
+# xxhash64 (model pinned to Spark in tests/test_loader_golden.py)
+SEEDED_SHUFFLE_GOLDEN: "list[tuple[int, int]]" = [
+    (1, 497), (2, 51), (3, 332), (4, 154), (5, 498), (6, 169), (7, 84),
+    (8, 33), (9, 237), (10, 211), (11, 45), (12, 373), (13, 312),
+    (14, 78), (15, 327), (16, 340), (17, 450), (18, 76), (19, 361),
+    (20, 146)]
+
+# (users, total_matches, users_matched) of the greedy non-overlapping
+# view→click→purchase automaton over sf0.01 events
+SEQUENCE_COUNT_GOLDEN: "tuple[int, int, int]" = (150, 621, 150)
+
+# first 8 Sennrich merges over sf0.01 documents (text-dependent)
+BPE_MERGES_GOLDEN: "list[tuple[str, str]]" = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t")]
+
+# (n_nodes, sum_mass_micro, max_mass_micro, top_node) of 5-iteration
+# integer PageRank over the distinct customer→supplier order edges
+PAGERANK_GOLDEN: "tuple[int, int, int, int]" = (
+    1600, 431226609, 2298961, 1000016)
+
+
+@query("seeded_shuffle", tags=("golden-sf0.01",), oracle="""
+    SELECT CAST(c0 AS BIGINT) AS shuffle_pos, CAST(c1 AS BIGINT) AS doc_id
+    FROM (VALUES """ + ", ".join(
+    f"({p}, {d})" for p, d in SEEDED_SHUFFLE_GOLDEN) + """) AS t(c0, c1)
+    -- sf guard: order is a pure function of the doc_id SET; any other
+    -- corpus must fail with THIS message, not a silent hash mismatch
+    WHERE (SELECT CASE WHEN count(*) = 500 AND sum(doc_id) = 124750
+      THEN 1 ELSE error(
+      'seeded_shuffle golden pinned at sf0.01 (500 docs, id-sum 124750) — re-derive via tests/test_r10_goldens.py for this corpus') END
+      FROM documents) = 1
+""")
+def seeded_shuffle(spark, sf_dir):
+    """Deterministic global shuffle order (epoch = seed): first 20
+    positions of the xxhash64(doc_id, 42) order. xxhash64 is not
+    expressible in DuckDB SQL, so the oracle is a golden re-derived
+    Spark-free from the public-spec XXH64 model (the shard_assign
+    precedent). operators/corpus.py:seeded_shuffle."""
+    from ..operators.corpus import seeded_shuffle as _ss
+    docs = _t(spark, sf_dir, "documents")
+    return (_ss(docs, with_position=True)
+            .where(F.col("shuffle_pos") <= 20)
+            .select("shuffle_pos", "doc_id"))
+
+
+@query("sequence_count", tags=("golden-sf0.01",), oracle=f"""
+    SELECT CAST({SEQUENCE_COUNT_GOLDEN[0]} AS BIGINT) AS users,
+           CAST({SEQUENCE_COUNT_GOLDEN[1]} AS BIGINT) AS total_matches,
+           CAST({SEQUENCE_COUNT_GOLDEN[2]} AS BIGINT) AS users_matched
+    WHERE (SELECT CASE WHEN count(*) = 10000
+      AND sum(event_id) = 49995000 AND sum(user_id) = 742783
+      THEN 1 ELSE error(
+      'sequence_count golden pinned at sf0.01 (10000 events) — re-derive via tests/test_r10_goldens.py for this sf') END
+      FROM events) = 1
+""")
+def sequence_count(spark, sf_dir):
+    """ClickHouse ``sequenceCount``: greedy non-overlapping
+    view→click→purchase completions per user (applyInPandas automaton —
+    outside DataFrame algebra AND outside SQL, so the driver grade is a
+    golden summary re-derived by an independent pure-Python replay;
+    per-user parity is the replay test itself).
+    operators/analytics.py:sequence_count."""
+    from ..operators.analytics import sequence_count as _sc
+    per_user = _sc(_t(spark, sf_dir, "events"),
+                   ["view", "click", "purchase"])
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("matches").alias("total_matches"),
+        F.sum((F.col("matches") >= 1).cast("long")).alias("users_matched"))
+
+
+@query("bpe_merges", tags=("golden-sf0.01",), oracle="""
+    SELECT CAST(c0 AS INT) AS step, c1 AS left_sym, c2 AS right_sym
+    FROM (VALUES """ + ", ".join(
+    f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_MERGES_GOLDEN))
+    + """) AS t(c0, c1, c2)
+    -- text-dependent golden: guard on the text checksum, not just count
+    -- (sf0.001/sf0.01 share doc_ids with DIFFERENT text)
+    WHERE (SELECT CASE WHEN count(*) = 500
+      AND sum(length(text)) = 149174
+      THEN 1 ELSE error(
+      'bpe_merges golden pinned at sf0.01 (text-sum 149174) — re-derive via tests/test_r10_goldens.py for this corpus') END
+      FROM documents) = 1
+""")
+def bpe_merges(spark, sf_dir):
+    """Distributed BPE training (Sennrich 2016): the first 8 merge
+    picks — iterates on the word-frequency table, argmax with explicit
+    tie-breaks, O(1) plan depth. The merge sequence is pinned against
+    an independent pure-Python Sennrich replay (the murmur-golden
+    stance). operators/bpe.py:bpe_train."""
+    from ..operators.bpe import bpe_train
+    merges = bpe_train(_t(spark, sf_dir, "documents"), num_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, left_sym string, right_sym string")
+
+
+@query("pagerank_summary", tags=("golden-sf0.01",), oracle=f"""
+    SELECT CAST({PAGERANK_GOLDEN[0]} AS BIGINT) AS n_nodes,
+           CAST({PAGERANK_GOLDEN[1]} AS BIGINT) AS sum_mass_micro,
+           CAST({PAGERANK_GOLDEN[2]} AS BIGINT) AS max_mass_micro,
+           CAST({PAGERANK_GOLDEN[3]} AS BIGINT) AS top_node
+    WHERE (SELECT CASE WHEN
+      (SELECT count(*) FROM orders) = 15000
+      AND (SELECT sum(o_custkey) FROM orders) = 11259112
+      AND (SELECT count(*) FROM lineitem) = 60000
+      AND (SELECT sum(l_suppkey) FROM lineitem) = 2962419
+      THEN 1 ELSE error(
+      'pagerank golden pinned at sf0.01 (orders/lineitem checksums) — re-derive via tests/test_r10_goldens.py for this sf') END) = 1
+""")
+def pagerank_summary(spark, sf_dir):
+    """Integer fixed-point PageRank (5 iterations) over the distinct
+    customer→supplier edges of the order graph, summarized to one
+    deterministic row (node count, total/max micro-mass, argmax node
+    with min-node tie-break). Every iteration is exact int64
+    arithmetic, re-derived Spark-free by the golden test.
+    operators/components.py:pagerank."""
+    from ..operators.components import pagerank
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1_000_000).alias("dst")))
+    pr = pagerank(edges, iters=5)
+    w0 = Window.partitionBy(F.lit(1))
+    rnw = Window.orderBy(F.desc("mass_micro"), F.asc("node"))
+    return (pr.select(
+        F.col("node").alias("top_node"), "mass_micro",
+        F.count(F.lit(1)).over(w0).alias("n_nodes"),
+        F.sum("mass_micro").over(w0).alias("sum_mass_micro"),
+        F.max("mass_micro").over(w0).alias("max_mass_micro"),
+        F.row_number().over(rnw).alias("_rn"))
+        .where(F.col("_rn") == 1)
+        .select("n_nodes", "sum_mass_micro", "max_mass_micro",
+                "top_node"))
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
 # every §2.A/§2.B reference-core query plus one representative per extension
@@ -4370,45 +4991,33 @@ def stream_funnel(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
-# r9 rotation (r8 verdict item 1 — the slipped r8 batch folded in): the
-# §2.A/§2.B reference core and the loader end-to-end stay pinned.
-# multimodal_header_decode keeps a slot because its golden WIDENED this
-# round (media cycle %9 → %10, TIFF joins the graded formats — window
-# slot required by the golden-change rule). The slipped r8
-# re-confirmation batch AND the scheduled r9 batch both get their slots.
-# The remaining 18 slots execute the promotion backlog: every name was
-# previously pinned only by an in-test DuckDB oracle (same SQL, same
-# rigor — now also driver-graded): bm25_topk, bloom_semi_join,
-# event_transitions, exact_quantiles_by_group, sequence_match,
-# asof_join_forward, heavy_hitters, fuzzy_join_exact (the exactness
-# path; LSH recall stays s-curve-graded in tests), exact_median_by_group,
-# ngram_containment, json_tabularize, kfold_assign, time_weighted_avg,
-# linreg_by_group, winsorize_by_group, exact_weighted_quantiles_by_group,
-# retention_flags, and stream_funnel (first driver-graded foreachBatch
-# streaming twin).
+# r10 rotation (r9 verdict item 1 — the scheduled promotion-queue
+# drain, executed in full): the §2.A/§2.B reference core and the loader
+# end-to-end stay pinned. 23 slots are first-grades — the whole late-r9
+# in-test-oracle backlog (interval/series combinators, entropy,
+# covariance_stats, weighted heavy hitters, moving sums, uniq_up_to,
+# feature scaling, key_skew_report, pack_token_budget(count_col)), four
+# goldens for the non-SQL-expressible operators (seeded_shuffle xxhash64
+# order, sequence_count automaton summary, bpe merge sequence, pagerank
+# fixed-point summary — each re-derived Spark-free in
+# tests/test_r10_goldens.py), and FOUR streaming twins (stream_cdc_merge
+# + stream_event_transitions + stream_retention + stream_entropy, graded
+# against their batch twins' oracles — the stream_funnel precedent). The
+# remaining 8 slots re-confirm the r9-displaced set plus three pulled
+# forward from the r11 list.
 #
 # Future-window schedule (fold 3-6 re-confirmations per round; new
 # registrations ALWAYS take same-round slots):
-#   r10: promotion queue drain — sequence_count, dimension_stats/
-#        minmax_normalize (feature scaling), key_skew_report,
-#        seeded_shuffle, bpe merge-sequence golden, stream_cdc_merge,
-#        pack_token_budget(count_col), plus the three late-r9 combinator
-#        twins (heavy_hitters_weighted, group_array_moving_sum,
-#        uniq_up_to — in-test oracles at tests/test_llm_operators.py
-#        tail) and the late-r9 interval/series combinators
-#        (interval_length_sum, max_intersections, delta_sum,
-#        bounding_ratio, sequence_next_node, window_funnel_strict_order,
-#        entropy_by_group — in-test oracles at
-#        tests/test_interval_combinators.py — and covariance_stats,
-#        oracle at tests/test_whitening.py; lttb_downsample, pca_whiten
-#        and pagerank stay replay-pinned, not SQL-expressible)
-#        + re-confirmations from
-#        the r9 displaced set (q12_priority_shipping,
-#        quality_expectations, limit_offset, having_filter,
-#        nulls_ordering)
-#   r11+: remaining r6-graded TPC-H (q14-q22), pii_scrub,
-#        embedding_quantize, q19_disjunctive_predicates, then second
-#        confirmations of the r9 first-grades on the same cadence.
+#   r11: re-confirm the remaining r6-graded TPC-H (q14-q22) and the r10-
+#        displaced r9 batch (multimodal_header_decode,
+#        regexp_extract_groups, case_when_bucketing, array_ops,
+#        q2/q4/q6, set ops, q8/q9/q11), then second confirmations of the
+#        r9 promotions (bm25_topk, bloom_semi_join, event_transitions,
+#        sequence_match, heavy_hitters, fuzzy_join_exact, kfold_assign,
+#        …) on the same cadence.
+#   r12+: second confirmations of the r10 first-grades.
+# lttb_downsample and pca_whiten stay replay-pinned (not
+# SQL-expressible, no stable low-row summary that isn't just the replay).
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
@@ -4420,22 +5029,24 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- golden widened this round (TIFF in the %10 media cycle)
-    "multimodal_header_decode",
-    # --- the slipped r8 re-confirmation batch
-    "regexp_extract_groups", "case_when_bucketing", "array_ops",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    # --- the scheduled r9 re-confirmation batch
-    "set_except_all", "set_intersect_all", "union_distinct",
-    "q8_market_share", "q9_product_profit", "q11_important_stock",
-    # --- r9 promotions: the in-test-oracle backlog, now driver-graded
-    "bm25_topk", "bloom_semi_join", "event_transitions",
-    "exact_quantiles_by_group", "sequence_match", "asof_join_forward",
-    "heavy_hitters", "fuzzy_join_exact", "exact_median_by_group",
-    "ngram_containment", "json_tabularize", "kfold_assign",
-    "time_weighted_avg", "linreg_by_group", "winsorize_by_group",
-    "exact_weighted_quantiles_by_group", "retention_flags",
-    "stream_funnel",
+    # --- r10 first-grades: interval/series combinators + entropy
+    "interval_length_sum", "max_intersections", "delta_sum",
+    "bounding_ratio", "sequence_next_node", "window_funnel_strict_order",
+    "entropy_by_group",
+    # --- r10 first-grades: weighted/bounded aggregates + features
+    "heavy_hitters_weighted", "group_array_moving_sum", "uniq_up_to",
+    "covariance_stats", "dimension_stats", "minmax_normalize",
+    "key_skew_report", "pack_token_budget_counted",
+    # --- r10 first-grades: goldens (Spark-free re-derivations)
+    "seeded_shuffle", "sequence_count", "bpe_merges", "pagerank_summary",
+    # --- r10 first-grades: streaming twins (batch-oracle identity)
+    "stream_cdc_merge", "stream_event_transitions", "stream_retention",
+    "stream_entropy",
+    # --- re-confirmations: the r9-displaced set
+    "q12_priority_shipping", "quality_expectations", "limit_offset",
+    "having_filter", "nulls_ordering",
+    # --- re-confirmations pulled forward from the r11 list
+    "pii_scrub", "embedding_quantize", "q19_disjunctive_predicates",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

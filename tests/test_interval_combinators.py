@@ -154,7 +154,8 @@ def test_delta_sum_oracle_and_hand_case(spark, sf_dir):
                             PARTITION BY event_type ORDER BY ts, event_id)
                             AS pv
                    FROM events
-                   WHERE value IS NOT NULL AND ts IS NOT NULL)
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL)
         SELECT event_type,
                CAST(sum(CASE WHEN pv IS NULL THEN 0
                              ELSE greatest(0, vm - pv) END) AS BIGINT)
@@ -189,7 +190,8 @@ def test_bounding_ratio_oracle_and_hand_case(spark, sf_dir):
                             ORDER BY epoch_us(ts) DESC, event_id DESC)
                             AS rd
                    FROM events
-                   WHERE value IS NOT NULL AND ts IS NOT NULL),
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL),
         a AS (SELECT event_type,
                      max(CASE WHEN ra = 1 THEN vm END) AS yf,
                      max(CASE WHEN rd = 1 THEN vm END) AS yl,

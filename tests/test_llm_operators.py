@@ -1877,7 +1877,8 @@ def test_time_weighted_avg_oracle_and_hand_case(spark, sf_dir):
                  coalesce(lead(epoch_us(ts)) OVER (
                      PARTITION BY event_type ORDER BY ts, event_id)
                    - epoch_us(ts), 0) AS dur
-          FROM events WHERE value IS NOT NULL),
+          FROM events WHERE value IS NOT NULL AND isfinite(value)
+            AND ts IS NOT NULL),
         a AS (SELECT event_type,
                      CAST(sum(CAST(floor(value * 1000) AS BIGINT) * dur)
                           AS BIGINT) AS num,
@@ -2939,7 +2940,7 @@ def test_group_array_moving_sum_oracle_and_hand_case(spark, sf_dir):
                  w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS moving_milli
         FROM events
-        WHERE value IS NOT NULL AND ts IS NOT NULL
+        WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     """).fetchall()))
     assert got == want and len(got) > 0

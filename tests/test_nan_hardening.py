@@ -134,3 +134,37 @@ def test_pagerank_rejects_zero_iters(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iters"):
         pagerank(e, iters=0)
+
+
+def test_quantize_paths_exclude_nonfinite_values(spark):
+    """ADVICE r9: the floor-milli quantize operators must drop NaN/±Inf
+    value rows up-front — under ANSI, floor(NaN·1000) is silently 0 and
+    ±Inf saturates the long cast, while the DuckDB twins raise on the
+    same BIGINT cast. Finite rows must be unaffected."""
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        bounding_ratio, delta_sum, group_array_moving_sum)
+    from clickhouse_hdfs_loader_spark.operators.asof import (
+        time_weighted_avg)
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=10)
+    rows = [(1, 1, "g", t0, 1.0),
+            (2, 1, "g", t0 + s, float("nan")),
+            (3, 1, "g", t0 + 2 * s, float("inf")),
+            (4, 1, "g", t0 + 3 * s, float("-inf")),
+            (5, 1, "g", t0 + 4 * s, 3.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    clean = spark.createDataFrame(
+        [rows[0], rows[4]],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double")
+
+    for op in (delta_sum, bounding_ratio, time_weighted_avg,
+               lambda d: group_array_moving_sum(d, n=2)):
+        got = sorted(map(tuple, op(df).collect()))
+        want = sorted(map(tuple, op(clean).collect()))
+        assert got == want, op
+    # and the finite rows really flowed through (not everything dropped)
+    assert delta_sum(df).first()["delta_sum_milli"] == 2000

@@ -117,14 +117,17 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r9: the promotion backlog + the streaming twin
-        "bm25_topk", "bloom_semi_join", "event_transitions",
-        "exact_quantiles_by_group", "sequence_match", "asof_join_forward",
-        "heavy_hitters", "fuzzy_join_exact", "exact_median_by_group",
-        "ngram_containment", "json_tabularize", "kfold_assign",
-        "time_weighted_avg", "linreg_by_group", "winsorize_by_group",
-        "exact_weighted_quantiles_by_group", "retention_flags",
-        "stream_funnel",
+        # r10: the promotion-queue drain + goldens + streaming twins
+        "interval_length_sum", "max_intersections", "delta_sum",
+        "bounding_ratio", "sequence_next_node",
+        "window_funnel_strict_order", "entropy_by_group",
+        "heavy_hitters_weighted", "group_array_moving_sum", "uniq_up_to",
+        "covariance_stats", "dimension_stats", "minmax_normalize",
+        "key_skew_report", "pack_token_budget_counted",
+        "seeded_shuffle", "sequence_count", "bpe_merges",
+        "pagerank_summary",
+        "stream_cdc_merge", "stream_event_transitions",
+        "stream_retention", "stream_entropy",
     }
     missing = added_this_round - window
     assert not missing, (
