@@ -1,0 +1,206 @@
+"""Statistical combinators ([EXT]): the ClickHouse aggregate-function
+surface for exploratory statistics — ``groupArraySorted(N)``,
+``argMin``/``argMax`` (made deterministic), ``mannWhitneyUTest`` and
+``welchTTest`` — re-expressed as deterministic, engine-exact DataFrame
+compositions (reference family: ClickHouse AggregateFunctions/
+AggregateFunctionMannWhitney.h, AggregateFunctionTTest.h; semantics
+re-derived from the public docs, not ported; the fixed-bin histogram
+sibling has lived in analytics.py:histogram_fixed since r7).
+
+House rules (the graded-oracle discipline):
+- float values quantize to integer milli/micro units BEFORE any
+  aggregate, so partial sums are order-free-exact and a DuckDB twin
+  replays hash-identically (the kmeans quantize-then-sum trick);
+- NULL/NaN/±Inf value rows are excluded up-front
+  (``analytics._quantizable_col``) with ``AND isfinite(v)`` mirrored in
+  every SQL twin;
+- ties break on explicit ``(value, id)`` keys or cancel out
+  structurally (average ranks), never on engine-specific pick order;
+- the only float arithmetic (Welch's t) happens AFTER exact integer
+  moments, in one written-down expression order both engines copy —
+  IEEE division/sqrt are correctly rounded, so the replay is bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analytics import _quantizable_col
+
+
+def group_array_sorted(df: DataFrame, group_col: str, value_col: str,
+                       n: int = 10) -> DataFrame:
+    """ClickHouse ``groupArraySorted(N)``: the N smallest milli-
+    quantized values per group, as a sorted array. Deterministic even
+    under ties: which tied ROW survives the cut is engine-specific, but
+    the surviving VALUE multiset is not — so the operator emits values,
+    never row ids.
+
+    Plan: rank-filter window (Spark compiles row_number ≤ N to
+    WindowGroupLimit — partial top-N inside each map task, the bm25
+    idiom) then one collect per group; state bounded by N everywhere.
+
+    Returns ``group, vals_milli`` (array<long>, ascending)."""
+    if int(n) < 1:
+        raise ValueError(f"group_array_sorted: n must be >= 1, got {n}")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    w = Window.partitionBy(group_col).orderBy("_vm")
+    return (df.where(_quantizable_col(value_col))
+            .select(F.col(group_col), vm.alias("_vm"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(n))
+            .groupBy(group_col)
+            .agg(F.sort_array(F.collect_list("_vm")).alias("vals_milli")))
+
+
+def arg_min_max_by_group(df: DataFrame, group_col: str, arg_col: str,
+                         value_col: str, id_col: str) -> DataFrame:
+    """ClickHouse ``argMin(a, v)`` / ``argMax(a, v)`` with the
+    determinism ClickHouse does NOT promise on ties: the row is picked
+    by ``(value, id)`` / ``(value DESC, id)`` order, so equal-value rows
+    resolve identically on every engine (the asof/bounding_ratio
+    row_number stance — never ``min_by``/``max_by``, whose tie pick is
+    engine-arbitrary).
+
+    One shuffle on the group key, two rank windows over the same sort.
+    NULL values excluded (neither engine ranks them consistently);
+    NaN/±Inf excluded when the value column is floating.
+
+    Returns ``group, arg_at_min, arg_at_max``."""
+    wa = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    wd = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc())
+    dtypes = dict(df.dtypes)
+    cond = (F.col(value_col).isNotNull()
+            if dtypes.get(value_col) not in ("float", "double")
+            else _quantizable_col(value_col))
+    return (df.where(cond)
+            .withColumn("_ra", F.row_number().over(wa))
+            .withColumn("_rd", F.row_number().over(wd))
+            .groupBy(group_col)
+            .agg(F.max(F.when(F.col("_ra") == 1, F.col(arg_col)))
+                 .alias("arg_at_min"),
+                 F.max(F.when(F.col("_rd") == 1, F.col(arg_col)))
+                 .alias("arg_at_max")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   side_col: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest``'s U statistic per group, exact:
+    rank-sum of the ``side = 1`` sample with AVERAGE ranks for ties,
+    carried as DOUBLED integers so no fraction ever appears —
+    ``2·rank(v) = 2·|{x < v}| + |{x = v}| + 1`` (the midrank identity),
+    ``u2 = Σ 2·rank − n₁(n₁+1)``. Both engines compute identical
+    integers; the z-score/p-value normalization is a driver-side
+    formality left to the caller (it is a pure function of u2, n1, n2).
+
+    Plan: one (group, value) count aggregate, one cumulative window per
+    group ordered by value, one broadcast-sized join back — never a
+    per-row rank over raw data twice. ``side_col`` must be 0/1 ints;
+    other values raise loudly inside the expression (never silently
+    dropped).
+
+    Returns ``group, n1, n2, u2`` (u2 = 2·U₁, integer-exact)."""
+    # NULL short-circuits FIRST: NULL IN (0,1) is NULL, which would
+    # otherwise fall through to the raise branch if Catalyst evaluates
+    # the projection before the isNotNull filter
+    side = F.expr(
+        f"CASE WHEN {side_col} IS NULL THEN NULL "
+        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
+        f"ELSE raise_error('mann_whitney_u: side_col must be 0 or 1') "
+        f"END")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(side_col).isNotNull())
+            .select(F.col(group_col), vm.alias("_vm"),
+                    side.alias("_side")))
+    # per (group, value): total ties and side-1 count
+    per_v = (base.groupBy(group_col, "_vm")
+             .agg(F.count(F.lit(1)).alias("_cnt"),
+                  F.sum("_side").alias("_c1")))
+    wcum = (Window.partitionBy(group_col).orderBy("_vm")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # doubled midrank of every row with value v: 2·cnt_lt + cnt_eq + 1
+    ranked = per_v.withColumn(
+        "_lt", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0).cast("long")))
+    dbl = (F.lit(2).cast("long") * F.col("_lt") + F.col("_cnt")
+           + F.lit(1).cast("long"))
+    return (ranked.groupBy(group_col)
+            .agg(F.sum(F.col("_c1") * dbl).alias("_r2_1"),
+                 F.sum("_c1").alias("n1"),
+                 F.sum(F.col("_cnt") - F.col("_c1")).alias("n2"))
+            .select(group_col, "n1", "n2",
+                    (F.col("_r2_1") - F.col("n1") * (F.col("n1") + 1))
+                    .alias("u2")))
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                side_col: str) -> DataFrame:
+    """ClickHouse ``welchTTest`` per group from EXACT integer moments:
+    each side's ``n, Σq, Σq²`` over milli-quantized values (order-free
+    int64 partials — overflow-safe past 1e9 rows at |v| < 1e3), then the
+    t statistic in one written-down double expression both engines copy
+    verbatim — IEEE ``/`` and ``sqrt`` are correctly rounded, so from
+    identical integer moments the float replays bitwise; the output is
+    knife-edge-rounded (``floor(x·1e4 + 0.5)/1e4``).
+
+    Degenerate guards are explicit CASEs (never ANSI division traps):
+    a side with n < 2 or both variances zero → NULL t.
+
+    Returns ``group, n1, n2, sum1, sum2, sumsq1, sumsq2, t_e4``."""
+    side = F.expr(
+        f"CASE WHEN {side_col} IS NULL THEN NULL "
+        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
+        f"ELSE raise_error('welch_ttest: side_col must be 0 or 1') END")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(side_col).isNotNull())
+            .select(F.col(group_col), vm.alias("_vm"),
+                    side.alias("_s")))
+    agg = (base.groupBy(group_col)
+           .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
+                      .cast("long")).alias("n1"),
+                F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)
+                      .cast("long")).alias("n2"),
+                F.sum(F.when(F.col("_s") == 1, F.col("_vm"))
+                      .otherwise(F.lit(0).cast("long"))).alias("sum1"),
+                F.sum(F.when(F.col("_s") == 0, F.col("_vm"))
+                      .otherwise(F.lit(0).cast("long"))).alias("sum2"),
+                F.sum(F.when(F.col("_s") == 1,
+                             F.col("_vm") * F.col("_vm"))
+                      .otherwise(F.lit(0).cast("long"))).alias("sumsq1"),
+                F.sum(F.when(F.col("_s") == 0,
+                             F.col("_vm") * F.col("_vm"))
+                      .otherwise(F.lit(0).cast("long"))).alias("sumsq2")))
+    return agg.select(group_col, "n1", "n2", "sum1", "sum2",
+                      "sumsq1", "sumsq2", F.expr(WELCH_T_SQL).alias("t_e4"))
+
+
+# THE Welch-t expression, shared VERBATIM by the operator (F.expr) and
+# every SQL twin (embed the same string) so the float expression order
+# is identical by construction:
+#   m_i  = sum_i / n_i                       (double)
+#   v_i  = (sumsq_i - sum_i*sum_i/n_i) / (n_i - 1)
+#   t    = (m1 - m2) / sqrt(v1/n1 + v2/n2)
+# Every literal is CAST — a bare 1.0/10000.0 types DECIMAL on BOTH
+# engines (the r7 DuckDB and r9 Spark traps).
+_V1 = ("(CAST(sumsq1 AS DOUBLE) - CAST(sum1 AS DOUBLE)"
+       " * CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+       " / (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE))"
+       " / CAST(n1 AS DOUBLE)")
+_V2 = ("(CAST(sumsq2 AS DOUBLE) - CAST(sum2 AS DOUBLE)"
+       " * CAST(sum2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+       " / (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE))"
+       " / CAST(n2 AS DOUBLE)")
+WELCH_T_SQL = (
+    "CASE WHEN n1 < 2 OR n2 < 2 THEN NULL ELSE "
+    "CASE WHEN " + _V1 + " + " + _V2 + " <= CAST(0 AS DOUBLE) "
+    "THEN NULL ELSE "
+    "CAST(floor("
+    "(CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(sum2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt(" + _V1 + " + " + _V2 + ")"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END END")

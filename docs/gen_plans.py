@@ -50,6 +50,9 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.linkage import fuzzy_join
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        arg_min_max_by_group, group_array_sorted, mann_whitney_u,
+        welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -69,6 +72,8 @@ def _operator_picks(spark, sf):
                   F.col("event_id").alias("id"), sec.alias("s"),
                   (sec + F.floor(F.col("value") * 10).cast("long"))
                   .alias("e")))
+    sided = (ev.where(F.col("user_id").isNotNull())
+             .withColumn("side", F.pmod(F.col("user_id"), F.lit(2))))
     return {
         "bm25_topk": bm25_topk(docs, qs),
         "bloom_semi_join": bloom_semi_join(orders, cust, "o_custkey"),
@@ -94,7 +99,16 @@ def _operator_picks(spark, sf):
         "window_funnel_strict_order": window_funnel_strict_order(
             ev, ["view", "click", "purchase"], within_hours=24),
         "entropy_by_group": entropy_by_group(ev),
-        "covariance_stats": covariance_stats(emb),
+        "group_array_sorted": group_array_sorted(
+            ev, "event_type", "value", n=5),
+        "arg_min_max_by_group": arg_min_max_by_group(
+            ev, "event_type", "user_id", "value", "event_id"),
+        "mann_whitney_u": mann_whitney_u(sided, "event_type", "value",
+                                         "side"),
+        "welch_ttest": welch_ttest(sided, "event_type", "value", "side"),
+        # dims=64 keeps construction lazy (no eager min/max bounds job
+        # that would scan the source during plan audit — ADVICE r9)
+        "covariance_stats": covariance_stats(emb, dims=64),
         # pagerank / pca_whiten run eager jobs (localCheckpoint,
         # stats collect) during construction — replay-pinned instead
         # of plan-audited
