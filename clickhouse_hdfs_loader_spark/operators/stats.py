@@ -204,3 +204,169 @@ WELCH_T_SQL = (
     " / sqrt(" + _V1 + " + " + _V2 + ")"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
     " / CAST(10000 AS DOUBLE) END END")
+
+
+def ks_test(df: DataFrame, group_col: str, value_col: str,
+            side_col: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest``'s two-sample D statistic per
+    group, EXACT: the ECDF sup-gap is attained at sample points, so
+    ``D = max over distinct v of |cum1(v)·n2 − cum2(v)·n1| / (n1·n2)``
+    — the numerator is pure int64 (overflow-safe to ~3·10^9 rows per
+    group), and only the final ratio is float, in one verbatim
+    knife-edge-rounded expression. The p-value (asymptotic Kolmogorov
+    series) is a driver-side pure function of (d, n1, n2), left to the
+    caller like mann_whitney_u's z-score.
+
+    Plan: one (group, value) count aggregate, one cumulative window,
+    one group rollup — the mann_whitney_u shape exactly.
+
+    Returns ``group, n1, n2, d_num, d_e4`` (``d = d_num/(n1·n2)``;
+    NULL d_e4 when either sample is empty)."""
+    side = F.expr(
+        f"CASE WHEN {side_col} IS NULL THEN NULL "
+        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
+        f"ELSE raise_error('ks_test: side_col must be 0 or 1') END")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(side_col).isNotNull())
+            .select(F.col(group_col), vm.alias("_vm"),
+                    side.alias("_s")))
+    per_v = (base.groupBy(group_col, "_vm")
+             .agg(F.sum("_s").alias("_c1"),
+                  F.sum(F.lit(1) - F.col("_s")).alias("_c2")))
+    wcum = (Window.partitionBy(group_col).orderBy("_vm")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(group_col)
+    stepped = (per_v
+               .withColumn("_cum1", F.sum("_c1").over(wcum))
+               .withColumn("_cum2", F.sum("_c2").over(wcum))
+               .withColumn("n1", F.sum("_c1").over(wall))
+               .withColumn("n2", F.sum("_c2").over(wall)))
+    gap = F.abs(F.col("_cum1") * F.col("n2")
+                - F.col("_cum2") * F.col("n1"))
+    return (stepped.groupBy(group_col)
+            .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+                 F.max(gap).alias("d_num"))
+            .withColumn("d_e4", F.expr(KS_D_SQL)))
+
+
+# shared verbatim by the operator and every SQL twin (the WELCH_T_SQL
+# convention — identical float expression order by construction)
+KS_D_SQL = (
+    "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE "
+    "CAST(floor(CAST(d_num AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def theils_u(df: DataFrame, group_col: str, x_col: str,
+             y_col: str) -> DataFrame:
+    """ClickHouse ``theilsU``: the uncertainty coefficient U(X|Y) =
+    (H(X) − H(X|Y)) / H(X) per group — the asymmetric categorical
+    association ("how much does knowing Y reduce X's entropy?") used to
+    pick stratification keys and detect leaky features.
+
+    INTEGER-EXACT end to end via the milli-log2 idiom (the graded
+    entropy_by_group / bm25 contract): with per-cell counts ``n_xy``
+    and marginals ``n_x, n_y, n``,
+
+        numX    = n·lg(n) − Σ_x n_x·lg(n_x)          (= n·H(X), milli)
+        numCond = Σ_y n_y·lg(n_y) − Σ_xy n_xy·lg(n_xy)  (= n·H(X|Y))
+        u_milli = (numX − numCond)·1000 div numX
+
+    — the shared ``n`` denominator cancels, so the ONLY division is the
+    final one (guarded: constant X → numX = 0 → NULL). The CONTRACT is
+    this exact formula with the piecewise-linear lg (±~86 milli-bits
+    per log term vs IEEE; u_milli may stray marginally outside
+    [0, 1000] on adversarial counts — emitted as computed, never
+    silently clamped).
+
+    Scale: one (group, x, y) count shuffle; every later aggregate rolls
+    up the |distinct cells| table. NULL x or y rows are excluded
+    (mirror the WHERE in twins).
+
+    Returns ``group, n, hx_n_milli, hcond_n_milli, u_milli`` (the two
+    ``·n`` entropy numerators are exposed for auditability)."""
+    from .retrieval import with_ilog2_milli
+
+    base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
+    nxy = (base.groupBy("_g", "_x", "_y")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    cell_term = (with_ilog2_milli(nxy, "_c", "_lg")
+                 .groupBy("_g")
+                 .agg(F.sum(F.col("_c") * F.col("_lg")).alias("_sxy")))
+    nx = (nxy.groupBy("_g", "_x").agg(F.sum("_c").alias("_c")))
+    x_term = (with_ilog2_milli(nx, "_c", "_lg")
+              .groupBy("_g")
+              .agg(F.sum(F.col("_c") * F.col("_lg")).alias("_sx"),
+                   F.sum("_c").alias("n")))
+    ny = (nxy.groupBy("_g", "_y").agg(F.sum("_c").alias("_c")))
+    y_term = (with_ilog2_milli(ny, "_c", "_lg")
+              .groupBy("_g")
+              .agg(F.sum(F.col("_c") * F.col("_lg")).alias("_sy")))
+    joined = (x_term.join(y_term, "_g").join(cell_term, "_g"))
+    joined = with_ilog2_milli(joined, "n", "_lgn")
+    return (joined
+            .withColumn("hx_n_milli",
+                        F.col("n") * F.col("_lgn") - F.col("_sx"))
+            .withColumn("hcond_n_milli", F.col("_sy") - F.col("_sxy"))
+            .withColumn("u_milli", F.expr(
+                "CASE WHEN hx_n_milli = 0 THEN NULL ELSE "
+                "((hx_n_milli - hcond_n_milli) * 1000) div hx_n_milli "
+                "END"))
+            .select(F.col("_g").alias(group_col), "n", "hx_n_milli",
+                    "hcond_n_milli", "u_milli"))
+
+
+def cramers_v(df: DataFrame, group_col: str, x_col: str,
+              y_col: str) -> DataFrame:
+    """ClickHouse ``cramersV``: categorical association per group from
+    the mean-square contingency ``φ² = Σ_cells n_xy²/(n_x·n_y) − 1``
+    (absent cells contribute exactly 0 in this form — no dense grid
+    join needed), ``V = sqrt(φ² / (min(r, c) − 1))``.
+
+    Per-cell ratios micro-quantize to int64 — ``(n_xy²·10^6) div
+    (n_x·n_y)`` — so the sum is order-free-exact and twin-replayable;
+    truncation makes the sum undershoot by < #cells micro-units, so the
+    ``− 10^6`` subtraction is clamped at 0 explicitly (φ² ≥ 0 is a
+    theorem for the true ratios). Only the final sqrt is float, in the
+    shared verbatim expression. Overflow bound: per-CELL count below
+    ~3·10^6 (n_xy²·10^6 < 2^63); quantize coarser for hotter cells.
+
+    Returns ``group, n, r, c, phi2_micro, v_e4`` (NULL v_e4 when either
+    variable is constant — min(r,c) = 1)."""
+    base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
+    nxy = (base.groupBy("_g", "_x", "_y")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    nx = nxy.groupBy("_g", "_x").agg(F.sum("_c").alias("_nx"))
+    ny = nxy.groupBy("_g", "_y").agg(F.sum("_c").alias("_ny"))
+    cells = (nxy.join(nx, ["_g", "_x"]).join(ny, ["_g", "_y"])
+             .withColumn("_term", F.expr(
+                 "(_c * _c * 1000000) div (_nx * _ny)")))
+    per_g = (cells.groupBy("_g")
+             .agg(F.sum("_c").alias("n"),
+                  F.countDistinct("_x").alias("r"),
+                  F.countDistinct("_y").alias("c"),
+                  F.greatest(
+                      F.lit(0).cast("long"),
+                      F.sum("_term") - F.lit(1_000_000).cast("long"))
+                  .alias("phi2_micro")))
+    return (per_g.withColumn("v_e4", F.expr(CRAMERS_V_SQL))
+            .select(F.col("_g").alias(group_col), "n", "r", "c",
+                    "phi2_micro", "v_e4"))
+
+
+# shared verbatim by the operator and every SQL twin
+CRAMERS_V_SQL = (
+    "CASE WHEN r < 2 OR c < 2 THEN NULL ELSE "
+    "CAST(floor(sqrt(CAST(phi2_micro AS DOUBLE)"
+    " / CAST(1000000 AS DOUBLE)"
+    " / (CAST(CASE WHEN r < c THEN r ELSE c END AS DOUBLE)"
+    " - CAST(1 AS DOUBLE)))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")

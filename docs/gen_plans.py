@@ -51,8 +51,8 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        arg_min_max_by_group, group_array_sorted, mann_whitney_u,
-        welch_ttest)
+        arg_min_max_by_group, cramers_v, group_array_sorted, ks_test,
+        mann_whitney_u, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -74,6 +74,12 @@ def _operator_picks(spark, sf):
                   .alias("e")))
     sided = (ev.where(F.col("user_id").isNotNull())
              .withColumn("side", F.pmod(F.col("user_id"), F.lit(2))))
+    binned = (ev.where(F.col("user_id").isNotNull()
+                       & F.col("value").isNotNull() & ~F.isnan("value"))
+              .withColumn("xbin",
+                          F.pmod(F.floor(F.col("value")).cast("long"),
+                                 F.lit(7)))
+              .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
     return {
         "bm25_topk": bm25_topk(docs, qs),
         "bloom_semi_join": bloom_semi_join(orders, cust, "o_custkey"),
@@ -106,6 +112,9 @@ def _operator_picks(spark, sf):
         "mann_whitney_u": mann_whitney_u(sided, "event_type", "value",
                                          "side"),
         "welch_ttest": welch_ttest(sided, "event_type", "value", "side"),
+        "ks_test": ks_test(sided, "event_type", "value", "side"),
+        "theils_u": theils_u(binned, "event_type", "xbin", "ybin"),
+        "cramers_v": cramers_v(binned, "event_type", "xbin", "ybin"),
         # dims=64 keeps construction lazy (no eager min/max bounds job
         # that would scan the source during plan audit — ADVICE r9)
         "covariance_stats": covariance_stats(emb, dims=64),

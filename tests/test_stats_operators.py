@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from clickhouse_hdfs_loader_spark.operators.stats import (
-    WELCH_T_SQL, arg_min_max_by_group, group_array_sorted,
+    WELCH_T_SQL, arg_min_max_by_group, group_array_sorted, ks_test,
     mann_whitney_u, welch_ttest)
 from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
@@ -214,6 +214,203 @@ def test_stats_nonfinite_and_null_exclusion(spark):
                                               "value", "event_id"),
                lambda d: mann_whitney_u(d, "event_type", "value",
                                         "side"),
-               lambda d: welch_ttest(d, "event_type", "value", "side")):
+               lambda d: welch_ttest(d, "event_type", "value", "side"),
+               lambda d: ks_test(d, "event_type", "value", "side")):
         assert sorted(map(tuple, op(df).collect())) \
             == sorted(map(tuple, op(clean).collect()))
+
+
+def test_ks_test_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        KS_D_SQL, ks_test)
+
+    got = sorted(map(tuple, ks_test(
+        _sided(spark, sf_dir), "event_type", "value", "side").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          CAST({_SIDE_SQL} AS BIGINT) AS s
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL),
+        pv AS (SELECT event_type, vm, CAST(sum(s) AS BIGINT) AS c1,
+                      CAST(sum(1 - s) AS BIGINT) AS c2
+               FROM b GROUP BY 1, 2),
+        st AS (SELECT event_type,
+                 sum(c1) OVER (PARTITION BY event_type ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum1,
+                 sum(c2) OVER (PARTITION BY event_type ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum2,
+                 sum(c1) OVER (PARTITION BY event_type) AS n1,
+                 sum(c2) OVER (PARTITION BY event_type) AS n2
+               FROM pv),
+        agg AS (SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+                       CAST(max(n2) AS BIGINT) AS n2,
+                       CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
+                         AS d_num
+                FROM st GROUP BY 1)
+        SELECT event_type, n1, n2, d_num, {KS_D_SQL} AS d_e4 FROM agg
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # D in (0, 1]: the numerator never exceeds n1*n2
+    for _g, n1, n2, d_num, d_e4 in got:
+        assert 0 <= d_num <= n1 * n2 and d_e4 is not None
+
+    # hand cases: disjoint supports -> D = 1; identical samples -> the
+    # ECDFs coincide at every step -> D = 0
+    disjoint = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 0), ("g", 4.0, 0)],
+        "event_type string, value double, side int")
+    r = ks_test(disjoint, "event_type", "value", "side").collect()[0]
+    assert (r["d_num"], r["d_e4"]) == (4, 1.0)
+    same = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 1.0, 0), ("g", 2.0, 0)],
+        "event_type string, value double, side int")
+    r = ks_test(same, "event_type", "value", "side").collect()[0]
+    assert (r["d_num"], r["d_e4"]) == (0, 0.0)
+    # empty side -> NULL d
+    one = spark.createDataFrame(
+        [("g", 1.0, 1)], "event_type string, value double, side int")
+    assert ks_test(one, "event_type", "value",
+                   "side").collect()[0]["d_e4"] is None
+
+
+# the exact integer milli-log2 (retrieval.with_ilog2_milli) in DuckDB —
+# shared by the theils_u twin below
+_LG = ("(CAST(length(ltrim(bin({x}), '0')) - 1 AS BIGINT) * 1000"
+       " + (({x} - (1::BIGINT << CAST(length(ltrim(bin({x}), '0')) - 1"
+       " AS BIGINT))) * 1000)"
+       " // (1::BIGINT << CAST(length(ltrim(bin({x}), '0')) - 1"
+       " AS BIGINT)))")
+
+
+def test_theils_u_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import theils_u
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    got = sorted(map(tuple, theils_u(
+        ev, "event_type", "event_type", "ybin").collect()))
+    # X = the group key itself is constant per group -> numX = 0 -> NULL
+    assert all(r[2] == 0 and r[4] is None for r in got)
+
+    # real oracle: X = value decile bucket, Y = user parity class
+    ev2 = ev.withColumn("xbin",
+                        F.pmod(F.floor(F.col("value")).cast("long"),
+                               F.lit(7)))
+    got = sorted(map(tuple, theils_u(
+        ev2.where(F.col("value").isNotNull() & ~F.isnan("value")),
+        "event_type", "xbin", "ybin").collect()))
+    lg_c = _LG.format(x="c")
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
+                            AS x,
+                          ((user_id % 5 + 5) % 5) AS y
+                   FROM events
+                   WHERE user_id IS NOT NULL AND value IS NOT NULL
+                     AND isfinite(value)),
+        nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2, 3),
+        sxy AS (SELECT g, CAST(sum(c * {lg_c}) AS BIGINT) AS sxy
+                FROM nxy GROUP BY 1),
+        nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS c FROM nxy
+               GROUP BY 1, 2),
+        sx AS (SELECT g, CAST(sum(c * {lg_c}) AS BIGINT) AS sx,
+                      CAST(sum(c) AS BIGINT) AS n
+               FROM nx GROUP BY 1),
+        ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS c FROM nxy
+               GROUP BY 1, 2),
+        sy AS (SELECT g, CAST(sum(c * {lg_c}) AS BIGINT) AS sy
+               FROM ny GROUP BY 1),
+        a AS (SELECT g, n, n * {_LG.format(x="n")} - sx AS hx_n_milli,
+                     sy - sxy AS hcond_n_milli
+              FROM sx JOIN sy USING (g) JOIN sxy USING (g))
+        SELECT g AS event_type, n,
+               CAST(hx_n_milli AS BIGINT) AS hx_n_milli,
+               CAST(hcond_n_milli AS BIGINT) AS hcond_n_milli,
+               CAST(CASE WHEN hx_n_milli = 0 THEN NULL ELSE
+                 ((hx_n_milli - hcond_n_milli) * 1000) // hx_n_milli
+                 END AS BIGINT) AS u_milli
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # hand cases: X a function of Y -> u = 1000; X independent of Y
+    # with exactly balanced counts -> u = 0
+    det = spark.createDataFrame(
+        [("g", i, i) for i in range(4)], "g string, x long, y long")
+    r = theils_u(det, "g", "x", "y").collect()[0]
+    assert (r["hcond_n_milli"], r["u_milli"]) == (0, 1000)
+    ind = spark.createDataFrame(
+        [("g", x, y) for x in range(2) for y in range(2)],
+        "g string, x long, y long")
+    r = theils_u(ind, "g", "x", "y").collect()[0]
+    assert r["u_milli"] == 0
+
+
+def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        CRAMERS_V_SQL, cramers_v)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("value").isNotNull() & ~F.isnan("value"))
+          .withColumn("xbin",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    got = sorted(map(tuple, cramers_v(
+        ev, "event_type", "xbin", "ybin").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
+                            AS x,
+                          ((user_id % 5 + 5) % 5) AS y
+                   FROM events
+                   WHERE user_id IS NOT NULL AND value IS NOT NULL
+                     AND isfinite(value)),
+        nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2, 3),
+        nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
+               GROUP BY 1, 2),
+        ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM nxy
+               GROUP BY 1, 2),
+        cells AS (SELECT nxy.g, (c * c * 1000000) // (nx * ny) AS term,
+                         c
+                  FROM nxy JOIN nx USING (g, x) JOIN ny USING (g, y)),
+        a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                     (SELECT count(DISTINCT x) FROM nxy i
+                      WHERE i.g = cells.g) AS r,
+                     (SELECT count(DISTINCT y) FROM nxy i
+                      WHERE i.g = cells.g) AS c,
+                     CAST(greatest(0, sum(term) - 1000000) AS BIGINT)
+                       AS phi2_micro
+              FROM cells GROUP BY g)
+        SELECT g AS event_type, n, CAST(r AS BIGINT) AS r,
+               CAST(c AS BIGINT) AS c, phi2_micro,
+               {CRAMERS_V_SQL} AS v_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    for _g, _n, r, c, phi2, v in got:
+        assert r == 7 and c == 5 and v is not None and 0.0 <= v <= 1.0
+
+    # hand cases: perfect association -> V = 1; exact independence ->
+    # V = 0; constant Y -> NULL
+    perfect = spark.createDataFrame(
+        [("g", "a", "a")] * 2 + [("g", "b", "b")] * 2,
+        "g string, x string, y string")
+    r = cramers_v(perfect, "g", "x", "y").collect()[0]
+    assert (r["phi2_micro"], r["v_e4"]) == (1_000_000, 1.0)
+    ind = spark.createDataFrame(
+        [("g", str(x), str(y)) for x in range(2) for y in range(2)],
+        "g string, x string, y string")
+    r = cramers_v(ind, "g", "x", "y").collect()[0]
+    assert (r["phi2_micro"], r["v_e4"]) == (0, 0.0)
+    const = spark.createDataFrame(
+        [("g", "a", "z"), ("g", "b", "z")], "g string, x string, y string")
+    assert cramers_v(const, "g", "x", "y").collect()[0]["v_e4"] is None
