@@ -185,6 +185,12 @@ def covariance_stats(emb: DataFrame,
         # one scan + one aggregate; the first cut pivoted kind-tagged
         # rows through three joins, which re-planned the gemm scan on
         # every branch (4 source scans — plan-audit catch)
+        if n == 0:
+            # a partition that saw no vectors contributes NOTHING —
+            # under dims= (which skips the eager no-non-NULL-vectors
+            # guard) an empty/all-NULL input must yield 0 rows like its
+            # SQL twin, not d² rows of zeros (review-caught)
+            return
         ii, jj = np.triu_indices(d)
         yield pd.DataFrame({
             "i": ii, "j": jj,

@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from .analytics import _quantizable_col
 
 
+def _sided_base(df: DataFrame, group_col: str, value_col: str,
+                side_col: str, op: str) -> DataFrame:
+    """The ONE copy of the two-sample preamble (review-caught
+    triplication): validate the 0/1 side column — NULL short-circuits
+    FIRST because ``NULL IN (0,1)`` is NULL and would otherwise fall
+    through to the raise branch if Catalyst evaluates the projection
+    before the isNotNull filter — and milli-quantize the value with the
+    repo-wide finite guard. Returns ``group, _vm, _s``."""
+    side = F.expr(
+        f"CASE WHEN {side_col} IS NULL THEN NULL "
+        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
+        f"ELSE raise_error('{op}: side_col must be 0 or 1') END")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    return (df.where(_quantizable_col(value_col)
+                     & F.col(side_col).isNotNull())
+            .select(F.col(group_col), vm.alias("_vm"),
+                    side.alias("_s")))
+
+
 def group_array_sorted(df: DataFrame, group_col: str, value_col: str,
                        n: int = 10) -> DataFrame:
     """ClickHouse ``groupArraySorted(N)``: the N smallest milli-
@@ -103,23 +122,12 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     dropped).
 
     Returns ``group, n1, n2, u2`` (u2 = 2·U₁, integer-exact)."""
-    # NULL short-circuits FIRST: NULL IN (0,1) is NULL, which would
-    # otherwise fall through to the raise branch if Catalyst evaluates
-    # the projection before the isNotNull filter
-    side = F.expr(
-        f"CASE WHEN {side_col} IS NULL THEN NULL "
-        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
-        f"ELSE raise_error('mann_whitney_u: side_col must be 0 or 1') "
-        f"END")
-    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
-    base = (df.where(_quantizable_col(value_col)
-                     & F.col(side_col).isNotNull())
-            .select(F.col(group_col), vm.alias("_vm"),
-                    side.alias("_side")))
+    base = _sided_base(df, group_col, value_col, side_col,
+                       "mann_whitney_u")
     # per (group, value): total ties and side-1 count
     per_v = (base.groupBy(group_col, "_vm")
              .agg(F.count(F.lit(1)).alias("_cnt"),
-                  F.sum("_side").alias("_c1")))
+                  F.sum("_s").alias("_c1")))
     wcum = (Window.partitionBy(group_col).orderBy("_vm")
             .rowsBetween(Window.unboundedPreceding, -1))
     # doubled midrank of every row with value v: 2·cnt_lt + cnt_eq + 1
@@ -150,15 +158,8 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
     a side with n < 2 or both variances zero → NULL t.
 
     Returns ``group, n1, n2, sum1, sum2, sumsq1, sumsq2, t_e4``."""
-    side = F.expr(
-        f"CASE WHEN {side_col} IS NULL THEN NULL "
-        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
-        f"ELSE raise_error('welch_ttest: side_col must be 0 or 1') END")
-    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
-    base = (df.where(_quantizable_col(value_col)
-                     & F.col(side_col).isNotNull())
-            .select(F.col(group_col), vm.alias("_vm"),
-                    side.alias("_s")))
+    base = _sided_base(df, group_col, value_col, side_col,
+                       "welch_ttest")
     agg = (base.groupBy(group_col)
            .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
                       .cast("long")).alias("n1"),
@@ -222,15 +223,7 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
 
     Returns ``group, n1, n2, d_num, d_e4`` (``d = d_num/(n1·n2)``;
     NULL d_e4 when either sample is empty)."""
-    side = F.expr(
-        f"CASE WHEN {side_col} IS NULL THEN NULL "
-        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
-        f"ELSE raise_error('ks_test: side_col must be 0 or 1') END")
-    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
-    base = (df.where(_quantizable_col(value_col)
-                     & F.col(side_col).isNotNull())
-            .select(F.col(group_col), vm.alias("_vm"),
-                    side.alias("_s")))
+    base = _sided_base(df, group_col, value_col, side_col, "ks_test")
     per_v = (base.groupBy(group_col, "_vm")
              .agg(F.sum("_s").alias("_c1"),
                   F.sum(F.lit(1) - F.col("_s")).alias("_c2")))

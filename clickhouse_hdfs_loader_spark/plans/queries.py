@@ -4393,11 +4393,10 @@ _IV_SQL = """
 
 
 def _iv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import _quantizable_col
     ev = _t(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts")
-    finite = (F.col("value").isNotNull() & ~F.isnan("value")
-              & (F.abs("value") != F.lit(float("inf"))))
-    return (ev.where(F.col("ts").isNotNull() & finite)
+    return (ev.where(F.col("ts").isNotNull() & _quantizable_col("value"))
             .select(F.col("event_type").alias("g"),
                     F.col("event_id").alias("id"),
                     sec.alias("s"),
@@ -4630,8 +4629,7 @@ def covariance_stats(spark, sf_dir):
     batch, single scan + single groupBy, O(d²) output rows.
     operators/features.py:covariance_stats."""
     from ..operators.features import covariance_stats as _cov
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return _cov(emb, dims=64)
+    return _cov(_t(spark, sf_dir, "embeddings"), dims=64)
 
 
 @query("heavy_hitters_weighted", oracle="""
@@ -4707,7 +4705,7 @@ def dimension_stats(spark, sf_dir):
     values — the distributed stats half of feature scaling (one
     posexplode + one aggregate). operators/features.py:dimension_stats."""
     from ..operators.features import dimension_stats as _st
-    return _st(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _st(_t(spark, sf_dir, "embeddings"))
 
 
 @query("minmax_normalize", oracle="""
@@ -4719,7 +4717,12 @@ def dimension_stats(spark, sf_dir):
     st AS (SELECT dim, min(q) AS qmin, max(q) AS qmax FROM x
            GROUP BY dim)
     SELECT vec_id,
-           array_agg(CASE WHEN qmax - qmin = 0 THEN 0
+           -- NULL-element branch FIRST (the operator keeps NULL
+           -- elements NULL even in constant dims); NULL-vector rows
+           -- are excluded on BOTH sides (review-caught drift hazard:
+           -- the JOIN..GROUP BY here can never emit them)
+           array_agg(CASE WHEN q IS NULL THEN NULL
+                     WHEN qmax - qmin = 0 THEN 0
                      ELSE CAST(floor(CAST((q - qmin) * 1000 AS DOUBLE)
                                / (qmax - qmin)) AS BIGINT) END
                      ORDER BY dim) AS normalized
@@ -4729,9 +4732,11 @@ def minmax_normalize(spark, sf_dir):
     """Min-max scaling to integer milli-units in [0, 1000] per
     dimension (constant dims pinned to 0 — never an ANSI
     divide-by-zero); stats collected once (|dims| rows), applied as a
-    stateless zip_with. operators/features.py:minmax_normalize."""
+    stateless zip_with. NULL-vector rows are excluded to mirror the
+    oracle's JOIN shape. operators/features.py:minmax_normalize."""
     from ..operators.features import minmax_normalize as _mm
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _t(spark, sf_dir, "embeddings") \
+        .where(F.col("embedding").isNotNull())
     return _mm(emb).select("vec_id", "normalized")
 
 

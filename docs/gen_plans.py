@@ -74,8 +74,10 @@ def _operator_picks(spark, sf):
                   .alias("e")))
     sided = (ev.where(F.col("user_id").isNotNull())
              .withColumn("side", F.pmod(F.col("user_id"), F.lit(2))))
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        _quantizable_col)
     binned = (ev.where(F.col("user_id").isNotNull()
-                       & F.col("value").isNotNull() & ~F.isnan("value"))
+                       & _quantizable_col("value"))
               .withColumn("xbin",
                           F.pmod(F.floor(F.col("value")).cast("long"),
                                  F.lit(7)))

@@ -29,13 +29,16 @@ _IV_SQL = """
            CAST(floor(epoch(ts)) AS BIGINT)
              + CAST(floor(value * 10) AS BIGINT) AS e
     FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      AND isfinite(value)
 """
 
 
 def _iv_spark(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        _quantizable_col)
     ev = read_table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts")
-    return (ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    return (ev.where(F.col("ts").isNotNull() & _quantizable_col("value"))
             .select(F.col("event_type").alias("g"),
                     F.col("event_id").alias("id"),
                     sec.alias("s"),

@@ -1940,16 +1940,26 @@ def test_feature_scaling_oracles_and_ranges(spark, sf_dir):
     assert got_st == want_st and len(got_st) > 0
 
     got_nv = {r["vec_id"]: list(r["normalized"]) for r in
-              minmax_normalize(emb).select("vec_id", "normalized")
-              .collect()}
+              minmax_normalize(emb.where(F.col("embedding").isNotNull()))
+              .select("vec_id", "normalized").collect()}
+    # NULL-element branch FIRST and NULL-vector rows excluded on both
+    # sides — the registry oracle's drift-hardened shape (the operator
+    # keeps NULL elements NULL even in constant dims)
     want_nv = dict(con.execute("""
         SELECT vec_id,
-               array_agg(CASE WHEN qmax - qmin = 0 THEN 0
+               array_agg(CASE WHEN q IS NULL THEN NULL
+                         WHEN qmax - qmin = 0 THEN 0
                          ELSE CAST(floor(CAST((q - qmin) * 1000 AS DOUBLE)
                                    / (qmax - qmin)) AS BIGINT) END
                          ORDER BY dim) AS normalized
         FROM x JOIN st USING (dim) GROUP BY vec_id
     """).fetchall())
+    # the operator contract for NULL vectors: pass through, out NULL
+    withnull = spark.createDataFrame([(999999, None)],
+                                     "vec_id long, embedding array<float>")
+    st_emb = dimension_stats(emb)
+    nr = minmax_normalize(withnull, stats=st_emb).collect()[0]
+    assert nr["normalized"] is None
     assert got_nv == want_nv and len(got_nv) > 0
     # range + attainment: every value in [0,1000]; each dim attains both
     dims = len(got_st)

@@ -134,3 +134,21 @@ def test_pca_whiten_bitwise_replay_and_contracts(spark, sf_dir):
 
     with pytest.raises(ValueError, match="k must be"):
         pca_whiten(emb, stats=stats, k=d + 1)
+
+
+def test_covariance_stats_dims_path_empty_and_ragged(spark):
+    """dims= skips the eager bounds job, so the degenerate contracts
+    move into the gemm pass: an empty/all-NULL input yields ZERO rows
+    (matching the SQL twin's empty q CTE — review-caught: it used to
+    yield d² rows of n=0 zeros), and raggedness still raises."""
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        covariance_stats)
+
+    empty = spark.createDataFrame([(1, None)],
+                                  "vec_id long, embedding array<float>")
+    assert covariance_stats(empty, dims=64).count() == 0
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="ragged"):
+        covariance_stats(ragged, dims=2).collect()
