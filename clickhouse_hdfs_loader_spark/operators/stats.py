@@ -363,3 +363,120 @@ CRAMERS_V_SQL = (
     " - CAST(1 AS DOUBLE)))"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
     " / CAST(10000 AS DOUBLE) END")
+
+
+def skew_kurt(df: DataFrame, group_col: str,
+              value_col: str) -> DataFrame:
+    """ClickHouse ``skewSamp`` / ``kurtSamp`` analogs per group, with
+    the repo's engine-exact quantized CONTRACT: values deci-quantize
+    (``floor(v·10)``), the center is the TRUNCATED integer deci-mean
+    ``m = Σq div n``, and the centered power sums ``s2, s3, s4 =
+    Σ(q−m)^k`` accumulate in 128-bit exact integers (Spark
+    DECIMAL(38,0) / DuckDB HUGEINT — int64 would overflow at d⁴) —
+    order-free, so map-side combines cannot change them. Only then one
+    verbatim float finish:
+
+        skew = (s3/n) / (v·sqrt(v)),  v = s2/(n−1)
+        kurt = (s4/n) / v²
+
+    (sqrt·product, never pow — IEEE pow is not correctly rounded;
+    sqrt and · are). The deci-mean centering is part of the contract —
+    these are moments about m, not about the exact mean; for scoring
+    and anomaly gates the distinction is immaterial and the replay is
+    bitwise. Overflow: |q−m|⁴·n < 10^38 — safe to |v| < 10^6 at 10^12
+    rows per group.
+
+    Two passes (mean, then centered sums) = two source scans with a
+    broadcast |groups|-row join between them — the price of exact
+    centering; at scale prefer persisting the quantized projection if
+    the source scan is the bottleneck.
+
+    Returns ``group, n, mean_deci, skew_e4, kurt_e4`` (NULL stats when
+    n < 2 or the variance is zero)."""
+    q = F.floor(F.col(value_col).cast("double") * 10).cast("long")
+    base = (df.where(_quantizable_col(value_col))
+            .select(F.col(group_col), q.alias("_q")))
+    means = (base.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("_q").alias("_qs"))
+             .withColumn("mean_deci", F.expr("_qs div n"))
+             .drop("_qs"))
+    centered = (base.join(F.broadcast(means), group_col)
+                .withColumn("_d", F.col("_q") - F.col("mean_deci"))
+                .withColumn("_dd", F.col("_d").cast("decimal(38,0)")))
+    sums = (centered.groupBy(group_col, "n", "mean_deci")
+            .agg(F.sum(F.expr("_dd * _dd")).alias("_s2"),
+                 F.sum(F.expr("_dd * _dd * _dd")).alias("_s3"),
+                 F.sum(F.expr("_dd * _dd * _dd * _dd")).alias("_s4")))
+    return (sums.select(
+        group_col, "n", "mean_deci",
+        F.expr(SKEW_SQL).alias("skew_e4"),
+        F.expr(KURT_SQL).alias("kurt_e4")))
+
+
+# shared verbatim by the operator and every SQL twin (cast the exact
+# 128-bit sums to DOUBLE first — correctly rounded from the same
+# integer on both engines — then one written-down float order)
+_VAR_D = ("(CAST(_s2 AS DOUBLE) / (CAST(n AS DOUBLE)"
+          " - CAST(1 AS DOUBLE)))")
+SKEW_SQL = (
+    "CASE WHEN n < 2 OR _s2 = 0 THEN NULL ELSE "
+    "CAST(floor((CAST(_s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (" + _VAR_D + " * sqrt(" + _VAR_D + "))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+KURT_SQL = (
+    "CASE WHEN n < 2 OR _s2 = 0 THEN NULL ELSE "
+    "CAST(floor((CAST(_s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (" + _VAR_D + " * " + _VAR_D + ")"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def map_aggregate(df: DataFrame, group_col: str, keys_col: str,
+                  vals_col: str, how: str = "sum") -> DataFrame:
+    """ClickHouse's ``sumMap`` / ``minMap`` / ``maxMap`` combinators:
+    per group, key-wise aggregation of parallel (keys, values) arrays,
+    returned as key-sorted parallel arrays — the nested-metrics shape
+    (per-status counters, per-code latencies) ClickHouse users lean on
+    sumMap for.
+
+    Values milli-quantize before aggregating (sum stays order-free-
+    exact; min/max are order-free anyway). Ragged rows — key and value
+    arrays of different lengths — RAISE (ClickHouse errors too; a
+    silent zip-truncate would drop metrics), with the check inside the
+    projected expression so pruning can't elide it. NULL arrays are
+    excluded; NULL keys/values inside arrays are excluded pair-wise
+    (neither engine aggregates a NULL key usefully).
+
+    Plan: one explode (Generate) + one (group, key) aggregate + one
+    key-sorted re-collect per group — never a per-row map merge.
+    Output arrays are bounded by the distinct-key count per group.
+
+    Returns ``group, map_keys, map_vals_milli`` (parallel, key-asc)."""
+    if how not in ("sum", "min", "max"):
+        raise ValueError(f"map_aggregate: how must be sum/min/max, "
+                         f"got {how!r}")
+    sized = F.expr(
+        f"CASE WHEN size({keys_col}) = size({vals_col}) "
+        f"THEN arrays_zip({keys_col}, {vals_col}) "
+        f"ELSE raise_error('map_aggregate: ragged keys/values arrays') "
+        f"END")
+    agg = {"sum": F.sum, "min": F.min, "max": F.max}[how]
+    pairs = (df.where(F.col(keys_col).isNotNull()
+                      & F.col(vals_col).isNotNull())
+             .select(F.col(group_col), F.explode(sized).alias("_p"))
+             .select(F.col(group_col),
+                     F.col(f"_p.{keys_col}").alias("_k"),
+                     F.floor(F.col(f"_p.{vals_col}").cast("double")
+                             * 1000).cast("long").alias("_vm"))
+             .where(F.col("_k").isNotNull() & F.col("_vm").isNotNull()))
+    per_key = (pairs.groupBy(group_col, "_k")
+               .agg(agg("_vm").alias("_a")))
+    collected = (per_key.groupBy(group_col)
+                 .agg(F.sort_array(
+                     F.collect_list(F.struct("_k", "_a"))).alias("_s")))
+    return collected.select(
+        group_col,
+        F.expr("transform(_s, x -> x._k)").alias("map_keys"),
+        F.expr("transform(_s, x -> x._a)").alias("map_vals_milli"))

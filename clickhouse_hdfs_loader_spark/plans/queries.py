@@ -5013,13 +5013,19 @@ def pagerank_summary(spark, sf_dir):
 #
 # Future-window schedule (fold 3-6 re-confirmations per round; new
 # registrations ALWAYS take same-round slots):
-#   r11: re-confirm the remaining r6-graded TPC-H (q14-q22) and the r10-
+#   r11: promote the late-r10 stats family (group_array_sorted,
+#        arg_min_max_by_group, mann_whitney_u, welch_ttest, ks_test,
+#        theils_u, cramers_v, skew_kurt, map_aggregate — in-test DuckDB
+#        oracles at tests/test_stats_operators.py, SQL ready to move
+#        verbatim, shared verbatim float expressions exported as
+#        WELCH_T_SQL/KS_D_SQL/SKEW_SQL/KURT_SQL/CRAMERS_V_SQL);
+#        re-confirm the remaining r6-graded TPC-H (q14-q22) and the r10-
 #        displaced r9 batch (multimodal_header_decode,
 #        regexp_extract_groups, case_when_bucketing, array_ops,
 #        q2/q4/q6, set ops, q8/q9/q11), then second confirmations of the
 #        r9 promotions (bm25_topk, bloom_semi_join, event_transitions,
 #        sequence_match, heavy_hitters, fuzzy_join_exact, kfold_assign,
-#        …) on the same cadence.
+#        …) as slots allow.
 #   r12+: second confirmations of the r10 first-grades.
 # lttb_downsample and pca_whiten stay replay-pinned (not
 # SQL-expressible, no stable low-row summary that isn't just the replay).

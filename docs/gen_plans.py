@@ -52,7 +52,7 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
         arg_min_max_by_group, cramers_v, group_array_sorted, ks_test,
-        mann_whitney_u, theils_u, welch_ttest)
+        mann_whitney_u, map_aggregate, skew_kurt, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -82,6 +82,14 @@ def _operator_picks(spark, sf):
                           F.pmod(F.floor(F.col("value")).cast("long"),
                                  F.lit(7)))
               .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    nested = (binned.groupBy(F.pmod(F.col("user_id"), F.lit(10))
+                             .alias("grp"), "user_id")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  "ts", "event_id", "event_type", "value"))).alias("_s"))
+              .select("grp",
+                      F.expr("transform(_s, x -> x.event_type)")
+                      .alias("ks"),
+                      F.expr("transform(_s, x -> x.value)").alias("vs")))
     return {
         "bm25_topk": bm25_topk(docs, qs),
         "bloom_semi_join": bloom_semi_join(orders, cust, "o_custkey"),
@@ -117,6 +125,10 @@ def _operator_picks(spark, sf):
         "ks_test": ks_test(sided, "event_type", "value", "side"),
         "theils_u": theils_u(binned, "event_type", "xbin", "ybin"),
         "cramers_v": cramers_v(binned, "event_type", "xbin", "ybin"),
+        # lazy despite two passes: the pass-1 means join in as a
+        # broadcast subtree, never a driver collect
+        "skew_kurt": skew_kurt(ev, "event_type", "value"),
+        "map_aggregate_sum": map_aggregate(nested, "grp", "ks", "vs"),
         # dims=64 keeps construction lazy (no eager min/max bounds job
         # that would scan the source during plan audit — ADVICE r9)
         "covariance_stats": covariance_stats(emb, dims=64),

@@ -414,3 +414,116 @@ def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
     const = spark.createDataFrame(
         [("g", "a", "z"), ("g", "b", "z")], "g string, x string, y string")
     assert cramers_v(const, "g", "x", "y").collect()[0]["v_e4"] is None
+
+
+def test_skew_kurt_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        KURT_SQL, SKEW_SQL, skew_kurt)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, skew_kurt(ev, "event_type",
+                                      "value").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 10) AS BIGINT) AS q
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS qs
+              FROM b GROUP BY 1),
+        mm AS (SELECT event_type, n, qs // n AS mean_deci FROM m),
+        c AS (SELECT b.event_type, n, mean_deci,
+                     CAST(q - mean_deci AS HUGEINT) AS d
+              FROM b JOIN mm USING (event_type)),
+        s AS (SELECT event_type, n, mean_deci,
+                     sum(d * d) AS _s2, sum(d * d * d) AS _s3,
+                     sum(d * d * d * d) AS _s4
+              FROM c GROUP BY 1, 2, 3)
+        SELECT event_type, n, CAST(mean_deci AS BIGINT) AS mean_deci,
+               {SKEW_SQL} AS skew_e4, {KURT_SQL} AS kurt_e4
+        FROM s
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # the fixture's value distribution is right-skewed (exponential-
+    # ish): positive skew, heavy-tailed kurtosis, on every group
+    assert all(r[3] > 1.0 and r[4] is not None and r[4] > 3.0
+               for r in got)
+
+    # hand case: symmetric {0, 10, 20} -> skew exactly 0; deci-mean 100,
+    # d in {-100, 0, 100}: s2=20000, s3=0, s4=2e8; v=10000;
+    # kurt = (2e8/3)/1e8 = 0.6667 -> floor-rounded 0.6667
+    sym = spark.createDataFrame(
+        [("g", 0.0), ("g", 10.0), ("g", 20.0)],
+        "event_type string, value double")
+    r = skew_kurt(sym, "event_type", "value").collect()[0]
+    assert (r["n"], r["mean_deci"], r["skew_e4"]) == (3, 100, 0.0)
+    assert r["kurt_e4"] == pytest.approx(0.6667, abs=1e-4)
+    # right-skewed {0, 0, 30}: positive skew; constant -> NULLs
+    skewed = spark.createDataFrame(
+        [("g", 0.0), ("g", 0.0), ("g", 30.0)],
+        "event_type string, value double")
+    assert skew_kurt(skewed, "event_type",
+                     "value").collect()[0]["skew_e4"] > 0
+    const = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0)], "event_type string, value double")
+    r = skew_kurt(const, "event_type", "value").collect()[0]
+    assert r["skew_e4"] is None and r["kurt_e4"] is None
+
+
+def test_map_aggregate_oracle_and_guards(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import map_aggregate
+
+    # build the nested (keys, vals) shape from events: per user, the
+    # parallel arrays of their event types and values in (ts, id) order
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs("value") != F.lit(float("inf"))))
+          .withColumn("grp", F.pmod(F.col("user_id"), F.lit(10))))
+    nested = (ev.groupBy("grp", "user_id")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  "ts", "event_id", "event_type", "value"))).alias("_s"))
+              .select("grp",
+                      F.expr("transform(_s, x -> x.event_type)")
+                      .alias("ks"),
+                      F.expr("transform(_s, x -> x.value)")
+                      .alias("vs")))
+    for how, duck_fn in (("sum", "sum"), ("min", "min"), ("max", "max")):
+        got = {r["grp"]: (list(r["map_keys"]), list(r["map_vals_milli"]))
+               for r in map_aggregate(nested, "grp", "ks", "vs",
+                                      how=how).collect()}
+        want = {g: (list(ks), list(vsm)) for g, ks, vsm in
+                _duck(sf_dir).execute(f"""
+            WITH b AS (SELECT ((user_id % 10 + 10) % 10) AS grp,
+                              event_type AS k,
+                              CAST(floor(value * 1000) AS BIGINT) AS vm
+                       FROM events
+                       WHERE user_id IS NOT NULL
+                         AND event_type IS NOT NULL
+                         AND value IS NOT NULL AND isfinite(value)),
+            a AS (SELECT grp, k, CAST({duck_fn}(vm) AS BIGINT) AS vagg
+                  FROM b GROUP BY 1, 2)
+            SELECT grp, array_agg(k ORDER BY k) AS map_keys,
+                   array_agg(vagg ORDER BY k) AS map_vals_milli
+            FROM a GROUP BY grp
+        """).fetchall()}
+        assert got == want and len(got) == 10, how
+
+    # hand case: key-wise sums merge across rows; NULL pairs drop
+    synth = spark.createDataFrame(
+        [("g", ["a", "b"], [1.0, 2.0]),
+         ("g", ["b", "c", None], [3.0, 4.0, 9.0]),
+         ("g", None, None)],
+        "grp string, ks array<string>, vs array<double>")
+    r = map_aggregate(synth, "grp", "ks", "vs", how="sum").collect()[0]
+    assert (list(r["map_keys"]), list(r["map_vals_milli"])) \
+        == (["a", "b", "c"], [1000, 5000, 4000])
+    # ragged arrays raise loudly
+    ragged = spark.createDataFrame(
+        [("g", ["a"], [1.0, 2.0])],
+        "grp string, ks array<string>, vs array<double>")
+    with pytest.raises(Exception, match="ragged"):
+        map_aggregate(ragged, "grp", "ks", "vs").collect()
+    with pytest.raises(ValueError, match="how"):
+        map_aggregate(synth, "grp", "ks", "vs", how="avg")
