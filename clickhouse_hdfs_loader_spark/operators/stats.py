@@ -144,6 +144,27 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
                     .alias("u2")))
 
 
+def _moments_by_side(base: DataFrame, group_col: str) -> DataFrame:
+    """Per-side exact integer moments ``n, Σq, Σq²`` from a
+    ``_sided_base`` frame — shared by the t-tests (order-free int64
+    partials; overflow-safe past 10^9 rows at |v| < 10^3)."""
+    return (base.groupBy(group_col)
+            .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
+                       .cast("long")).alias("n1"),
+                 F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)
+                       .cast("long")).alias("n2"),
+                 F.sum(F.when(F.col("_s") == 1, F.col("_vm"))
+                       .otherwise(F.lit(0).cast("long"))).alias("sum1"),
+                 F.sum(F.when(F.col("_s") == 0, F.col("_vm"))
+                       .otherwise(F.lit(0).cast("long"))).alias("sum2"),
+                 F.sum(F.when(F.col("_s") == 1,
+                              F.col("_vm") * F.col("_vm"))
+                       .otherwise(F.lit(0).cast("long"))).alias("sumsq1"),
+                 F.sum(F.when(F.col("_s") == 0,
+                              F.col("_vm") * F.col("_vm"))
+                       .otherwise(F.lit(0).cast("long"))).alias("sumsq2")))
+
+
 def welch_ttest(df: DataFrame, group_col: str, value_col: str,
                 side_col: str) -> DataFrame:
     """ClickHouse ``welchTTest`` per group from EXACT integer moments:
@@ -158,23 +179,9 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
     a side with n < 2 or both variances zero → NULL t.
 
     Returns ``group, n1, n2, sum1, sum2, sumsq1, sumsq2, t_e4``."""
-    base = _sided_base(df, group_col, value_col, side_col,
-                       "welch_ttest")
-    agg = (base.groupBy(group_col)
-           .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
-                      .cast("long")).alias("n1"),
-                F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)
-                      .cast("long")).alias("n2"),
-                F.sum(F.when(F.col("_s") == 1, F.col("_vm"))
-                      .otherwise(F.lit(0).cast("long"))).alias("sum1"),
-                F.sum(F.when(F.col("_s") == 0, F.col("_vm"))
-                      .otherwise(F.lit(0).cast("long"))).alias("sum2"),
-                F.sum(F.when(F.col("_s") == 1,
-                             F.col("_vm") * F.col("_vm"))
-                      .otherwise(F.lit(0).cast("long"))).alias("sumsq1"),
-                F.sum(F.when(F.col("_s") == 0,
-                             F.col("_vm") * F.col("_vm"))
-                      .otherwise(F.lit(0).cast("long"))).alias("sumsq2")))
+    agg = _moments_by_side(
+        _sided_base(df, group_col, value_col, side_col, "welch_ttest"),
+        group_col)
     return agg.select(group_col, "n1", "n2", "sum1", "sum2",
                       "sumsq1", "sumsq2", F.expr(WELCH_T_SQL).alias("t_e4"))
 
@@ -480,3 +487,88 @@ def map_aggregate(df: DataFrame, group_col: str, keys_col: str,
         group_col,
         F.expr("transform(_s, x -> x._k)").alias("map_keys"),
         F.expr("transform(_s, x -> x._a)").alias("map_vals_milli"))
+
+
+def student_ttest(df: DataFrame, group_col: str, value_col: str,
+                  side_col: str) -> DataFrame:
+    """ClickHouse ``studentTTest``: the equal-variance two-sample t per
+    group — same exact integer moments as :func:`welch_ttest`, pooled
+    sample variance in the denominator:
+
+        sp² = (ss1 + ss2) / (n1 + n2 − 2),  ss_i = Σq² − (Σq)²/n_i
+        t   = (m1 − m2) / (sqrt(sp²) · sqrt(1/n1 + 1/n2))
+
+    in the shared verbatim float expression. NULL t when n1 + n2 < 3,
+    either side is empty, or the pooled variance is zero.
+
+    Returns ``group, n1, n2, sum1, sum2, sumsq1, sumsq2, t_e4``."""
+    agg = _moments_by_side(
+        _sided_base(df, group_col, value_col, side_col,
+                    "student_ttest"),
+        group_col)
+    return agg.select(group_col, "n1", "n2", "sum1", "sum2",
+                      "sumsq1", "sumsq2",
+                      F.expr(STUDENT_T_SQL).alias("t_e4"))
+
+
+# pooled-variance t, shared verbatim (the WELCH_T_SQL convention)
+_SS1 = ("(CAST(sumsq1 AS DOUBLE) - CAST(sum1 AS DOUBLE)"
+        " * CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE))")
+_SS2 = ("(CAST(sumsq2 AS DOUBLE) - CAST(sum2 AS DOUBLE)"
+        " * CAST(sum2 AS DOUBLE) / CAST(n2 AS DOUBLE))")
+_SP2 = ("((" + _SS1 + " + " + _SS2 + ")"
+        " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)"
+        " - CAST(2 AS DOUBLE)))")
+STUDENT_T_SQL = (
+    "CASE WHEN n1 < 1 OR n2 < 1 OR n1 + n2 < 3 THEN NULL ELSE "
+    "CASE WHEN " + _SP2 + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
+    "CAST(floor("
+    "(CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(sum2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / (sqrt(" + _SP2 + ")"
+    " * sqrt(CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END END")
+
+
+def rrf_fuse(rankings: DataFrame, query_col: str = "query_id",
+             doc_col: str = "doc_id", rank_col: str = "rank",
+             k: int = 60, top_n: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-retrieval merge of lexical BM25 and embedding-ANN result
+    lists): per (query, doc), ``score = Σ_sources 1/(k + rank)``, then
+    the top-``n`` fused docs per query.
+
+    Integer-exact: each contribution quantizes to
+    ``1 000 000 div (k + rank)`` micro-units — an int-sum monoid, so
+    map-side combines are exact and a SQL twin replays hash-identically
+    (1/(k+r) needs no float at all). Ties break on doc id. NULL docs
+    and NULL/non-positive ranks are excluded loudly in the projection
+    (a 0-or-negative rank means the caller passed scores, not ranks).
+
+    Plan: one (query, doc) aggregate + one per-query top-n window
+    (WindowGroupLimit — partial top-n inside each map task). Input is
+    the UNION of per-source ranked lists ``query, doc, rank``; at scale
+    each source list is already small (top-k per query), so the shuffle
+    is bounded by queries × sources × k.
+
+    Returns ``query, doc, rrf_micro, fused_rank`` (fused_rank 1-based,
+    score-desc, doc-asc)."""
+    if int(k) < 1 or int(top_n) < 1:
+        raise ValueError(
+            f"rrf_fuse: k and top_n must be >= 1, got k={k}, "
+            f"top_n={top_n}")
+    contrib = F.expr(
+        f"CASE WHEN {rank_col} IS NULL OR {rank_col} < 1 "
+        f"THEN raise_error('rrf_fuse: rank_col must be a 1-based rank') "
+        f"ELSE 1000000 div (CAST({rank_col} AS BIGINT) + {int(k)}) END")
+    per_doc = (rankings.where(F.col(doc_col).isNotNull())
+               .select(F.col(query_col), F.col(doc_col),
+                       contrib.alias("_c"))
+               .groupBy(query_col, doc_col)
+               .agg(F.sum("_c").alias("rrf_micro")))
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(doc_col).asc())
+    return (per_doc.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= int(top_n)))

@@ -52,7 +52,8 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
         arg_min_max_by_group, cramers_v, group_array_sorted, ks_test,
-        mann_whitney_u, map_aggregate, skew_kurt, theils_u, welch_ttest)
+        mann_whitney_u, map_aggregate, rrf_fuse, skew_kurt,
+        student_ttest, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -82,6 +83,13 @@ def _operator_picks(spark, sf):
                           F.pmod(F.floor(F.col("value")).cast("long"),
                                  F.lit(7)))
               .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    from pyspark.sql import Window
+    rankings = (docs.withColumn("q", F.pmod(F.col("doc_id"), F.lit(3)))
+                .withColumn("rank", F.row_number().over(
+                    Window.partitionBy("q").orderBy("doc_id"))
+                    .cast("int"))
+                .where(F.col("rank") <= 15)
+                .select("q", "doc_id", "rank"))
     nested = (binned.groupBy(F.pmod(F.col("user_id"), F.lit(10))
                              .alias("grp"), "user_id")
               .agg(F.sort_array(F.collect_list(F.struct(
@@ -129,6 +137,12 @@ def _operator_picks(spark, sf):
         # broadcast subtree, never a driver collect
         "skew_kurt": skew_kurt(ev, "event_type", "value"),
         "map_aggregate_sum": map_aggregate(nested, "grp", "ks", "vs"),
+        "student_ttest": student_ttest(sided, "event_type", "value",
+                                       "side"),
+        "rrf_fuse": rrf_fuse(
+            rankings.unionByName(rankings.withColumn(
+                "rank", (F.col("rank") % 7 + 1).cast("int"))),
+            "q", "doc_id", "rank"),
         # dims=64 keeps construction lazy (no eager min/max bounds job
         # that would scan the source during plan audit — ADVICE r9)
         "covariance_stats": covariance_stats(emb, dims=64),

@@ -10,6 +10,7 @@ import datetime as dt
 
 import duckdb
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from clickhouse_hdfs_loader_spark.operators.stats import (
@@ -527,3 +528,130 @@ def test_map_aggregate_oracle_and_guards(spark, sf_dir):
         map_aggregate(ragged, "grp", "ks", "vs").collect()
     with pytest.raises(ValueError, match="how"):
         map_aggregate(synth, "grp", "ks", "vs", how="avg")
+
+
+def test_student_ttest_oracle_and_degenerates(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        STUDENT_T_SQL, student_ttest)
+
+    got = sorted(map(tuple, student_ttest(
+        _sided(spark, sf_dir), "event_type", "value", "side").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          CAST({_SIDE_SQL} AS BIGINT) AS s
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL),
+        a AS (SELECT event_type,
+                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1,
+                CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n2,
+                CAST(sum(CASE WHEN s = 1 THEN vm ELSE 0 END) AS BIGINT)
+                  AS sum1,
+                CAST(sum(CASE WHEN s = 0 THEN vm ELSE 0 END) AS BIGINT)
+                  AS sum2,
+                CAST(sum(CASE WHEN s = 1 THEN vm * vm ELSE 0 END)
+                     AS BIGINT) AS sumsq1,
+                CAST(sum(CASE WHEN s = 0 THEN vm * vm ELSE 0 END)
+                     AS BIGINT) AS sumsq2
+              FROM b GROUP BY 1)
+        SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
+               {STUDENT_T_SQL} AS t_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert any(r[7] is not None for r in got)
+
+    # hand case: side1={0,2} (m=1000, ss=2e6), side0={10,14}
+    # (m=12000, ss=8e6): sp^2 = 1e7/2 = 5e6,
+    # t = -11000 / (sqrt(5e6)*sqrt(1)) = -4.9193 (equal n: same
+    # denominator value as the Welch hand case by coincidence of
+    # balanced sizes)
+    known = spark.createDataFrame(
+        [("g", 0.0, 1), ("g", 2.0, 1), ("g", 10.0, 0), ("g", 14.0, 0)],
+        "event_type string, value double, side int")
+    t = student_ttest(known, "event_type", "value",
+                      "side").collect()[0]["t_e4"]
+    assert t == pytest.approx(-4.9193, abs=1e-4)
+    # n1 + n2 < 3 -> NULL; all-constant -> zero pooled variance -> NULL
+    tiny = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 0)],
+        "event_type string, value double, side int")
+    assert student_ttest(tiny, "event_type", "value",
+                         "side").collect()[0]["t_e4"] is None
+    const = spark.createDataFrame(
+        [("g", 2.0, 1), ("g", 2.0, 1), ("g", 2.0, 0)],
+        "event_type string, value double, side int")
+    assert student_ttest(const, "event_type", "value",
+                         "side").collect()[0]["t_e4"] is None
+
+
+def test_rrf_fuse_oracle_and_hand_case(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import rrf_fuse
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    # two synthetic ranked lists over documents: source A ranks by
+    # doc_id asc, source B by (n_chars desc, doc_id) — 15 deep each
+    docs = (read_table(spark, sf_dir, "documents")
+            .withColumn("q", F.pmod(F.col("doc_id"), F.lit(3))))
+    wa = Window.partitionBy("q").orderBy(F.col("doc_id").asc())
+    wb = Window.partitionBy("q").orderBy(F.col("n_chars").desc(),
+                                         F.col("doc_id").asc())
+    src_a = (docs.withColumn("rank", F.row_number().over(wa))
+             .where(F.col("rank") <= 15).select("q", "doc_id", "rank"))
+    src_b = (docs.withColumn("rank", F.row_number().over(wb))
+             .where(F.col("rank") <= 15).select("q", "doc_id", "rank"))
+    fused = rrf_fuse(src_a.unionByName(src_b), "q", "doc_id", "rank",
+                     k=60, top_n=10)
+    got = sorted(map(tuple, fused.collect()))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH d AS (SELECT ((doc_id % 3 + 3) % 3) AS q, doc_id, n_chars
+                   FROM documents),
+        a AS (SELECT q, doc_id,
+                row_number() OVER (PARTITION BY q ORDER BY doc_id)
+                  AS rank
+              FROM d QUALIFY rank <= 15),
+        b AS (SELECT q, doc_id,
+                row_number() OVER (PARTITION BY q
+                  ORDER BY n_chars DESC, doc_id) AS rank
+              FROM d QUALIFY rank <= 15),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        s AS (SELECT q, doc_id,
+                CAST(sum(1000000 // (rank + 60)) AS BIGINT) AS rrf_micro
+              FROM u GROUP BY 1, 2),
+        r AS (SELECT q, doc_id, rrf_micro,
+                CAST(row_number() OVER (PARTITION BY q
+                  ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+              FROM s)
+        SELECT q, doc_id, rrf_micro, fused_rank FROM r
+        WHERE fused_rank <= 10
+    """).fetchall()))
+    assert got == want and len(got) == 30  # 3 queries x top 10
+
+    # hand case: doc appearing in BOTH lists outranks single-list docs
+    rows = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2),          # source A
+         (1, "d2", 1), (1, "d3", 2)],         # source B
+        "q long, doc string, rank int")
+    fused = {r["doc"]: (r["rrf_micro"], r["fused_rank"]) for r in
+             rrf_fuse(rows, "q", "doc", "rank", k=60).collect()}
+    assert fused["d2"] == (1_000_000 // 62 + 1_000_000 // 61, 1)
+    assert fused["d1"] == (1_000_000 // 61, 2)
+    assert fused["d3"] == (1_000_000 // 62, 3)
+    # score-tied docs order by doc id
+    tied = spark.createDataFrame(
+        [(1, "z", 1), (1, "a", 1)], "q long, doc string, rank int")
+    order = [r["doc"] for r in rrf_fuse(tied, "q", "doc", "rank")
+             .orderBy("fused_rank").collect()]
+    assert order == ["a", "z"]
+    # a non-positive rank raises (scores passed where ranks expected)
+    bad = spark.createDataFrame([(1, "d", 0)],
+                                "q long, doc string, rank int")
+    with pytest.raises(Exception, match="1-based rank"):
+        rrf_fuse(bad, "q", "doc", "rank").collect()
