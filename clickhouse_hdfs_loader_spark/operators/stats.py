@@ -572,3 +572,35 @@ def rrf_fuse(rankings: DataFrame, query_col: str = "query_id",
         F.col("rrf_micro").desc(), F.col(doc_col).asc())
     return (per_doc.withColumn("fused_rank", F.row_number().over(w))
             .where(F.col("fused_rank") <= int(top_n)))
+
+
+def ttest_update(state: "DataFrame | None", batch: DataFrame,
+                 group_col: str = "event_type",
+                 value_col: str = "value",
+                 side_col: str = "side") -> DataFrame:
+    """Fold a batch into the per-group six-moment t-test state
+    (``group, n1, n2, sum1, sum2, sumsq1, sumsq2``) — an int-sum
+    MONOID, so folding is order-insensitive and per-batch folding ≡
+    one-shot for ANY partition of the rows (the entropy_update /
+    retention_update contract; hypothesis-tested). The state is
+    O(|groups|) rows; raw history is never rescanned."""
+    fresh = _moments_by_side(
+        _sided_base(batch, group_col, value_col, side_col,
+                    "ttest_update"), group_col)
+    if state is None:
+        return fresh
+    cols = ["n1", "n2", "sum1", "sum2", "sumsq1", "sumsq2"]
+    return (state.unionByName(fresh)
+            .groupBy(group_col)
+            .agg(*[F.sum(c).alias(c) for c in cols]))
+
+
+def ttest_from_state(state: DataFrame,
+                     group_col: str = "event_type") -> DataFrame:
+    """Derive BOTH t statistics from the six-moment state alone —
+    ``group, n1, n2, welch_t_e4, student_t_e4`` via the shared verbatim
+    expressions (continuous A/B monitoring: the report is O(|groups|)
+    and recomputes from state in milliseconds)."""
+    return state.select(group_col, "n1", "n2",
+                        F.expr(WELCH_T_SQL).alias("welch_t_e4"),
+                        F.expr(STUDENT_T_SQL).alias("student_t_e4"))

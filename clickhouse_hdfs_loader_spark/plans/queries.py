@@ -5016,10 +5016,12 @@ def pagerank_summary(spark, sf_dir):
 #   r11: promote the late-r10 stats family (group_array_sorted,
 #        arg_min_max_by_group, mann_whitney_u, welch_ttest,
 #        student_ttest, ks_test, theils_u, cramers_v, skew_kurt,
-#        map_aggregate, rrf_fuse — in-test DuckDB oracles at
-#        tests/test_stats_operators.py, SQL ready to move verbatim,
-#        shared verbatim float expressions exported as WELCH_T_SQL/
-#        STUDENT_T_SQL/KS_D_SQL/SKEW_SQL/KURT_SQL/CRAMERS_V_SQL);
+#        map_aggregate, rrf_fuse, and the stream_ab_test foreachBatch
+#        twin (oracle = the welch+student twins combined) — in-test
+#        DuckDB oracles at tests/test_stats_operators.py, SQL ready to
+#        move verbatim, shared verbatim float expressions exported as
+#        WELCH_T_SQL/STUDENT_T_SQL/KS_D_SQL/SKEW_SQL/KURT_SQL/
+#        CRAMERS_V_SQL);
 #        re-confirm the remaining r6-graded TPC-H (q14-q22) and the r10-
 #        displaced r9 batch (multimodal_header_decode,
 #        regexp_extract_groups, case_when_bucketing, array_ops,

@@ -508,3 +508,36 @@ def stream_retention(spark: SparkSession, sf_dir: str,
         raise RuntimeError("stream produced no batches")
     return retention_from_state(state[0][0], state[0][1],
                                 max_offset=max_offset)
+
+
+def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B monitor twin: each micro-batch folds into the
+    per-group six-moment t-test state via ``stats.ttest_update`` inside
+    ``foreachBatch`` (int-sum monoid — order-insensitive, the
+    entropy/retention contract), and the Welch + Student report derives
+    from the O(|groups|) state alone. Side = user parity (the batch
+    twin's derivation); rows with NULL users are excluded identically.
+    Matches the batch operators exactly by test."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import ttest_from_state, ttest_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        sided = (bdf.where(F.col("user_id").isNotNull())
+                 .withColumn("side", F.pmod(F.col("user_id"), F.lit(2))))
+        nxt = ttest_update(state[0] if state else None, sided) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return ttest_from_state(state[0])

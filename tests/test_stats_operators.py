@@ -655,3 +655,51 @@ def test_rrf_fuse_oracle_and_hand_case(spark, sf_dir):
                                 "q long, doc string, rank int")
     with pytest.raises(Exception, match="1-based rank"):
         rrf_fuse(bad, "q", "doc", "rank").collect()
+
+
+def test_stream_ab_test_matches_batch_any_partition(spark, sf_dir):
+    """The foreachBatch A/B twin reproduces the batch t-tests exactly,
+    and folding ANY random partition of the rows (order-free — the
+    six-moment state is an int-sum monoid) equals the one-shot
+    report."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        student_ttest, ttest_from_state, ttest_update)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_ab_test)
+
+    sided = _sided(spark, sf_dir)
+    w = {r["event_type"]: r["t_e4"] for r in welch_ttest(
+        sided, "event_type", "value", "side").collect()}
+    s = {r["event_type"]: r["t_e4"] for r in student_ttest(
+        sided, "event_type", "value", "side").collect()}
+    got = {r["event_type"]: (r["welch_t_e4"], r["student_t_e4"])
+           for r in stream_ab_test(spark, sf_dir).collect()}
+    assert got == {g: (w[g], s[g]) for g in w} and len(got) == 5
+
+    schema = "event_type string, value double, side int"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),          # group
+                              st.integers(-20, 20),       # value
+                              st.integers(0, 1)),         # side
+                    min_size=1, max_size=20),
+           st.lists(st.integers(0, 2), min_size=1, max_size=20))
+    @settings(max_examples=6, deadline=None)
+    def check(evs, assignment):
+        rows = [(f"g{g}", float(v), sd) for g, v, sd in evs]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, ttest_from_state(
+            ttest_update(None, full)).collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = ttest_update(state, bdf).localCheckpoint(eager=True)
+        got2 = sorted(map(tuple, ttest_from_state(state).collect()))
+        assert got2 == one_shot
+
+    check()
