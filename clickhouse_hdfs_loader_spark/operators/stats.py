@@ -604,3 +604,70 @@ def ttest_from_state(state: DataFrame,
     return state.select(group_col, "n1", "n2",
                         F.expr(WELCH_T_SQL).alias("welch_t_e4"),
                         F.expr(STUDENT_T_SQL).alias("student_t_e4"))
+
+
+def exponential_moving_average(events: DataFrame,
+                               group_col: str = "event_type",
+                               ts_col: str = "ts",
+                               value_col: str = "value",
+                               id_col: str = "event_id",
+                               half_life_s: float = 3600.0) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage``-family analog for
+    IRREGULAR series: per group, in (ts, id) order,
+
+        ema_0 = v_0
+        ema_i = α_i·v_i + (1 − α_i)·ema_{i−1},
+        α_i   = 1 − 2^(−Δt_i / half_life)        (Δt in seconds)
+
+    — after ``half_life`` seconds of silence an observation's influence
+    has halved; for unit spacing this is the classic EMA with
+    α = 1 − 2^(−1/hl). The fold is inherently SEQUENTIAL (each step
+    depends on the previous), which is genuinely outside DataFrame
+    algebra — the escalation ladder lands on ``applyInPandas`` per
+    group: one shuffle on the series key, each series held whole (the
+    LTTB bound — pre-split the group key by coarse time range for
+    unbounded series; re-seeding at range heads decays exponentially).
+
+    The float path is a same-order IEEE fold, so the independent
+    pure-Python replay in the tests asserts BITWISE equality (the
+    pca_whiten precedent) — no tolerance, no quantized twin. NULL ts /
+    NULL/NaN/±Inf values are excluded up-front (the repo stance).
+
+    Returns ``group, n, last_ts_us, ema`` (ema as the raw double — this
+    operator is replay-pinned, not oracle-graded; round at the edge if
+    a driver grade ever needs it)."""
+    import pandas as pd
+
+    hl = float(half_life_s)
+    if not hl > 0:
+        raise ValueError(
+            f"exponential_moving_average: half_life_s must be > 0, "
+            f"got {half_life_s}")
+
+    base = (events.where(_quantizable_col(value_col)
+                         & F.col(ts_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    F.col(id_col).alias("_id"),
+                    F.col(value_col).cast("double").alias("_v")))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_us", "_id"], kind="mergesort")
+        ema = None
+        prev_us = None
+        for us, v in zip(pdf["_us"], pdf["_v"]):
+            if ema is None:
+                ema = float(v)
+            else:
+                # alpha from the exact microsecond gap; same-order IEEE
+                # ops as the replay (2.0 ** x, never exp(log2...))
+                alpha = 1.0 - 2.0 ** (-((us - prev_us) / 1e6) / hl)
+                ema = alpha * float(v) + (1.0 - alpha) * ema
+            prev_us = int(us)
+        return pd.DataFrame({
+            "_g": [pdf["_g"].iloc[0]], "n": [len(pdf)],
+            "last_ts_us": [prev_us], "ema": [ema]})
+
+    out = base.groupBy("_g").applyInPandas(
+        fold, schema="_g string, n long, last_ts_us long, ema double")
+    return out.withColumnRenamed("_g", group_col)

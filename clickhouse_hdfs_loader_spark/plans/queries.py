@@ -5030,8 +5030,9 @@ def pagerank_summary(spark, sf_dir):
 #        sequence_match, heavy_hitters, fuzzy_join_exact, kfold_assign,
 #        …) as slots allow.
 #   r12+: second confirmations of the r10 first-grades.
-# lttb_downsample and pca_whiten stay replay-pinned (not
-# SQL-expressible, no stable low-row summary that isn't just the replay).
+# lttb_downsample, pca_whiten and exponential_moving_average stay
+# replay-pinned (not SQL-expressible, no stable low-row summary that
+# isn't just the replay).
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",

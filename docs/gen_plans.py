@@ -51,9 +51,9 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        arg_min_max_by_group, cramers_v, group_array_sorted, ks_test,
-        mann_whitney_u, map_aggregate, rrf_fuse, skew_kurt,
-        student_ttest, theils_u, welch_ttest)
+        arg_min_max_by_group, cramers_v, exponential_moving_average,
+        group_array_sorted, ks_test, mann_whitney_u, map_aggregate,
+        rrf_fuse, skew_kurt, student_ttest, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -139,6 +139,7 @@ def _operator_picks(spark, sf):
         "map_aggregate_sum": map_aggregate(nested, "grp", "ks", "vs"),
         "student_ttest": student_ttest(sided, "event_type", "value",
                                        "side"),
+        "exponential_moving_average": exponential_moving_average(ev),
         "rrf_fuse": rrf_fuse(
             rankings.unionByName(rankings.withColumn(
                 "rank", (F.col("rank") % 7 + 1).cast("int"))),

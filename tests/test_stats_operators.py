@@ -703,3 +703,65 @@ def test_stream_ab_test_matches_batch_any_partition(spark, sf_dir):
         assert got2 == one_shot
 
     check()
+
+
+def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
+    """Independent pure-Python replay of the EMA fold over the raw
+    parquet (duckdb read, same (ts, id) order, same-order IEEE ops) —
+    BITWISE equality, no tolerance (the pca_whiten stance). Plus hand
+    cases: half-life silence halves influence exactly; partitioning
+    invariance; guards."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        exponential_moving_average)
+
+    hl = 3600.0
+    ev = read_table(spark, sf_dir, "events")
+    got = {r["event_type"]: (r["n"], r["last_ts_us"], r["ema"]) for r in
+           exponential_moving_average(ev, half_life_s=hl).collect()}
+
+    rows = _duck(sf_dir).execute(
+        "SELECT event_type, epoch_us(ts) AS us, CAST(value AS DOUBLE) "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) ORDER BY event_type, us, event_id"
+    ).fetchall()
+    series: dict = {}
+    for g, us, v in rows:
+        series.setdefault(g, []).append((us, v))
+    want = {}
+    for g, pts in series.items():
+        ema, prev = None, None
+        for us, v in pts:
+            if ema is None:
+                ema = float(v)
+            else:
+                alpha = 1.0 - 2.0 ** (-((us - prev) / 1e6) / hl)
+                ema = alpha * float(v) + (1.0 - alpha) * ema
+            prev = int(us)
+        want[g] = (len(pts), prev, ema)
+    assert got == want and len(got) == 5   # bitwise: == on doubles
+
+    # partitioning invariance (one shuffle on the series key)
+    repart = {r["event_type"]: (r["n"], r["last_ts_us"], r["ema"])
+              for r in exponential_moving_average(
+                  ev.repartition(13), half_life_s=hl).collect()}
+    assert repart == got
+
+    # hand case: v=0 then v=1 exactly one half-life later ->
+    # alpha = 0.5 -> ema = 0.5; a third point after two half-lives
+    # pulls 3/4 of the way to its value
+    t0 = dt.datetime(2024, 1, 1)
+    synth = spark.createDataFrame(
+        [(1, "g", t0, 0.0), (2, "g", t0 + dt.timedelta(seconds=3600), 1.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    r = exponential_moving_average(synth, half_life_s=3600).collect()[0]
+    assert r["ema"] == 0.5 and r["n"] == 2
+    synth3 = spark.createDataFrame(
+        [(1, "g", t0, 0.0),
+         (2, "g", t0 + dt.timedelta(seconds=3600), 1.0),
+         (3, "g", t0 + dt.timedelta(seconds=3600 * 3), 2.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    r = exponential_moving_average(synth3, half_life_s=3600).collect()[0]
+    # alpha = 1 - 2^-2 = 0.75: ema = 0.75*2 + 0.25*0.5 = 1.625
+    assert r["ema"] == 1.625
+    with pytest.raises(ValueError, match="half_life"):
+        exponential_moving_average(synth, half_life_s=0.0)
