@@ -336,8 +336,10 @@ def cramers_v(df: DataFrame, group_col: str, x_col: str,
     shared verbatim expression. Overflow bound: per-CELL count below
     ~3·10^6 (n_xy²·10^6 < 2^63); quantize coarser for hotter cells.
 
-    Returns ``group, n, r, c, phi2_micro, v_e4`` (NULL v_e4 when either
-    variable is constant — min(r,c) = 1)."""
+    Returns ``group, n, r, c, phi2_micro, v_e4, contingency_e4`` (NULL
+    v_e4 when either variable is constant — min(r,c) = 1; ClickHouse's
+    ``contingency()`` coefficient rides along for free because
+    χ²/(χ²+n) = φ²/(φ²+1) — the n cancels)."""
     base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
@@ -357,8 +359,9 @@ def cramers_v(df: DataFrame, group_col: str, x_col: str,
                       F.sum("_term") - F.lit(1_000_000).cast("long"))
                   .alias("phi2_micro")))
     return (per_g.withColumn("v_e4", F.expr(CRAMERS_V_SQL))
+            .withColumn("contingency_e4", F.expr(CONTINGENCY_SQL))
             .select(F.col("_g").alias(group_col), "n", "r", "c",
-                    "phi2_micro", "v_e4"))
+                    "phi2_micro", "v_e4", "contingency_e4"))
 
 
 # shared verbatim by the operator and every SQL twin
@@ -671,3 +674,85 @@ def exponential_moving_average(events: DataFrame,
     out = base.groupBy("_g").applyInPandas(
         fold, schema="_g string, n long, last_ts_us long, ema double")
     return out.withColumnRenamed("_g", group_col)
+
+
+# ClickHouse contingency(): sqrt(chi2/(chi2+n)) = sqrt(phi2/(phi2+1))
+# — shared verbatim (defined for any non-degenerate table; NULL only on
+# an empty group, which the operator never emits)
+CONTINGENCY_SQL = (
+    "CAST(floor(sqrt(CAST(phi2_micro AS DOUBLE)"
+    " / (CAST(phi2_micro AS DOUBLE) + CAST(1000000 AS DOUBLE)))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE)")
+
+
+def rank_corr(df: DataFrame, group_col: str, x_col: str,
+              y_col: str) -> DataFrame:
+    """ClickHouse ``rankCorr``: Spearman's ρ per group — the Pearson
+    correlation of the two columns' midranks, with the tie handling the
+    naive d²-formula gets wrong. Exact by the mann_whitney_u machinery:
+    DOUBLED midranks (``2·|{<v}| + |{=v}| + 1``, always integer) per
+    distinct value of each column join back to rows, and the five
+    moment sums accumulate in 128-bit exact integers (ranks ≤ 2n, so
+    Σrx·ry grows as n³ — DECIMAL(38,0)/HUGEINT keeps it exact past
+    10^11 rows per group). One verbatim float finish; the doubling
+    cancels in the correlation, so ρ needs no rescaling.
+
+    Values milli-quantize first (repo stance); NULL/NaN/±Inf in EITHER
+    column drop the row on both sides.
+
+    Plan: two (group, value) count aggregates + cum windows (each on
+    the |distinct values| table), two joins back, one moment aggregate.
+
+    Returns ``group, n, rho_e4`` (NULL when n < 2 or either column is
+    constant)."""
+    qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
+    qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col))
+            .select(F.col(group_col).alias("_g"),
+                    qx.alias("_x"), qy.alias("_y")))
+
+    def ranks(col: str) -> DataFrame:
+        per_v = (base.groupBy("_g", col)
+                 .agg(F.count(F.lit(1)).alias("_cnt")))
+        wcum = (Window.partitionBy("_g").orderBy(col)
+                .rowsBetween(Window.unboundedPreceding, -1))
+        return (per_v
+                .withColumn("_lt", F.coalesce(
+                    F.sum("_cnt").over(wcum), F.lit(0).cast("long")))
+                .select("_g", col,
+                        (F.lit(2).cast("long") * F.col("_lt")
+                         + F.col("_cnt") + F.lit(1).cast("long"))
+                        .alias(f"_r{col}")))
+
+    ranked = (base.join(ranks("_x"), ["_g", "_x"])
+              .join(ranks("_y"), ["_g", "_y"])
+              .select("_g",
+                      F.col("_r_x").cast("decimal(38,0)").alias("_rx"),
+                      F.col("_r_y").cast("decimal(38,0)").alias("_ry")))
+    agg = (ranked.groupBy("_g")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+                F.sum(F.expr("_rx * _rx")).alias("_sxx"),
+                F.sum(F.expr("_ry * _ry")).alias("_syy"),
+                F.sum(F.expr("_rx * _ry")).alias("_sxy")))
+    return agg.select(F.col("_g").alias(group_col), "n",
+                      F.expr(RANK_CORR_SQL).alias("rho_e4"))
+
+
+# shared verbatim: rho = (n·Σxy − Σx·Σy) /
+#                        (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²))
+# from the exact 128-bit rank-moment sums, cast to DOUBLE first
+_RC_NUM = ("(CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)"
+           " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))")
+_RC_DX = ("(CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)"
+          " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))")
+_RC_DY = ("(CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE)"
+          " - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE))")
+RANK_CORR_SQL = (
+    "CASE WHEN n < 2 OR " + _RC_DX + " <= CAST(0 AS DOUBLE)"
+    " OR " + _RC_DY + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
+    "CAST(floor(" + _RC_NUM + " / (sqrt(" + _RC_DX + ")"
+    " * sqrt(" + _RC_DY + "))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")

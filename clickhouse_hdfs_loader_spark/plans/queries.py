@@ -5016,7 +5016,9 @@ def pagerank_summary(spark, sf_dir):
 #   r11: promote the late-r10 stats family (group_array_sorted,
 #        arg_min_max_by_group, mann_whitney_u, welch_ttest,
 #        student_ttest, ks_test, theils_u, cramers_v, skew_kurt,
-#        map_aggregate, rrf_fuse, and the stream_ab_test foreachBatch
+#        map_aggregate, rrf_fuse, rank_corr, the contingency
+#        coefficient (rides on cramers_v), and the stream_ab_test
+#        foreachBatch
 #        twin (oracle = the welch+student twins combined) — in-test
 #        DuckDB oracles at tests/test_stats_operators.py, SQL ready to
 #        move verbatim, shared verbatim float expressions exported as

@@ -53,7 +53,8 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.stats import (
         arg_min_max_by_group, cramers_v, exponential_moving_average,
         group_array_sorted, ks_test, mann_whitney_u, map_aggregate,
-        rrf_fuse, skew_kurt, student_ttest, theils_u, welch_ttest)
+        rank_corr, rrf_fuse, skew_kurt, student_ttest, theils_u,
+        welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -140,6 +141,10 @@ def _operator_picks(spark, sf):
         "student_ttest": student_ttest(sided, "event_type", "value",
                                        "side"),
         "exponential_moving_average": exponential_moving_average(ev),
+        "rank_corr": rank_corr(
+            ev.withColumn("y2", (F.col("value") * F.col("value"))
+                          .cast("double")),
+            "event_type", "value", "y2"),
         "rrf_fuse": rrf_fuse(
             rankings.unionByName(rankings.withColumn(
                 "rank", (F.col("rank") % 7 + 1).cast("int"))),

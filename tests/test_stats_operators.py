@@ -355,7 +355,7 @@ def test_theils_u_oracle_and_hand_cases(spark, sf_dir):
 
 def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        CRAMERS_V_SQL, cramers_v)
+        CONTINGENCY_SQL, CRAMERS_V_SQL, cramers_v)
 
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull()
@@ -393,12 +393,13 @@ def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
               FROM cells GROUP BY g)
         SELECT g AS event_type, n, CAST(r AS BIGINT) AS r,
                CAST(c AS BIGINT) AS c, phi2_micro,
-               {CRAMERS_V_SQL} AS v_e4
+               {CRAMERS_V_SQL} AS v_e4, {CONTINGENCY_SQL} AS contingency_e4
         FROM a
     """).fetchall()))
     assert got == want and len(got) == 5
-    for _g, _n, r, c, phi2, v in got:
+    for _g, _n, r, c, phi2, v, cg in got:
         assert r == 7 and c == 5 and v is not None and 0.0 <= v <= 1.0
+        assert 0.0 <= cg < 1.0
 
     # hand cases: perfect association -> V = 1; exact independence ->
     # V = 0; constant Y -> NULL
@@ -407,11 +408,14 @@ def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
         "g string, x string, y string")
     r = cramers_v(perfect, "g", "x", "y").collect()[0]
     assert (r["phi2_micro"], r["v_e4"]) == (1_000_000, 1.0)
+    # contingency at perfect 2x2 association: sqrt(1/2) -> 0.7071
+    assert r["contingency_e4"] == pytest.approx(0.7071, abs=1e-4)
     ind = spark.createDataFrame(
         [("g", str(x), str(y)) for x in range(2) for y in range(2)],
         "g string, x string, y string")
     r = cramers_v(ind, "g", "x", "y").collect()[0]
-    assert (r["phi2_micro"], r["v_e4"]) == (0, 0.0)
+    assert (r["phi2_micro"], r["v_e4"], r["contingency_e4"]) \
+        == (0, 0.0, 0.0)
     const = spark.createDataFrame(
         [("g", "a", "z"), ("g", "b", "z")], "g string, x string, y string")
     assert cramers_v(const, "g", "x", "y").collect()[0]["v_e4"] is None
@@ -765,3 +769,67 @@ def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
     assert r["ema"] == 1.625
     with pytest.raises(ValueError, match="half_life"):
         exponential_moving_average(synth, half_life_s=0.0)
+
+
+def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        RANK_CORR_SQL, rank_corr)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .withColumn("y2", (F.col("value") * F.col("value"))
+                      .cast("double")))
+    got = sorted(map(tuple, rank_corr(ev, "event_type", "value",
+                                      "y2").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS x,
+                          CAST(floor((value * value) * 1000) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND (value * value) IS NOT NULL
+                     AND isfinite(value * value)),
+        rx AS (SELECT g, x, 2 * coalesce(sum(count(*)) OVER (
+                 PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + count(*) + 1 AS r
+               FROM b GROUP BY g, x),
+        ry AS (SELECT g, y, 2 * coalesce(sum(count(*)) OVER (
+                 PARTITION BY g ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + count(*) + 1 AS r
+               FROM b GROUP BY g, y),
+        j AS (SELECT b.g, CAST(rx.r AS HUGEINT) AS rxv,
+                     CAST(ry.r AS HUGEINT) AS ryv
+              FROM b JOIN rx ON b.g = rx.g AND b.x = rx.x
+                     JOIN ry ON b.g = ry.g AND b.y = ry.y),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     sum(rxv) AS _sx, sum(ryv) AS _sy,
+                     sum(rxv * rxv) AS _sxx, sum(ryv * ryv) AS _syy,
+                     sum(rxv * ryv) AS _sxy
+              FROM j GROUP BY 1)
+        SELECT g AS event_type, n, {RANK_CORR_SQL} AS rho_e4 FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # y = x² on positive values is a monotone map -> ranks identical
+    # -> rho exactly 1.0 in every group (a strong structural check)
+    assert all(r[2] == 1.0 for r in got)
+
+    # hand cases: reversed order -> -1; ties handled via midranks
+    mono = spark.createDataFrame(
+        [("g", float(i), float(10 - i)) for i in range(6)],
+        "g string, x double, y double")
+    assert rank_corr(mono, "g", "x", "y").collect()[0]["rho_e4"] == -1.0
+    # x has a tie pair straddling y's order: classic midrank value.
+    # x = [1, 2, 2, 3], y = [1, 2, 3, 4]: doubled ranks
+    # rx = [2, 5, 5, 8], ry = [2, 4, 6, 8] -> rho = 0.9487
+    tied = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 2.0, 3.0),
+         ("g", 3.0, 4.0)],
+        "g string, x double, y double")
+    assert rank_corr(tied, "g", "x", "y").collect()[0]["rho_e4"] \
+        == pytest.approx(0.9487, abs=1e-4)
+    # constant column -> NULL
+    const = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 2.0, 5.0)], "g string, x double, y double")
+    assert rank_corr(const, "g", "x", "y").collect()[0]["rho_e4"] is None
