@@ -1,11 +1,15 @@
 """Statistical combinators ([EXT]): the ClickHouse aggregate-function
 surface for exploratory statistics — ``groupArraySorted(N)``,
-``argMin``/``argMax`` (made deterministic), ``mannWhitneyUTest`` and
-``welchTTest`` — re-expressed as deterministic, engine-exact DataFrame
-compositions (reference family: ClickHouse AggregateFunctions/
-AggregateFunctionMannWhitney.h, AggregateFunctionTTest.h; semantics
-re-derived from the public docs, not ported; the fixed-bin histogram
-sibling has lived in analytics.py:histogram_fixed since r7).
+``argMin``/``argMax`` (made deterministic), ``mannWhitneyUTest``,
+``welchTTest``/``studentTTest`` (+ the incremental six-moment state and
+its streaming A/B twin), ``kolmogorovSmirnovTest``, ``theilsU``,
+``cramersV``/``contingency``, ``skewSamp``/``kurtSamp``, ``rankCorr``,
+``sumMap``/``minMap``/``maxMap``, ``exponentialMovingAverage``, and
+reciprocal-rank fusion for hybrid retrieval — re-expressed as
+deterministic, engine-exact DataFrame compositions (reference family:
+the public ClickHouse aggregate-function docs; semantics re-derived,
+not ported; the fixed-bin histogram sibling has lived in
+analytics.py:histogram_fixed since r7).
 
 House rules (the graded-oracle discipline):
 - float values quantize to integer milli/micro units BEFORE any

@@ -1,8 +1,13 @@
 """Statistical combinators (operators/stats.py): groupArraySorted,
-deterministic argMin/argMax, Mann-Whitney U, Welch's t — each with its in-test DuckDB exact-replay oracle on the real events
-table (promotion-ready SQL: every aggregate CAST, no HUGEINT/DECIMAL,
-finite-value guards mirrored) plus hand cases for the tie/degenerate
-semantics the fixtures can't force. r11 window queue."""
+deterministic argMin/argMax, Mann-Whitney U, Welch/Student t (+ the
+incremental state and streaming A/B twin), Kolmogorov-Smirnov, Theil's
+U, Cramér's V + contingency, skewness/kurtosis, Spearman rank
+correlation, sumMap/minMap/maxMap, reciprocal-rank fusion, and the
+replay-pinned exponential moving average — each with its in-test DuckDB
+exact-replay oracle on the real events table (promotion-ready SQL:
+every aggregate CAST, no HUGEINT/DECIMAL, finite-value guards
+mirrored) plus hand cases for the tie/degenerate semantics the
+fixtures can't force. r11 window queue."""
 
 from __future__ import annotations
 
