@@ -838,3 +838,64 @@ def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
     const = spark.createDataFrame(
         [("g", 1.0, 5.0), ("g", 2.0, 5.0)], "g string, x double, y double")
     assert rank_corr(const, "g", "x", "y").collect()[0]["rho_e4"] is None
+
+
+def test_stats_symmetry_properties(spark):
+    """Structural identities over random frames (hypothesis): swapping
+    the two samples negates both t statistics and leaves the KS D
+    unchanged; rank correlation is symmetric in its arguments; Theil's
+    U is NOT (asymmetry is its point — pin that it can differ)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        ks_test, rank_corr, student_ttest, welch_ttest)
+
+    schema = "g string, value double, side int"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),        # group
+                              st.integers(-15, 15),     # value
+                              st.integers(0, 1)),       # side
+                    min_size=4, max_size=18))
+    @settings(max_examples=6, deadline=None)
+    def check(evs):
+        rows = [(f"g{g}", float(v), s) for g, v, s in evs]
+        df = spark.createDataFrame(rows, schema)
+        sw = df.withColumn("side", F.lit(1) - F.col("side"))
+        for op in (welch_ttest, student_ttest):
+            a = {r["g"]: r["t_e4"] for r in op(df, "g", "value",
+                                               "side").collect()}
+            b = {r["g"]: r["t_e4"] for r in op(sw, "g", "value",
+                                               "side").collect()}
+            for g in a:
+                if a[g] is None:
+                    assert b[g] is None
+                else:
+                    # knife-edge rounding is floor(x+.5), so the
+                    # negation identity holds within one e4 step
+                    assert abs(a[g] + b[g]) <= 1e-4 + 1e-12, (g, a, b)
+        ka = {r["g"]: (r["n1"], r["n2"], r["d_num"]) for r in
+              ks_test(df, "g", "value", "side").collect()}
+        kb = {r["g"]: (r["n2"], r["n1"], r["d_num"]) for r in
+              ks_test(sw, "g", "value", "side").collect()}
+        assert ka == kb
+
+    check()
+
+    # rank_corr symmetry on a fixed frame with ties in both columns
+    rows = [("g", 1.0, 3.0), ("g", 2.0, 3.0), ("g", 2.0, 1.0),
+            ("g", 5.0, 2.0), ("g", 7.0, 2.0), ("g", 7.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    rxy = rank_corr(df, "g", "x", "y").collect()[0]["rho_e4"]
+    ryx = rank_corr(df, "g", "y", "x").collect()[0]["rho_e4"]
+    assert rxy == ryx
+
+    # theils_u asymmetry: Y determines X (each y maps to one x) but X
+    # does not determine Y -> U(X|Y) = 1000, U(Y|X) < 1000
+    from clickhouse_hdfs_loader_spark.operators.stats import theils_u
+    det = spark.createDataFrame(
+        [("g", "a", 0), ("g", "a", 1), ("g", "b", 2), ("g", "b", 3)],
+        "g string, x string, y int")
+    uxy = theils_u(det, "g", "x", "y").collect()[0]["u_milli"]
+    uyx = theils_u(det, "g", "y", "x").collect()[0]["u_milli"]
+    assert uxy == 1000 and uyx is not None and uyx < 1000
