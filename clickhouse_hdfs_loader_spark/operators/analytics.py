@@ -211,7 +211,10 @@ def histogram_fixed(df: DataFrame, value_col: str = "value",
     engines would otherwise differ on NULL bucket placement). One
     map-side-combined aggregate; output rows = distinct buckets."""
     bucket = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
-    return (df.where(F.col(value_col).isNotNull())
+    # NaN/±Inf excluded like every floor-quantize path (ADVICE r9
+    # class): ANSI would silently bucket NaN at 0 and saturate Inf
+    # while the DuckDB twin raises on the BIGINT cast
+    return (df.where(_quantizable_col(value_col))
             .groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select("bucket",
@@ -520,7 +523,7 @@ def linreg_by_group(events: DataFrame, group_col: str = "event_type",
     map-side-combinable aggregate; output is |groups| rows with the
     stats carried alongside for auditing/merging (the sums are
     mergeable state, like the rollup's)."""
-    base = (events.where(F.col(value_col).isNotNull())
+    base = (events.where(_quantizable_col(value_col))
             .select(group_col,
                     F.unix_micros(F.col(ts_col)).alias("_us"),
                     # float32 -> double before the multiply (the

@@ -35,9 +35,19 @@ def build_rollup(events: DataFrame, key_cols: list[str] | None = None,
     maintenance. Runs over ONE ingest batch, never the full history."""
     keys = (key_cols or ["event_type"]) + [
         F.date_trunc("day", F.col(ts_col)).alias("day")]
+    # the row still COUNTS when its value is non-finite — only the
+    # cents sum skips it (ANSI floor(NaN·100)→0 / Inf-saturation would
+    # otherwise silently poison the running partial; the ADVICE r9
+    # floor-quantize class)
+    finite_v = (F.col(value_col).isNotNull()
+                & ~F.isnan(F.col(value_col).cast("double"))
+                & (F.abs(F.col(value_col).cast("double"))
+                   != F.lit(float("inf"))))
     return (events.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.sum(F.floor(F.col(value_col) * 100).cast("long"))
+                 F.sum(F.when(finite_v,
+                              F.floor(F.col(value_col) * 100)
+                              .cast("long")))
                  .alias("sum_cents"),
                  F.hll_sketch_agg(user_col).alias("users_hll")))
 

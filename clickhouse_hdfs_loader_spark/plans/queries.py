@@ -3843,7 +3843,7 @@ def ohlc_resample(spark, sf_dir):
            round(floor(value / 50.0) * CAST(50.0 AS DOUBLE), 2)
              AS bucket_lo,
            count(*) AS cnt
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY 1, 2
 """)
 def histogram_fixed(spark, sf_dir):
@@ -4224,7 +4224,7 @@ def time_weighted_avg(spark, sf_dir):
     WITH b AS (
       SELECT event_type, epoch_us(ts) AS us,
              CAST(floor(value * 1000) AS BIGINT) AS y
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND isfinite(value)),
     g AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY 1),
     x AS (SELECT event_type, (us - us0) // 1000000 AS x, y
           FROM b JOIN g USING (event_type)),

@@ -142,7 +142,8 @@ def test_quantize_paths_exclude_nonfinite_values(spark):
     ±Inf saturates the long cast, while the DuckDB twins raise on the
     same BIGINT cast. Finite rows must be unaffected."""
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        bounding_ratio, delta_sum, group_array_moving_sum)
+        bounding_ratio, delta_sum, group_array_moving_sum,
+        histogram_fixed, linreg_by_group)
     from clickhouse_hdfs_loader_spark.operators.asof import (
         time_weighted_avg)
 
@@ -162,7 +163,9 @@ def test_quantize_paths_exclude_nonfinite_values(spark):
         "ts timestamp, value double")
 
     for op in (delta_sum, bounding_ratio, time_weighted_avg,
-               lambda d: group_array_moving_sum(d, n=2)):
+               lambda d: group_array_moving_sum(d, n=2),
+               lambda d: histogram_fixed(d, "value", width=2.0),
+               linreg_by_group):
         got = sorted(map(tuple, op(df).collect()))
         want = sorted(map(tuple, op(clean).collect()))
         assert got == want, op
