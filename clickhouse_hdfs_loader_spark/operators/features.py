@@ -32,14 +32,25 @@ def _quantize(x):
     """THE module's determinism contract, in one place: float32 ->
     double BEFORE the multiply (kmeans-sums precedent: a float-precision
     product can floor across a different integer boundary than the
-    double product DuckDB computes), then floor to int64 micro-units."""
-    return F.floor(x.cast("double") * F.lit(float(QUANT_SCALE)))         .cast("long")
+    double product DuckDB computes), then floor to int64 micro-units.
+
+    Non-finite ELEMENTS (NaN/±Inf) quantize to NULL — the array-element
+    twin of analytics._quantizable_col's row exclusion: under ANSI,
+    ``floor(NaN·1e6)`` silently yields 0 and ±Inf saturates the long
+    cast, while a DuckDB twin raises on the same BIGINT cast. NULL keeps
+    the element excluded from every aggregate and NULL in every scaled
+    output, mirrored as ``CASE WHEN isfinite(x) …`` in the SQL twins."""
+    xd = x.cast("double")
+    finite = ~F.isnan(xd) & (F.abs(xd) != F.lit(float("inf")))
+    return F.when(finite,
+                  F.floor(xd * F.lit(float(QUANT_SCALE))).cast("long"))
 
 
 def dimension_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension ``dim, qmin, qmax, qsum, n`` over micro-quantized
     values (``floor(x*1e6)`` as int64). NULL vectors are skipped; NULL
-    elements are ignored by the aggregates (and counted via ``n``).
+    and non-finite (NaN/±Inf) elements quantize to NULL and are ignored
+    by the aggregates (``n`` counts only finite elements).
     Overflow: |x| < 9e6 per element and qsum bounded by n·9e12 — safe
     under int64 for n up to ~1e6 rows per dimension at extreme
     magnitudes, far looser for unit-norm embeddings."""

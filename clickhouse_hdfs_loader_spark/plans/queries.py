@@ -4622,6 +4622,14 @@ def entropy_by_group(spark, sf_dir):
     JOIN s si ON si.d2 = p.i
     JOIN s sj ON sj.d2 = p.j
     CROSS JOIN nn
+    -- uniqueness guard (ADVICE r10): the Spark gemm counts ROWS while
+    -- this twin counts DISTINCT rid and self-joins on it — a drifted
+    -- fixture with a duplicated vec_id would silently diverge n and
+    -- cross-match pair sums; raise a named error instead
+    WHERE (SELECT CASE WHEN count(*) = count(DISTINCT vec_id) THEN 1
+           ELSE error('covariance_stats oracle: duplicate vec_id in '
+                      || 'embeddings — rid self-join would cross-match')
+           END FROM embeddings WHERE embedding IS NOT NULL) = 1
 """)
 def covariance_stats(spark, sf_dir):
     """Exact integer second-moment sums per dimension pair (the
@@ -4690,11 +4698,17 @@ def uniq_up_to(spark, sf_dir):
 
 
 @query("dimension_stats", oracle="""
-    WITH x AS (SELECT vec_id,
+    WITH e AS (SELECT vec_id,
                       generate_subscripts(embedding, 1) - 1 AS dim,
-                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                           * 1000000) AS BIGINT) AS q
-               FROM embeddings WHERE embedding IS NOT NULL)
+                      CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings WHERE embedding IS NOT NULL),
+    x AS (SELECT vec_id, dim,
+                 -- non-finite elements quantize to NULL (the
+                 -- _quantize guard; isfinite(NULL) is NULL so NULL
+                 -- elements fall through identically)
+                 CASE WHEN isfinite(x)
+                      THEN CAST(floor(x * 1000000) AS BIGINT) END AS q
+          FROM e)
     SELECT CAST(dim AS INT) AS dim, min(q) AS qmin, max(q) AS qmax,
            CAST(sum(q) AS BIGINT) AS qsum,
            CAST(count(q) AS BIGINT) AS n
@@ -4709,35 +4723,42 @@ def dimension_stats(spark, sf_dir):
 
 
 @query("minmax_normalize", oracle="""
-    WITH x AS (SELECT vec_id,
+    WITH e AS (SELECT vec_id,
                       generate_subscripts(embedding, 1) - 1 AS dim,
-                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                           * 1000000) AS BIGINT) AS q
+                      CAST(unnest(embedding) AS DOUBLE) AS x
                FROM embeddings WHERE embedding IS NOT NULL),
+    x AS (SELECT vec_id, dim,
+                 CASE WHEN isfinite(x)
+                      THEN CAST(floor(x * 1000000) AS BIGINT) END AS q
+          FROM e),
     st AS (SELECT dim, min(q) AS qmin, max(q) AS qmax FROM x
            GROUP BY dim)
-    SELECT vec_id,
-           -- NULL-element branch FIRST (the operator keeps NULL
-           -- elements NULL even in constant dims); NULL-vector rows
-           -- are excluded on BOTH sides (review-caught drift hazard:
-           -- the JOIN..GROUP BY here can never emit them)
-           array_agg(CASE WHEN q IS NULL THEN NULL
-                     WHEN qmax - qmin = 0 THEN 0
-                     ELSE CAST(floor(CAST((q - qmin) * 1000 AS DOUBLE)
-                               / (qmax - qmin)) AS BIGINT) END
-                     ORDER BY dim) AS normalized
-    FROM x JOIN st USING (dim) GROUP BY vec_id
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           -- NULL/non-finite-element branch FIRST (the operator keeps
+           -- those elements NULL even in constant dims); NULL-vector
+           -- rows are excluded on BOTH sides
+           CASE WHEN q IS NULL THEN NULL
+                WHEN qmax - qmin = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST((q - qmin) * 1000 AS DOUBLE)
+                          / (qmax - qmin)) AS BIGINT) END AS nval
+    FROM x JOIN st USING (dim)
 """)
 def minmax_normalize(spark, sf_dir):
     """Min-max scaling to integer milli-units in [0, 1000] per
     dimension (constant dims pinned to 0 — never an ANSI
     divide-by-zero); stats collected once (|dims| rows), applied as a
     stateless zip_with. NULL-vector rows are excluded to mirror the
-    oracle's JOIN shape. operators/features.py:minmax_normalize."""
+    oracle's JOIN shape. Graded projection EXPLODES the array to scalar
+    ``(vec_id, dim, nval)`` rows — the driver's pandas canonicalizer
+    cannot sort list cells (the r10 never-green lesson; NOT concat_ws,
+    which would silently drop the intentionally-NULL elements).
+    operators/features.py:minmax_normalize."""
     from ..operators.features import minmax_normalize as _mm
     emb = _t(spark, sf_dir, "embeddings") \
         .where(F.col("embedding").isNotNull())
-    return _mm(emb).select("vec_id", "normalized")
+    return (_mm(emb)
+            .select("vec_id", F.posexplode("normalized")
+                    .alias("dim", "nval")))
 
 
 @query("key_skew_report", oracle="""

@@ -171,3 +171,45 @@ def test_quantize_paths_exclude_nonfinite_values(spark):
         assert got == want, op
     # and the finite rows really flowed through (not everything dropped)
     assert delta_sum(df).first()["delta_sum_milli"] == 2000
+
+
+def test_feature_scaling_quantizes_nonfinite_elements_to_null(spark):
+    """ADVICE r10: dimension_stats/minmax_normalize/mean_center
+    floor-quantized array ELEMENTS with no finite guard — under ANSI
+    floor(NaN·1e6) silently yields 0 and Inf saturates the long cast
+    while the DuckDB twin raises on the same BIGINT cast. Non-finite
+    elements now quantize to NULL (excluded from stats, NULL in scaled
+    outputs), mirrored as CASE WHEN isfinite(x) in the graded twins."""
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        dimension_stats, mean_center, minmax_normalize)
+
+    INF = float("inf")
+    df = spark.createDataFrame(
+        [(1, [1.0, NAN, 5.0]),
+         (2, [3.0, 2.0, INF]),
+         (3, [2.0, -INF, 1.0]),
+         (4, None)],
+        "vec_id long, embedding array<double>")
+
+    st = {r["dim"]: (r["qmin"], r["qmax"], r["qsum"], r["n"])
+          for r in dimension_stats(df).collect()}
+    # dim 1: only the finite 2.0 survives; dim 2: Inf excluded
+    assert st[0] == (1_000_000, 3_000_000, 6_000_000, 3)
+    assert st[1] == (2_000_000, 2_000_000, 2_000_000, 1)
+    assert st[2] == (1_000_000, 5_000_000, 6_000_000, 2)
+
+    nm = {r["vec_id"]: r["normalized"] for r in
+          minmax_normalize(df.where(F.col("embedding").isNotNull()))
+          .collect()}
+    # non-finite elements are NULL in the scaled output; dim 1 is
+    # effectively constant (single finite value) -> pinned 0
+    assert nm[1] == [0, None, 1000]
+    assert nm[2] == [1000, 0, None]
+    assert nm[3] == [500, None, 0]
+
+    mc = {r["vec_id"]: r["centered_micro"] for r in
+          mean_center(df.where(F.col("embedding").isNotNull())).collect()}
+    assert mc[1][1] is None and mc[2][2] is None and mc[3][1] is None
+    # dim 0 mean = 6e6 div 3 = 2e6
+    assert [mc[v][0] for v in (1, 2, 3)] \
+        == [-1_000_000, 1_000_000, 0]

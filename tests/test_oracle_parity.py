@@ -64,6 +64,16 @@ def test_oracle_parity(spark, sf_dir, duck, duck_grading, spec):
         sf_dir = "/root/testdata/sf0.01"
         duck = duck_grading
     sdf = spec.fn(spark, sf_dir)
+    # the Spark side of the non-scalar tripwire: an array/struct/map
+    # output column crashes the driver's pandas canonicalizer even when
+    # the DuckDB DESCRIBE side looks fine (r10 minmax_normalize)
+    complex_cols = [(f.name, f.dataType.simpleString())
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "struct", "map")]
+    assert not complex_cols, (
+        f"{spec.name}: Spark output columns {complex_cols} are "
+        f"non-scalar — the driver's pandas sort_values cannot hash list "
+        f"cells; serialize or explode to scalar rows")
     srows = sdf.collect()
     scols = sdf.columns
 
@@ -92,15 +102,31 @@ def test_oracle_parity(spark, sf_dir, duck, duck_grading, spec):
 _FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "DECIMAL")
 
 
+def _nonscalar_oracle_type(t: str) -> bool:
+    """LIST/ARRAY (`BIGINT[]`, `INTEGER[3]`), STRUCT, MAP, and UNION
+    output columns crash the driver's pandas canonicalizer
+    (`sort_values` → factorize → `unhashable type: 'list'`) — the r10
+    minmax_normalize never-green. Serialize (array_to_string) or explode
+    to scalar rows instead."""
+    u = t.upper()
+    return ("[" in u or u.startswith("STRUCT") or u.startswith("MAP")
+            or u.startswith("UNION"))
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_types_survive_driver_hashing(duck_grading, spec):
     rows = duck_grading.execute(f"DESCRIBE {spec.oracle}").fetchall()
     bad = [(r[0], r[1]) for r in rows
-           if any(t in r[1].upper() for t in _FORBIDDEN_ORACLE_TYPES)]
+           if any(t in r[1].upper() for t in _FORBIDDEN_ORACLE_TYPES)
+           or _nonscalar_oracle_type(r[1])]
     assert not bad, (
-        f"{spec.name}: oracle columns {bad} are HUGEINT/DECIMAL — the "
-        f"driver's pandas/Arrow hash path renders these as floats while "
-        f"Spark emits ints; CAST them to BIGINT (or DOUBLE) in the SQL")
+        f"{spec.name}: oracle columns {bad} are HUGEINT/DECIMAL or "
+        f"non-scalar (LIST/STRUCT/MAP) — HUGEINT/DECIMAL render as "
+        f"floats through the driver's pandas hash path while Spark "
+        f"emits ints; non-scalar cells crash its sort_values. CAST to "
+        f"BIGINT/DOUBLE, serialize, or explode to scalar rows")
+
+
 
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
