@@ -635,6 +635,16 @@ def exponential_moving_average(events: DataFrame,
     LTTB bound — pre-split the group key by coarse time range for
     unbounded series; re-seeding at range heads decays exponentially).
 
+    TIED TIMESTAMPS are an explicit semantic choice (ADVICE r10 — the
+    r7 'fixture luck' hazard): rows sort by (ts, id), and a later row
+    at the SAME instant has Δt = 0 → α = 0 → contributes NOTHING — the
+    first row at an instant (smallest id) wins, because the EMA is a
+    function of the time axis and two observations cannot both be
+    "latest" at one instant. This falls out of the decay formula rather
+    than being a special case; dedupe or jitter upstream if every tied
+    observation must count. Pinned by a tied-ts hand case in the replay
+    test.
+
     The float path is a same-order IEEE fold, so the independent
     pure-Python replay in the tests asserts BITWISE equality (the
     pca_whiten precedent) — no tolerance, no quantized twin. NULL ts /
@@ -642,7 +652,9 @@ def exponential_moving_average(events: DataFrame,
 
     Returns ``group, n, last_ts_us, ema`` (ema as the raw double — this
     operator is replay-pinned, not oracle-graded; round at the edge if
-    a driver grade ever needs it)."""
+    a driver grade ever needs it). The output group column carries the
+    INPUT column's type (derived from ``events.schema``, not hardcoded
+    string — ADVICE r10)."""
     import pandas as pd
 
     hl = float(half_life_s)
@@ -650,6 +662,7 @@ def exponential_moving_average(events: DataFrame,
         raise ValueError(
             f"exponential_moving_average: half_life_s must be > 0, "
             f"got {half_life_s}")
+    g_ddl = events.schema[group_col].dataType.simpleString()
 
     base = (events.where(_quantizable_col(value_col)
                          & F.col(ts_col).isNotNull())
@@ -676,7 +689,7 @@ def exponential_moving_average(events: DataFrame,
             "last_ts_us": [prev_us], "ema": [ema]})
 
     out = base.groupBy("_g").applyInPandas(
-        fold, schema="_g string, n long, last_ts_us long, ema double")
+        fold, schema=f"_g {g_ddl}, n long, last_ts_us long, ema double")
     return out.withColumnRenamed("_g", group_col)
 
 

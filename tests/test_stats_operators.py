@@ -775,6 +775,28 @@ def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
     with pytest.raises(ValueError, match="half_life"):
         exponential_moving_average(synth, half_life_s=0.0)
 
+    # tied timestamps (ADVICE r10, the r7 fixture-luck hazard): the
+    # DOCUMENTED semantics is first-at-instant wins — a later row at
+    # the same ts has delta-t = 0 -> alpha = 0 -> inert. Here the tied
+    # pair (ids 2, 3) lands one half-life after v=0: only id 2's v=1.0
+    # registers (ema 0.5); id 3's v=99 changes nothing but n.
+    tied = spark.createDataFrame(
+        [(1, "g", t0, 0.0),
+         (2, "g", t0 + dt.timedelta(seconds=3600), 1.0),
+         (3, "g", t0 + dt.timedelta(seconds=3600), 99.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    r = exponential_moving_average(tied, half_life_s=3600).collect()[0]
+    assert (r["ema"], r["n"]) == (0.5, 3)
+
+    # non-string group keys carry their INPUT type through the output
+    # schema (was hardcoded '_g string' — ADVICE r10)
+    intg = spark.createDataFrame(
+        [(1, 7, t0, 2.0), (2, 7, t0 + dt.timedelta(seconds=60), 4.0)],
+        "event_id long, gk long, ts timestamp, value double")
+    rows = exponential_moving_average(
+        intg, group_col="gk", half_life_s=3600).collect()
+    assert rows[0]["gk"] == 7 and isinstance(rows[0]["gk"], int)
+
 
 def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
