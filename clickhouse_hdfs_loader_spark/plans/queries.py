@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.vectors import cosine
 from ..operators import dedup as DD
+from ..operators.stats import (CONTINGENCY_SQL, CRAMERS_V_SQL, KS_D_SQL,
+                               KURT_SQL, RANK_CORR_SQL, SKEW_SQL,
+                               STUDENT_T_SQL, WELCH_T_SQL)
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import transform as T
@@ -5008,6 +5011,468 @@ def pagerank_summary(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# [EXT-STATS] the r11 promotion: the late-r10 statistics family
+# (operators/stats.py). SQL moved VERBATIM from
+# tests/test_stats_operators.py (the r9/r10 promotion precedent); the
+# float finishes interpolate the exported *_SQL constants so both
+# engines share the expression order by construction.
+# ---------------------------------------------------------------------------
+
+# pmod-safe side derivation shared by the two-sample tests (user parity)
+_SIDE_SQL = "((user_id % 2 + 2) % 2)"
+
+# the exact integer milli-log2 (retrieval.with_ilog2_milli) in DuckDB —
+# shared by the theils_u twin (the graded entropy_by_group idiom)
+_ILOG2 = ("(CAST(length(ltrim(bin({x}), '0')) - 1 AS BIGINT) * 1000"
+          " + (({x} - (1::BIGINT << CAST(length(ltrim(bin({x}), '0')) - 1"
+          " AS BIGINT))) * 1000)"
+          " // (1::BIGINT << CAST(length(ltrim(bin({x}), '0')) - 1"
+          " AS BIGINT)))")
+
+# the six-moment two-sample preamble shared by welch/student/stream_ab
+_MOMENTS_CTE = f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      CAST({_SIDE_SQL} AS BIGINT) AS s
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL),
+    a AS (SELECT event_type,
+            CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(sum(CASE WHEN s = 1 THEN vm ELSE 0 END) AS BIGINT)
+              AS sum1,
+            CAST(sum(CASE WHEN s = 0 THEN vm ELSE 0 END) AS BIGINT)
+              AS sum2,
+            CAST(sum(CASE WHEN s = 1 THEN vm * vm ELSE 0 END)
+                 AS BIGINT) AS sumsq1,
+            CAST(sum(CASE WHEN s = 0 THEN vm * vm ELSE 0 END)
+                 AS BIGINT) AS sumsq2
+          FROM b GROUP BY 1)"""
+
+
+def _sided_events(spark, sf_dir):
+    """The batch twins' side derivation: user parity, NULL users out."""
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .withColumn("side", F.pmod(F.col("user_id"), F.lit(2))))
+
+
+@query("group_array_sorted", oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      event_id
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    r AS (SELECT event_type, vm FROM v
+          QUALIFY row_number() OVER (PARTITION BY event_type
+            ORDER BY vm, event_id) <= 5)
+    SELECT event_type,
+           array_to_string(array_agg(vm ORDER BY vm), ',') AS vals_csv
+    FROM r GROUP BY 1
+""")
+def group_array_sorted_q(spark, sf_dir):
+    """ClickHouse ``groupArraySorted(5)``: the 5 smallest milli-values
+    per group via WindowGroupLimit (tie-safe: values, never row ids).
+    Graded projection serializes the array (scalar-output contract).
+    operators/stats.py:group_array_sorted."""
+    from ..operators.stats import group_array_sorted as _gas
+    return (_gas(_t(spark, sf_dir, "events"), "event_type", "value", n=5)
+            .select("event_type",
+                    F.array_join(F.expr(
+                        "transform(vals_milli, x -> CAST(x AS STRING))"),
+                        ",").alias("vals_csv")))
+
+
+@query("arg_min_max_by_group", oracle="""
+    WITH v AS (SELECT event_type, user_id, value, event_id
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    a AS (SELECT event_type, user_id,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS ra,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS rd
+          FROM v)
+    SELECT event_type,
+           max(CASE WHEN ra = 1 THEN user_id END) AS arg_at_min,
+           max(CASE WHEN rd = 1 THEN user_id END) AS arg_at_max
+    FROM a GROUP BY 1
+""")
+def arg_min_max_by_group_q(spark, sf_dir):
+    """ClickHouse ``argMin``/``argMax`` made deterministic: ties break
+    on (value, id), never min_by's engine-arbitrary pick.
+    operators/stats.py:arg_min_max_by_group."""
+    from ..operators.stats import arg_min_max_by_group as _amm
+    return _amm(_t(spark, sf_dir, "events"), "event_type", "user_id",
+                "value", "event_id")
+
+
+@query("mann_whitney_u", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      CAST({_SIDE_SQL} AS BIGINT) AS s
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL),
+    pv AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(s) AS BIGINT) AS c1
+           FROM b GROUP BY 1, 2),
+    rk AS (SELECT event_type, vm, cnt, c1,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type
+               ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS lt
+           FROM pv)
+    SELECT event_type,
+           CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(cnt - c1) AS BIGINT) AS n2,
+           CAST(sum(c1 * (2 * lt + cnt + 1))
+                - sum(c1) * (sum(c1) + 1) AS BIGINT) AS u2
+    FROM rk GROUP BY 1
+""")
+def mann_whitney_u_q(spark, sf_dir):
+    """ClickHouse ``mannWhitneyUTest``'s exact U via doubled integer
+    midranks (2·rank = 2·count_lt + count_eq + 1 — no fraction ever).
+    operators/stats.py:mann_whitney_u."""
+    from ..operators.stats import mann_whitney_u as _mwu
+    return _mwu(_sided_events(spark, sf_dir), "event_type", "value",
+                "side")
+
+
+@query("welch_ttest", oracle=f"""{_MOMENTS_CTE}
+    SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
+           {WELCH_T_SQL} AS t_e4
+    FROM a
+""")
+def welch_ttest_q(spark, sf_dir):
+    """ClickHouse ``welchTTest`` from exact integer moments; the float
+    finish is the verbatim-shared WELCH_T_SQL (bitwise replay).
+    operators/stats.py:welch_ttest."""
+    from ..operators.stats import welch_ttest as _wt
+    return _wt(_sided_events(spark, sf_dir), "event_type", "value",
+               "side")
+
+
+@query("student_ttest", oracle=f"""{_MOMENTS_CTE}
+    SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
+           {STUDENT_T_SQL} AS t_e4
+    FROM a
+""")
+def student_ttest_q(spark, sf_dir):
+    """ClickHouse ``studentTTest``: pooled-variance t from the same
+    six moments, verbatim-shared STUDENT_T_SQL finish.
+    operators/stats.py:student_ttest."""
+    from ..operators.stats import student_ttest as _st2
+    return _st2(_sided_events(spark, sf_dir), "event_type", "value",
+                "side")
+
+
+@query("stream_ab_test", oracle=f"""{_MOMENTS_CTE}
+    SELECT event_type, n1, n2,
+           {WELCH_T_SQL} AS welch_t_e4,
+           {STUDENT_T_SQL} AS student_t_e4
+    FROM a
+""")
+def stream_ab_test_q(spark, sf_dir):
+    """Streaming A/B monitor: foreachBatch folds each micro-batch into
+    the six-moment int-sum monoid state; the report derives from the
+    O(|groups|) state alone — graded against the combined batch twins'
+    oracle (the stream_funnel precedent).
+    streaming/events.py:stream_ab_test."""
+    from ..streaming.events import stream_ab_test as _sab
+    return _sab(spark, sf_dir)
+
+
+@query("ks_test", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      CAST({_SIDE_SQL} AS BIGINT) AS s
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL),
+    pv AS (SELECT event_type, vm, CAST(sum(s) AS BIGINT) AS c1,
+                  CAST(sum(1 - s) AS BIGINT) AS c2
+           FROM b GROUP BY 1, 2),
+    st AS (SELECT event_type,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum2,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             sum(c2) OVER (PARTITION BY event_type) AS n2
+           FROM pv),
+    agg AS (SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+                   CAST(max(n2) AS BIGINT) AS n2,
+                   CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
+                     AS d_num
+            FROM st GROUP BY 1)
+    SELECT event_type, n1, n2, d_num, {KS_D_SQL} AS d_e4 FROM agg
+""")
+def ks_test_q(spark, sf_dir):
+    """ClickHouse ``kolmogorovSmirnovTest``'s exact two-sample D: the
+    ECDF sup-gap numerator in pure int64, one verbatim float ratio.
+    operators/stats.py:ks_test."""
+    from ..operators.stats import ks_test as _ks
+    return _ks(_sided_events(spark, sf_dir), "event_type", "value",
+               "side")
+
+
+@query("theils_u", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
+                        AS x,
+                      ((user_id % 5 + 5) % 5) AS y
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND isfinite(value)),
+    nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2, 3),
+    sxy AS (SELECT g, CAST(sum(c * {_ILOG2.format(x="c")}) AS BIGINT)
+                   AS sxy
+            FROM nxy GROUP BY 1),
+    nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS c FROM nxy
+           GROUP BY 1, 2),
+    sx AS (SELECT g, CAST(sum(c * {_ILOG2.format(x="c")}) AS BIGINT)
+                  AS sx,
+                  CAST(sum(c) AS BIGINT) AS n
+           FROM nx GROUP BY 1),
+    ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS c FROM nxy
+           GROUP BY 1, 2),
+    sy AS (SELECT g, CAST(sum(c * {_ILOG2.format(x="c")}) AS BIGINT)
+                  AS sy
+           FROM ny GROUP BY 1),
+    a AS (SELECT g, n, n * {_ILOG2.format(x="n")} - sx AS hx_n_milli,
+                 sy - sxy AS hcond_n_milli
+          FROM sx JOIN sy USING (g) JOIN sxy USING (g))
+    SELECT g AS event_type, n,
+           CAST(hx_n_milli AS BIGINT) AS hx_n_milli,
+           CAST(hcond_n_milli AS BIGINT) AS hcond_n_milli,
+           CAST(CASE WHEN hx_n_milli = 0 THEN NULL ELSE
+             ((hx_n_milli - hcond_n_milli) * 1000) // hx_n_milli
+             END AS BIGINT) AS u_milli
+    FROM a
+""")
+def theils_u_q(spark, sf_dir):
+    """ClickHouse ``theilsU``: U(X|Y) integer-exact via milli-log2
+    entropy numerators (the shared n denominator cancels; ONE guarded
+    division). X = value mod-7 bucket, Y = user parity class.
+    operators/stats.py:theils_u."""
+    from ..operators.stats import theils_u as _tu
+    ev = (_sided_events(spark, sf_dir)
+          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .withColumn("xbin",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    return _tu(ev, "event_type", "xbin", "ybin")
+
+
+@query("cramers_v", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
+                        AS x,
+                      ((user_id % 5 + 5) % 5) AS y
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND isfinite(value)),
+    nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2, 3),
+    nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
+           GROUP BY 1, 2),
+    ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM nxy
+           GROUP BY 1, 2),
+    cells AS (SELECT nxy.g, (c * c * 1000000) // (nx * ny) AS term,
+                     c
+              FROM nxy JOIN nx USING (g, x) JOIN ny USING (g, y)),
+    a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                 (SELECT count(DISTINCT x) FROM nxy i
+                  WHERE i.g = cells.g) AS r,
+                 (SELECT count(DISTINCT y) FROM nxy i
+                  WHERE i.g = cells.g) AS c,
+                 CAST(greatest(0, sum(term) - 1000000) AS BIGINT)
+                   AS phi2_micro
+          FROM cells GROUP BY g)
+    SELECT g AS event_type, n, CAST(r AS BIGINT) AS r,
+           CAST(c AS BIGINT) AS c, phi2_micro,
+           {CRAMERS_V_SQL} AS v_e4, {CONTINGENCY_SQL} AS contingency_e4
+    FROM a
+""")
+def cramers_v_q(spark, sf_dir):
+    """ClickHouse ``cramersV`` + ``contingency`` via the φ² identity
+    (Σ n_xy²/(n_x·n_y) − 1 — absent cells contribute exactly 0, no
+    dense grid). Micro-quantized int cell terms, verbatim sqrt finish.
+    operators/stats.py:cramers_v."""
+    from ..operators.stats import cramers_v as _cv
+    ev = (_sided_events(spark, sf_dir)
+          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .withColumn("xbin",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    return _cv(ev, "event_type", "xbin", "ybin")
+
+
+@query("skew_kurt", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 10) AS BIGINT) AS q
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS qs
+          FROM b GROUP BY 1),
+    mm AS (SELECT event_type, n, qs // n AS mean_deci FROM m),
+    c AS (SELECT b.event_type, n, mean_deci,
+                 CAST(q - mean_deci AS HUGEINT) AS d
+          FROM b JOIN mm USING (event_type)),
+    s AS (SELECT event_type, n, mean_deci,
+                 sum(d * d) AS _s2, sum(d * d * d) AS _s3,
+                 sum(d * d * d * d) AS _s4
+          FROM c GROUP BY 1, 2, 3)
+    SELECT event_type, n, CAST(mean_deci AS BIGINT) AS mean_deci,
+           {SKEW_SQL} AS skew_e4, {KURT_SQL} AS kurt_e4
+    FROM s
+""")
+def skew_kurt_q(spark, sf_dir):
+    """ClickHouse ``skewSamp``/``kurtSamp``: 128-bit exact centered
+    power sums about the truncated deci-mean (HUGEINT/DECIMAL strictly
+    internal — outputs are BIGINT/DOUBLE), verbatim float finish.
+    operators/stats.py:skew_kurt."""
+    from ..operators.stats import skew_kurt as _sk
+    return _sk(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+@query("map_aggregate", oracle="""
+    WITH b AS (SELECT ((user_id % 10 + 10) % 10) AS grp,
+                      event_type AS k,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL
+                 AND value IS NOT NULL AND isfinite(value)),
+    a AS (SELECT grp, k, CAST(sum(vm) AS BIGINT) AS vagg
+          FROM b GROUP BY 1, 2)
+    SELECT grp, array_to_string(array_agg(k ORDER BY k), ',')
+             AS keys_csv,
+           array_to_string(array_agg(vagg ORDER BY k), ',')
+             AS vals_csv
+    FROM a GROUP BY grp
+""")
+def map_aggregate_q(spark, sf_dir):
+    """ClickHouse ``sumMap``: key-wise sums of parallel (keys, values)
+    arrays, key-sorted. The nested input is built per user (the sumMap
+    shape); graded projection serializes both arrays.
+    operators/stats.py:map_aggregate."""
+    from ..operators.stats import map_aggregate as _ma
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs("value") != F.lit(float("inf"))))
+          .withColumn("grp", F.pmod(F.col("user_id"), F.lit(10))))
+    nested = (ev.groupBy("grp", "user_id")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  "ts", "event_id", "event_type", "value"))).alias("_s"))
+              .select("grp",
+                      F.expr("transform(_s, x -> x.event_type)")
+                      .alias("ks"),
+                      F.expr("transform(_s, x -> x.value)")
+                      .alias("vs")))
+    return (_ma(nested, "grp", "ks", "vs", how="sum")
+            .select("grp",
+                    F.array_join("map_keys", ",").alias("keys_csv"),
+                    F.array_join(F.expr(
+                        "transform(map_vals_milli,"
+                        " x -> CAST(x AS STRING))"), ",")
+                    .alias("vals_csv")))
+
+
+@query("rrf_fuse", oracle="""
+    WITH d AS (SELECT ((doc_id % 3 + 3) % 3) AS q, doc_id, n_chars
+               FROM documents),
+    a AS (SELECT q, doc_id,
+            row_number() OVER (PARTITION BY q ORDER BY doc_id)
+              AS rank
+          FROM d QUALIFY rank <= 15),
+    b AS (SELECT q, doc_id,
+            row_number() OVER (PARTITION BY q
+              ORDER BY n_chars DESC, doc_id) AS rank
+          FROM d QUALIFY rank <= 15),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    s AS (SELECT q, doc_id,
+            CAST(sum(1000000 // (rank + 60)) AS BIGINT) AS rrf_micro
+          FROM u GROUP BY 1, 2),
+    r AS (SELECT q, doc_id, rrf_micro,
+            CAST(row_number() OVER (PARTITION BY q
+              ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+          FROM s)
+    SELECT q, doc_id, rrf_micro, fused_rank FROM r
+    WHERE fused_rank <= 10
+""")
+def rrf_fuse_q(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    lists over documents — integer-exact 1e6 div (k + rank) monoid,
+    doc-id tie-breaks. operators/stats.py:rrf_fuse."""
+    from ..operators.stats import rrf_fuse as _rrf
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("q", F.pmod(F.col("doc_id"), F.lit(3))))
+    wa = Window.partitionBy("q").orderBy(F.col("doc_id").asc())
+    wb = Window.partitionBy("q").orderBy(F.col("n_chars").desc(),
+                                         F.col("doc_id").asc())
+    src_a = (docs.withColumn("rank", F.row_number().over(wa))
+             .where(F.col("rank") <= 15).select("q", "doc_id", "rank"))
+    src_b = (docs.withColumn("rank", F.row_number().over(wb))
+             .where(F.col("rank") <= 15).select("q", "doc_id", "rank"))
+    return _rrf(src_a.unionByName(src_b), "q", "doc_id", "rank",
+                k=60, top_n=10)
+
+
+@query("rank_corr", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS x,
+                      CAST(floor((value * value) * 1000) AS BIGINT)
+                        AS y
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND (value * value) IS NOT NULL
+                 AND isfinite(value * value)),
+    rx AS (SELECT g, x, 2 * coalesce(sum(count(*)) OVER (
+             PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) + 1 AS r
+           FROM b GROUP BY g, x),
+    ry AS (SELECT g, y, 2 * coalesce(sum(count(*)) OVER (
+             PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) + 1 AS r
+           FROM b GROUP BY g, y),
+    j AS (SELECT b.g, CAST(rx.r AS HUGEINT) AS rxv,
+                 CAST(ry.r AS HUGEINT) AS ryv
+          FROM b JOIN rx ON b.g = rx.g AND b.x = rx.x
+                 JOIN ry ON b.g = ry.g AND b.y = ry.y),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(rxv) AS _sx, sum(ryv) AS _sy,
+                 sum(rxv * rxv) AS _sxx, sum(ryv * ryv) AS _syy,
+                 sum(rxv * ryv) AS _sxy
+          FROM j GROUP BY 1)
+    SELECT g AS event_type, n, {RANK_CORR_SQL} AS rho_e4 FROM a
+""")
+def rank_corr_q(spark, sf_dir):
+    """ClickHouse ``rankCorr``: Spearman's ρ via doubled integer
+    midranks and 128-bit exact rank moments (internal only); the
+    fixture pins ρ = 1 structurally (y = x² is monotone on positive
+    values). operators/stats.py:rank_corr."""
+    from ..operators.stats import rank_corr as _rc
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("y2", (F.col("value") * F.col("value"))
+                      .cast("double")))
+    return _rc(ev, "event_type", "value", "y2")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
 # every §2.A/§2.B reference-core query plus one representative per extension
@@ -5017,45 +5482,36 @@ def pagerank_summary(spark, sf_dir):
 # by tests/test_oracle_parity.py and the verify harness.
 # ---------------------------------------------------------------------------
 
-# r10 rotation (r9 verdict item 1 — the scheduled promotion-queue
-# drain, executed in full): the §2.A/§2.B reference core and the loader
-# end-to-end stay pinned. 23 slots are first-grades — the whole late-r9
-# in-test-oracle backlog (interval/series combinators, entropy,
-# covariance_stats, weighted heavy hitters, moving sums, uniq_up_to,
-# feature scaling, key_skew_report, pack_token_budget(count_col)), four
-# goldens for the non-SQL-expressible operators (seeded_shuffle xxhash64
-# order, sequence_count automaton summary, bpe merge sequence, pagerank
-# fixed-point summary — each re-derived Spark-free in
-# tests/test_r10_goldens.py), and FOUR streaming twins (stream_cdc_merge
-# + stream_event_transitions + stream_retention + stream_entropy, graded
-# against their batch twins' oracles — the stream_funnel precedent). The
-# remaining 8 slots re-confirm the r9-displaced set plus three pulled
-# forward from the r11 list.
+# r11 rotation (r10 verdict items 1-3, executed as scheduled): the
+# §2.A/§2.B reference core and the loader end-to-end stay pinned.
+# 13 slots are first-grades — the whole late-r10 stats family
+# (group_array_sorted, arg_min_max_by_group, mann_whitney_u,
+# welch_ttest, student_ttest, ks_test, theils_u, cramers_v(+the
+# contingency coefficient riding along), skew_kurt, map_aggregate,
+# rrf_fuse, rank_corr, and the stream_ab_test foreachBatch twin graded
+# against the combined welch+student oracle) — SQL moved verbatim from
+# tests/test_stats_operators.py. 3 slots RE-grade queries whose graded
+# surface changed this round: minmax_normalize (the r10 never-green,
+# re-projected to scalar rows), dimension_stats (isfinite element
+# mirror), covariance_stats (duplicate-vec_id oracle guard). The
+# remaining 15 slots re-confirm the r10-displaced r9 batch
+# (multimodal_header_decode, regexp_extract_groups,
+# case_when_bucketing, array_ops, q2/q4/q6, set_intersect/set_except,
+# q8/q9/q11) and start the r6-graded TPC-H backlog (q14/q15/q16).
 #
 # Future-window schedule (fold 3-6 re-confirmations per round; new
 # registrations ALWAYS take same-round slots):
-#   r11: promote the late-r10 stats family (group_array_sorted,
-#        arg_min_max_by_group, mann_whitney_u, welch_ttest,
-#        student_ttest, ks_test, theils_u, cramers_v, skew_kurt,
-#        map_aggregate, rrf_fuse, rank_corr, the contingency
-#        coefficient (rides on cramers_v), and the stream_ab_test
-#        foreachBatch
-#        twin (oracle = the welch+student twins combined) — in-test
-#        DuckDB oracles at tests/test_stats_operators.py, SQL ready to
-#        move verbatim, shared verbatim float expressions exported as
-#        WELCH_T_SQL/STUDENT_T_SQL/KS_D_SQL/SKEW_SQL/KURT_SQL/
-#        CRAMERS_V_SQL);
-#        re-confirm the remaining r6-graded TPC-H (q14-q22) and the r10-
-#        displaced r9 batch (multimodal_header_decode,
-#        regexp_extract_groups, case_when_bucketing, array_ops,
-#        q2/q4/q6, set ops, q8/q9/q11), then second confirmations of the
-#        r9 promotions (bm25_topk, bloom_semi_join, event_transitions,
-#        sequence_match, heavy_hitters, fuzzy_join_exact, kfold_assign,
-#        …) as slots allow.
-#   r12+: second confirmations of the r10 first-grades.
+#   r12: re-confirm the rest of the r6-graded TPC-H (q17-q22), the
+#        r10-displaced re-confirmation remainder (q12_priority_shipping,
+#        quality_expectations, limit_offset, having_filter,
+#        nulls_ordering, pii_scrub, embedding_quantize,
+#        q19_disjunctive_predicates), then second confirmations of the
+#        r10 first-grades (interval/series combinators, entropy,
+#        weighted aggregates, goldens, streaming twins) as slots allow.
+#   r13+: second confirmations of the r11 stats-family first-grades.
 # lttb_downsample, pca_whiten and exponential_moving_average stay
 # replay-pinned (not SQL-expressible, no stable low-row summary that
-# isn't just the replay).
+# isn't just the replay; EMA's tied-ts semantics pinned r11).
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
@@ -5067,24 +5523,21 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- r10 first-grades: interval/series combinators + entropy
-    "interval_length_sum", "max_intersections", "delta_sum",
-    "bounding_ratio", "sequence_next_node", "window_funnel_strict_order",
-    "entropy_by_group",
-    # --- r10 first-grades: weighted/bounded aggregates + features
-    "heavy_hitters_weighted", "group_array_moving_sum", "uniq_up_to",
-    "covariance_stats", "dimension_stats", "minmax_normalize",
-    "key_skew_report", "pack_token_budget_counted",
-    # --- r10 first-grades: goldens (Spark-free re-derivations)
-    "seeded_shuffle", "sequence_count", "bpe_merges", "pagerank_summary",
-    # --- r10 first-grades: streaming twins (batch-oracle identity)
-    "stream_cdc_merge", "stream_event_transitions", "stream_retention",
-    "stream_entropy",
-    # --- re-confirmations: the r9-displaced set
-    "q12_priority_shipping", "quality_expectations", "limit_offset",
-    "having_filter", "nulls_ordering",
-    # --- re-confirmations pulled forward from the r11 list
-    "pii_scrub", "embedding_quantize", "q19_disjunctive_predicates",
+    # --- r11 first-grades: the stats family (r10 promotion queue)
+    "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
+    "welch_ttest", "student_ttest", "ks_test", "theils_u", "cramers_v",
+    "skew_kurt", "map_aggregate", "rrf_fuse", "rank_corr",
+    "stream_ab_test",
+    # --- r11 re-grades: graded surface changed this round
+    "minmax_normalize", "dimension_stats", "covariance_stats",
+    # --- re-confirmations: the r10-displaced r9 batch
+    "multimodal_header_decode", "regexp_extract_groups",
+    "case_when_bucketing", "array_ops", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "set_intersect",
+    "set_except", "q8_market_share", "q9_product_profit",
+    "q11_important_stock",
+    # --- re-confirmations: start of the r6-graded TPC-H backlog
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_relationship",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -143,17 +143,15 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r10: the promotion-queue drain + goldens + streaming twins
-        "interval_length_sum", "max_intersections", "delta_sum",
-        "bounding_ratio", "sequence_next_node",
-        "window_funnel_strict_order", "entropy_by_group",
-        "heavy_hitters_weighted", "group_array_moving_sum", "uniq_up_to",
-        "covariance_stats", "dimension_stats", "minmax_normalize",
-        "key_skew_report", "pack_token_budget_counted",
-        "seeded_shuffle", "sequence_count", "bpe_merges",
-        "pagerank_summary",
-        "stream_cdc_merge", "stream_event_transitions",
-        "stream_retention", "stream_entropy",
+        # r11: the stats-family promotion (+ the three re-grades whose
+        # graded surface changed this round — minmax_normalize's scalar
+        # re-projection, dimension_stats' isfinite mirror,
+        # covariance_stats' uniqueness guard)
+        "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
+        "welch_ttest", "student_ttest", "ks_test", "theils_u",
+        "cramers_v", "skew_kurt", "map_aggregate", "rrf_fuse",
+        "rank_corr", "stream_ab_test",
+        "minmax_normalize", "dimension_stats", "covariance_stats",
     }
     missing = added_this_round - window
     assert not missing, (
