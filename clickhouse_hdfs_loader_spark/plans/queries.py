@@ -5472,6 +5472,52 @@ def rank_corr_q(spark, sf_dir):
     return _rc(ev, "event_type", "value", "y2")
 
 
+# exponential_moving_average at sf0.01, re-derived Spark-free by
+# tests/test_stats_operators.py::test_ema_summary_golden_rederivation
+# (duckdb parquet read + the same-order pure-Python IEEE fold; the
+# bitwise-replay contract makes floor(ema·1e6) engine-stable):
+# (event_type, n, last_ts_us, ema_micro)
+EMA_GOLDEN: "list[tuple[str, int, int, int]]" = [
+    ("click", 2006, 1706657894262777, 49031668),
+    ("error", 2014, 1706657023175093, 31830638),
+    ("purchase", 1981, 1706657097667294, 61670502),
+    ("signup", 2017, 1706657349826961, 32357831),
+    ("view", 1982, 1706659032194062, 45782382),
+]
+
+@query("ema_summary", tags=("golden-sf0.01",), oracle="""
+    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
+           CAST(c2 AS BIGINT) AS last_ts_us,
+           CAST(c3 AS BIGINT) AS ema_micro
+    FROM (VALUES """ + ", ".join(
+        f"('{g}', {n}, {us}, {em})" for g, n, us, em in EMA_GOLDEN)
+    + """) AS t(c0, c1, c2, c3)
+    WHERE (SELECT CASE WHEN
+      count(*) = 10000 AND sum(event_id) = 49995000
+      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+          AS BIGINT) = 496306483
+      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+          = 431800558548676
+      THEN 1 ELSE error(
+      'ema golden pinned at sf0.01 (events count/value/ts checksums) — re-derive via test_ema_summary_golden_rederivation for this sf')
+      END FROM events) = 1
+""")
+def ema_summary(spark, sf_dir):
+    """``exponentialMovingAverage`` (half-life decay over the irregular
+    event series), graded via the golden ladder: the per-group fold is
+    bitwise-replayable (pinned by test), so ``floor(ema·1e6)`` is a
+    stable integer summary; literals re-derived Spark-free with
+    ts/value checksum guards. operators/stats.py:
+    exponential_moving_average."""
+    from ..operators.stats import exponential_moving_average as _ema
+    out = _ema(_t(spark, sf_dir, "events"), half_life_s=3600.0)
+    return out.select(
+        "event_type", "n", "last_ts_us",
+        F.floor(F.col("ema") * F.lit(1_000_000.0)).cast("long")
+        .alias("ema_micro"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -5488,8 +5534,11 @@ def rank_corr_q(spark, sf_dir):
 # (group_array_sorted, arg_min_max_by_group, mann_whitney_u,
 # welch_ttest, student_ttest, ks_test, theils_u, cramers_v(+the
 # contingency coefficient riding along), skew_kurt, map_aggregate,
-# rrf_fuse, rank_corr, and the stream_ab_test foreachBatch twin graded
-# against the combined welch+student oracle) — SQL moved verbatim from
+# rrf_fuse, rank_corr, the stream_ab_test foreachBatch twin graded
+# against the combined welch+student oracle, and ema_summary — the
+# formerly replay-only EMA promoted via the golden ladder:
+# floor(ema·1e6) is stable because the fold is bitwise-replayable) —
+# SQL moved verbatim from
 # tests/test_stats_operators.py. 3 slots RE-grade queries whose graded
 # surface changed this round: minmax_normalize (the r10 never-green,
 # re-projected to scalar rows), dimension_stats (isfinite element
@@ -5497,11 +5546,11 @@ def rank_corr_q(spark, sf_dir):
 # remaining 15 slots re-confirm the r10-displaced r9 batch
 # (multimodal_header_decode, regexp_extract_groups,
 # case_when_bucketing, array_ops, q2/q4/q6, set_intersect/set_except,
-# q8/q9/q11) and start the r6-graded TPC-H backlog (q14/q15/q16).
+# q8/q9/q11) and start the r6-graded TPC-H backlog (q14/q15).
 #
 # Future-window schedule (fold 3-6 re-confirmations per round; new
 # registrations ALWAYS take same-round slots):
-#   r12: re-confirm the rest of the r6-graded TPC-H (q17-q22), the
+#   r12: re-confirm the rest of the r6-graded TPC-H (q16-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,
 #        nulls_ordering, pii_scrub, embedding_quantize,
@@ -5509,9 +5558,11 @@ def rank_corr_q(spark, sf_dir):
 #        r10 first-grades (interval/series combinators, entropy,
 #        weighted aggregates, goldens, streaming twins) as slots allow.
 #   r13+: second confirmations of the r11 stats-family first-grades.
-# lttb_downsample, pca_whiten and exponential_moving_average stay
-# replay-pinned (not SQL-expressible, no stable low-row summary that
-# isn't just the replay; EMA's tied-ts semantics pinned r11).
+# lttb_downsample and pca_whiten stay replay-pinned (not
+# SQL-expressible, no stable low-row summary that isn't just the
+# replay); the EMA graduated to a golden in r11 (ema_summary — its
+# bitwise-replay contract makes the micro-quantized fold stable), with
+# tied-ts semantics pinned the same round.
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
@@ -5527,7 +5578,7 @@ _GRADING_WINDOW = [
     "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
     "welch_ttest", "student_ttest", "ks_test", "theils_u", "cramers_v",
     "skew_kurt", "map_aggregate", "rrf_fuse", "rank_corr",
-    "stream_ab_test",
+    "stream_ab_test", "ema_summary",
     # --- r11 re-grades: graded surface changed this round
     "minmax_normalize", "dimension_stats", "covariance_stats",
     # --- re-confirmations: the r10-displaced r9 batch
@@ -5537,7 +5588,7 @@ _GRADING_WINDOW = [
     "set_except", "q8_market_share", "q9_product_profit",
     "q11_important_stock",
     # --- re-confirmations: start of the r6-graded TPC-H backlog
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_relationship",
+    "q14_promo_effect", "q15_top_supplier",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -798,6 +798,40 @@ def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
     assert rows[0]["gk"] == 7 and isinstance(rows[0]["gk"], int)
 
 
+def test_ema_summary_golden_rederivation():
+    """The ema_summary driver golden, re-derived 100% Spark-free at the
+    grading scale (duckdb parquet read + the same-order pure-Python
+    IEEE fold the operator's replay test pins bitwise): the pinned
+    EMA_GOLDEN literals must equal this independent computation."""
+    import math
+
+    from clickhouse_hdfs_loader_spark.plans.queries import EMA_GOLDEN
+
+    con = _duck("/root/testdata/sf0.01")
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts) AS us, CAST(value AS DOUBLE) "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) ORDER BY event_type, us, event_id"
+    ).fetchall()
+    hl = 3600.0
+    series: dict = {}
+    for g, us, v in rows:
+        series.setdefault(g, []).append((us, v))
+    derived = []
+    for g in sorted(series):
+        ema, prev = None, None
+        for us, v in series[g]:
+            if ema is None:
+                ema = float(v)
+            else:
+                alpha = 1.0 - 2.0 ** (-((us - prev) / 1e6) / hl)
+                ema = alpha * float(v) + (1.0 - alpha) * ema
+            prev = int(us)
+        derived.append((g, len(series[g]), prev,
+                        math.floor(ema * 1_000_000.0)))
+    assert derived == EMA_GOLDEN
+
+
 def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
         RANK_CORR_SQL, rank_corr)
