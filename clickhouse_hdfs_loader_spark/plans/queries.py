@@ -5261,9 +5261,13 @@ def theils_u_q(spark, sf_dir):
     entropy numerators (the shared n denominator cancels; ONE guarded
     division). X = value mod-7 bucket, Y = user parity class.
     operators/stats.py:theils_u."""
+    from ..operators.analytics import _quantizable_col
     from ..operators.stats import theils_u as _tu
+    # full non-finite mirror of the oracle's isfinite(value): an Inf
+    # would saturate floor().cast(long) Spark-side while DuckDB drops
+    # the row (review-caught in r11)
     ev = (_sided_events(spark, sf_dir)
-          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .where(_quantizable_col("value"))
           .withColumn("xbin",
                       F.pmod(F.floor(F.col("value")).cast("long"),
                              F.lit(7)))
@@ -5306,9 +5310,12 @@ def cramers_v_q(spark, sf_dir):
     (Σ n_xy²/(n_x·n_y) − 1 — absent cells contribute exactly 0, no
     dense grid). Micro-quantized int cell terms, verbatim sqrt finish.
     operators/stats.py:cramers_v."""
+    from ..operators.analytics import _quantizable_col
     from ..operators.stats import cramers_v as _cv
+    # full non-finite mirror of the oracle's isfinite(value) — see
+    # theils_u_q
     ev = (_sided_events(spark, sf_dir)
-          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .where(_quantizable_col("value"))
           .withColumn("xbin",
                       F.pmod(F.floor(F.col("value")).cast("long"),
                              F.lit(7)))
@@ -5373,9 +5380,11 @@ def map_aggregate_q(spark, sf_dir):
                  & F.col("value").isNotNull() & ~F.isnan("value")
                  & (F.abs("value") != F.lit(float("inf"))))
           .withColumn("grp", F.pmod(F.col("user_id"), F.lit(10))))
+    # no sort_array: the key-wise sum downstream is order-free, so
+    # sorting the per-user structs would be pure wasted work
     nested = (ev.groupBy("grp", "user_id")
-              .agg(F.sort_array(F.collect_list(F.struct(
-                  "ts", "event_id", "event_type", "value"))).alias("_s"))
+              .agg(F.collect_list(F.struct(
+                  "event_type", "value")).alias("_s"))
               .select("grp",
                       F.expr("transform(_s, x -> x.event_type)")
                       .alias("ks"),

@@ -19,12 +19,22 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from clickhouse_hdfs_loader_spark.operators.stats import (
-    WELCH_T_SQL, arg_min_max_by_group, group_array_sorted, ks_test,
-    mann_whitney_u, welch_ttest)
+    arg_min_max_by_group, group_array_sorted, ks_test, mann_whitney_u,
+    welch_ttest)
+from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
 from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
-# side derivation shared by the two-sample tests: pmod-safe user parity
-_SIDE_SQL = "((user_id % 2 + 2) % 2)"
+# The scalar stats oracles were promoted to the registry in r11; these
+# tests execute THE SAME oracle text via REGISTRY[name].oracle so there
+# is exactly one copy to harden (the r10 'unhardened in-test twin'
+# hazard). group_array_sorted / map_aggregate keep richer array-level
+# in-test twins (the registry projections serialize to CSV).
+
+
+def _oracle(name: str) -> str:
+    sql = REGISTRY[name].oracle
+    assert sql is not None, name
+    return sql
 
 
 def _duck(sf_dir):
@@ -71,21 +81,8 @@ def test_arg_min_max_oracle_and_tie_break(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     got = sorted(map(tuple, arg_min_max_by_group(
         ev, "event_type", "user_id", "value", "event_id").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute("""
-        WITH v AS (SELECT event_type, user_id, value, event_id
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
-        a AS (SELECT event_type, user_id,
-                row_number() OVER (PARTITION BY event_type
-                  ORDER BY value, event_id) AS ra,
-                row_number() OVER (PARTITION BY event_type
-                  ORDER BY value DESC, event_id) AS rd
-              FROM v)
-        SELECT event_type,
-               max(CASE WHEN ra = 1 THEN user_id END) AS arg_at_min,
-               max(CASE WHEN rd = 1 THEN user_id END) AS arg_at_max
-        FROM a GROUP BY 1
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("arg_min_max_by_group")).fetchall()))
     assert got == want and len(got) == 5
 
     # tied extreme values: min event_id wins on BOTH ends
@@ -101,28 +98,8 @@ def test_arg_min_max_oracle_and_tie_break(spark, sf_dir):
 def test_mann_whitney_u_oracle_and_midranks(spark, sf_dir):
     got = sorted(map(tuple, mann_whitney_u(
         _sided(spark, sf_dir), "event_type", "value", "side").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type,
-                          CAST(floor(value * 1000) AS BIGINT) AS vm,
-                          CAST({_SIDE_SQL} AS BIGINT) AS s
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)
-                     AND user_id IS NOT NULL),
-        pv AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS cnt,
-                      CAST(sum(s) AS BIGINT) AS c1
-               FROM b GROUP BY 1, 2),
-        rk AS (SELECT event_type, vm, cnt, c1,
-                 coalesce(sum(cnt) OVER (PARTITION BY event_type
-                   ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND 1 PRECEDING), 0) AS lt
-               FROM pv)
-        SELECT event_type,
-               CAST(sum(c1) AS BIGINT) AS n1,
-               CAST(sum(cnt - c1) AS BIGINT) AS n2,
-               CAST(sum(c1 * (2 * lt + cnt + 1))
-                    - sum(c1) * (sum(c1) + 1) AS BIGINT) AS u2
-        FROM rk GROUP BY 1
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("mann_whitney_u")).fetchall()))
     assert got == want and len(got) == 5
     # U identity: U1 + U2 = n1*n2 (doubled: u2_1 + u2_2 = 2*n1*n2);
     # re-derive side-2's U by swapping the sides
@@ -151,31 +128,8 @@ def test_mann_whitney_u_oracle_and_midranks(spark, sf_dir):
 def test_welch_ttest_oracle_and_degenerates(spark, sf_dir):
     got = sorted(map(tuple, welch_ttest(
         _sided(spark, sf_dir), "event_type", "value", "side").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type,
-                          CAST(floor(value * 1000) AS BIGINT) AS vm,
-                          CAST({_SIDE_SQL} AS BIGINT) AS s
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)
-                     AND user_id IS NOT NULL),
-        a AS (SELECT event_type,
-                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n1,
-                CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n2,
-                CAST(sum(CASE WHEN s = 1 THEN vm ELSE 0 END) AS BIGINT)
-                  AS sum1,
-                CAST(sum(CASE WHEN s = 0 THEN vm ELSE 0 END) AS BIGINT)
-                  AS sum2,
-                CAST(sum(CASE WHEN s = 1 THEN vm * vm ELSE 0 END)
-                     AS BIGINT) AS sumsq1,
-                CAST(sum(CASE WHEN s = 0 THEN vm * vm ELSE 0 END)
-                     AS BIGINT) AS sumsq2
-              FROM b GROUP BY 1)
-        SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
-               {WELCH_T_SQL} AS t_e4
-        FROM a
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("welch_ttest")).fetchall()))
     assert got == want and len(got) == 5
     # the fixtures exercise the live branch: at least one non-NULL t
     assert any(r[7] is not None for r in got)
@@ -227,38 +181,10 @@ def test_stats_nonfinite_and_null_exclusion(spark):
 
 
 def test_ks_test_oracle_and_hand_cases(spark, sf_dir):
-    from clickhouse_hdfs_loader_spark.operators.stats import (
-        KS_D_SQL, ks_test)
-
     got = sorted(map(tuple, ks_test(
         _sided(spark, sf_dir), "event_type", "value", "side").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type,
-                          CAST(floor(value * 1000) AS BIGINT) AS vm,
-                          CAST({_SIDE_SQL} AS BIGINT) AS s
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)
-                     AND user_id IS NOT NULL),
-        pv AS (SELECT event_type, vm, CAST(sum(s) AS BIGINT) AS c1,
-                      CAST(sum(1 - s) AS BIGINT) AS c2
-               FROM b GROUP BY 1, 2),
-        st AS (SELECT event_type,
-                 sum(c1) OVER (PARTITION BY event_type ORDER BY vm
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum1,
-                 sum(c2) OVER (PARTITION BY event_type ORDER BY vm
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum2,
-                 sum(c1) OVER (PARTITION BY event_type) AS n1,
-                 sum(c2) OVER (PARTITION BY event_type) AS n2
-               FROM pv),
-        agg AS (SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
-                       CAST(max(n2) AS BIGINT) AS n2,
-                       CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
-                         AS d_num
-                FROM st GROUP BY 1)
-        SELECT event_type, n1, n2, d_num, {KS_D_SQL} AS d_e4 FROM agg
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("ks_test")).fetchall()))
     assert got == want and len(got) == 5
     # D in (0, 1]: the numerator never exceeds n1*n2
     for _g, n1, n2, d_num, d_e4 in got:
@@ -283,15 +209,6 @@ def test_ks_test_oracle_and_hand_cases(spark, sf_dir):
                    "side").collect()[0]["d_e4"] is None
 
 
-# the exact integer milli-log2 (retrieval.with_ilog2_milli) in DuckDB —
-# shared by the theils_u twin below
-_LG = ("(CAST(length(ltrim(bin({x}), '0')) - 1 AS BIGINT) * 1000"
-       " + (({x} - (1::BIGINT << CAST(length(ltrim(bin({x}), '0')) - 1"
-       " AS BIGINT))) * 1000)"
-       " // (1::BIGINT << CAST(length(ltrim(bin({x}), '0')) - 1"
-       " AS BIGINT)))")
-
-
 def test_theils_u_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import theils_u
 
@@ -308,41 +225,11 @@ def test_theils_u_oracle_and_hand_cases(spark, sf_dir):
                         F.pmod(F.floor(F.col("value")).cast("long"),
                                F.lit(7)))
     got = sorted(map(tuple, theils_u(
-        ev2.where(F.col("value").isNotNull() & ~F.isnan("value")),
+        ev2.where(F.col("value").isNotNull() & ~F.isnan("value")
+                  & (F.abs("value") != F.lit(float("inf")))),
         "event_type", "xbin", "ybin").collect()))
-    lg_c = _LG.format(x="c")
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type AS g,
-                          ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
-                            AS x,
-                          ((user_id % 5 + 5) % 5) AS y
-                   FROM events
-                   WHERE user_id IS NOT NULL AND value IS NOT NULL
-                     AND isfinite(value)),
-        nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
-                FROM b GROUP BY 1, 2, 3),
-        sxy AS (SELECT g, CAST(sum(c * {lg_c}) AS BIGINT) AS sxy
-                FROM nxy GROUP BY 1),
-        nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS c FROM nxy
-               GROUP BY 1, 2),
-        sx AS (SELECT g, CAST(sum(c * {lg_c}) AS BIGINT) AS sx,
-                      CAST(sum(c) AS BIGINT) AS n
-               FROM nx GROUP BY 1),
-        ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS c FROM nxy
-               GROUP BY 1, 2),
-        sy AS (SELECT g, CAST(sum(c * {lg_c}) AS BIGINT) AS sy
-               FROM ny GROUP BY 1),
-        a AS (SELECT g, n, n * {_LG.format(x="n")} - sx AS hx_n_milli,
-                     sy - sxy AS hcond_n_milli
-              FROM sx JOIN sy USING (g) JOIN sxy USING (g))
-        SELECT g AS event_type, n,
-               CAST(hx_n_milli AS BIGINT) AS hx_n_milli,
-               CAST(hcond_n_milli AS BIGINT) AS hcond_n_milli,
-               CAST(CASE WHEN hx_n_milli = 0 THEN NULL ELSE
-                 ((hx_n_milli - hcond_n_milli) * 1000) // hx_n_milli
-                 END AS BIGINT) AS u_milli
-        FROM a
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("theils_u")).fetchall()))
     assert got == want and len(got) == 5
 
     # hand cases: X a function of Y -> u = 1000; X independent of Y
@@ -359,48 +246,20 @@ def test_theils_u_oracle_and_hand_cases(spark, sf_dir):
 
 
 def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
-    from clickhouse_hdfs_loader_spark.operators.stats import (
-        CONTINGENCY_SQL, CRAMERS_V_SQL, cramers_v)
+    from clickhouse_hdfs_loader_spark.operators.stats import cramers_v
 
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull()
-                 & F.col("value").isNotNull() & ~F.isnan("value"))
+                 & F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs("value") != F.lit(float("inf"))))
           .withColumn("xbin",
                       F.pmod(F.floor(F.col("value")).cast("long"),
                              F.lit(7)))
           .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
     got = sorted(map(tuple, cramers_v(
         ev, "event_type", "xbin", "ybin").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type AS g,
-                          ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
-                            AS x,
-                          ((user_id % 5 + 5) % 5) AS y
-                   FROM events
-                   WHERE user_id IS NOT NULL AND value IS NOT NULL
-                     AND isfinite(value)),
-        nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
-                FROM b GROUP BY 1, 2, 3),
-        nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
-               GROUP BY 1, 2),
-        ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM nxy
-               GROUP BY 1, 2),
-        cells AS (SELECT nxy.g, (c * c * 1000000) // (nx * ny) AS term,
-                         c
-                  FROM nxy JOIN nx USING (g, x) JOIN ny USING (g, y)),
-        a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
-                     (SELECT count(DISTINCT x) FROM nxy i
-                      WHERE i.g = cells.g) AS r,
-                     (SELECT count(DISTINCT y) FROM nxy i
-                      WHERE i.g = cells.g) AS c,
-                     CAST(greatest(0, sum(term) - 1000000) AS BIGINT)
-                       AS phi2_micro
-              FROM cells GROUP BY g)
-        SELECT g AS event_type, n, CAST(r AS BIGINT) AS r,
-               CAST(c AS BIGINT) AS c, phi2_micro,
-               {CRAMERS_V_SQL} AS v_e4, {CONTINGENCY_SQL} AS contingency_e4
-        FROM a
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("cramers_v")).fetchall()))
     assert got == want and len(got) == 5
     for _g, _n, r, c, phi2, v, cg in got:
         assert r == 7 and c == 5 and v is not None and 0.0 <= v <= 1.0
@@ -427,32 +286,13 @@ def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
 
 
 def test_skew_kurt_oracle_and_hand_cases(spark, sf_dir):
-    from clickhouse_hdfs_loader_spark.operators.stats import (
-        KURT_SQL, SKEW_SQL, skew_kurt)
+    from clickhouse_hdfs_loader_spark.operators.stats import skew_kurt
 
     ev = read_table(spark, sf_dir, "events")
     got = sorted(map(tuple, skew_kurt(ev, "event_type",
                                       "value").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type,
-                          CAST(floor(value * 10) AS BIGINT) AS q
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
-        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(q) AS BIGINT) AS qs
-              FROM b GROUP BY 1),
-        mm AS (SELECT event_type, n, qs // n AS mean_deci FROM m),
-        c AS (SELECT b.event_type, n, mean_deci,
-                     CAST(q - mean_deci AS HUGEINT) AS d
-              FROM b JOIN mm USING (event_type)),
-        s AS (SELECT event_type, n, mean_deci,
-                     sum(d * d) AS _s2, sum(d * d * d) AS _s3,
-                     sum(d * d * d * d) AS _s4
-              FROM c GROUP BY 1, 2, 3)
-        SELECT event_type, n, CAST(mean_deci AS BIGINT) AS mean_deci,
-               {SKEW_SQL} AS skew_e4, {KURT_SQL} AS kurt_e4
-        FROM s
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("skew_kurt")).fetchall()))
     assert got == want and len(got) == 5
     # the fixture's value distribution is right-skewed (exponential-
     # ish): positive skew, heavy-tailed kurtosis, on every group
@@ -540,36 +380,12 @@ def test_map_aggregate_oracle_and_guards(spark, sf_dir):
 
 
 def test_student_ttest_oracle_and_degenerates(spark, sf_dir):
-    from clickhouse_hdfs_loader_spark.operators.stats import (
-        STUDENT_T_SQL, student_ttest)
+    from clickhouse_hdfs_loader_spark.operators.stats import student_ttest
 
     got = sorted(map(tuple, student_ttest(
         _sided(spark, sf_dir), "event_type", "value", "side").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type,
-                          CAST(floor(value * 1000) AS BIGINT) AS vm,
-                          CAST({_SIDE_SQL} AS BIGINT) AS s
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)
-                     AND user_id IS NOT NULL),
-        a AS (SELECT event_type,
-                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n1,
-                CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n2,
-                CAST(sum(CASE WHEN s = 1 THEN vm ELSE 0 END) AS BIGINT)
-                  AS sum1,
-                CAST(sum(CASE WHEN s = 0 THEN vm ELSE 0 END) AS BIGINT)
-                  AS sum2,
-                CAST(sum(CASE WHEN s = 1 THEN vm * vm ELSE 0 END)
-                     AS BIGINT) AS sumsq1,
-                CAST(sum(CASE WHEN s = 0 THEN vm * vm ELSE 0 END)
-                     AS BIGINT) AS sumsq2
-              FROM b GROUP BY 1)
-        SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
-               {STUDENT_T_SQL} AS t_e4
-        FROM a
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("student_ttest")).fetchall()))
     assert got == want and len(got) == 5
     assert any(r[7] is not None for r in got)
 
@@ -619,28 +435,8 @@ def test_rrf_fuse_oracle_and_hand_case(spark, sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{sf_dir}/documents.parquet'")
-    want = sorted(map(tuple, con.execute("""
-        WITH d AS (SELECT ((doc_id % 3 + 3) % 3) AS q, doc_id, n_chars
-                   FROM documents),
-        a AS (SELECT q, doc_id,
-                row_number() OVER (PARTITION BY q ORDER BY doc_id)
-                  AS rank
-              FROM d QUALIFY rank <= 15),
-        b AS (SELECT q, doc_id,
-                row_number() OVER (PARTITION BY q
-                  ORDER BY n_chars DESC, doc_id) AS rank
-              FROM d QUALIFY rank <= 15),
-        u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
-        s AS (SELECT q, doc_id,
-                CAST(sum(1000000 // (rank + 60)) AS BIGINT) AS rrf_micro
-              FROM u GROUP BY 1, 2),
-        r AS (SELECT q, doc_id, rrf_micro,
-                CAST(row_number() OVER (PARTITION BY q
-                  ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
-              FROM s)
-        SELECT q, doc_id, rrf_micro, fused_rank FROM r
-        WHERE fused_rank <= 10
-    """).fetchall()))
+    want = sorted(map(tuple, con.execute(
+        _oracle("rrf_fuse")).fetchall()))
     assert got == want and len(got) == 30  # 3 queries x top 10
 
     # hand case: doc appearing in BOTH lists outranks single-list docs
@@ -833,44 +629,15 @@ def test_ema_summary_golden_rederivation():
 
 
 def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
-    from clickhouse_hdfs_loader_spark.operators.stats import (
-        RANK_CORR_SQL, rank_corr)
+    from clickhouse_hdfs_loader_spark.operators.stats import rank_corr
 
     ev = (read_table(spark, sf_dir, "events")
           .withColumn("y2", (F.col("value") * F.col("value"))
                       .cast("double")))
     got = sorted(map(tuple, rank_corr(ev, "event_type", "value",
                                       "y2").collect()))
-    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type AS g,
-                          CAST(floor(value * 1000) AS BIGINT) AS x,
-                          CAST(floor((value * value) * 1000) AS BIGINT)
-                            AS y
-                   FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)
-                     AND (value * value) IS NOT NULL
-                     AND isfinite(value * value)),
-        rx AS (SELECT g, x, 2 * coalesce(sum(count(*)) OVER (
-                 PARTITION BY g ORDER BY x
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + count(*) + 1 AS r
-               FROM b GROUP BY g, x),
-        ry AS (SELECT g, y, 2 * coalesce(sum(count(*)) OVER (
-                 PARTITION BY g ORDER BY y
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + count(*) + 1 AS r
-               FROM b GROUP BY g, y),
-        j AS (SELECT b.g, CAST(rx.r AS HUGEINT) AS rxv,
-                     CAST(ry.r AS HUGEINT) AS ryv
-              FROM b JOIN rx ON b.g = rx.g AND b.x = rx.x
-                     JOIN ry ON b.g = ry.g AND b.y = ry.y),
-        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-                     sum(rxv) AS _sx, sum(ryv) AS _sy,
-                     sum(rxv * rxv) AS _sxx, sum(ryv * ryv) AS _syy,
-                     sum(rxv * ryv) AS _sxy
-              FROM j GROUP BY 1)
-        SELECT g AS event_type, n, {RANK_CORR_SQL} AS rho_e4 FROM a
-    """).fetchall()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(
+        _oracle("rank_corr")).fetchall()))
     assert got == want and len(got) == 5
     # y = x² on positive values is a monotone map -> ranks identical
     # -> rho exactly 1.0 in every group (a strong structural check)
