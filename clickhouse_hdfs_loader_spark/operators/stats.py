@@ -757,6 +757,134 @@ def rank_corr(df: DataFrame, group_col: str, x_col: str,
                       F.expr(RANK_CORR_SQL).alias("rho_e4"))
 
 
+def group_bit_aggregate(df: DataFrame, group_col: str, value_col: str,
+                        how: str = "and") -> DataFrame:
+    """ClickHouse ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor``:
+    bitwise fold of an integer column per group — flag-mask
+    intersection/union and parity checks. Both engines fold NULL-free
+    int64 identically (bitwise ops are associative/commutative, so
+    map-side combines are exact by construction). NULL values are
+    excluded (both engines' aggregate semantics).
+
+    Returns ``group, bits`` (int64)."""
+    if how not in ("and", "or", "xor"):
+        raise ValueError(
+            f"group_bit_aggregate: how must be and/or/xor, got {how!r}")
+    agg = {"and": F.bit_and, "or": F.bit_or, "xor": F.bit_xor}[how]
+    return (df.where(F.col(value_col).isNotNull())
+            .groupBy(group_col)
+            .agg(agg(F.col(value_col).cast("long")).alias("bits")))
+
+
+def avg_weighted(df: DataFrame, group_col: str, value_col: str,
+                 weight_col: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(v, w)`` per group, engine-exact: values
+    milli-quantize, weights must be non-negative integers (raise
+    otherwise — fractional weights silently change semantics), the two
+    sums are int64 monoids, and only the final ratio is float in the
+    shared verbatim expression (NULL when total weight is 0, never an
+    ANSI division trap). NULL/NaN/±Inf values and NULL weights drop the
+    row (mirror the WHERE in twins). Overflow: Σ w·|vm| < 2^63.
+
+    Returns ``group, wsum, wvsum_milli, avg_w_e4``."""
+    w = F.expr(
+        f"CASE WHEN {weight_col} < 0 THEN "
+        f"raise_error('avg_weighted: weights must be non-negative') "
+        f"ELSE CAST({weight_col} AS BIGINT) END")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    return (df.where(_quantizable_col(value_col)
+                     & F.col(weight_col).isNotNull())
+            .select(F.col(group_col), vm.alias("_vm"), w.alias("_w"))
+            .groupBy(group_col)
+            .agg(F.sum("_w").alias("wsum"),
+                 F.sum(F.col("_w") * F.col("_vm")).alias("wvsum_milli"))
+            .withColumn("avg_w_e4", F.expr(AVG_WEIGHTED_SQL)))
+
+
+# shared verbatim: the weighted mean in value units, knife-edge rounded
+# (wvsum_milli / wsum is in milli-units; ·10 + floor(+0.5) → e4)
+AVG_WEIGHTED_SQL = (
+    "CASE WHEN wsum = 0 THEN NULL ELSE "
+    "CAST(floor(CAST(wvsum_milli AS DOUBLE) / CAST(wsum AS DOUBLE)"
+    " * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def pearson_corr(df: DataFrame, group_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """ClickHouse ``corr(x, y)`` per group with the repo's quantized
+    CONTRACT: both columns milli-quantize to int64, the five moment
+    sums accumulate in 128-bit exact integers (Σq² grows as n·10¹² —
+    DECIMAL(38,0)/HUGEINT keeps any realistic n exact), then the SAME
+    verbatim float finish as Spearman (:data:`RANK_CORR_SQL` — Pearson
+    of midranks IS Spearman, so the expression is shared by
+    construction). Rows with NULL/NaN/±Inf in either column drop.
+
+    One aggregate, map-side combinable; O(|groups|) output.
+
+    Returns ``group, n, corr_e4`` (NULL when n < 2 or either column is
+    constant)."""
+    qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
+    qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col))
+            .select(F.col(group_col).alias("_g"),
+                    qx.cast("decimal(38,0)").alias("_qx"),
+                    qy.cast("decimal(38,0)").alias("_qy")))
+    agg = (base.groupBy("_g")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_qx").alias("_sx"), F.sum("_qy").alias("_sy"),
+                F.sum(F.expr("_qx * _qx")).alias("_sxx"),
+                F.sum(F.expr("_qy * _qy")).alias("_syy"),
+                F.sum(F.expr("_qx * _qy")).alias("_sxy")))
+    return agg.select(F.col("_g").alias(group_col), "n",
+                      F.expr(RANK_CORR_SQL).alias("corr_e4"))
+
+
+def mean_z_test(df: DataFrame, group_col: str, value_col: str,
+                side_col: str, var1: float, var2: float) -> DataFrame:
+    """ClickHouse ``meanZTest``: two-sample z with KNOWN population
+    variances (given in squared VALUE units; converted to milli² inside
+    so the moments stay integer) — the same exact six-moment machinery
+    as the t-tests with a caller-supplied denominator:
+
+        z = (m1 − m2) / sqrt(v1/n1 + v2/n2)
+
+    in one verbatim float finish (variances interpolated as literals —
+    both engines parse the same decimal string). NULL z when either
+    side is empty.
+
+    Returns ``group, n1, n2, sum1, sum2, z_e4``."""
+    v1 = float(var1) * 1e6
+    v2 = float(var2) * 1e6
+    if not (v1 >= 0 and v2 >= 0):
+        raise ValueError("mean_z_test: variances must be >= 0")
+    agg = _moments_by_side(
+        _sided_base(df, group_col, value_col, side_col, "mean_z_test"),
+        group_col)
+    return agg.select(group_col, "n1", "n2", "sum1", "sum2",
+                      F.expr(mean_z_sql(var1, var2)).alias("z_e4"))
+
+
+def mean_z_sql(var1: float, var2: float) -> str:
+    """The shared verbatim z finish for :func:`mean_z_test` — built per
+    (var1, var2) with ``repr`` literals so both engines parse the
+    identical decimal string (variances arrive in VALUE units and are
+    scaled to milli² here)."""
+    v1 = repr(float(var1) * 1e6)
+    v2 = repr(float(var2) * 1e6)
+    den = (f"sqrt(CAST({v1} AS DOUBLE) / CAST(n1 AS DOUBLE)"
+           f" + CAST({v2} AS DOUBLE) / CAST(n2 AS DOUBLE))")
+    return (
+        "CASE WHEN n1 < 1 OR n2 < 1 OR " + den
+        + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
+        "CAST(floor("
+        "(CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(sum2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / " + den
+        + " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+        " / CAST(10000 AS DOUBLE) END")
+
+
 # shared verbatim: rho = (n·Σxy − Σx·Σy) /
 #                        (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²))
 # from the exact 128-bit rank-moment sums, cast to DOUBLE first

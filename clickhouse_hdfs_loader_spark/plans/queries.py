@@ -5559,7 +5559,12 @@ def ema_summary(spark, sf_dir):
 #
 # Future-window schedule (fold 3-6 re-confirmations per round; new
 # registrations ALWAYS take same-round slots):
-#   r12: re-confirm the rest of the r6-graded TPC-H (q16-q22), the
+#   r12: promote the late-r11 odds-and-ends aggregates
+#        (group_bit_aggregate and/or/xor, avg_weighted, pearson_corr,
+#        mean_z_test — in-test DuckDB oracles at
+#        tests/test_stats_operators.py, finishes already shared:
+#        AVG_WEIGHTED_SQL / RANK_CORR_SQL / mean_z_sql());
+#        re-confirm the rest of the r6-graded TPC-H (q16-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,
 #        nulls_ordering, pii_scrub, embedding_quantize,

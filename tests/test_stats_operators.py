@@ -722,3 +722,178 @@ def test_stats_symmetry_properties(spark):
     uxy = theils_u(det, "g", "x", "y").collect()[0]["u_milli"]
     uyx = theils_u(det, "g", "y", "x").collect()[0]["u_milli"]
     assert uxy == 1000 and uyx is not None and uyx < 1000
+
+
+# --- late-r11 odds-and-ends aggregates (r12 promotion queue): these
+# oracles are the single in-test copy until promotion moves them into
+# the registry (the group_array_sorted precedent)
+
+def test_group_bit_aggregate_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        group_bit_aggregate)
+
+    ev = read_table(spark, sf_dir, "events")
+    for how in ("and", "or", "xor"):
+        got = sorted(map(tuple, group_bit_aggregate(
+            ev, "event_type", "user_id", how=how).collect()))
+        want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+            SELECT event_type,
+                   CAST(bit_{how}(CAST(user_id AS BIGINT)) AS BIGINT)
+                     AS bits
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        """).fetchall()))
+        assert got == want and len(got) == 5, how
+
+    # hand cases: masks 0b1100 & 0b1010 = 0b1000, | = 0b1110, ^ = 0b0110
+    synth = spark.createDataFrame(
+        [("g", 12), ("g", 10), ("g", None)], "g string, v long")
+    assert group_bit_aggregate(synth, "g", "v", "and") \
+        .collect()[0]["bits"] == 8
+    assert group_bit_aggregate(synth, "g", "v", "or") \
+        .collect()[0]["bits"] == 14
+    assert group_bit_aggregate(synth, "g", "v", "xor") \
+        .collect()[0]["bits"] == 6
+    with pytest.raises(ValueError, match="how"):
+        group_bit_aggregate(synth, "g", "v", "nand")
+
+
+def test_avg_weighted_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        AVG_WEIGHTED_SQL, avg_weighted)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("w", F.pmod(F.col("event_id"), F.lit(5))))
+    got = sorted(map(tuple, avg_weighted(
+        ev, "event_type", "value", "w").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type,
+                          ((event_id % 5 + 5) % 5) AS w,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_id IS NOT NULL),
+        a AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS wsum,
+                     CAST(sum(w * vm) AS BIGINT) AS wvsum_milli
+              FROM b GROUP BY 1)
+        SELECT event_type, wsum, wvsum_milli,
+               {AVG_WEIGHTED_SQL} AS avg_w_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert all(r[3] is not None for r in got)
+
+    # hand case: values {2 w=1, 5 w=3} -> mean = 17/4 = 4.25 exactly
+    synth = spark.createDataFrame(
+        [("g", 2.0, 1), ("g", 5.0, 3)], "g string, v double, w int")
+    r = avg_weighted(synth, "g", "v", "w").collect()[0]
+    assert (r["wsum"], r["wvsum_milli"], r["avg_w_e4"]) \
+        == (4, 17000, 4.25)
+    # all-zero weights -> NULL mean, not a division error
+    zero = spark.createDataFrame(
+        [("g", 2.0, 0), ("g", 5.0, 0)], "g string, v double, w int")
+    r = avg_weighted(zero, "g", "v", "w").collect()[0]
+    assert r["wsum"] == 0 and r["avg_w_e4"] is None
+    # negative weights raise loudly
+    neg = spark.createDataFrame(
+        [("g", 2.0, -1)], "g string, v double, w int")
+    with pytest.raises(Exception, match="non-negative"):
+        avg_weighted(neg, "g", "v", "w").collect()
+
+
+def test_pearson_corr_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        RANK_CORR_SQL, pearson_corr)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .withColumn("y2", (F.col("value") * F.col("value"))
+                      .cast("double")))
+    got = sorted(map(tuple, pearson_corr(ev, "event_type", "value",
+                                         "y2").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS x,
+                          CAST(floor((value * value) * 1000) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND (value * value) IS NOT NULL
+                     AND isfinite(value * value)),
+        j AS (SELECT g, CAST(x AS HUGEINT) AS _qx,
+                     CAST(y AS HUGEINT) AS _qy FROM b),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     sum(_qx) AS _sx, sum(_qy) AS _sy,
+                     sum(_qx * _qx) AS _sxx, sum(_qy * _qy) AS _syy,
+                     sum(_qx * _qy) AS _sxy
+              FROM j GROUP BY 1)
+        SELECT g AS event_type, n, {RANK_CORR_SQL} AS corr_e4 FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # y = x² on a positive-valued fixture: strong but NOT perfect
+    # linear correlation — a structural sanity band, oracle is the check
+    assert all(r[2] is not None and 0.8 < r[2] <= 1.0 for r in got)
+
+    # hand cases: exact affine integers -> corr exactly ±1.0
+    lin = spark.createDataFrame(
+        [("g", float(i), float(2 * i + 3)) for i in range(6)],
+        "g string, x double, y double")
+    assert pearson_corr(lin, "g", "x", "y").collect()[0]["corr_e4"] \
+        == 1.0
+    rev = spark.createDataFrame(
+        [("g", float(i), float(-3 * i)) for i in range(6)],
+        "g string, x double, y double")
+    assert pearson_corr(rev, "g", "x", "y").collect()[0]["corr_e4"] \
+        == -1.0
+    const = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 2.0, 5.0)], "g string, x double, y double")
+    assert pearson_corr(const, "g", "x", "y").collect()[0]["corr_e4"] \
+        is None
+
+
+def test_mean_z_test_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        mean_z_sql, mean_z_test)
+
+    got = sorted(map(tuple, mean_z_test(
+        _sided(spark, sf_dir), "event_type", "value", "side",
+        var1=4.0, var2=9.0).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS s
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL),
+        a AS (SELECT event_type,
+                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1,
+                CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n2,
+                CAST(sum(CASE WHEN s = 1 THEN vm ELSE 0 END) AS BIGINT)
+                  AS sum1,
+                CAST(sum(CASE WHEN s = 0 THEN vm ELSE 0 END) AS BIGINT)
+                  AS sum2
+              FROM b GROUP BY 1)
+        SELECT event_type, n1, n2, sum1, sum2,
+               {mean_z_sql(4.0, 9.0)} AS z_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert all(r[5] is not None for r in got)
+
+    # hand case: side1={0,2}, side0={10,14}, var1=var2=4 ->
+    # z = (1000-12000)/sqrt(4e6/2+4e6/2) = -11000/2000 = -5.5 exactly
+    known = spark.createDataFrame(
+        [("g", 0.0, 1), ("g", 2.0, 1), ("g", 10.0, 0), ("g", 14.0, 0)],
+        "event_type string, value double, side int")
+    r = mean_z_test(known, "event_type", "value", "side",
+                    var1=4.0, var2=4.0).collect()[0]
+    assert r["z_e4"] == -5.5
+    # empty side -> NULL; negative variance raises
+    one = spark.createDataFrame(
+        [("g", 1.0, 1)], "event_type string, value double, side int")
+    assert mean_z_test(one, "event_type", "value", "side",
+                       var1=1.0, var2=1.0).collect()[0]["z_e4"] is None
+    with pytest.raises(ValueError, match="variances"):
+        mean_z_test(known, "event_type", "value", "side",
+                    var1=-1.0, var2=1.0)
