@@ -5481,6 +5481,59 @@ def rank_corr_q(spark, sf_dir):
     return _rc(ev, "event_type", "value", "y2")
 
 
+# lttb_downsample at sf0.01, re-derived Spark-free by
+# tests/test_stats_operators.py::test_lttb_summary_golden_rederivation
+# (duckdb read + an inline same-order float replay of the LTTB fold —
+# pure IEEE arithmetic, no library dependency, so the selection is
+# machine-stable; the Fraction replay in test_interval_combinators
+# separately guards selection correctness):
+# (event_type, n_pts, sum_x_us, sum_y_milli) at threshold=24
+LTTB_GOLDEN: "list[tuple[str, int, int, int]]" = [
+    ("click", 24, 40928303480435993, 3467790),
+    ("error", 24, 40928348703705134, 3615130),
+    ("purchase", 24, 40927742505469982, 3534790),
+    ("signup", 24, 40928263803933319, 3358409),
+    ("view", 24, 40928584727227761, 2925590),
+]
+
+@query("lttb_summary", tags=("golden-sf0.01",), oracle="""
+    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n_pts,
+           CAST(c2 AS BIGINT) AS sum_x_us,
+           CAST(c3 AS BIGINT) AS sum_y_milli
+    FROM (VALUES """ + ", ".join(
+        f"('{g}', {n}, {sx}, {sy})" for g, n, sx, sy in LTTB_GOLDEN)
+    + """) AS t(c0, c1, c2, c3)
+    WHERE (SELECT CASE WHEN
+      count(*) = 10000 AND sum(event_id) = 49995000
+      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+          AS BIGINT) = 496306483
+      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+          = 431800558548676
+      THEN 1 ELSE error(
+      'lttb golden pinned at sf0.01 (events count/value/ts checksums) — re-derive via test_lttb_summary_golden_rederivation for this sf')
+      END FROM events) = 1
+""")
+def lttb_summary(spark, sf_dir):
+    """``largestTriangleThreeBuckets`` (Steinarsson 2013), graded via
+    the golden ladder: the per-series pick fold is same-order IEEE
+    float (pinned by the exact-rational Fraction replay), so the
+    selected points' integer sums are a stable summary; literals
+    re-derived Spark-free with checksum guards.
+    operators/downsample.py:lttb_downsample."""
+    from ..operators.downsample import lttb_downsample as _lttb
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.unix_micros("ts").cast("double").alias("x"),
+                  F.col("value").alias("y")))
+    out = _lttb(ev, "event_type", "x", "y", threshold=24)
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.sum(F.col("x").cast("long")).alias("sum_x_us"),
+                 F.sum(F.floor(F.col("y") * F.lit(1000.0)).cast("long"))
+                 .alias("sum_y_milli")))
+
+
 # exponential_moving_average at sf0.01, re-derived Spark-free by
 # tests/test_stats_operators.py::test_ema_summary_golden_rederivation
 # (duckdb parquet read + the same-order pure-Python IEEE fold; the
@@ -5539,15 +5592,16 @@ def ema_summary(spark, sf_dir):
 
 # r11 rotation (r10 verdict items 1-3, executed as scheduled): the
 # §2.A/§2.B reference core and the loader end-to-end stay pinned.
-# 13 slots are first-grades — the whole late-r10 stats family
+# 15 slots are first-grades — the whole late-r10 stats family
 # (group_array_sorted, arg_min_max_by_group, mann_whitney_u,
 # welch_ttest, student_ttest, ks_test, theils_u, cramers_v(+the
 # contingency coefficient riding along), skew_kurt, map_aggregate,
 # rrf_fuse, rank_corr, the stream_ab_test foreachBatch twin graded
-# against the combined welch+student oracle, and ema_summary — the
-# formerly replay-only EMA promoted via the golden ladder:
-# floor(ema·1e6) is stable because the fold is bitwise-replayable) —
-# SQL moved verbatim from
+# against the combined welch+student oracle) plus TWO formerly
+# replay-only operators promoted via the golden ladder (ema_summary:
+# floor(ema·1e6) is stable because the fold is bitwise-replayable;
+# lttb_summary: the pick fold is same-order IEEE, selections pinned by
+# the Fraction replay) — SQL moved verbatim from
 # tests/test_stats_operators.py. 3 slots RE-grade queries whose graded
 # surface changed this round: minmax_normalize (the r10 never-green,
 # re-projected to scalar rows), dimension_stats (isfinite element
@@ -5555,7 +5609,7 @@ def ema_summary(spark, sf_dir):
 # remaining 15 slots re-confirm the r10-displaced r9 batch
 # (multimodal_header_decode, regexp_extract_groups,
 # case_when_bucketing, array_ops, q2/q4/q6, set_intersect/set_except,
-# q8/q9/q11) and start the r6-graded TPC-H backlog (q14/q15).
+# q8/q9/q11) and start the r6-graded TPC-H backlog (q14).
 #
 # Future-window schedule (fold 3-6 re-confirmations per round; new
 # registrations ALWAYS take same-round slots):
@@ -5564,7 +5618,7 @@ def ema_summary(spark, sf_dir):
 #        mean_z_test — in-test DuckDB oracles at
 #        tests/test_stats_operators.py, finishes already shared:
 #        AVG_WEIGHTED_SQL / RANK_CORR_SQL / mean_z_sql());
-#        re-confirm the rest of the r6-graded TPC-H (q16-q22), the
+#        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,
 #        nulls_ordering, pii_scrub, embedding_quantize,
@@ -5572,11 +5626,12 @@ def ema_summary(spark, sf_dir):
 #        r10 first-grades (interval/series combinators, entropy,
 #        weighted aggregates, goldens, streaming twins) as slots allow.
 #   r13+: second confirmations of the r11 stats-family first-grades.
-# lttb_downsample and pca_whiten stay replay-pinned (not
-# SQL-expressible, no stable low-row summary that isn't just the
-# replay); the EMA graduated to a golden in r11 (ema_summary — its
-# bitwise-replay contract makes the micro-quantized fold stable), with
-# tied-ts semantics pinned the same round.
+# pca_whiten stays replay-pinned BY DESIGN: a golden would bake in
+# LAPACK-build-specific eigh ulps (the projection magnifies them past
+# the floor-quantize step), unlike the EMA/LTTB folds which are pure
+# same-order IEEE arithmetic — both of those graduated to goldens in
+# r11 (ema_summary, lttb_summary), with the EMA's tied-ts semantics
+# pinned the same round.
 _GRADING_WINDOW = [
     # §2.B — the SQL shapes the reference itself issues (pinned)
     "filtered_projection", "agg_count_filter", "groupby_grouparray",
@@ -5592,7 +5647,7 @@ _GRADING_WINDOW = [
     "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
     "welch_ttest", "student_ttest", "ks_test", "theils_u", "cramers_v",
     "skew_kurt", "map_aggregate", "rrf_fuse", "rank_corr",
-    "stream_ab_test", "ema_summary",
+    "stream_ab_test", "ema_summary", "lttb_summary",
     # --- r11 re-grades: graded surface changed this round
     "minmax_normalize", "dimension_stats", "covariance_stats",
     # --- re-confirmations: the r10-displaced r9 batch
@@ -5602,7 +5657,7 @@ _GRADING_WINDOW = [
     "set_except", "q8_market_share", "q9_product_profit",
     "q11_important_stock",
     # --- re-confirmations: start of the r6-graded TPC-H backlog
-    "q14_promo_effect", "q15_top_supplier",
+    "q14_promo_effect",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -150,7 +150,7 @@ def test_grading_window_registry_discipline():
         "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
         "welch_ttest", "student_ttest", "ks_test", "theils_u",
         "cramers_v", "skew_kurt", "map_aggregate", "rrf_fuse",
-        "rank_corr", "stream_ab_test", "ema_summary",
+        "rank_corr", "stream_ab_test", "ema_summary", "lttb_summary",
         "minmax_normalize", "dimension_stats", "covariance_stats",
     }
     missing = added_this_round - window

@@ -628,6 +628,71 @@ def test_ema_summary_golden_rederivation():
     assert derived == EMA_GOLDEN
 
 
+def test_lttb_summary_golden_rederivation():
+    """The lttb_summary driver golden, re-derived 100% Spark-free at
+    the grading scale: duckdb read + an INLINE same-order float replay
+    of the LTTB fold (sequential bucket means, strict-> first-max — the
+    operator's documented determinism contract; correctness of the
+    selection itself is separately guarded by the exact-rational
+    Fraction replay in test_interval_combinators). The pinned
+    LTTB_GOLDEN literals must equal this independent computation."""
+    import math
+
+    from clickhouse_hdfs_loader_spark.plans.queries import LTTB_GOLDEN
+
+    con = _duck("/root/testdata/sf0.01")
+    # mirror the operator's exact input filter: NULL and NaN excluded,
+    # ±Inf kept (the guard checksums would flag an Inf-drifted fixture)
+    pts = con.execute(
+        "SELECT event_type, CAST(epoch_us(ts) AS DOUBLE) AS x, "
+        "CAST(value AS DOUBLE) AS y FROM events "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND NOT isnan(value) ORDER BY event_type, x, y").fetchall()
+    series: dict = {}
+    for g, x, y in pts:
+        series.setdefault(g, []).append((x, y))
+    threshold = 24
+    derived = []
+    for g in sorted(series):
+        xs = [p[0] for p in series[g]]
+        ys = [p[1] for p in series[g]]
+        n = len(xs)
+        if n <= threshold:
+            idx = list(range(n))
+        else:
+            every = (n - 2) / (threshold - 2)
+            idx = [0]
+            a = 0
+            for i in range(threshold - 2):
+                lo = int((i * every) // 1) + 1
+                hi = int(((i + 1) * every) // 1) + 1
+                nb_lo = hi
+                nb_hi = min(int(((i + 2) * every) // 1) + 1, n)
+                if nb_lo >= nb_hi:
+                    nb_lo, nb_hi = n - 1, n
+                sx = 0.0
+                sy = 0.0
+                for j in range(nb_lo, nb_hi):
+                    sx += xs[j]
+                    sy += ys[j]
+                m = nb_hi - nb_lo
+                bx, by = sx / m, sy / m
+                ax, ay = xs[a], ys[a]
+                best, best_area = lo, -1.0
+                for c in range(lo, hi):
+                    area = abs((ax - bx) * (ys[c] - ay)
+                               - (ax - xs[c]) * (by - ay))
+                    if area > best_area:
+                        best, best_area = c, area
+                idx.append(best)
+                a = best
+            idx.append(n - 1)
+        derived.append((g, len(idx),
+                        sum(int(xs[i]) for i in idx),
+                        sum(math.floor(ys[i] * 1000) for i in idx)))
+    assert derived == LTTB_GOLDEN
+
+
 def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import rank_corr
 
