@@ -3,11 +3,13 @@ deterministic argMin/argMax, Mann-Whitney U, Welch/Student t (+ the
 incremental state and streaming A/B twin), Kolmogorov-Smirnov, Theil's
 U, Cramér's V + contingency, skewness/kurtosis, Spearman rank
 correlation, sumMap/minMap/maxMap, reciprocal-rank fusion, and the
-replay-pinned exponential moving average — each with its in-test DuckDB
-exact-replay oracle on the real events table (promotion-ready SQL:
-every aggregate CAST, no HUGEINT/DECIMAL, finite-value guards
-mirrored) plus hand cases for the tie/degenerate semantics the
-fixtures can't force. r11 window queue."""
+exponential moving average — DuckDB exact-replay oracles on the real
+events table (promoted to the registry in r11; the scalar twins
+execute REGISTRY[name].oracle so there is one copy to harden) plus
+hand cases for the tie/degenerate semantics the fixtures can't force,
+the EMA/LTTB golden re-derivations, and the late-r11 odds-and-ends
+batch (bit aggregates, avgWeighted, Pearson corr, meanZTest — r12
+promotion queue)."""
 
 from __future__ import annotations
 
