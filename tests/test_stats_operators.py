@@ -964,3 +964,48 @@ def test_mean_z_test_oracle_and_hand_cases(spark, sf_dir):
     with pytest.raises(ValueError, match="variances"):
         mean_z_test(known, "event_type", "value", "side",
                     var1=-1.0, var2=1.0)
+
+
+def test_odds_and_ends_structural_properties(spark):
+    """Structural identities for the late-r11 batch: XOR of a
+    duplicated multiset is 0; unit-weight avg_weighted equals the plain
+    quantized mean; Pearson corr is symmetric and side-swapping negates
+    the z statistic (within one e4 rounding step)."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        avg_weighted, group_bit_aggregate, mean_z_test, pearson_corr)
+
+    # xor: every value appearing twice cancels to 0
+    dup = spark.createDataFrame(
+        [("g", v) for v in (5, 12, 99, 5, 12, 99)], "g string, v long")
+    assert group_bit_aggregate(dup, "g", "v", "xor") \
+        .collect()[0]["bits"] == 0
+
+    # unit weights reduce to the floor-milli mean, knife-edge rounded
+    vals = [1.37, 2.91, -4.02, 7.5]
+    df = spark.createDataFrame([("g", v, 1) for v in vals],
+                               "g string, v double, w int")
+    r = avg_weighted(df, "g", "v", "w").collect()[0]
+    import math
+    ms = sum(math.floor(v * 1000) for v in vals)
+    assert r["wvsum_milli"] == ms and r["wsum"] == len(vals)
+    assert r["avg_w_e4"] == math.floor(ms / len(vals) * 10 + 0.5) / 1e4
+
+    # Pearson symmetry on a frame with ties in both columns
+    rows = [("g", 1.0, 3.0), ("g", 2.0, 3.0), ("g", 2.0, 1.0),
+            ("g", 5.0, 2.0), ("g", 7.0, 2.0), ("g", 7.0, 9.0)]
+    df2 = spark.createDataFrame(rows, "g string, x double, y double")
+    rxy = pearson_corr(df2, "g", "x", "y").collect()[0]["corr_e4"]
+    ryx = pearson_corr(df2, "g", "y", "x").collect()[0]["corr_e4"]
+    assert rxy == ryx and -1.0 <= rxy <= 1.0
+
+    # z-test antisymmetry under side swap
+    zdf = spark.createDataFrame(
+        [("g", 0.0, 1), ("g", 2.0, 1), ("g", 10.0, 0), ("g", 14.0, 0),
+         ("g", 3.0, 1)],
+        "event_type string, value double, side int")
+    sw = zdf.withColumn("side", F.lit(1) - F.col("side"))
+    za = mean_z_test(zdf, "event_type", "value", "side",
+                     var1=2.0, var2=3.0).collect()[0]["z_e4"]
+    zb = mean_z_test(sw, "event_type", "value", "side",
+                     var1=3.0, var2=2.0).collect()[0]["z_e4"]
+    assert abs(za + zb) <= 1e-4 + 1e-12
