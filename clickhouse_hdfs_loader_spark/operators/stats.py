@@ -780,16 +780,23 @@ def avg_weighted(df: DataFrame, group_col: str, value_col: str,
                  weight_col: str) -> DataFrame:
     """ClickHouse ``avgWeighted(v, w)`` per group, engine-exact: values
     milli-quantize, weights must be non-negative integers (raise
-    otherwise — fractional weights silently change semantics), the two
-    sums are int64 monoids, and only the final ratio is float in the
-    shared verbatim expression (NULL when total weight is 0, never an
-    ANSI division trap). NULL/NaN/±Inf values and NULL weights drop the
-    row (mirror the WHERE in twins). Overflow: Σ w·|vm| < 2^63.
+    otherwise — fractional weights silently change semantics, NaN would
+    cast to 0 and ±Inf would saturate-then-overflow the products), the
+    two sums are int64 monoids, and only the final ratio is float in
+    the shared verbatim expression (NULL when total weight is 0, never
+    an ANSI division trap). NULL/NaN/±Inf values and NULL weights drop
+    the row (mirror the WHERE in twins). Overflow: Σ w·|vm| < 2^63.
 
     Returns ``group, wsum, wvsum_milli, avg_w_e4``."""
     w = F.expr(
-        f"CASE WHEN {weight_col} < 0 THEN "
-        f"raise_error('avg_weighted: weights must be non-negative') "
+        f"CASE WHEN {weight_col} IS NULL THEN NULL "
+        f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
+        f"OR abs(CAST({weight_col} AS DOUBLE)) = double('Infinity') "
+        f"OR {weight_col} < 0 "
+        f"OR CAST({weight_col} AS DOUBLE) "
+        f"   != floor(CAST({weight_col} AS DOUBLE)) THEN "
+        f"raise_error('avg_weighted: weights must be non-negative "
+        f"integers') "
         f"ELSE CAST({weight_col} AS BIGINT) END")
     vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
     return (df.where(_quantizable_col(value_col)
@@ -854,10 +861,17 @@ def mean_z_test(df: DataFrame, group_col: str, value_col: str,
     side is empty.
 
     Returns ``group, n1, n2, sum1, sum2, z_e4``."""
+    import math
+
     v1 = float(var1) * 1e6
     v2 = float(var2) * 1e6
-    if not (v1 >= 0 and v2 >= 0):
-        raise ValueError("mean_z_test: variances must be >= 0")
+    if not (math.isfinite(v1) and math.isfinite(v2)
+            and v1 >= 0 and v2 >= 0):
+        # a non-finite variance would interpolate repr(inf)/repr(nan)
+        # into SQL, where bare `inf` resolves as a COLUMN reference —
+        # raise a clean ValueError here instead (review-caught)
+        raise ValueError(
+            "mean_z_test: variances must be finite and >= 0")
     agg = _moments_by_side(
         _sided_base(df, group_col, value_col, side_col, "mean_z_test"),
         group_col)

@@ -5510,6 +5510,12 @@ LTTB_GOLDEN: "list[tuple[str, int, int, int]]" = [
           AS BIGINT) = 496306483
       AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
           = 431800558548676
+      -- day-resolution twin of the time-of-day checksum above: the
+      -- pinned absolute-epoch outputs (last_ts_us / sum_x_us) would
+      -- shift under a whole-day fixture rebase that preserves every
+      -- other checksum (review-caught)
+      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+          = 197374857
       THEN 1 ELSE error(
       'lttb golden pinned at sf0.01 (events count/value/ts checksums) — re-derive via test_lttb_summary_golden_rederivation for this sf')
       END FROM events) = 1
@@ -5527,11 +5533,15 @@ def lttb_summary(spark, sf_dir):
                   F.unix_micros("ts").cast("double").alias("x"),
                   F.col("value").alias("y")))
     out = _lttb(ev, "event_type", "x", "y", threshold=24)
+    # finite guard on the quantize site (repo rule): lttb keeps ±Inf y
+    # deliberately — a selected Inf would saturate the long cast, so
+    # quantize it to NULL (sum skips it; n_pts is unaffected)
+    ym = F.when(~F.isnan("y") & (F.abs("y") != F.lit(float("inf"))),
+                F.floor(F.col("y") * F.lit(1000.0)).cast("long"))
     return (out.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_pts"),
                  F.sum(F.col("x").cast("long")).alias("sum_x_us"),
-                 F.sum(F.floor(F.col("y") * F.lit(1000.0)).cast("long"))
-                 .alias("sum_y_milli")))
+                 F.sum(ym).alias("sum_y_milli")))
 
 
 # exponential_moving_average at sf0.01, re-derived Spark-free by
@@ -5561,6 +5571,12 @@ EMA_GOLDEN: "list[tuple[str, int, int, int]]" = [
           AS BIGINT) = 496306483
       AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
           = 431800558548676
+      -- day-resolution twin of the time-of-day checksum above: the
+      -- pinned absolute-epoch outputs (last_ts_us / sum_x_us) would
+      -- shift under a whole-day fixture rebase that preserves every
+      -- other checksum (review-caught)
+      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+          = 197374857
       THEN 1 ELSE error(
       'ema golden pinned at sf0.01 (events count/value/ts checksums) — re-derive via test_ema_summary_golden_rederivation for this sf')
       END FROM events) = 1

@@ -631,15 +631,18 @@ def test_ema_summary_golden_rederivation():
 
 
 def test_lttb_summary_golden_rederivation():
-    """The lttb_summary driver golden, re-derived 100% Spark-free at
-    the grading scale: duckdb read + an INLINE same-order float replay
-    of the LTTB fold (sequential bucket means, strict-> first-max — the
-    operator's documented determinism contract; correctness of the
-    selection itself is separately guarded by the exact-rational
-    Fraction replay in test_interval_combinators). The pinned
-    LTTB_GOLDEN literals must equal this independent computation."""
+    """The lttb_summary driver golden, re-derived Spark-free at the
+    grading scale: duckdb read + the pure-Python ``_lttb_indices`` fold
+    (no Spark session anywhere). Importing the fold rather than copying
+    it means an edit to the operator's pick order fails THIS test
+    immediately instead of surfacing at driver-grade time; genuine
+    algorithmic independence lives in the exact-rational Fraction
+    replay (test_interval_combinators). The pinned LTTB_GOLDEN literals
+    must equal this computation."""
     import math
 
+    from clickhouse_hdfs_loader_spark.operators.downsample import (
+        _lttb_indices)
     from clickhouse_hdfs_loader_spark.plans.queries import LTTB_GOLDEN
 
     con = _duck("/root/testdata/sf0.01")
@@ -653,45 +656,17 @@ def test_lttb_summary_golden_rederivation():
     series: dict = {}
     for g, x, y in pts:
         series.setdefault(g, []).append((x, y))
-    threshold = 24
     derived = []
     for g in sorted(series):
         xs = [p[0] for p in series[g]]
         ys = [p[1] for p in series[g]]
-        n = len(xs)
-        if n <= threshold:
-            idx = list(range(n))
-        else:
-            every = (n - 2) / (threshold - 2)
-            idx = [0]
-            a = 0
-            for i in range(threshold - 2):
-                lo = int((i * every) // 1) + 1
-                hi = int(((i + 1) * every) // 1) + 1
-                nb_lo = hi
-                nb_hi = min(int(((i + 2) * every) // 1) + 1, n)
-                if nb_lo >= nb_hi:
-                    nb_lo, nb_hi = n - 1, n
-                sx = 0.0
-                sy = 0.0
-                for j in range(nb_lo, nb_hi):
-                    sx += xs[j]
-                    sy += ys[j]
-                m = nb_hi - nb_lo
-                bx, by = sx / m, sy / m
-                ax, ay = xs[a], ys[a]
-                best, best_area = lo, -1.0
-                for c in range(lo, hi):
-                    area = abs((ax - bx) * (ys[c] - ay)
-                               - (ax - xs[c]) * (by - ay))
-                    if area > best_area:
-                        best, best_area = c, area
-                idx.append(best)
-                a = best
-            idx.append(n - 1)
+        idx = _lttb_indices(xs, ys, 24)
         derived.append((g, len(idx),
                         sum(int(xs[i]) for i in idx),
-                        sum(math.floor(ys[i] * 1000) for i in idx)))
+                        # finite-y mirror of the graded projection's
+                        # quantize guard (Inf quantizes to NULL there)
+                        sum(math.floor(ys[i] * 1000) for i in idx
+                            if math.isfinite(ys[i]))))
     assert derived == LTTB_GOLDEN
 
 
@@ -861,11 +836,18 @@ def test_avg_weighted_oracle_and_hand_cases(spark, sf_dir):
         [("g", 2.0, 0), ("g", 5.0, 0)], "g string, v double, w int")
     r = avg_weighted(zero, "g", "v", "w").collect()[0]
     assert r["wsum"] == 0 and r["avg_w_e4"] is None
-    # negative weights raise loudly
-    neg = spark.createDataFrame(
-        [("g", 2.0, -1)], "g string, v double, w int")
-    with pytest.raises(Exception, match="non-negative"):
-        avg_weighted(neg, "g", "v", "w").collect()
+    # negative, fractional, and non-finite weights all raise loudly
+    # (review-caught: CAST(0.7 AS BIGINT) would silently zero-weight,
+    # NaN would cast to 0, Inf would saturate-then-overflow)
+    for bad_w in (-1.0, 0.7, 2.5, float("nan"), float("inf")):
+        bad = spark.createDataFrame(
+            [("g", 2.0, bad_w)], "g string, v double, w double")
+        with pytest.raises(Exception, match="non-negative integers"):
+            avg_weighted(bad, "g", "v", "w").collect()
+    # integer-valued doubles are accepted (2.0 == floor(2.0))
+    okf = spark.createDataFrame(
+        [("g", 3.0, 2.0)], "g string, v double, w double")
+    assert avg_weighted(okf, "g", "v", "w").collect()[0]["wsum"] == 2
 
 
 def test_pearson_corr_oracle_and_hand_cases(spark, sf_dir):
@@ -964,6 +946,14 @@ def test_mean_z_test_oracle_and_hand_cases(spark, sf_dir):
     with pytest.raises(ValueError, match="variances"):
         mean_z_test(known, "event_type", "value", "side",
                     var1=-1.0, var2=1.0)
+    # non-finite variances raise a clean ValueError instead of
+    # interpolating repr(inf) into SQL (where a bare `inf` token
+    # resolves as a column reference — review-caught)
+    for v1, v2 in ((float("inf"), 1.0), (float("nan"), 1.0),
+                   (1e303, 1.0)):
+        with pytest.raises(ValueError, match="finite"):
+            mean_z_test(known, "event_type", "value", "side",
+                        var1=v1, var2=v2)
 
 
 def test_odds_and_ends_structural_properties(spark):
