@@ -51,10 +51,11 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        arg_min_max_by_group, cramers_v, exponential_moving_average,
-        group_array_sorted, ks_test, mann_whitney_u, map_aggregate,
-        rank_corr, rrf_fuse, skew_kurt, student_ttest, theils_u,
-        welch_ttest)
+        arg_min_max_by_group, avg_weighted, cramers_v,
+        exponential_moving_average, group_array_sorted,
+        group_bit_aggregate, ks_test, mann_whitney_u, map_aggregate,
+        mean_z_test, pearson_corr, rank_corr, rrf_fuse, skew_kurt,
+        student_ttest, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -140,6 +141,17 @@ def _operator_picks(spark, sf):
         "map_aggregate_sum": map_aggregate(nested, "grp", "ks", "vs"),
         "student_ttest": student_ttest(sided, "event_type", "value",
                                        "side"),
+        "group_bit_aggregate_xor": group_bit_aggregate(
+            ev, "event_type", "user_id", how="xor"),
+        "avg_weighted": avg_weighted(
+            ev.withColumn("w", F.pmod(F.col("event_id"), F.lit(5))),
+            "event_type", "value", "w"),
+        "pearson_corr": pearson_corr(
+            ev.withColumn("y2", (F.col("value") * F.col("value"))
+                          .cast("double")),
+            "event_type", "value", "y2"),
+        "mean_z_test": mean_z_test(sided, "event_type", "value", "side",
+                                   var1=4.0, var2=9.0),
         "exponential_moving_average": exponential_moving_average(ev),
         "rank_corr": rank_corr(
             ev.withColumn("y2", (F.col("value") * F.col("value"))
