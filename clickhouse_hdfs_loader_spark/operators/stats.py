@@ -899,6 +899,76 @@ def mean_z_sql(var1: float, var2: float) -> str:
         " / CAST(10000 AS DOUBLE) END")
 
 
+def anova_f(df: DataFrame, group_col: str, value_col: str,
+            class_col: str) -> DataFrame:
+    """ClickHouse ``analysisOfVariance`` (one-way ANOVA): the F
+    statistic for the value means across the classes of ``class_col``,
+    per group — the k-sample generalization of :func:`student_ttest`,
+    from the same exact integer moments:
+
+        ssb_milli = Σ_c (s_c²·1000 div n_c) − (S²·1000 div N)
+        ssw_milli = (Σ_c ss_c)·1000 − Σ_c (s_c²·1000 div n_c)
+        F = (ssb/(k−1)) / (ssw/(N−k))
+
+    The per-class rational s_c²/n_c TRUNCATES to integer milli-units
+    (exact 128-bit products internally — DECIMAL(38,0)/HUGEINT, since
+    s_c² ~ n²·|vm|² overflows int64), so the class sum is order-free
+    and both engines replay it bit-identically; the CONTRACT is this
+    quantized formula (the theils_u stance), which differs from IEEE
+    ANOVA by < k milli-units of SSB — immaterial for screening, exact
+    for grading. Only the final F is float, knife-edge rounded. NULL F
+    when k < 2, N ≤ k, or ssw = 0. NULL classes and NULL/NaN/±Inf
+    values drop (mirror in twins).
+
+    Plan: one (group, class) moment aggregate (map-side combinable),
+    one |classes|-row rollup per group. Returns
+    ``group, k, n, ssb_milli, ssw_milli, f_e4``."""
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(class_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(class_col).alias("_c"), vm.alias("_vm")))
+    per_c = (base.groupBy("_g", "_c")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum("_vm").alias("_s"),
+                  F.sum(F.expr(
+                      "CAST(_vm AS DECIMAL(38,0))"
+                      " * CAST(_vm AS DECIMAL(38,0))")).alias("_ss"))
+             .withColumn("_t", F.expr(
+                 "CAST((CAST(_s AS DECIMAL(38,0))"
+                 " * CAST(_s AS DECIMAL(38,0)) * 1000) div _n"
+                 " AS DECIMAL(38,0))")))
+    per_g = (per_c.groupBy("_g")
+             .agg(F.countDistinct("_c").alias("k"),
+                  F.sum("_n").alias("n"),
+                  F.sum("_s").alias("_stot"),
+                  F.sum("_ss").alias("_sstot"),
+                  F.sum("_t").alias("_tsum")))
+    derived = (per_g
+               .withColumn("ssb_milli", F.expr(
+                   "CAST(_tsum - (CAST(_stot AS DECIMAL(38,0))"
+                   " * CAST(_stot AS DECIMAL(38,0)) * 1000) div n"
+                   " AS BIGINT)"))
+               .withColumn("ssw_milli", F.expr(
+                   "CAST(_sstot * 1000 - _tsum AS BIGINT)")))
+    return (derived.select(F.col("_g").alias(group_col), "k", "n",
+                           "ssb_milli", "ssw_milli")
+            .withColumn("f_e4", F.expr(ANOVA_F_SQL)))
+
+
+# shared verbatim: F = (ssb/(k−1)) / (ssw/(N−k)) from the exact
+# integer milli sums (guards: k < 2, N <= k, zero within-class SS)
+ANOVA_F_SQL = (
+    "CASE WHEN k < 2 OR n <= k OR ssw_milli <= 0 THEN NULL ELSE "
+    "CAST(floor("
+    "(CAST(ssb_milli AS DOUBLE) / (CAST(k AS DOUBLE)"
+    " - CAST(1 AS DOUBLE)))"
+    " / (CAST(ssw_milli AS DOUBLE) / (CAST(n AS DOUBLE)"
+    " - CAST(k AS DOUBLE)))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
 # shared verbatim: rho = (n·Σxy − Σx·Σy) /
 #                        (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²))
 # from the exact 128-bit rank-moment sums, cast to DOUBLE first

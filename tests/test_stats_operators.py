@@ -999,3 +999,67 @@ def test_odds_and_ends_structural_properties(spark):
     zb = mean_z_test(sw, "event_type", "value", "side",
                      var1=3.0, var2=2.0).collect()[0]["z_e4"]
     assert abs(za + zb) <= 1e-4 + 1e-12
+
+
+def test_anova_f_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        ANOVA_F_SQL, anova_f)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))))
+    got = sorted(map(tuple, anova_f(ev, "event_type", "value",
+                                    "cls").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          ((user_id % 3 + 3) % 3) AS c,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL),
+        pc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS nc,
+                      CAST(sum(vm) AS HUGEINT) AS s,
+                      sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT))
+                        AS ss
+               FROM b GROUP BY 1, 2),
+        pt AS (SELECT g, c, nc, s, ss, (s * s * 1000) // nc AS t
+               FROM pc),
+        pg AS (SELECT g, CAST(count(DISTINCT c) AS BIGINT) AS k,
+                      CAST(sum(nc) AS BIGINT) AS n,
+                      sum(s) AS stot, sum(ss) AS sstot,
+                      sum(t) AS tsum
+               FROM pt GROUP BY 1),
+        a AS (SELECT g, k, n,
+                     CAST(tsum - (stot * stot * 1000) // n AS BIGINT)
+                       AS ssb_milli,
+                     CAST(sstot * 1000 - tsum AS BIGINT) AS ssw_milli
+              FROM pg)
+        SELECT g AS event_type, k, n, ssb_milli, ssw_milli,
+               {ANOVA_F_SQL} AS f_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # user parity classes are value-independent: F small but defined
+    assert all(r[5] is not None and r[3] >= 0 and r[4] > 0 for r in got)
+
+    # hand case: classes {0,2} vs {10,14} (the t-test fixture) — for
+    # k=2, F = t² exactly in real arithmetic; quantized: means 1000 /
+    # 12000, grand 6500; ssb = 2*(5500)²*2 = 121e6 (milli: 121e9);
+    # ssw = (2e6 + 8e6) (milli: 1e10); F = (121e9/1)/(1e10/2) = 24.2
+    known = spark.createDataFrame(
+        [("g", 0.0, 0), ("g", 2.0, 0), ("g", 10.0, 1), ("g", 14.0, 1)],
+        "event_type string, value double, cls int")
+    r = anova_f(known, "event_type", "value", "cls").collect()[0]
+    assert (r["k"], r["n"]) == (2, 4)
+    assert r["f_e4"] == pytest.approx(24.2, abs=1e-3)
+    # single class -> NULL; constant values -> ssw 0 -> NULL
+    one = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0)],
+        "event_type string, value double, cls int")
+    assert anova_f(one, "event_type", "value",
+                   "cls").collect()[0]["f_e4"] is None
+    const = spark.createDataFrame(
+        [("g", 5.0, 0), ("g", 5.0, 0), ("g", 5.0, 1), ("g", 5.0, 1)],
+        "event_type string, value double, cls int")
+    assert anova_f(const, "event_type", "value",
+                   "cls").collect()[0]["f_e4"] is None
