@@ -51,7 +51,7 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        arg_min_max_by_group, avg_weighted, cramers_v,
+        anova_f, arg_min_max_by_group, avg_weighted, cramers_v,
         exponential_moving_average, group_array_sorted,
         group_bit_aggregate, ks_test, mann_whitney_u, map_aggregate,
         mean_z_test, pearson_corr, rank_corr, rrf_fuse, skew_kurt,
@@ -152,6 +152,9 @@ def _operator_picks(spark, sf):
             "event_type", "value", "y2"),
         "mean_z_test": mean_z_test(sided, "event_type", "value", "side",
                                    var1=4.0, var2=9.0),
+        "anova_f": anova_f(
+            sided.withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))),
+            "event_type", "value", "cls"),
         "exponential_moving_average": exponential_moving_average(ev),
         "rank_corr": rank_corr(
             ev.withColumn("y2", (F.col("value") * F.col("value"))
