@@ -344,6 +344,19 @@ def cramers_v(df: DataFrame, group_col: str, x_col: str,
     v_e4 when either variable is constant — min(r,c) = 1; ClickHouse's
     ``contingency()`` coefficient rides along for free because
     χ²/(χ²+n) = φ²/(φ²+1) — the n cancels)."""
+    per_g = _contingency_per_g(df, group_col, x_col, y_col)
+    return (per_g.withColumn("v_e4", F.expr(CRAMERS_V_SQL))
+            .withColumn("contingency_e4", F.expr(CONTINGENCY_SQL))
+            .select(F.col("_g").alias(group_col), "n", "r", "c",
+                    "phi2_micro", "v_e4", "contingency_e4"))
+
+
+def _contingency_per_g(df: DataFrame, group_col: str, x_col: str,
+                       y_col: str) -> DataFrame:
+    """The shared contingency rollup (cramers_v + the bias-corrected
+    variant): per group, ``_g, n, r, c, phi2_micro`` via the φ²
+    identity — one (group, x, y) count shuffle, every later aggregate
+    on the |distinct cells| table."""
     base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
@@ -354,18 +367,68 @@ def cramers_v(df: DataFrame, group_col: str, x_col: str,
     cells = (nxy.join(nx, ["_g", "_x"]).join(ny, ["_g", "_y"])
              .withColumn("_term", F.expr(
                  "(_c * _c * 1000000) div (_nx * _ny)")))
-    per_g = (cells.groupBy("_g")
-             .agg(F.sum("_c").alias("n"),
-                  F.countDistinct("_x").alias("r"),
-                  F.countDistinct("_y").alias("c"),
-                  F.greatest(
-                      F.lit(0).cast("long"),
-                      F.sum("_term") - F.lit(1_000_000).cast("long"))
-                  .alias("phi2_micro")))
-    return (per_g.withColumn("v_e4", F.expr(CRAMERS_V_SQL))
-            .withColumn("contingency_e4", F.expr(CONTINGENCY_SQL))
+    return (cells.groupBy("_g")
+            .agg(F.sum("_c").alias("n"),
+                 F.countDistinct("_x").alias("r"),
+                 F.countDistinct("_y").alias("c"),
+                 F.greatest(
+                     F.lit(0).cast("long"),
+                     F.sum("_term") - F.lit(1_000_000).cast("long"))
+                 .alias("phi2_micro")))
+
+
+def cramers_v_bias_corrected(df: DataFrame, group_col: str, x_col: str,
+                             y_col: str) -> DataFrame:
+    """ClickHouse ``cramersVBiasCorrected``: the Bergsma-Wicher
+    small-sample correction of Cramér's V, on the same quantized
+    contingency core as :func:`cramers_v`:
+
+        φ̃²_micro = max(0, φ²_micro − ((r−1)(c−1)·10⁶) div (n−1))
+        r̃_milli  = r·1000 − ((r−1)²·1000) div (n−1)   (c̃ likewise)
+        Ṽ = sqrt( (φ̃²/10⁶) / ((min(r̃, c̃)_milli − 1000)/1000) )
+
+    — the rational corrections TRUNCATE to integer micro/milli units
+    (order-free, twin-replayable; the quantized formula is the
+    CONTRACT, within a milli of the real-arithmetic value). NULL Ṽ
+    when n < 2 or the corrected min dimension is ≤ 1 (the correction
+    can collapse a barely-2-level variable on tiny n — ClickHouse
+    yields NaN there; we NULL, the repo stance).
+
+    Returns ``group, n, r, c, phi2c_micro, rk_milli, ck_milli,
+    v_e4``."""
+    per_g = _contingency_per_g(df, group_col, x_col, y_col)
+    derived = (per_g
+               .withColumn("phi2c_micro", F.expr(
+                   "CASE WHEN n < 2 THEN NULL ELSE "
+                   "greatest(CAST(0 AS BIGINT), phi2_micro"
+                   " - ((r - 1) * (c - 1) * 1000000) div (n - 1)) END"))
+               .withColumn("rk_milli", F.expr(
+                   "CASE WHEN n < 2 THEN NULL ELSE "
+                   "r * 1000 - ((r - 1) * (r - 1) * 1000) div (n - 1) "
+                   "END"))
+               .withColumn("ck_milli", F.expr(
+                   "CASE WHEN n < 2 THEN NULL ELSE "
+                   "c * 1000 - ((c - 1) * (c - 1) * 1000) div (n - 1) "
+                   "END")))
+    return (derived.withColumn("v_e4", F.expr(CRAMERS_V_BC_SQL))
             .select(F.col("_g").alias(group_col), "n", "r", "c",
-                    "phi2_micro", "v_e4", "contingency_e4"))
+                    "phi2c_micro", "rk_milli", "ck_milli", "v_e4"))
+
+
+# shared verbatim: the bias-corrected V from the integer-quantized
+# correction terms (min via CASE — engine-portable)
+_MIN_K = ("CAST(CASE WHEN rk_milli < ck_milli THEN rk_milli"
+          " ELSE ck_milli END AS DOUBLE)")
+CRAMERS_V_BC_SQL = (
+    "CASE WHEN n < 2 OR phi2c_micro IS NULL"
+    " OR (CASE WHEN rk_milli < ck_milli THEN rk_milli ELSE ck_milli"
+    " END) <= 1000 THEN NULL ELSE "
+    "CAST(floor(sqrt((CAST(phi2c_micro AS DOUBLE)"
+    " / CAST(1000000 AS DOUBLE))"
+    " / ((" + _MIN_K + " - CAST(1000 AS DOUBLE))"
+    " / CAST(1000 AS DOUBLE)))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
 
 
 # shared verbatim by the operator and every SQL twin

@@ -52,6 +52,7 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
         anova_f, arg_min_max_by_group, avg_weighted, cramers_v,
+        cramers_v_bias_corrected,
         exponential_moving_average, group_array_sorted,
         group_bit_aggregate, ks_test, mann_whitney_u, map_aggregate,
         mean_z_test, pearson_corr, rank_corr, rrf_fuse, skew_kurt,
@@ -135,6 +136,8 @@ def _operator_picks(spark, sf):
         "ks_test": ks_test(sided, "event_type", "value", "side"),
         "theils_u": theils_u(binned, "event_type", "xbin", "ybin"),
         "cramers_v": cramers_v(binned, "event_type", "xbin", "ybin"),
+        "cramers_v_bias_corrected": cramers_v_bias_corrected(
+            binned, "event_type", "xbin", "ybin"),
         # lazy despite two passes: the pass-1 means join in as a
         # broadcast subtree, never a driver collect
         "skew_kurt": skew_kurt(ev, "event_type", "value"),

@@ -1063,3 +1063,86 @@ def test_anova_f_oracle_and_hand_cases(spark, sf_dir):
         "event_type string, value double, cls int")
     assert anova_f(const, "event_type", "value",
                    "cls").collect()[0]["f_e4"] is None
+
+
+def test_cramers_v_bias_corrected_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        CRAMERS_V_BC_SQL, cramers_v, cramers_v_bias_corrected)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs("value") != F.lit(float("inf"))))
+          .withColumn("xbin",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    got = sorted(map(tuple, cramers_v_bias_corrected(
+        ev, "event_type", "xbin", "ybin").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
+                            AS x,
+                          ((user_id % 5 + 5) % 5) AS y
+                   FROM events
+                   WHERE user_id IS NOT NULL AND value IS NOT NULL
+                     AND isfinite(value)),
+        nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2, 3),
+        nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
+               GROUP BY 1, 2),
+        ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM nxy
+               GROUP BY 1, 2),
+        cells AS (SELECT nxy.g, (c * c * 1000000) // (nx * ny) AS term,
+                         c
+                  FROM nxy JOIN nx USING (g, x) JOIN ny USING (g, y)),
+        pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                      (SELECT count(DISTINCT x) FROM nxy i
+                       WHERE i.g = cells.g) AS r,
+                      (SELECT count(DISTINCT y) FROM nxy i
+                       WHERE i.g = cells.g) AS c,
+                      CAST(greatest(0, sum(term) - 1000000) AS BIGINT)
+                        AS phi2_micro
+               FROM cells GROUP BY g),
+        a AS (SELECT g AS event_type, n, CAST(r AS BIGINT) AS r,
+                     CAST(c AS BIGINT) AS c,
+                     CAST(CASE WHEN n < 2 THEN NULL ELSE
+                       greatest(0, phi2_micro
+                         - ((r - 1) * (c - 1) * 1000000) // (n - 1))
+                       END AS BIGINT) AS phi2c_micro,
+                     CAST(CASE WHEN n < 2 THEN NULL ELSE
+                       r * 1000 - ((r - 1) * (r - 1) * 1000) // (n - 1)
+                       END AS BIGINT) AS rk_milli,
+                     CAST(CASE WHEN n < 2 THEN NULL ELSE
+                       c * 1000 - ((c - 1) * (c - 1) * 1000) // (n - 1)
+                       END AS BIGINT) AS ck_milli
+              FROM pg)
+        SELECT event_type, n, r, c, phi2c_micro, rk_milli, ck_milli,
+               {CRAMERS_V_BC_SQL} AS v_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # bias correction shrinks V vs the uncorrected estimate on real
+    # data (and stays within [0, 1])
+    v_raw = {r["event_type"]: r["v_e4"] for r in cramers_v(
+        ev, "event_type", "xbin", "ybin").collect()}
+    for g, _n, _r, _c, _p, _rk, _ck, v in got:
+        assert v is not None and 0.0 <= v <= v_raw[g]
+
+    # hand cases: exact 2x2 independence -> corrected V = 0 (the min
+    # corrected dimension stays > 1 at n = 4); constant y -> NULL;
+    # a single row (n = 1) -> NULL correction terms -> NULL V
+    ind = spark.createDataFrame(
+        [("g", str(x), str(y)) for x in range(2) for y in range(2)],
+        "g string, x string, y string")
+    r = cramers_v_bias_corrected(ind, "g", "x", "y").collect()[0]
+    assert (r["phi2c_micro"], r["v_e4"]) == (0, 0.0)
+    assert r["rk_milli"] == r["ck_milli"] == 2000 - 1000 // 3
+    const = spark.createDataFrame(
+        [("g", "a", "z"), ("g", "b", "z")], "g string, x string, y string")
+    assert cramers_v_bias_corrected(const, "g", "x", "y") \
+        .collect()[0]["v_e4"] is None
+    single = spark.createDataFrame(
+        [("g", "a", "b")], "g string, x string, y string")
+    r = cramers_v_bias_corrected(single, "g", "x", "y").collect()[0]
+    assert r["phi2c_micro"] is None and r["v_e4"] is None
