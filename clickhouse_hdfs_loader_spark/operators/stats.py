@@ -962,6 +962,81 @@ def mean_z_sql(var1: float, var2: float) -> str:
         " / CAST(10000 AS DOUBLE) END")
 
 
+def categorical_iv(df: DataFrame, group_col: str, cat_col: str,
+                   tag_col: str) -> DataFrame:
+    """ClickHouse ``categoricalInformationValue``: per-category weight
+    of evidence and information-value contribution for a binary tag —
+    the classic feature-screening statistic (which categories separate
+    the positive class?).
+
+    INTEGER-EXACT in the repo's milli-log2 contract (base 2, not the
+    natural log — a constant factor, immaterial for ranking):
+
+        woe_milli = (lgm(g) + lgm(B)) − (lgm(b) + lgm(G))
+        iv_milli  = ((g·B − b·G) · woe_milli) div (G·B)
+
+    with per-category positives ``g``, negatives ``b`` and group
+    totals ``G, B`` (128-bit exact products internally — g·B·|woe|
+    overflows int64 past ~10^9-row groups). Categories with zero
+    positives OR zero negatives get NULL woe/iv (the real-arithmetic
+    value is ±∞; apply Laplace smoothing upstream if every category
+    must score). The piecewise-linear lgm is monotone but not
+    multiplicative, so near-1 odds ratios may quantize to tiny
+    negative iv contributions — emitted as computed, never clamped.
+    ``tag_col`` must be 0/1 (raises loudly otherwise); NULL categories
+    and NULL tags drop the row (mirror in twins).
+
+    Plan: one (group, category) count shuffle + a broadcast
+    |groups|-row totals join. Returns ``group, category, pos_cnt,
+    neg_cnt, woe_milli, iv_milli`` (explicit count names — a bare
+    ``g``/``b`` would collide with same-named caller columns under
+    Spark's case-insensitive resolution)."""
+    from .retrieval import with_ilog2_milli
+
+    base = (df.where(F.col(cat_col).isNotNull()
+                     & F.col(tag_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(cat_col).alias("_cat"),
+                    F.expr(
+                        f"CASE WHEN {tag_col} IN (0, 1) "
+                        f"THEN CAST({tag_col} AS LONG) "
+                        f"ELSE raise_error('categorical_iv: tag_col "
+                        f"must be 0 or 1') END").alias("_t")))
+    # totals named _tg/_tb, NOT _G/_B: Spark resolves case-
+    # INSENSITIVELY by default, so a `_G` total would collide with the
+    # `_g` group key after the join (AMBIGUOUS_REFERENCE)
+    per_cat = (base.groupBy("_g", "_cat")
+               .agg(F.sum("_t").alias("g"),
+                    F.sum(F.lit(1) - F.col("_t")).alias("b")))
+    totals = (per_cat.groupBy("_g")
+              .agg(F.sum("g").alias("_tg"), F.sum("b").alias("_tb")))
+    j = per_cat.join(F.broadcast(totals), "_g")
+    # milli-log2 of each count (only defined for >= 1: guard zeros)
+    for cnt, dst in (("g", "_lg_g"), ("b", "_lg_b"),
+                     ("_tg", "_lg_tg"), ("_tb", "_lg_tb")):
+        j = with_ilog2_milli(
+            j.withColumn("_nz", F.expr(
+                f"CASE WHEN {cnt} > 0 THEN {cnt} ELSE 1 END")),
+            "_nz", dst).drop("_nz")
+    woe = F.expr(
+        "CASE WHEN g = 0 OR b = 0 THEN NULL ELSE "
+        "(_lg_g + _lg_tb) - (_lg_b + _lg_tg) END")
+    j = j.withColumn("woe_milli", woe)
+    iv = F.expr(
+        "CASE WHEN woe_milli IS NULL THEN NULL ELSE "
+        "CAST((CAST(g AS DECIMAL(38,0)) * CAST(_tb AS DECIMAL(38,0))"
+        " - CAST(b AS DECIMAL(38,0)) * CAST(_tg AS DECIMAL(38,0)))"
+        " * CAST(woe_milli AS DECIMAL(38,0))"
+        " div (CAST(_tg AS DECIMAL(38,0)) * CAST(_tb AS DECIMAL(38,0)))"
+        " AS BIGINT) END")
+    return (j.withColumn("iv_milli", iv)
+            .select(F.col("_g").alias(group_col),
+                    F.col("_cat").alias(cat_col),
+                    F.col("g").alias("pos_cnt"),
+                    F.col("b").alias("neg_cnt"),
+                    "woe_milli", "iv_milli"))
+
+
 def anova_f(df: DataFrame, group_col: str, value_col: str,
             class_col: str) -> DataFrame:
     """ClickHouse ``analysisOfVariance`` (one-way ANOVA): the F

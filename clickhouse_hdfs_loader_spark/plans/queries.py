@@ -5631,10 +5631,12 @@ def ema_summary(spark, sf_dir):
 # registrations ALWAYS take same-round slots):
 #   r12: promote the late-r11 odds-and-ends aggregates
 #        (group_bit_aggregate and/or/xor, avg_weighted, pearson_corr,
-#        mean_z_test, anova_f, cramers_v_bias_corrected — in-test
-#        DuckDB oracles at tests/test_stats_operators.py, finishes
-#        already shared: AVG_WEIGHTED_SQL / RANK_CORR_SQL /
-#        mean_z_sql() / ANOVA_F_SQL / CRAMERS_V_BC_SQL);
+#        mean_z_test, anova_f, cramers_v_bias_corrected,
+#        categorical_iv — in-test DuckDB oracles at
+#        tests/test_stats_operators.py, finishes already shared:
+#        AVG_WEIGHTED_SQL / RANK_CORR_SQL / mean_z_sql() /
+#        ANOVA_F_SQL / CRAMERS_V_BC_SQL; categorical_iv is fully
+#        integer, no float finish);
 #        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

@@ -51,8 +51,8 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
     from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        anova_f, arg_min_max_by_group, avg_weighted, cramers_v,
-        cramers_v_bias_corrected,
+        anova_f, arg_min_max_by_group, avg_weighted, categorical_iv,
+        cramers_v, cramers_v_bias_corrected,
         exponential_moving_average, group_array_sorted,
         group_bit_aggregate, ks_test, mann_whitney_u, map_aggregate,
         mean_z_test, pearson_corr, rank_corr, rrf_fuse, skew_kurt,
@@ -158,6 +158,9 @@ def _operator_picks(spark, sf):
         "anova_f": anova_f(
             sided.withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))),
             "event_type", "value", "cls"),
+        "categorical_iv": categorical_iv(
+            sided.withColumnRenamed("side", "tag"),
+            "event_type", "event_type", "tag"),
         "exponential_moving_average": exponential_moving_average(ev),
         "rank_corr": rank_corr(
             ev.withColumn("y2", (F.col("value") * F.col("value"))

@@ -1146,3 +1146,75 @@ def test_cramers_v_bias_corrected_oracle_and_hand_cases(spark, sf_dir):
         [("g", "a", "b")], "g string, x string, y string")
     r = cramers_v_bias_corrected(single, "g", "x", "y").collect()[0]
     assert r["phi2c_micro"] is None and r["v_e4"] is None
+
+
+def test_categorical_iv_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        categorical_iv)
+    from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .withColumn("tag", F.pmod(F.col("user_id"), F.lit(2))))
+    got = sorted(map(tuple, categorical_iv(
+        ev, "event_type", "event_type", "tag").collect()))
+    lg = {k: _ILOG2.format(x=k) for k in ("gg", "bb", "GG", "BB")}
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g, event_type AS cat,
+                          ((user_id % 2 + 2) % 2) AS t
+                   FROM events WHERE user_id IS NOT NULL),
+        pc AS (SELECT g, cat, CAST(sum(t) AS BIGINT) AS gp,
+                      CAST(sum(1 - t) AS BIGINT) AS bn
+               FROM b GROUP BY 1, 2),
+        tt AS (SELECT g, CAST(sum(gp) AS BIGINT) AS GT,
+                      CAST(sum(bn) AS BIGINT) AS BT
+               FROM pc GROUP BY 1),
+        l AS (SELECT pc.g, cat, gp, bn, GT, BT,
+                     CASE WHEN gp > 0 THEN gp ELSE 1 END AS gg,
+                     CASE WHEN bn > 0 THEN bn ELSE 1 END AS bb,
+                     GT AS GG, BT AS BB
+              FROM pc JOIN tt ON pc.g = tt.g),
+        w AS (SELECT g, cat, gp, bn, GT, BT,
+                CAST(CASE WHEN gp = 0 OR bn = 0 THEN NULL ELSE
+                  ({lg['gg']} + {lg['BB']}) - ({lg['bb']} + {lg['GG']})
+                  END AS BIGINT) AS woe_milli
+              FROM l)
+        SELECT g AS event_type, cat AS event_type_cat,
+               gp AS pos_cnt, bn AS neg_cnt, woe_milli,
+               CAST(CASE WHEN woe_milli IS NULL THEN NULL ELSE
+                 (CAST(gp AS HUGEINT) * BT - CAST(bn AS HUGEINT) * GT)
+                 * woe_milli // (CAST(GT AS HUGEINT) * BT)
+                 END AS BIGINT) AS iv_milli
+        FROM w
+    """).fetchall()))
+    # category == group key here, so one row per group; rename the
+    # duplicated output column for the comparison
+    got = [t for t in got]
+    assert len(got) == 5 and len(want) == 5
+    for (gg, gc, gp, bn, woe, iv), (wg, wc, wp, wb, wwoe, wiv) in zip(
+            got, want):
+        assert (gg, gc, gp, bn, woe, iv) == (wg, wc, wp, wb, wwoe, wiv)
+
+    # hand case: cat 'a' has odds ratio exactly 2 (g=2, b=1 vs G=4,
+    # B=4): woe = lgm(2)+lgm(4)-lgm(1)-lgm(4) = 1000 milli-bits;
+    # iv = ((2*4 - 1*4) * 1000) div 16 = 250
+    rows = ([("g", "a", 1)] * 2 + [("g", "a", 0)] * 1
+            + [("g", "r", 1)] * 2 + [("g", "r", 0)] * 3)
+    df = spark.createDataFrame(rows, "g string, cat string, tag int")
+    out = {r["cat"]: (r["pos_cnt"], r["neg_cnt"], r["woe_milli"],
+                    r["iv_milli"])
+           for r in categorical_iv(df, "g", "cat", "tag").collect()}
+    assert out["a"] == (2, 1, 1000, 250)
+    # perfectly separating category -> NULL woe/iv (±inf in real
+    # arithmetic; smooth upstream if it must score)
+    sep = spark.createDataFrame(
+        [("g", "pos", 1), ("g", "pos", 1), ("g", "neg", 0)],
+        "g string, cat string, tag int")
+    o = {r["cat"]: r["woe_milli"] for r in
+         categorical_iv(sep, "g", "cat", "tag").collect()}
+    assert o["pos"] is None and o["neg"] is None
+    # non-binary tag raises loudly
+    bad = spark.createDataFrame([("g", "a", 2)],
+                                "g string, cat string, tag int")
+    with pytest.raises(Exception, match="0 or 1"):
+        categorical_iv(bad, "g", "cat", "tag").collect()
