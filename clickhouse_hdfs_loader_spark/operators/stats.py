@@ -1044,7 +1044,7 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
     per group — the k-sample generalization of :func:`student_ttest`,
     from the same exact integer moments:
 
-        ssb_milli = Σ_c (s_c²·1000 div n_c) − (S²·1000 div N)
+        ssb_milli = max(0, Σ_c (s_c²·1000 div n_c) − (S²·1000 div N))
         ssw_milli = (Σ_c ss_c)·1000 − Σ_c (s_c²·1000 div n_c)
         F = (ssb/(k−1)) / (ssw/(N−k))
 
@@ -1054,7 +1054,12 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
     and both engines replay it bit-identically; the CONTRACT is this
     quantized formula (the theils_u stance), which differs from IEEE
     ANOVA by < k milli-units of SSB — immaterial for screening, exact
-    for grading. Only the final F is float, knife-edge rounded. NULL F
+    for grading. SSB clamps at 0 (a theorem for the true ratios that
+    truncation can violate by < k milli; SSW needs no clamp — per-class
+    Cauchy-Schwarz). Any |sum| beyond 3e14 milli-units RAISES a named
+    error rather than losing exactness (Spark decimal ``div`` would
+    silently wrap; the bound keeps the remainder-identity quotient
+    exact). Only the final F is float, knife-edge rounded. NULL F
     when k < 2, N ≤ k, or ssw = 0. NULL classes and NULL/NaN/±Inf
     values drop (mirror in twins).
 
@@ -1066,27 +1071,52 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
                      & F.col(class_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.col(class_col).alias("_c"), vm.alias("_vm")))
+
+    # exact 128-bit floor quotient (s²·1000) / n: Spark's `div` on
+    # DECIMAL silently WRAPS to a garbage BIGINT even under ANSI
+    # (review-caught, verified on 4.1.2) — the remainder identity
+    # (a − a % b) / b is exact because the integral quotient fits the
+    # 32 integer digits DECIMAL(38,6) division keeps, GUARANTEED by
+    # the |s| ≤ 3e14 guard (s²·1000 ≤ 9e31 < 10³²); beyond the bound
+    # raise a named error instead of wrapping.
+    def _sq_quot(s_col: str, n_col: str) -> str:
+        return (
+            f"CASE WHEN {s_col} > 300000000000000"
+            f" OR {s_col} < -300000000000000 THEN "
+            f"raise_error('anova_f: |sum| exceeds the exact-quotient "
+            f"bound (3e14 milli-units) — coarsen the quantization or "
+            f"shard the group') ELSE "
+            f"CAST(((CAST({s_col} AS DECIMAL(38,0))"
+            f" * CAST({s_col} AS DECIMAL(38,0)) * 1000)"
+            f" - (CAST({s_col} AS DECIMAL(38,0))"
+            f" * CAST({s_col} AS DECIMAL(38,0)) * 1000) % {n_col})"
+            f" / {n_col} AS DECIMAL(38,0)) END")
+
     per_c = (base.groupBy("_g", "_c")
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.sum("_vm").alias("_s"),
                   F.sum(F.expr(
                       "CAST(_vm AS DECIMAL(38,0))"
                       " * CAST(_vm AS DECIMAL(38,0))")).alias("_ss"))
-             .withColumn("_t", F.expr(
-                 "CAST((CAST(_s AS DECIMAL(38,0))"
-                 " * CAST(_s AS DECIMAL(38,0)) * 1000) div _n"
-                 " AS DECIMAL(38,0))")))
+             .withColumn("_t", F.expr(_sq_quot("_s", "_n"))))
     per_g = (per_c.groupBy("_g")
              .agg(F.countDistinct("_c").alias("k"),
                   F.sum("_n").alias("n"),
                   F.sum("_s").alias("_stot"),
                   F.sum("_ss").alias("_sstot"),
                   F.sum("_t").alias("_tsum")))
+    # SSB ≥ 0 is a theorem for the true ratios; per-class truncation
+    # can undershoot by up to k−1 milli-units, so clamp at 0 like
+    # _contingency_per_g's phi2_micro (review-caught: near-constant
+    # data yielded ssb_milli = −1 → a negative F). SSW needs no clamp
+    # (per-class Cauchy-Schwarz: t_c ≤ ss_c·1000, truncation only
+    # lowers t_c). The BIGINT output casts raise loudly under ANSI if
+    # a pathological group overflows them.
     derived = (per_g
                .withColumn("ssb_milli", F.expr(
-                   "CAST(_tsum - (CAST(_stot AS DECIMAL(38,0))"
-                   " * CAST(_stot AS DECIMAL(38,0)) * 1000) div n"
-                   " AS BIGINT)"))
+                   "greatest(CAST(0 AS BIGINT), CAST(_tsum - ("
+                   + _sq_quot("_stot", "n")
+                   + ") AS BIGINT))"))
                .withColumn("ssw_milli", F.expr(
                    "CAST(_sstot * 1000 - _tsum AS BIGINT)")))
     return (derived.select(F.col("_g").alias(group_col), "k", "n",

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from clickhouse_hdfs_loader_spark.operators.stats import (
     arg_min_max_by_group, group_array_sorted, ks_test, mann_whitney_u,
     welch_ttest)
+from clickhouse_hdfs_loader_spark.operators.analytics import (
+    _quantizable_col)
 from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
 from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
@@ -227,8 +229,7 @@ def test_theils_u_oracle_and_hand_cases(spark, sf_dir):
                         F.pmod(F.floor(F.col("value")).cast("long"),
                                F.lit(7)))
     got = sorted(map(tuple, theils_u(
-        ev2.where(F.col("value").isNotNull() & ~F.isnan("value")
-                  & (F.abs("value") != F.lit(float("inf")))),
+        ev2.where(_quantizable_col("value")),
         "event_type", "xbin", "ybin").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute(
         _oracle("theils_u")).fetchall()))
@@ -252,8 +253,7 @@ def test_cramers_v_oracle_and_hand_cases(spark, sf_dir):
 
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull()
-                 & F.col("value").isNotNull() & ~F.isnan("value")
-                 & (F.abs("value") != F.lit(float("inf"))))
+                 & _quantizable_col("value"))
           .withColumn("xbin",
                       F.pmod(F.floor(F.col("value")).cast("long"),
                              F.lit(7)))
@@ -1030,8 +1030,8 @@ def test_anova_f_oracle_and_hand_cases(spark, sf_dir):
                       sum(t) AS tsum
                FROM pt GROUP BY 1),
         a AS (SELECT g, k, n,
-                     CAST(tsum - (stot * stot * 1000) // n AS BIGINT)
-                       AS ssb_milli,
+                     CAST(greatest(0, tsum - (stot * stot * 1000) // n)
+                       AS BIGINT) AS ssb_milli,
                      CAST(sstot * 1000 - tsum AS BIGINT) AS ssw_milli
               FROM pg)
         SELECT g AS event_type, k, n, ssb_milli, ssw_milli,
@@ -1064,6 +1064,23 @@ def test_anova_f_oracle_and_hand_cases(spark, sf_dir):
     assert anova_f(const, "event_type", "value",
                    "cls").collect()[0]["f_e4"] is None
 
+    # near-constant truncation hand case (review-caught): two classes
+    # of {0.001, 0 x6} give per-class t = 1000 div 7 = 142 twice
+    # (tsum 284) vs grand (4*1000) div 14 = 285 -> raw ssb = -1; the
+    # clamp pins ssb_milli to 0 so F is 0.0, never negative
+    near = spark.createDataFrame(
+        [("g", 0.001, c) for c in (0, 1)]
+        + [("g", 0.0, c) for c in (0, 1) for _ in range(6)],
+        "event_type string, value double, cls int")
+    r = anova_f(near, "event_type", "value", "cls").collect()[0]
+    assert (r["ssb_milli"], r["f_e4"]) == (0, 0.0)
+    # the exact-quotient scale guard raises loudly instead of wrapping
+    big = spark.createDataFrame(
+        [("g", 4.0e11, 0), ("g", 4.0e11, 0), ("g", 1.0, 1)],
+        "event_type string, value double, cls int")
+    with pytest.raises(Exception, match="exact-quotient bound"):
+        anova_f(big, "event_type", "value", "cls").collect()
+
 
 def test_cramers_v_bias_corrected_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
@@ -1071,8 +1088,7 @@ def test_cramers_v_bias_corrected_oracle_and_hand_cases(spark, sf_dir):
 
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull()
-                 & F.col("value").isNotNull() & ~F.isnan("value")
-                 & (F.abs("value") != F.lit(float("inf"))))
+                 & _quantizable_col("value"))
           .withColumn("xbin",
                       F.pmod(F.floor(F.col("value")).cast("long"),
                              F.lit(7)))
@@ -1153,47 +1169,52 @@ def test_categorical_iv_oracle_and_hand_cases(spark, sf_dir):
         categorical_iv)
     from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
 
+    # a REAL category column (event_id mod 4) with a user-parity tag:
+    # WoE genuinely varies across categories, so the oracle grades the
+    # whole milli-log2 machinery (the first cut used cat == group,
+    # which forces g=G/b=B and woe == 0 everywhere — it masked the
+    # oracle's own case-insensitive GG->gg alias collision, the SAME
+    # bug class as the operator's _G/_g clash; review-caught)
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull())
-          .withColumn("tag", F.pmod(F.col("user_id"), F.lit(2))))
+          .withColumn("tag", F.pmod(F.col("user_id"), F.lit(2)))
+          .withColumn("cat4", F.pmod(F.col("event_id"), F.lit(4))))
     got = sorted(map(tuple, categorical_iv(
-        ev, "event_type", "event_type", "tag").collect()))
-    lg = {k: _ILOG2.format(x=k) for k in ("gg", "bb", "GG", "BB")}
+        ev, "event_type", "cat4", "tag").collect()))
+    lg = {k: _ILOG2.format(x=k) for k in ("zg", "zb", "ztg", "ztb")}
     want = sorted(map(tuple, _duck(sf_dir).execute(f"""
-        WITH b AS (SELECT event_type AS g, event_type AS cat,
+        WITH b AS (SELECT event_type AS g,
+                          ((event_id % 4 + 4) % 4) AS cat,
                           ((user_id % 2 + 2) % 2) AS t
                    FROM events WHERE user_id IS NOT NULL),
         pc AS (SELECT g, cat, CAST(sum(t) AS BIGINT) AS gp,
                       CAST(sum(1 - t) AS BIGINT) AS bn
                FROM b GROUP BY 1, 2),
-        tt AS (SELECT g, CAST(sum(gp) AS BIGINT) AS GT,
-                      CAST(sum(bn) AS BIGINT) AS BT
+        tt AS (SELECT g, CAST(sum(gp) AS BIGINT) AS tgp,
+                      CAST(sum(bn) AS BIGINT) AS tbn
                FROM pc GROUP BY 1),
-        l AS (SELECT pc.g, cat, gp, bn, GT, BT,
-                     CASE WHEN gp > 0 THEN gp ELSE 1 END AS gg,
-                     CASE WHEN bn > 0 THEN bn ELSE 1 END AS bb,
-                     GT AS GG, BT AS BB
+        l AS (SELECT pc.g, cat, gp, bn, tgp, tbn,
+                     CASE WHEN gp > 0 THEN gp ELSE 1 END AS zg,
+                     CASE WHEN bn > 0 THEN bn ELSE 1 END AS zb,
+                     tgp AS ztg, tbn AS ztb
               FROM pc JOIN tt ON pc.g = tt.g),
-        w AS (SELECT g, cat, gp, bn, GT, BT,
+        w AS (SELECT g, cat, gp, bn, tgp, tbn,
                 CAST(CASE WHEN gp = 0 OR bn = 0 THEN NULL ELSE
-                  ({lg['gg']} + {lg['BB']}) - ({lg['bb']} + {lg['GG']})
+                  ({lg['zg']} + {lg['ztb']}) - ({lg['zb']} + {lg['ztg']})
                   END AS BIGINT) AS woe_milli
               FROM l)
-        SELECT g AS event_type, cat AS event_type_cat,
+        SELECT g AS event_type, cat AS cat4,
                gp AS pos_cnt, bn AS neg_cnt, woe_milli,
                CAST(CASE WHEN woe_milli IS NULL THEN NULL ELSE
-                 (CAST(gp AS HUGEINT) * BT - CAST(bn AS HUGEINT) * GT)
-                 * woe_milli // (CAST(GT AS HUGEINT) * BT)
+                 (CAST(gp AS HUGEINT) * tbn - CAST(bn AS HUGEINT) * tgp)
+                 * woe_milli // (CAST(tgp AS HUGEINT) * tbn)
                  END AS BIGINT) AS iv_milli
         FROM w
     """).fetchall()))
-    # category == group key here, so one row per group; rename the
-    # duplicated output column for the comparison
-    got = [t for t in got]
-    assert len(got) == 5 and len(want) == 5
-    for (gg, gc, gp, bn, woe, iv), (wg, wc, wp, wb, wwoe, wiv) in zip(
-            got, want):
-        assert (gg, gc, gp, bn, woe, iv) == (wg, wc, wp, wb, wwoe, wiv)
+    assert got == want and len(got) == 20   # 5 groups x 4 categories
+    # the real-category fixture must exercise nonzero WoE somewhere —
+    # otherwise the oracle is vacuous again
+    assert any(t[4] not in (None, 0) for t in got)
 
     # hand case: cat 'a' has odds ratio exactly 2 (g=2, b=1 vs G=4,
     # B=4): woe = lgm(2)+lgm(4)-lgm(1)-lgm(4) = 1000 milli-bits;
