@@ -3,7 +3,9 @@ surface for exploratory statistics — ``groupArraySorted(N)``,
 ``argMin``/``argMax`` (made deterministic), ``mannWhitneyUTest``,
 ``welchTTest``/``studentTTest`` (+ the incremental six-moment state and
 its streaming A/B twin), ``kolmogorovSmirnovTest``, ``theilsU``,
-``cramersV``/``contingency``, ``skewSamp``/``kurtSamp``, ``rankCorr``,
+mutual information (the symmetric MI/NMI sibling on the same milli-log2
+rollup), ``cramersV``/``contingency``, ``skewSamp``/``kurtSamp``,
+``rankCorr``, Kendall's τ-b (Knight-algorithm exact pair counts),
 ``sumMap``/``minMap``/``maxMap``, ``exponentialMovingAverage``, and
 reciprocal-rank fusion for hybrid retrieval — re-expressed as
 deterministic, engine-exact DataFrame compositions (reference family:
@@ -292,6 +294,29 @@ def theils_u(df: DataFrame, group_col: str, x_col: str,
 
     Returns ``group, n, hx_n_milli, hcond_n_milli, u_milli`` (the two
     ``·n`` entropy numerators are exposed for auditability)."""
+    joined = _xy_entropy_sums(df, group_col, x_col, y_col)
+    return (joined
+            .withColumn("hx_n_milli",
+                        F.col("n") * F.col("_lgn") - F.col("_sx"))
+            .withColumn("hcond_n_milli", F.col("_sy") - F.col("_sxy"))
+            .withColumn("u_milli", F.expr(
+                "CASE WHEN hx_n_milli = 0 THEN NULL ELSE "
+                "((hx_n_milli - hcond_n_milli) * 1000) div hx_n_milli "
+                "END"))
+            .select(F.col("_g").alias(group_col), "n", "hx_n_milli",
+                    "hcond_n_milli", "u_milli"))
+
+
+def _xy_entropy_sums(df: DataFrame, group_col: str, x_col: str,
+                     y_col: str) -> DataFrame:
+    """The ONE copy of the categorical-pair entropy rollup (theils_u +
+    mutual_information): per group, the three milli-log2 sums the
+    entropy numerators combine — ``Σ n_x·lg(n_x)``, ``Σ n_y·lg(n_y)``,
+    ``Σ n_xy·lg(n_xy)`` — plus ``n`` and ``lg(n)``. One (group, x, y)
+    count shuffle; every later aggregate rolls up the |distinct cells|
+    table. NULL x or y rows are excluded (mirror the WHERE in twins).
+
+    Returns ``_g, n, _sx, _sy, _sxy, _lgn``."""
     from .retrieval import with_ilog2_milli
 
     base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
@@ -312,17 +337,54 @@ def theils_u(df: DataFrame, group_col: str, x_col: str,
               .groupBy("_g")
               .agg(F.sum(F.col("_c") * F.col("_lg")).alias("_sy")))
     joined = (x_term.join(y_term, "_g").join(cell_term, "_g"))
-    joined = with_ilog2_milli(joined, "n", "_lgn")
+    return with_ilog2_milli(joined, "n", "_lgn")
+
+
+def mutual_information(df: DataFrame, group_col: str, x_col: str,
+                       y_col: str) -> DataFrame:
+    """Mutual information I(X;Y) between two categorical columns per
+    group — the symmetric sibling of :func:`theils_u` (public
+    information-theory semantics; ClickHouse exposes the same family
+    via ``entropy``/``theilsU``), the standard feature-redundancy and
+    leakage screen for training-data pipelines.
+
+    INTEGER-EXACT end to end on the shared milli-log2 rollup: with
+    ``numX = n·lg(n) − Σ n_x·lg(n_x)`` (= n·H(X), milli-bits) and
+    likewise numY/numXY,
+
+        mi_n_milli  = numX + numY − numXY
+                    = n·lg(n) − Σn_x·lg(n_x) − Σn_y·lg(n_y)
+                      + Σn_xy·lg(n_xy)        (= n·I(X;Y), milli)
+        nmi_milli   = mi_n_milli·1000 div min(numX, numY)
+
+    The CONTRACT is this formula with the piecewise-linear lg (the
+    theils_u stance): mi_n_milli may stray a few milli-units negative
+    on independent data — emitted as computed, never clamped — but is
+    EXACT (0 or the full marginal entropy) whenever every count is a
+    power of two, which the hand cases pin. The only division is the
+    guarded NMI normalization (NULL when either variable is constant).
+
+    Scale: one (group, x, y) count shuffle; aggregates roll up the
+    |distinct cells| table. NULL x or y rows excluded (mirror in
+    twins).
+
+    Returns ``group, n, hx_n_milli, hy_n_milli, mi_n_milli,
+    nmi_milli``."""
+    joined = _xy_entropy_sums(df, group_col, x_col, y_col)
     return (joined
             .withColumn("hx_n_milli",
                         F.col("n") * F.col("_lgn") - F.col("_sx"))
-            .withColumn("hcond_n_milli", F.col("_sy") - F.col("_sxy"))
-            .withColumn("u_milli", F.expr(
-                "CASE WHEN hx_n_milli = 0 THEN NULL ELSE "
-                "((hx_n_milli - hcond_n_milli) * 1000) div hx_n_milli "
-                "END"))
+            .withColumn("hy_n_milli",
+                        F.col("n") * F.col("_lgn") - F.col("_sy"))
+            .withColumn("mi_n_milli",
+                        F.col("n") * F.col("_lgn") - F.col("_sx")
+                        - F.col("_sy") + F.col("_sxy"))
+            .withColumn("nmi_milli", F.expr(
+                "CASE WHEN least(hx_n_milli, hy_n_milli) <= 0 THEN NULL "
+                "ELSE (mi_n_milli * 1000)"
+                " div least(hx_n_milli, hy_n_milli) END"))
             .select(F.col("_g").alias(group_col), "n", "hx_n_milli",
-                    "hcond_n_milli", "u_milli"))
+                    "hy_n_milli", "mi_n_milli", "nmi_milli"))
 
 
 def cramers_v(df: DataFrame, group_col: str, x_col: str,
@@ -1151,5 +1213,111 @@ RANK_CORR_SQL = (
     " OR " + _RC_DY + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
     "CAST(floor(" + _RC_NUM + " / (sqrt(" + _RC_DX + ")"
     " * sqrt(" + _RC_DY + "))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def _strict_inversions(a) -> int:
+    """Exact count of strict inversions (pairs i < j with a[i] > a[j])
+    in an int64 numpy array — vectorized divide-and-conquer merge:
+    cross-pairs count via ``searchsorted(right, left, 'left')`` (the
+    number of right elements STRICTLY below each left element), so tied
+    values never count. O(n log² n) with C-speed inner loops; recursion
+    depth log₂(n)."""
+    import numpy as np
+
+    def rec(x):
+        n = x.size
+        if n < 2:
+            return 0, x
+        m = n // 2
+        cl, left = rec(x[:m])
+        cr, right = rec(x[m:])
+        cross = int(np.searchsorted(right, left, side="left").sum())
+        return cl + cr + cross, np.sort(np.concatenate((left, right)),
+                                        kind="mergesort")
+
+    return rec(a)[0]
+
+
+def kendall_tau(df: DataFrame, group_col: str, x_col: str,
+                y_col: str) -> DataFrame:
+    """Kendall's τ-b per group (the ClickHouse ``rankCorr`` family's
+    pair-concordance sibling; public Kendall 1945 tie-corrected form) —
+    exact INTEGER pair counts, with the Knight O(n log n) algorithm on
+    the Spark side and the O(n²) pair self-join as the literal oracle:
+
+        n0 = n(n−1)/2        n1 = Σ_x t(t−1)/2   (ties in x)
+        n2 = Σ_y u(u−1)/2    n3 = Σ_xy v(v−1)/2  (ties in both)
+        dis = strict y-inversions after sorting rows by (x, y)
+        con_minus_dis = n0 − n1 − n2 + n3 − 2·dis    (= C − D)
+        τ_b = (C − D) / (√(n0−n1) · √(n0−n2))        (shared verbatim)
+
+    The inversion identity: sorting by (x asc, y asc) makes every
+    strictly-discordant pair — and ONLY those (x-ties have y ascending;
+    y-ties are not strict inversions) — a strict inversion of the y
+    sequence. Every count is a pure integer both engines replay; only
+    the final τ is float (NULL when either column is constant).
+
+    Both columns milli-quantize first (order- and tie-preserving on
+    integers and on floats alike — τ only reads the ordering);
+    NULL/NaN/±Inf in EITHER column drops the row on both sides.
+
+    Plan: ONE applyInPandas over the group key — the whole-group
+    in-memory contract (the EMA/LTTB stance: inversion counting needs
+    the group's sorted sequence; per-group rows must fit one executor,
+    and the documented scale alternative is sub-bucketing the group
+    key upstream). The output group column carries the INPUT column's
+    type (ADVICE r10).
+
+    Returns ``group, n, n0, n1, n2, n3, dis, con_minus_dis,
+    tau_b_e4``."""
+    import numpy as np
+    import pandas as pd
+
+    g_ddl = df.schema[group_col].dataType.simpleString()
+    qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
+    qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col))
+            .select(F.col(group_col).alias("_g"),
+                    qx.alias("_x"), qy.alias("_y")))
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["_x"].to_numpy(dtype="int64")
+        y = pdf["_y"].to_numpy(dtype="int64")
+        n = int(x.size)
+        order = np.lexsort((y, x))
+        dis = _strict_inversions(y[order])
+
+        def tie_pairs(counts_arr) -> int:
+            c = counts_arr.astype("int64")
+            return int((c * (c - 1) // 2).sum())
+
+        n1 = tie_pairs(np.unique(x, return_counts=True)[1])
+        n2 = tie_pairs(np.unique(y, return_counts=True)[1])
+        n3 = tie_pairs(pdf.groupby(["_x", "_y"]).size().to_numpy())
+        n0 = n * (n - 1) // 2
+        cmd = n0 - n1 - n2 + n3 - 2 * dis
+        return pd.DataFrame({
+            "_g": [pdf["_g"].iloc[0]], "n": [n], "n0": [n0],
+            "n1": [n1], "n2": [n2], "n3": [n3], "dis": [dis],
+            "con_minus_dis": [cmd]})
+
+    out = base.groupBy("_g").applyInPandas(
+        counts, schema=(f"_g {g_ddl}, n long, n0 long, n1 long, "
+                        f"n2 long, n3 long, dis long, "
+                        f"con_minus_dis long"))
+    return (out.withColumnRenamed("_g", group_col)
+            .withColumn("tau_b_e4", F.expr(KENDALL_TAU_SQL)))
+
+
+# shared verbatim: τ_b from the exact integer pair counts. sqrt(a)·
+# sqrt(b), never sqrt(a·b) — the int64 product n0² overflows first.
+# Negative τ rounds half-toward-+inf like every knife-edge site (the
+# floor(x·1e4 + 0.5) convention is SIGN-UNIFORM, not half-away).
+KENDALL_TAU_SQL = (
+    "CASE WHEN n0 - n1 <= 0 OR n0 - n2 <= 0 THEN NULL ELSE "
+    "CAST(floor(CAST(con_minus_dis AS DOUBLE)"
+    " / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE)))"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
     " / CAST(10000 AS DOUBLE) END")

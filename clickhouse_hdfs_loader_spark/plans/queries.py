@@ -5636,7 +5636,13 @@ def ema_summary(spark, sf_dir):
 #        tests/test_stats_operators.py, finishes already shared:
 #        AVG_WEIGHTED_SQL / RANK_CORR_SQL / mean_z_sql() /
 #        ANOVA_F_SQL / CRAMERS_V_BC_SQL; categorical_iv is fully
-#        integer, no float finish);
+#        integer, no float finish) and the post-endgame r11 batch
+#        (mutual_information — theils_u's shared rollup, integer;
+#        kendall_tau — KENDALL_TAU_SQL finish, O(n²) pair-join twin;
+#        simpson_diversity / gini_coefficient / mad_outliers —
+#        operators/dispersion.py, fully integer; oracles at
+#        tests/test_stats_operators.py +
+#        tests/test_dispersion_operators.py);
 #        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

@@ -54,9 +54,12 @@ def _operator_picks(spark, sf):
         anova_f, arg_min_max_by_group, avg_weighted, categorical_iv,
         cramers_v, cramers_v_bias_corrected,
         exponential_moving_average, group_array_sorted,
-        group_bit_aggregate, ks_test, mann_whitney_u, map_aggregate,
-        mean_z_test, pearson_corr, rank_corr, rrf_fuse, skew_kurt,
-        student_ttest, theils_u, welch_ttest)
+        group_bit_aggregate, kendall_tau, ks_test, mann_whitney_u,
+        map_aggregate, mean_z_test, mutual_information, pearson_corr,
+        rank_corr, rrf_fuse, skew_kurt, student_ttest, theils_u,
+        welch_ttest)
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        gini_coefficient, mad_outliers, simpson_diversity)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -135,6 +138,14 @@ def _operator_picks(spark, sf):
         "welch_ttest": welch_ttest(sided, "event_type", "value", "side"),
         "ks_test": ks_test(sided, "event_type", "value", "side"),
         "theils_u": theils_u(binned, "event_type", "xbin", "ybin"),
+        "mutual_information": mutual_information(
+            binned, "event_type", "xbin", "ybin"),
+        "kendall_tau": kendall_tau(ev, "event_type", "value",
+                                   "user_id"),
+        "simpson_diversity": simpson_diversity(
+            ev, "event_type", "user_id"),
+        "gini_coefficient": gini_coefficient(ev, "event_type", "value"),
+        "mad_outliers": mad_outliers(ev, "event_type", "value"),
         "cramers_v": cramers_v(binned, "event_type", "xbin", "ybin"),
         "cramers_v_bias_corrected": cramers_v_bias_corrected(
             binned, "event_type", "xbin", "ybin"),

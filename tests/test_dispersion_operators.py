@@ -1,0 +1,185 @@
+"""Diversity / inequality / robust-dispersion measures
+(operators/dispersion.py): Simpson's index, the Gini coefficient, and
+MAD-based outlier screening — DuckDB exact-replay oracles on the real
+events table (written to registry standards for the r12 promotion
+queue) plus the degenerate / tie hand cases the fixtures can't force
+and the structural invariances (scale invariance, complement identity)
+each measure must satisfy."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_hdfs_loader_spark.operators.dispersion import (
+    gini_coefficient, mad_outliers, simpson_diversity)
+from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    return con
+
+
+def test_simpson_diversity_oracle_and_hand_cases(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, simpson_diversity(
+        ev, "event_type", "user_id").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH c AS (SELECT event_type AS g, user_id AS v,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY 1, 2),
+        a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS same
+              FROM c GROUP BY 1)
+        SELECT g AS event_type, n, k,
+               CAST(CASE WHEN n < 2 THEN NULL ELSE
+                 (same * CAST(1000000 AS BIGINT)) // (n * (n - 1))
+                 END AS BIGINT) AS d_e6,
+               CAST(CASE WHEN n < 2 THEN NULL ELSE
+                 CAST(1000000 AS BIGINT)
+                 - (same * CAST(1000000 AS BIGINT)) // (n * (n - 1))
+                 END AS BIGINT) AS gs_e6
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # the complement identity holds row-for-row by construction
+    assert all(d + gs == 1_000_000 for (_, _, _, d, gs) in got)
+
+    # hand cases: two categories 2+2 -> D = 4/12 exactly; a constant
+    # column -> D = 1; a single row -> NULL (undefined without a pair)
+    def run(cats):
+        df = spark.createDataFrame([("g", c) for c in cats],
+                                   "g string, c string")
+        return simpson_diversity(df, "g", "c").collect()[0]
+
+    r = run(["a", "a", "b", "b"])
+    assert (r["n"], r["k"], r["d_e6"], r["gs_e6"]) == (
+        4, 2, 333333, 666667)
+    r = run(["a", "a", "a"])
+    assert (r["k"], r["d_e6"], r["gs_e6"]) == (1, 1_000_000, 0)
+    r = run(["a"])
+    assert r["d_e6"] is None and r["gs_e6"] is None
+    # all-distinct -> D = 0 (max diversity)
+    r = run(["a", "b", "c", "d"])
+    assert (r["d_e6"], r["gs_e6"]) == (0, 1_000_000)
+
+
+def test_gini_coefficient_oracle_and_hand_cases(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, gini_coefficient(
+        ev, "event_type", "value").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        r AS (SELECT g, vm,
+                     CAST(row_number() OVER (PARTITION BY g
+                       ORDER BY vm) AS BIGINT) AS i
+              FROM v),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(vm) AS BIGINT) AS s,
+                     CAST(sum(i * vm) AS BIGINT) AS isum
+              FROM r GROUP BY 1),
+        d AS (SELECT g, n, s, 2 * isum - (n + 1) * s AS num,
+                     n * s AS den
+              FROM a)
+        SELECT g AS event_type, n, s AS sum_milli,
+               CAST(CASE WHEN n < 1 OR s = 0 THEN NULL ELSE
+                 ((num * 1000) // den) * 1000
+                 + (((num * 1000) % den) * 1000) // den
+                 END AS BIGINT) AS g_e6
+        FROM d
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert all(0 <= g <= 1_000_000 for (_, _, _, g) in got)
+
+    def run(vals):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return gini_coefficient(df, "g", "v").collect()[0]
+
+    # perfectly equal -> 0; one-holder -> (n-1)/n exactly
+    assert run([5, 5, 5, 5])["g_e6"] == 0
+    assert run([0, 0, 0, 10])["g_e6"] == 750_000
+    # textbook: [1, 2, 3, 4] -> G = 2*(1+4+9+16)-5*10 / 40 = 10/40
+    assert run([1, 2, 3, 4])["g_e6"] == 250_000
+    # all-zero mass -> NULL (undefined ratio, never an ANSI trap)
+    assert run([0, 0])["g_e6"] is None
+    # scale invariance on integer-valued doubles: milli-quantization
+    # is exact there, so G(7x) == G(x) to the last micro-unit
+    base = [1, 5, 2, 9, 4, 4, 0, 3]
+    assert (run(base)["g_e6"]
+            == run([7 * v for v in base])["g_e6"])
+    # negative values raise loudly (Gini undefined; never clamped)
+    with pytest.raises(Exception, match="negative"):
+        run([1.0, -2.0])
+
+
+def test_mad_outliers_oracle_and_hand_cases(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, mad_outliers(
+        ev, "event_type", "value", k=3).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        m AS (SELECT g, vm AS med FROM (
+                SELECT g, vm,
+                       row_number() OVER (PARTITION BY g ORDER BY vm)
+                         AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v) WHERE rn = (n + 1) // 2),
+        d AS (SELECT v.g, abs(vm - med) AS dev, med
+              FROM v JOIN m ON v.g = m.g),
+        md AS (SELECT g, dev AS mad FROM (
+                 SELECT g, dev,
+                        row_number() OVER (PARTITION BY g ORDER BY dev)
+                          AS rn,
+                        count(*) OVER (PARTITION BY g) AS n
+                 FROM d) WHERE rn = (n + 1) // 2)
+        SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(med) AS BIGINT) AS median_milli,
+               CAST(max(mad) AS BIGINT) AS mad_milli,
+               CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS outlier_cnt,
+               CAST((sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                     * 10000) // count(*) AS BIGINT)
+                 AS outlier_rate_e4
+        FROM d JOIN md ON d.g = md.g GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    def run(vals, k=3):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return mad_outliers(df, "g", "v", k=k).collect()[0]
+
+    # hand case: sorted [1,2,3,100] -> lower median 2, devs [1,0,1,98]
+    # -> MAD 1, the 98 is the only row beyond 3 MADs
+    r = run([1, 2, 3, 100])
+    assert (r["median_milli"], r["mad_milli"], r["outlier_cnt"],
+            r["outlier_rate_e4"]) == (2000, 1000, 1, 2500)
+    # MAD = 0 degenerates to dev > 0 (the Hampel convention): every
+    # row off the median flags
+    r = run([5, 5, 5, 9])
+    assert (r["mad_milli"], r["outlier_cnt"]) == (0, 1)
+    # a robust screen must NOT flag everything when the distribution
+    # is tight: identical rows -> zero outliers
+    r = run([7, 7, 7])
+    assert (r["outlier_cnt"], r["outlier_rate_e4"]) == (0, 0)
+    # k widens the fence monotonically
+    wide = [0, 10, 20, 30, 200]
+    assert (run(wide, k=3)["outlier_cnt"]
+            >= run(wide, k=8)["outlier_cnt"])
+    # invalid k raises before any job runs
+    with pytest.raises(ValueError, match="k must be"):
+        mad_outliers(read_table(spark, sf_dir, "events"),
+                     "event_type", "value", k=0)

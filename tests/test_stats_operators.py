@@ -1239,3 +1239,238 @@ def test_categorical_iv_oracle_and_hand_cases(spark, sf_dir):
                                 "g string, cat string, tag int")
     with pytest.raises(Exception, match="0 or 1"):
         categorical_iv(bad, "g", "cat", "tag").collect()
+
+
+def test_mutual_information_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        mutual_information, theils_u)
+    from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
+
+    # the theils_u grading projection (value mod-7 bucket x user
+    # parity class) so MI grades the same shared rollup end to end
+    ev = (_sided(spark, sf_dir)
+          .where(_quantizable_col("value"))
+          .withColumn("xbin",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    got = sorted(map(tuple, mutual_information(
+        ev, "event_type", "xbin", "ybin").collect()))
+    lg = _ILOG2.format(x="c")
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
+                            AS x,
+                          ((user_id % 5 + 5) % 5) AS y
+                   FROM events
+                   WHERE user_id IS NOT NULL AND value IS NOT NULL
+                     AND isfinite(value)),
+        nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2, 3),
+        sxy AS (SELECT g, CAST(sum(c * {lg}) AS BIGINT) AS sxy
+                FROM nxy GROUP BY 1),
+        nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS c FROM nxy
+               GROUP BY 1, 2),
+        sx AS (SELECT g, CAST(sum(c * {lg}) AS BIGINT) AS sx,
+                      CAST(sum(c) AS BIGINT) AS n
+               FROM nx GROUP BY 1),
+        ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS c FROM nxy
+               GROUP BY 1, 2),
+        sy AS (SELECT g, CAST(sum(c * {lg}) AS BIGINT) AS sy
+               FROM ny GROUP BY 1),
+        a AS (SELECT g, n,
+                     n * {_ILOG2.format(x="n")} - sx AS hx,
+                     n * {_ILOG2.format(x="n")} - sy AS hy,
+                     n * {_ILOG2.format(x="n")} - sx - sy + sxy AS mi
+              FROM sx JOIN sy USING (g) JOIN sxy USING (g))
+        SELECT g AS event_type, n,
+               CAST(hx AS BIGINT) AS hx_n_milli,
+               CAST(hy AS BIGINT) AS hy_n_milli,
+               CAST(mi AS BIGINT) AS mi_n_milli,
+               CAST(CASE WHEN least(hx, hy) <= 0 THEN NULL ELSE
+                 (mi * 1000) // least(hx, hy) END AS BIGINT)
+                 AS nmi_milli
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # power-of-two hand cases (milli-log2 EXACT there):
+    # perfect dependence X == Y, counts 2+2: MI = H(X) = 1 bit, NMI = 1
+    dep = spark.createDataFrame(
+        [("g", "a", "a")] * 2 + [("g", "b", "b")] * 2,
+        "g string, x string, y string")
+    r = mutual_information(dep, "g", "x", "y").collect()[0]
+    assert (r["hx_n_milli"], r["mi_n_milli"], r["nmi_milli"]) == (
+        4000, 4000, 1000)
+    # exact independence (uniform 2x2 grid): MI = 0 exactly, NMI = 0
+    ind = spark.createDataFrame(
+        [("g", x, y) for x in ("a", "b") for y in ("c", "d")],
+        "g string, x string, y string")
+    r = mutual_information(ind, "g", "x", "y").collect()[0]
+    assert (r["mi_n_milli"], r["nmi_milli"]) == (0, 0)
+    # constant Y: MI = 0 and NMI is NULL (min entropy is 0)
+    const = spark.createDataFrame(
+        [("g", "a", "c"), ("g", "b", "c")],
+        "g string, x string, y string")
+    r = mutual_information(const, "g", "x", "y").collect()[0]
+    assert r["hy_n_milli"] == 0 and r["nmi_milli"] is None
+
+    # symmetry + the chain identity vs theils_u on the SAME rollup:
+    # mi_n = hx_n - hcond_n(X|Y) holds EXACTLY (both sides are the
+    # same integer combination of the same sums)
+    swapped = sorted(map(tuple, mutual_information(
+        ev, "event_type", "ybin", "xbin")
+        .select("event_type", "n", "hy_n_milli", "hx_n_milli",
+                "mi_n_milli", "nmi_milli").collect()))
+    assert swapped == got
+    tu = {r["event_type"]: r for r in theils_u(
+        ev, "event_type", "xbin", "ybin").collect()}
+    for (g, n, hx, hy, mi, nmi) in got:
+        assert mi == tu[g]["hx_n_milli"] - tu[g]["hcond_n_milli"]
+
+
+def _kendall_brute(xs, ys):
+    """O(n²) pure-Python pair counts: the literal tau-b definition."""
+    n = len(xs)
+    n1 = n2 = n3 = c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if dx == 0 and dy == 0:
+                n1, n2, n3 = n1 + 1, n2 + 1, n3 + 1
+            elif dx == 0:
+                n1 += 1
+            elif dy == 0:
+                n2 += 1
+            elif dx == dy:
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) // 2
+    return n0, n1, n2, n3, d, c - d
+
+
+def test_strict_inversions_hypothesis():
+    """The Knight-merge inversion counter vs the O(n²) definition —
+    ties must NOT count (strict inversions only)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        _strict_inversions)
+
+    @given(st.lists(st.integers(-5, 5), max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        a = np.asarray(vals, dtype="int64")
+        brute = sum(1 for i in range(len(vals))
+                    for j in range(i + 1, len(vals))
+                    if vals[i] > vals[j])
+        assert _strict_inversions(a) == brute
+
+    check()
+
+
+def test_kendall_tau_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import kendall_tau
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, kendall_tau(
+        ev, "event_type", "value", "user_id").collect()))
+    # the literal O(n²) pair self-join — exactly the definition the
+    # Knight algorithm must reproduce (quantization mirrored; the
+    # brute force is the ORACLE, never the engine path)
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g, event_id AS id,
+                          CAST(floor(value * 1000) AS BIGINT) AS x,
+                          CAST(floor(CAST(user_id AS DOUBLE) * 1000)
+                               AS BIGINT) AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL),
+        n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v
+              GROUP BY 1),
+        p AS (SELECT a.g,
+                CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                     OR (a.x > b.x AND a.y < b.y)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                     OR (a.x > b.x AND a.y > b.y) THEN 1
+                     WHEN (a.x < b.x AND a.y > b.y)
+                     OR (a.x > b.x AND a.y < b.y) THEN -1
+                     ELSE 0 END) AS BIGINT) AS cmd
+              FROM v a JOIN v b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1)
+        SELECT g AS event_type, n, n * (n - 1) // 2 AS n0,
+               n1, n2, n3, dis, cmd AS con_minus_dis,
+               CAST(CASE WHEN n * (n - 1) // 2 - n1 <= 0
+                 OR n * (n - 1) // 2 - n2 <= 0 THEN NULL ELSE
+                 CAST(floor(CAST(cmd AS DOUBLE)
+                  / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                     * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE)))
+                  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS DOUBLE) / CAST(10000 AS DOUBLE) END AS DOUBLE)
+                 AS tau_b_e4
+        FROM p JOIN n USING (g)
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # hand cases: monotone -> tau = 1 / -1; the classic tie grid ->
+    # exactly one concordant and one discordant untied pair (tau = 0);
+    # joint ties land in n3 and KEEP the two concordant pairs
+    def run(rows):
+        df = spark.createDataFrame(
+            [("g", float(x), float(y)) for x, y in rows],
+            "g string, x double, y double")
+        return kendall_tau(df, "g", "x", "y").collect()[0]
+
+    r = run([(1, 1), (2, 2), (3, 3)])
+    assert (r["con_minus_dis"], r["tau_b_e4"]) == (3, 1.0)
+    r = run([(1, 3), (2, 2), (3, 1)])
+    assert (r["con_minus_dis"], r["tau_b_e4"]) == (-3, -1.0)
+    r = run([(1, 1), (1, 2), (2, 1), (2, 2)])
+    assert (r["n1"], r["n2"], r["n3"], r["dis"],
+            r["con_minus_dis"], r["tau_b_e4"]) == (2, 2, 0, 1, 0, 0.0)
+    r = run([(1, 1), (1, 1), (2, 2)])
+    assert (r["n1"], r["n2"], r["n3"], r["dis"],
+            r["con_minus_dis"], r["tau_b_e4"]) == (1, 1, 1, 0, 2, 1.0)
+    # constant x -> every pair x-tied -> tau NULL
+    r = run([(1, 1), (1, 2), (1, 3)])
+    assert r["n1"] == 3 and r["tau_b_e4"] is None
+
+
+def test_kendall_tau_hypothesis_vs_brute(spark):
+    """Property: the full operator (quantization aside — integer
+    inputs) equals the O(n²) definition on arbitrary small tied
+    samples, and negating y negates con_minus_dis exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import kendall_tau
+
+    @given(st.lists(st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+                    min_size=2, max_size=25))
+    @settings(max_examples=8, deadline=None)
+    def check(pairs):
+        xs = [p[0] for p in pairs]
+        ys = [p[1] for p in pairs]
+        df = spark.createDataFrame(
+            [("g", float(x), float(y)) for x, y in pairs],
+            "g string, x double, y double")
+        r = kendall_tau(df, "g", "x", "y").collect()[0]
+        n0, n1, n2, n3, dis, cmd = _kendall_brute(xs, ys)
+        assert (r["n0"], r["n1"], r["n2"], r["n3"], r["dis"],
+                r["con_minus_dis"]) == (n0, n1, n2, n3, dis, cmd)
+        neg = kendall_tau(
+            df.withColumn("y", -F.col("y")), "g", "x", "y").collect()[0]
+        assert neg["con_minus_dis"] == -cmd
+
+    check()
