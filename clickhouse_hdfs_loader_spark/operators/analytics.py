@@ -1249,3 +1249,64 @@ def entropy_from_state(state_counts: DataFrame,
     return per.select(group_col, "n",
                       F.expr("(n * _lgn - _s) div n")
                       .alias("entropy_milli"))
+
+
+def cohort_overlap(df: DataFrame, group_col: str,
+                   id_col: str) -> DataFrame:
+    """Pairwise audience overlap: for every unordered pair of groups,
+    the exact count of distinct ids present in BOTH plus the exact
+    Jaccard similarity — "how much do the click and purchase audiences
+    overlap?", the retention/retargeting sibling of retention_flags
+    (ClickHouse expresses this with ``uniqExact`` intersections /
+    ``groupBitmapAnd``; semantics re-derived).
+
+    Exact and engine-replayable, built from the two one-pass idioms the
+    repo already trusts: per-id sorted group POSTING LISTS double-explode
+    into ``g_a < g_b`` pairs (each unordered pair once, deterministically
+    — the minhash/jaccard idiom, never an id-equi-self-join that would
+    re-plan the distinct subtree), and the full |G|·(|G|−1)/2 size
+    matrix comes from ONE collect_list row (the bloom_semi_join "one map
+    row" pattern) so ZERO-overlap pairs appear explicitly — an absent
+    row is indistinguishable from an unmeasured pair (the quota_sample
+    certificate stance). jaccard_e4 is an integer ``div`` against the
+    inclusion-exclusion union (union ≥ max(n_a, n_b) ≥ 1 whenever the
+    pair exists — both group sizes are ≥ 1 by construction).
+
+    Scale: one distinct shuffle on (group, id), one groupBy id whose
+    per-id pair fan-out is bounded by |G|²/2 (|G| = distinct groups —
+    this operator is for FEW cohorts over MANY ids; output is O(|G|²));
+    exactly TWO scans of the source (pairs + sizes), plan-audited. NULL
+    group or id rows are excluded (mirror the WHERE in twins).
+
+    Returns ``g_a, g_b, n_a, n_b, overlap_cnt, jaccard_e4``."""
+    d = (df.where(F.col(group_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(id_col).alias("_id"))
+         .distinct())
+    sets = d.groupBy("_id").agg(F.sort_array(F.collect_set("_g"))
+                                .alias("_gs"))
+    inter = (sets.select(F.explode("_gs").alias("g_a"), "_gs")
+             .select("g_a", F.explode("_gs").alias("g_b"))
+             .where(F.col("g_a") < F.col("g_b"))
+             .groupBy("g_a", "g_b")
+             .agg(F.count(F.lit(1)).alias("overlap_cnt")))
+    one_row = (d.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("_g", "_n"))).alias("_l")))
+    matrix = (one_row
+              .select(F.explode("_l").alias("_a"), "_l")
+              .select("_a", F.explode("_l").alias("_b"))
+              .where(F.col("_a._g") < F.col("_b._g"))
+              .select(F.col("_a._g").alias("g_a"),
+                      F.col("_b._g").alias("g_b"),
+                      F.col("_a._n").alias("n_a"),
+                      F.col("_b._n").alias("n_b")))
+    return (matrix.join(inter, ["g_a", "g_b"], "left")
+            .withColumn("overlap_cnt",
+                        F.coalesce(F.col("overlap_cnt"),
+                                   F.lit(0).cast("long")))
+            .withColumn("jaccard_e4", F.expr(
+                "(overlap_cnt * 10000) div (n_a + n_b - overlap_cnt)"))
+            .select("g_a", "g_b", "n_a", "n_b", "overlap_cnt",
+                    "jaccard_e4"))

@@ -1,8 +1,11 @@
 """Corpus-preparation operators ([EXT] — training-data pipeline ops that
 sit between dedup and the trainer: sequence packing, deterministic
-stratified sampling, and context-window chunking).
+stratified sampling, context-window chunking, and — grown over the
+rounds — quota/mixture sampling, leakage-safe splits, k-fold
+assignment, seeded shuffles, profiling, curation, and the Zipf
+power-law corpus screen at the bottom of the module).
 
-All three are single-pass, shuffle-light DataFrame plans:
+The founding three are single-pass, shuffle-light DataFrame plans:
 
 - ``pack_token_budget`` — one window partitioned by the pack group plus
   one hash aggregate; no global ordering, so at 100 TB each group packs
@@ -579,3 +582,157 @@ def kfold_counts(assigned: DataFrame, strata_col: str = "source",
     by |strata| x k, never corpus-sized)."""
     return (assigned.groupBy(strata_col, fold_col)
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def zipf_fit(df: DataFrame, group_col: str, term_col: str) -> DataFrame:
+    """Zipf power-law fit per group over a row-per-occurrence term
+    table: the exponent ``s`` (and fit quality) of ``freq ∝ rank^−s`` —
+    the classic corpus-health screen (natural text sits near s ≈ 1;
+    boilerplate/spam flattens it, template floods steepen it; Zipf
+    1949, public semantics). Compose with
+    ``functions.text.words_array`` + ``explode`` for document text, or
+    point it at any categorical column (user activity, domains).
+
+    Engine-exact by the linreg_by_group recipe on log-log axes, with
+    the milli-log2 idiom supplying the logs: per distinct term,
+    ``x = ilog2m(rank)``, ``y = ilog2m(count)`` (rank = row_number by
+    count DESC, term ASC — fully deterministic under count ties), then
+    the six integer moment sums and ONE shared float finish:
+
+        s_e4  = floor(−num/den · 10⁴ + 0.5)      num = K·Σxy − Σx·Σy
+        r2_e4 = floor(num²/(den·deny) · 10⁴ + 0.5)
+
+    (K = distinct terms; den/deny the usual variance numerators.) The
+    CONTRACT is the fit over the piecewise-linear lg — within ~1.3% of
+    the IEEE-log fit everywhere, identical on both engines. NULL s/r²
+    when K < 2 (no line through one point).
+
+    Scale: one (group, term) count shuffle, one rank window over the
+    |distinct terms| table, one moment aggregate. Overflow: x·y ≤
+    lg²(K)·10⁶ ≈ 4·10⁹, so Σ stays in int64 up to ~10⁹ distinct terms
+    per group. NULL terms are excluded (mirror the WHERE in twins).
+
+    Returns ``group, k, total_cnt, s_e4, r2_e4``."""
+    from .retrieval import with_ilog2_milli
+
+    counts = (df.where(F.col(term_col).isNotNull())
+              .groupBy(group_col, term_col)
+              .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col(term_col).asc())
+    ranked = counts.withColumn("_r", F.row_number().over(w)
+                               .cast("long"))
+    logged = with_ilog2_milli(
+        with_ilog2_milli(ranked, "_r", "_x"), "_c", "_y")
+    stats = (logged.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("k"),
+                  F.sum("_c").alias("total_cnt"),
+                  F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                  F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                  F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                  F.sum(F.col("_y") * F.col("_y")).alias("_syy")))
+    return (stats
+            .withColumn("s_e4", F.expr(ZIPF_S_SQL))
+            .withColumn("r2_e4", F.expr(ZIPF_R2_SQL))
+            .select(group_col, "k", "total_cnt", "s_e4", "r2_e4"))
+
+
+# shared verbatim: slope/fit from the integer log-log moments. The
+# exponent NEGATES the slope (freq falls with rank); both knife-edge
+# round half-toward-+inf (the repo's sign-uniform floor(x·1e4 + 0.5)).
+_ZIPF_NUM = ("(CAST(k AS DOUBLE) * CAST(_sxy AS DOUBLE)"
+             " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))")
+_ZIPF_DEN = ("(CAST(k AS DOUBLE) * CAST(_sxx AS DOUBLE)"
+             " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))")
+_ZIPF_DENY = ("(CAST(k AS DOUBLE) * CAST(_syy AS DOUBLE)"
+              " - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE))")
+ZIPF_S_SQL = (
+    "CASE WHEN k < 2 OR " + _ZIPF_DEN + " <= CAST(0 AS DOUBLE)"
+    " THEN NULL ELSE "
+    "CAST(floor(-(" + _ZIPF_NUM + ") / " + _ZIPF_DEN + ""
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+ZIPF_R2_SQL = (
+    "CASE WHEN k < 2 OR " + _ZIPF_DEN + " <= CAST(0 AS DOUBLE)"
+    " OR " + _ZIPF_DENY + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
+    "CAST(floor(" + _ZIPF_NUM + " * " + _ZIPF_NUM + ""
+    " / (" + _ZIPF_DEN + " * " + _ZIPF_DENY + ")"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the classic collocation extractor (Church & Hanks
+    1990) a corpus pipeline runs to find multiword units and template
+    boilerplate ("new york", "click here"). Integer-exact on the
+    milli-log2 idiom:
+
+        pmi_milli = lgm(c12) + lgm(N) − lgm(c1) − lgm(c2)
+
+    with c12 = adjacent-pair count, c1/c2 = unigram token counts, N =
+    total tokens (counts over the WHOLE corpus — tokenization is
+    words_array/ngrams_udf, the bigram_likelihood convention, so the
+    SQL twin replays it verbatim). ``min_count`` filters rare bigrams
+    BEFORE scoring (PMI's known rare-pair pathology — a hapax pair
+    maxes the score; the cut is part of the contract). The CONTRACT is
+    this piecewise-linear-lg formula; exact whenever all counts are
+    powers of two (hand-pinned).
+
+    Top-k is a global ``orderBy(pmi DESC, bg ASC).limit(k)`` —
+    Spark compiles it to TakeOrderedAndProject (distributed partial
+    top-k, NOT a single-task window sort), and the bigram tie-break
+    makes the cut deterministic on both engines.
+
+    Scale: one token explode + one bigram explode over the corpus
+    (two tokenization passes — the minimum, since the unigram and
+    bigram vocabularies are different aggregations), two
+    vocabulary-bounded count aggregates, two joins keyed on the word
+    (AQE sizes them), one distributed top-k. The static plan shows the
+    unigram aggregate three times (c1 join, c2 join, N), but the
+    subtrees are canonically identical so Spark's ReuseExchange
+    dedupes them at runtime (verified: 2 ReusedExchange nodes in the
+    executed plan) — no re-plan hazard despite the triple reference.
+    NULL texts drop out at tokenization.
+
+    Returns ``bg, c12, c1, c2, pmi_milli`` (k rows, pmi desc)."""
+    from ..functions.text import ngrams_udf, words_array
+
+    from .retrieval import with_ilog2_milli
+
+    if int(min_count) < 1:
+        raise ValueError(
+            f"pmi_collocations: min_count must be >= 1, got {min_count}")
+    toks = docs.select(F.explode(words_array(F.col(text_col)))
+                       .alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = uni.agg(F.sum("cw").alias("n_tok"))
+    bg = (docs.select(F.explode(ngrams_udf(2)(F.col(text_col)))
+                      .alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+          .where(F.col("c12") >= int(min_count))
+          .withColumn("_w1", F.split_part(F.col("bg"), F.lit(" "),
+                                          F.lit(1)))
+          .withColumn("_w2", F.split_part(F.col("bg"), F.lit(" "),
+                                          F.lit(2))))
+    joined = (bg
+              .join(uni.select(F.col("w").alias("_w1"),
+                               F.col("cw").alias("c1")), "_w1")
+              .join(uni.select(F.col("w").alias("_w2"),
+                               F.col("cw").alias("c2")), "_w2")
+              .crossJoin(F.broadcast(total)))   # one-row N
+    scored = with_ilog2_milli(
+        with_ilog2_milli(
+            with_ilog2_milli(
+                with_ilog2_milli(joined, "c12", "_l12"),
+                "c1", "_l1"),
+            "c2", "_l2"),
+        "n_tok", "_ln")
+    return (scored
+            .withColumn("pmi_milli",
+                        F.col("_l12") + F.col("_ln") - F.col("_l1")
+                        - F.col("_l2"))
+            .select("bg", "c12", "c1", "c2", "pmi_milli")
+            .orderBy(F.col("pmi_milli").desc(), F.col("bg").asc())
+            .limit(int(k)))

@@ -280,3 +280,110 @@ def pca_whiten(emb: DataFrame, stats: DataFrame = None,
                                 lambda acc, v: acc + v))
     return emb.withColumn(
         out_col, F.when(F.col(vec_col).isNotNull(), F.array(*outs)))
+
+
+def ols_fit(df: DataFrame, vec_col: str = "embedding",
+            y_col: str = "y", dims: int | None = None,
+            intercept: bool = True) -> DataFrame:
+    """Closed-form multi-feature least squares (the distributed
+    normal-equations OLS every feature-screening pipeline wants before
+    reaching for SGD): regress a scalar target on a feature-vector
+    column and return the coefficients plus R².
+
+    Built ENTIRELY on :func:`covariance_stats`' exact integer gemm —
+    the augmented matrix ``Z = [X | y]`` (both milli-quantized) yields
+    every normal-equation sum in one scan: ``XᵀX`` is the upper block,
+    ``Xᵀy`` the last column, ``yᵀy`` the corner, ``Σx/Σy/n`` ride
+    along. The d+1-square system solves on the DRIVER from exact
+    integer sums (the pca_whiten shape: O(d²) collect, arbitrary-
+    precision combine, LAPACK solve) —
+
+        intercept:  [[n, Σxᵀ], [Σx, XᵀX]] · β = [Σy, Xᵀy]
+        through 0:  XᵀX · β = Xᵀy
+        R² = 1 − SSE/SST,  SSE = yᵀy − βᵀ·rhs (exact-sum float combine)
+
+    The CONTRACT is the fit of the milli-QUANTIZED data (the repo
+    stance; the quantization cancels in slope units, and the intercept
+    rescales by 1e-3). Like pca_whiten this is replay-pinned BY DESIGN,
+    not oracle-graded: the solve's LAPACK ulps are build-specific, but
+    a pure-numpy replay from the same parquet reproduces every output
+    BITWISE (pinned in tests). A singular system (collinear/constant
+    features) raises a named error — silently pseudo-inverting would
+    hide the modeling bug. Rows with NULL vectors or NULL/NaN/±Inf
+    targets are excluded; non-finite ELEMENTS raise (inherited from the
+    gemm). Degenerate SST (constant y) yields NULL r2.
+
+    Scale: one scan + one O(d²) aggregate (all covariance_stats'
+    properties), driver work O(d³) on d ≤ a few thousand. EAGER at
+    construction (driver solve) — excluded from the lazy plan audit
+    like pca_whiten.
+
+    Returns ``term, beta, n, r2`` — one row per feature (term = dim
+    index) plus term = -1 for the intercept when enabled."""
+    import numpy as np
+
+    from .analytics import _quantizable_col
+
+    aug = (df.where(F.col(vec_col).isNotNull()
+                    & _quantizable_col(y_col))
+           .select(F.concat(
+               F.col(vec_col).cast("array<double>"),
+               F.array(F.col(y_col).cast("double"))).alias("_z")))
+    rows = covariance_stats(
+        aug, "_z", dims=(int(dims) + 1 if dims is not None else None)
+    ).collect()
+    if not rows:
+        raise ValueError("ols_fit: no usable rows (all-NULL vectors "
+                         "or non-finite targets)")
+    d1 = max(int(r["j"]) for r in rows) + 1
+    d = d1 - 1
+    n = int(rows[0]["n"])
+    S = [[0] * d1 for _ in range(d1)]
+    s = [0] * d1
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        S[i][j] = S[j][i] = int(r["s_ij"])
+        s[i], s[j] = int(r["s_i"]), int(r["s_j"])
+
+    if intercept:
+        A = np.zeros((d + 1, d + 1))
+        b = np.zeros(d + 1)
+        A[0, 0] = float(n)
+        for i in range(d):
+            A[0, i + 1] = A[i + 1, 0] = float(s[i])
+            b[i + 1] = float(S[i][d])
+            for j in range(d):
+                A[i + 1, j + 1] = float(S[i][j])
+        b[0] = float(s[d])
+    else:
+        A = np.array([[float(S[i][j]) for j in range(d)]
+                      for i in range(d)])
+        b = np.array([float(S[i][d]) for i in range(d)])
+    try:
+        beta = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        raise ValueError(
+            "ols_fit: singular normal equations — collinear or "
+            "constant features (drop or regularize upstream)")
+
+    # SSE/SST from the same exact sums, one written-down float order
+    yy = float(S[d][d])
+    sse = yy - float(np.dot(beta, b))
+    if intercept:
+        sst = yy - float(s[d]) * float(s[d]) / float(n)
+    else:
+        sst = yy
+    r2 = None if sst <= 0.0 else 1.0 - sse / sst
+
+    out = []
+    if intercept:
+        # beta[0] is in milli-y units (the quantization's only
+        # non-cancelling leg); slopes are milli/milli = unitless
+        out.append((-1, float(beta[0]) / 1000.0))
+        out.extend((t, float(beta[t + 1])) for t in range(d))
+    else:
+        out.extend((t, float(beta[t])) for t in range(d))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(term, v, n, r2) for term, v in out],
+        "term int, beta double, n long, r2 double")

@@ -317,13 +317,21 @@ def _xy_entropy_sums(df: DataFrame, group_col: str, x_col: str,
     table. NULL x or y rows are excluded (mirror the WHERE in twins).
 
     Returns ``_g, n, _sx, _sy, _sxy, _lgn``."""
-    from .retrieval import with_ilog2_milli
-
     base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
     nxy = (base.groupBy("_g", "_x", "_y")
            .agg(F.count(F.lit(1)).alias("_c")))
+    return _entropy_sums_from_cells(nxy)
+
+
+def _entropy_sums_from_cells(nxy: DataFrame) -> DataFrame:
+    """The cell-count half of :func:`_xy_entropy_sums`, split out so
+    the incremental/streaming MI state (``mi_update`` carries exactly
+    this ``_g, _x, _y, _c`` table) derives its report from the same
+    code path as the batch operator."""
+    from .retrieval import with_ilog2_milli
+
     cell_term = (with_ilog2_milli(nxy, "_c", "_lg")
                  .groupBy("_g")
                  .agg(F.sum(F.col("_c") * F.col("_lg")).alias("_sxy")))
@@ -370,7 +378,13 @@ def mutual_information(df: DataFrame, group_col: str, x_col: str,
 
     Returns ``group, n, hx_n_milli, hy_n_milli, mi_n_milli,
     nmi_milli``."""
-    joined = _xy_entropy_sums(df, group_col, x_col, y_col)
+    return _mi_report(_xy_entropy_sums(df, group_col, x_col, y_col),
+                      group_col)
+
+
+def _mi_report(joined: DataFrame, group_col: str) -> DataFrame:
+    """The MI finish over the entropy-sum rollup — one copy shared by
+    the batch operator and :func:`mi_from_state`."""
     return (joined
             .withColumn("hx_n_milli",
                         F.col("n") * F.col("_lgn") - F.col("_sx"))
@@ -385,6 +399,37 @@ def mutual_information(df: DataFrame, group_col: str, x_col: str,
                 " div least(hx_n_milli, hy_n_milli) END"))
             .select(F.col("_g").alias(group_col), "n", "hx_n_milli",
                     "hy_n_milli", "mi_n_milli", "nmi_milli"))
+
+
+def mi_update(state: "DataFrame | None", batch: DataFrame,
+              group_col: str, x_col: str, y_col: str) -> DataFrame:
+    """Incremental mutual-information maintenance (the entropy_update
+    shape): fold one micro-batch into the ``(group, x, y, c)`` cell
+    count state and return the new state. Counts are a commutative
+    int-sum monoid, so folding ANY partition of the data in ANY order
+    equals the one-shot computation; state is |distinct cells| rows and
+    each fold shuffles the batch plus state, never history."""
+    b = (batch.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .groupBy(group_col, x_col, y_col)
+         .agg(F.count(F.lit(1)).alias("c")))
+    if state is not None:
+        b = (state.unionByName(b)
+             .groupBy(group_col, x_col, y_col)
+             .agg(F.sum("c").alias("c")))
+    return b
+
+
+def mi_from_state(state: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """The :func:`mutual_information` report derived purely from the
+    maintained cell-count state (raw rows never rescanned) — the same
+    rollup + finish code path as the batch operator, so identity with
+    it is by construction."""
+    nxy = state.select(F.col(group_col).alias("_g"),
+                       F.col(x_col).alias("_x"),
+                       F.col(y_col).alias("_y"),
+                       F.col("c").alias("_c"))
+    return _mi_report(_entropy_sums_from_cells(nxy), group_col)
 
 
 def cramers_v(df: DataFrame, group_col: str, x_col: str,

@@ -5640,9 +5640,19 @@ def ema_summary(spark, sf_dir):
 #        (mutual_information — theils_u's shared rollup, integer;
 #        kendall_tau — KENDALL_TAU_SQL finish, O(n²) pair-join twin;
 #        simpson_diversity / gini_coefficient / mad_outliers —
-#        operators/dispersion.py, fully integer; oracles at
+#        operators/dispersion.py, fully integer; zipf_fit —
+#        corpus.py, ZIPF_S_SQL/ZIPF_R2_SQL finishes; cohort_overlap —
+#        analytics.py, fully integer; stream_mutual_information —
+#        foreachBatch twin on the mi_update cell-count monoid, graded
+#        against the mutual_information oracle like stream_entropy;
+#        pmi_collocations — corpus.py, milli-log2 integer with a
+#        TakeOrderedAndProject top-k (oracle at
+#        tests/test_llm_operators.py); other oracles at
 #        tests/test_stats_operators.py +
-#        tests/test_dispersion_operators.py);
+#        tests/test_dispersion_operators.py; ols_fit stays
+#        replay-pinned by design — LAPACK-solve ulps, the pca_whiten
+#        rationale — with the bitwise replay at
+#        tests/test_whitening.py);
 #        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

@@ -541,3 +541,46 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not state:
         raise RuntimeError("stream produced no batches")
     return ttest_from_state(state[0])
+
+
+def stream_mutual_information(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/stats.mutual_information: each
+    micro-batch derives the graded projection's bins (value mod-7
+    bucket × user mod-5 class, the theils_u/MI registry derivation)
+    and folds into the ``(group, x, y, c)`` cell-count state via
+    ``stats.mi_update`` inside ``foreachBatch`` — a commutative
+    int-sum monoid, so the fold is order-insensitive (the
+    entropy/retention contract) — and the milli-log2 MI/NMI report
+    derives from state alone through the SAME rollup code path as the
+    batch operator."""
+    from pyspark.sql import functions as F
+
+    from ..operators.analytics import _quantizable_col
+    from ..operators.stats import mi_from_state, mi_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        binned = (bdf.where(F.col("user_id").isNotNull()
+                            & _quantizable_col("value"))
+                  .withColumn("xbin",
+                              F.pmod(F.floor(F.col("value"))
+                                     .cast("long"), F.lit(7)))
+                  .withColumn("ybin",
+                              F.pmod(F.col("user_id"), F.lit(5))))
+        nxt = mi_update(state[0] if state else None, binned,
+                        "event_type", "xbin", "ybin") \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return mi_from_state(state[0], "event_type", "xbin", "ybin")

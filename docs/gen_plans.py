@@ -60,6 +60,10 @@ def _operator_picks(spark, sf):
         welch_ttest)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         gini_coefficient, mad_outliers, simpson_diversity)
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        pmi_collocations, zipf_fit)
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        cohort_overlap)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -144,6 +148,9 @@ def _operator_picks(spark, sf):
                                    "user_id"),
         "simpson_diversity": simpson_diversity(
             ev, "event_type", "user_id"),
+        "zipf_fit": zipf_fit(ev, "event_type", "user_id"),
+        "pmi_collocations": pmi_collocations(docs, min_count=5, k=15),
+        "cohort_overlap": cohort_overlap(ev, "event_type", "user_id"),
         "gini_coefficient": gini_coefficient(ev, "event_type", "value"),
         "mad_outliers": mad_outliers(ev, "event_type", "value"),
         "cramers_v": cramers_v(binned, "event_type", "xbin", "ybin"),
@@ -184,9 +191,9 @@ def _operator_picks(spark, sf):
         # dims=64 keeps construction lazy (no eager min/max bounds job
         # that would scan the source during plan audit — ADVICE r9)
         "covariance_stats": covariance_stats(emb, dims=64),
-        # pagerank / pca_whiten run eager jobs (localCheckpoint,
-        # stats collect) during construction — replay-pinned instead
-        # of plan-audited
+        # pagerank / pca_whiten / ols_fit run eager jobs
+        # (localCheckpoint, stats/solve collects) during construction —
+        # replay-pinned instead of plan-audited
         "lttb_downsample": lttb_downsample(
             ev.select("event_type",
                       F.unix_micros("ts").cast("double").alias("x"),

@@ -1,10 +1,12 @@
-"""Diversity / inequality / robust-dispersion measures
-(operators/dispersion.py): Simpson's index, the Gini coefficient, and
-MAD-based outlier screening — DuckDB exact-replay oracles on the real
+"""Corpus-composition and dispersion measures (the late-r11 r12-queue
+batch): Simpson's index, the Gini coefficient, and MAD-based outlier
+screening (operators/dispersion.py), the Zipf power-law fit
+(corpus.zipf_fit), and the pairwise cohort-overlap matrix
+(analytics.cohort_overlap) — DuckDB exact-replay oracles on the real
 events table (written to registry standards for the r12 promotion
 queue) plus the degenerate / tie hand cases the fixtures can't force
-and the structural invariances (scale invariance, complement identity)
-each measure must satisfy."""
+and the structural invariances (scale invariance, complement identity,
+skew monotonicity) each measure must satisfy."""
 
 from __future__ import annotations
 
@@ -183,3 +185,115 @@ def test_mad_outliers_oracle_and_hand_cases(spark, sf_dir):
     with pytest.raises(ValueError, match="k must be"):
         mad_outliers(read_table(spark, sf_dir, "events"),
                      "event_type", "value", k=0)
+
+
+def test_zipf_fit_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        ZIPF_R2_SQL, ZIPF_S_SQL, zipf_fit)
+    from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
+
+    # term = user activity (user_id) per event_type: a genuinely
+    # skewed frequency table that exercises ranks, ties, and both logs
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, zipf_fit(
+        ev, "event_type", "user_id").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH c AS (SELECT event_type AS g, user_id AS t,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY 1, 2),
+        r AS (SELECT g, c,
+                     CAST(row_number() OVER (PARTITION BY g
+                       ORDER BY c DESC, t ASC) AS BIGINT) AS r
+              FROM c),
+        l AS (SELECT g, c, {_ILOG2.format(x="r")} AS x,
+                     {_ILOG2.format(x="c")} AS y
+              FROM r),
+        s AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(c) AS BIGINT) AS total_cnt,
+                     CAST(sum(x) AS BIGINT) AS _sx,
+                     CAST(sum(y) AS BIGINT) AS _sy,
+                     CAST(sum(x * y) AS BIGINT) AS _sxy,
+                     CAST(sum(x * x) AS BIGINT) AS _sxx,
+                     CAST(sum(y * y) AS BIGINT) AS _syy
+              FROM l GROUP BY 1)
+        SELECT g AS event_type, k, total_cnt,
+               {ZIPF_S_SQL} AS s_e4, {ZIPF_R2_SQL} AS r2_e4
+        FROM s
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    def run(term_counts):
+        rows = [("g", f"t{i:03d}")
+                for i, c in enumerate(term_counts) for _ in range(c)]
+        df = spark.createDataFrame(rows, "g string, term string")
+        return zipf_fit(df, "g", "term").collect()[0]
+
+    # two points are always a perfect line: counts (2, 1) -> ranks
+    # (1, 2), milli-log2 exact on powers of two -> s = 1, r² = 1
+    r = run([2, 1])
+    assert (r["k"], r["total_cnt"], r["s_e4"], r["r2_e4"]) == (
+        2, 3, 1.0, 1.0)
+    # steeper decay -> larger exponent: (8,1) is steeper than (2,1)
+    assert run([8, 1])["s_e4"] == 3.0
+    # uniform frequencies -> flat line: s = 0, r² NULL (zero y-variance)
+    r = run([3, 3, 3, 3])
+    assert r["s_e4"] == 0.0 and r["r2_e4"] is None
+    # a single term has no line through it
+    r = run([5])
+    assert r["s_e4"] is None and r["r2_e4"] is None
+    # rank ties break on term ASC identically in both engines -- the
+    # oracle above grades it at fixture scale; here pin determinism
+    # (two runs, same result) on a tie-heavy input
+    a = run([2, 2, 2, 1, 1])
+    b = run([2, 2, 2, 1, 1])
+    assert tuple(a) == tuple(b)
+
+
+def test_cohort_overlap_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        cohort_overlap)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, cohort_overlap(
+        ev, "event_type", "user_id").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH d AS (SELECT DISTINCT event_type AS g, user_id AS id
+                   FROM events
+                   WHERE event_type IS NOT NULL
+                     AND user_id IS NOT NULL),
+        s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d
+              GROUP BY 1),
+        i AS (SELECT a.g AS ga, b.g AS gb,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM d a JOIN d b ON a.id = b.id AND a.g < b.g
+              GROUP BY 1, 2)
+        SELECT sa.g AS g_a, sb.g AS g_b, sa.n AS n_a, sb.n AS n_b,
+               CAST(coalesce(o, 0) AS BIGINT) AS overlap_cnt,
+               CAST((coalesce(o, 0) * 10000)
+                    // (sa.n + sb.n - coalesce(o, 0)) AS BIGINT)
+                 AS jaccard_e4
+        FROM s sa JOIN s sb ON sa.g < sb.g
+        LEFT JOIN i ON i.ga = sa.g AND i.gb = sb.g
+    """).fetchall()))
+    assert got == want and len(got) == 10   # C(5, 2) pairs, zero-filled
+
+    # hand case: A={1,2,3}, B={2,3}, C={9}; duplicates collapse; the
+    # zero-overlap pairs (A,C)/(B,C) MUST appear with jaccard 0
+    rows = ([("A", i) for i in (1, 2, 3, 3)] + [("B", i) for i in (2, 3)]
+            + [("C", 9)])
+    df = spark.createDataFrame(rows, "g string, uid long")
+    out = {(r["g_a"], r["g_b"]): (r["n_a"], r["n_b"], r["overlap_cnt"],
+                                  r["jaccard_e4"])
+           for r in cohort_overlap(df, "g", "uid").collect()}
+    assert out == {("A", "B"): (3, 2, 2, 6666),
+                   ("A", "C"): (3, 1, 0, 0),
+                   ("B", "C"): (2, 1, 0, 0)}
+    # identical cohorts -> jaccard exactly 1
+    dup = spark.createDataFrame(
+        [("X", 1), ("X", 2), ("Y", 1), ("Y", 2)], "g string, uid long")
+    r = cohort_overlap(dup, "g", "uid").collect()[0]
+    assert (r["overlap_cnt"], r["jaccard_e4"]) == (2, 10000)
+    # a single group yields an EMPTY matrix (no pairs), not a crash
+    single = spark.createDataFrame([("Z", 1)], "g string, uid long")
+    assert cohort_overlap(single, "g", "uid").count() == 0

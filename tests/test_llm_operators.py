@@ -3011,3 +3011,77 @@ def test_uniq_up_to_oracle_cap_and_partition_invariance(spark, sf_dir):
         "g string, v long")
     assert uniq_up_to(synth, "g", "v", n=3).collect()[0]["uniq_up_to"] == 4
     assert uniq_up_to(synth, "g", "v", n=10).collect()[0]["uniq_up_to"] == 5
+
+
+def test_pmi_collocations_oracle_and_hand_cases(spark, sf_dir):
+    """In-test DuckDB oracle (registry standard, r12 queue): the full
+    tokenize → count → milli-log2 PMI → deterministic top-k pipeline
+    replays exactly in SQL on the real corpus; hand cases pin the
+    power-of-two-exact PMI values and the min_count rare-pair cut."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        pmi_collocations)
+    from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in
+           pmi_collocations(docs, min_count=5, k=15).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    lg = {c: _ILOG2.format(x=c) for c in ("c12", "c1", "c2", "n_tok")}
+    want = [tuple(r) for r in con.execute(f"""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             w -> w <> '') AS l
+          FROM documents),
+        toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l
+                 FROM ws),
+        uni AS (SELECT l[i] AS w, CAST(count(*) AS BIGINT) AS cw
+                FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM uni),
+        bg AS (SELECT l[i] || ' ' || l[i+1] AS bg
+               FROM toks WHERE i < len(l)),
+        c2t AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg
+                GROUP BY 1 HAVING count(*) >= 5),
+        j AS (SELECT c2t.bg, c12, u1.cw AS c1, u2.cw AS c2, n_tok
+              FROM c2t
+              JOIN uni u1 ON u1.w = string_split(c2t.bg, ' ')[1]
+              JOIN uni u2 ON u2.w = string_split(c2t.bg, ' ')[2]
+              CROSS JOIN tot)
+        SELECT bg, c12, c1, c2,
+               CAST({lg['c12']} + {lg['n_tok']} - {lg['c1']}
+                    - {lg['c2']} AS BIGINT) AS pmi_milli
+        FROM j ORDER BY pmi_milli DESC, bg LIMIT 15
+    """).fetchall()]
+    assert got == want and len(got) == 15
+
+    # hand case (power-of-two counts -> EXACT milli-log2): corpus
+    # "a b a b c c c c" has N=8, c(a)=c(b)=2, c(c)=4;
+    # (a b) c12=2 -> pmi = 1000+3000-1000-1000 = 2000
+    # (c c) c12=3 -> pmi = 1500+3000-2000-2000 =  500
+    synth = spark.createDataFrame([(1, "a b a b c c c c")],
+                                  "doc_id long, text string")
+    rows = [tuple(r) for r in
+            pmi_collocations(synth, min_count=2, k=5).collect()]
+    assert rows == [("a b", 2, 2, 2, 2000), ("c c", 3, 4, 4, 500)]
+    # min_count=1 admits the hapax pairs: (b a) scores lgm(1)+lgm(8)
+    # −lgm(2)−lgm(2) = 1000, (b c) scores 3000−1000−2000 = 0 — the
+    # full ranking is exact on this power-of-two corpus
+    all_rows = [tuple(r) for r in
+                pmi_collocations(synth, min_count=1, k=10).collect()]
+    assert [(t[0], t[4]) for t in all_rows] == [
+        ("a b", 2000), ("b a", 1000), ("c c", 500), ("b c", 0)]
+    # tie-break: equal-PMI bigrams cut on bg ASC deterministically
+    tie = spark.createDataFrame([(1, "x y x y p q p q")],
+                                "doc_id long, text string")
+    t = [tuple(r) for r in
+         pmi_collocations(tie, min_count=2, k=1).collect()]
+    assert t[0][0] == "p q" and t[0][4] == 2000
+    # invalid min_count raises before any job
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_count"):
+        pmi_collocations(synth, min_count=0)

@@ -1474,3 +1474,57 @@ def test_kendall_tau_hypothesis_vs_brute(spark):
         assert neg["con_minus_dis"] == -cmd
 
     check()
+
+
+def test_stream_mutual_information_matches_batch_any_partition(
+        spark, sf_dir):
+    """The foreachBatch MI twin reproduces the batch operator exactly
+    (same rollup code path by construction), and folding ANY random
+    partition of the rows through mi_update (counts are an int-sum
+    monoid) equals the one-shot report."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        mi_from_state, mi_update, mutual_information)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_mutual_information)
+
+    ev = (_sided(spark, sf_dir)
+          .where(_quantizable_col("value"))
+          .withColumn("xbin",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+    batch = sorted(map(tuple, mutual_information(
+        ev, "event_type", "xbin", "ybin").collect()))
+    stream = sorted(map(tuple, stream_mutual_information(
+        spark, sf_dir).collect()))
+    assert stream == batch and len(stream) == 5
+
+    schema = "g string, x long, y long"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),       # group
+                              st.integers(0, 2),       # x
+                              st.integers(0, 2)),      # y
+                    min_size=1, max_size=20),
+           st.lists(st.integers(0, 2), min_size=1, max_size=20))
+    @settings(max_examples=8, deadline=None)
+    def check(evs, assignment):
+        rows = [(f"g{g}", x, y) for g, x, y in evs]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, mutual_information(
+            full, "g", "x", "y").collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = mi_update(state, bdf, "g", "x", "y") \
+                .localCheckpoint(eager=True)
+        got = sorted(map(tuple, mi_from_state(
+            state, "g", "x", "y").collect()))
+        assert got == one_shot
+
+    check()

@@ -1,5 +1,6 @@
-"""covariance_stats + pca_whiten: exact integer moment sums (DuckDB
-oracle), bitwise projection replay, and whitening contracts."""
+"""covariance_stats + pca_whiten + ols_fit: exact integer moment sums
+(DuckDB oracle), bitwise projection/solve replays, and the
+whitening/regression contracts."""
 
 from __future__ import annotations
 
@@ -152,3 +153,100 @@ def test_covariance_stats_dims_path_empty_and_ragged(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="ragged"):
         covariance_stats(ragged, dims=2).collect()
+
+
+def test_ols_fit_bitwise_replay_and_contracts(spark, sf_dir):
+    """ols_fit (closed-form normal-equations OLS on the covariance
+    gemm): bitwise Spark-free replay on the real embeddings (label as
+    the target), exact planted-relation recovery, the no-intercept
+    path, loud singularity, and the exclusion rules."""
+    from clickhouse_hdfs_loader_spark.operators.features import ols_fit
+
+    # --- bitwise replay on the fixture (the pca_whiten discipline):
+    # duckdb parquet read + the same integer gemm + the same-order
+    # LAPACK solve and float combines must reproduce EVERY output bit
+    emb = _emb(spark, sf_dir).where(F.col("label").isNotNull())
+    got = {r["term"]: (r["beta"], r["n"], r["r2"])
+           for r in ols_fit(emb, "embedding", "label").collect()}
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding, label FROM "
+        f"'{sf_dir}/embeddings.parquet' "
+        f"WHERE embedding IS NOT NULL AND label IS NOT NULL"
+    ).fetchall()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v, _ in rows])
+    y = np.asarray([float(t) for _, t in rows], dtype=np.float64)
+    Z = np.concatenate([X, y[:, None]], axis=1)
+    Q = np.floor(Z * 1000.0).astype(np.int64)
+    d = X.shape[1]
+    n = Q.shape[0]
+    # exact integer sums (python ints — partition order can't matter)
+    S = [[int(v) for v in row] for row in (Q.T @ Q)]
+    s = [int(v) for v in Q.sum(axis=0)]
+    A = np.zeros((d + 1, d + 1))
+    b = np.zeros(d + 1)
+    A[0, 0] = float(n)
+    for i in range(d):
+        A[0, i + 1] = A[i + 1, 0] = float(s[i])
+        b[i + 1] = float(S[i][d])
+        for j in range(d):
+            A[i + 1, j + 1] = float(S[i][j])
+    b[0] = float(s[d])
+    beta = np.linalg.solve(A, b)
+    yy = float(S[d][d])
+    sse = yy - float(np.dot(beta, b))
+    sst = yy - float(s[d]) * float(s[d]) / float(n)
+    r2 = 1.0 - sse / sst
+    want = {-1: (float(beta[0]) / 1000.0, n, r2)}
+    want.update({t: (float(beta[t + 1]), n, r2) for t in range(d)})
+    assert got == want and len(got) == d + 1   # bitwise, no tolerance
+
+    # --- planted exact relation: y = 2·x0 − 3·x1 + 5 on integer-valued
+    # features (milli-quantization exact) -> coefficients to 1e-9, R²=1
+    import random
+    random.seed(7)
+    planted = [([float(random.randint(-9, 9)),
+                 float(random.randint(-9, 9))], 0.0) for _ in range(60)]
+    planted = [(v, 2 * v[0] - 3 * v[1] + 5) for v, _ in planted]
+    df = spark.createDataFrame(planted,
+                               "embedding array<double>, y double")
+    out = {r["term"]: r for r in ols_fit(df, "embedding", "y").collect()}
+    assert abs(out[-1]["beta"] - 5) < 1e-9
+    assert abs(out[0]["beta"] - 2) < 1e-9
+    assert abs(out[1]["beta"] + 3) < 1e-9
+    assert abs(out[-1]["r2"] - 1.0) < 1e-12
+
+    # --- through-the-origin path: no intercept row, exact recovery
+    df2 = spark.createDataFrame(
+        [([float(i), float(i % 3)], float(2 * i)) for i in range(1, 40)],
+        "embedding array<double>, y double")
+    out = {r["term"]: r["beta"]
+           for r in ols_fit(df2, "embedding", "y",
+                            intercept=False).collect()}
+    assert set(out) == {0, 1} and abs(out[0] - 2.0) < 1e-9
+
+    # --- collinear features raise the named error (never silently
+    # pseudo-inverted)
+    sing = spark.createDataFrame(
+        [([1.0, 1.0], 3.0), ([2.0, 2.0], 5.0), ([3.0, 3.0], 9.0)],
+        "embedding array<double>, y double")
+    with pytest.raises(ValueError, match="singular"):
+        ols_fit(sing, "embedding", "y")
+
+    # --- NULL vectors and non-finite targets are excluded, not poison
+    noisy = df.unionByName(spark.createDataFrame(
+        [(None, 1.0), ([1.0, 1.0], float("nan")), ([2.0, 0.0], None)],
+        "embedding array<double>, y double"))
+    clean = {r["term"]: r["beta"]
+             for r in ols_fit(df, "embedding", "y").collect()}
+    dirty = {r["term"]: r["beta"]
+             for r in ols_fit(noisy, "embedding", "y").collect()}
+    assert clean == dirty
+
+    # --- constant target: SST = 0 -> NULL r2 (never a division trap)
+    const = spark.createDataFrame(
+        [([float(i)], 4.0) for i in range(5)],
+        "embedding array<double>, y double")
+    r = ols_fit(const, "embedding", "y").collect()[0]
+    assert r["r2"] is None
