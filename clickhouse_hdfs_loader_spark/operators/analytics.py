@@ -1310,3 +1310,115 @@ def cohort_overlap(df: DataFrame, group_col: str,
                 "(overlap_cnt * 10000) div (n_a + n_b - overlap_cnt)"))
             .select("g_a", "g_b", "n_a", "n_b", "overlap_cnt",
                     "jaccard_e4"))
+
+
+def histogram_equi_depth(df: DataFrame, group_col: str, value_col: str,
+                         buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-count) histogram per group — the profiler
+    companion to :func:`histogram_fixed`'s equi-width bins and the
+    standard input to range-partitioning decisions: bucket boundaries
+    adapt to the data, so every bar holds ~n/buckets rows however
+    skewed the distribution.
+
+    Deterministic by RANK, not by value boundaries: a row's bucket is
+    ``min(buckets−1, ((rank−1)·buckets) div n)`` over the milli-
+    quantized sort — a pure function of the sorted position, so bucket
+    COUNTS are exact integers on any engine, and each bucket's lo/hi
+    are values AT fixed rank ranges (well-defined under ties even
+    though row_number's choice among equal values isn't — the
+    exact_quantiles stance). Never ntile(): engines distribute its
+    remainder differently; this formula is the contract. Value ties
+    straddling a rank boundary land in different buckets by design
+    (equal COUNT is the invariant equi-depth promises, not distinct
+    boundaries — duplicate-heavy data can repeat lo/hi across buckets).
+
+    Scale: one shuffle on the group key, one rank window, one
+    map-side-combinable aggregate; output is |groups|·buckets rows.
+    NULL/NaN/±Inf rows are excluded (mirror in twins).
+
+    Returns ``group, bucket, cnt, lo_milli, hi_milli``."""
+    from pyspark.sql import Window
+
+    if int(buckets) < 1:
+        raise ValueError(
+            f"histogram_equi_depth: buckets must be >= 1, got {buckets}")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    w = Window.partitionBy(group_col).orderBy("_vm")
+    wall = Window.partitionBy(group_col)
+    b = int(buckets)
+    return (df.where(_quantizable_col(value_col))
+            .select(F.col(group_col), vm.alias("_vm"))
+            .withColumn("_rn", F.row_number().over(w).cast("long"))
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .withColumn("bucket", F.least(
+                F.lit(b - 1).cast("long"),
+                F.expr(f"((_rn - 1) * {b}) div _n")))
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min("_vm").alias("lo_milli"),
+                 F.max("_vm").alias("hi_milli")))
+
+
+def cusum_changepoint(df: DataFrame, group_col: str = "event_type",
+                      ts_col: str = "ts", value_col: str = "value",
+                      id_col: str = "event_id") -> DataFrame:
+    """CUSUM change-point screen per group (Page 1954, public
+    semantics): the running sum of deviations from the group mean,
+    whose extreme |S| marks the most likely level-shift point — the
+    standard drift detector for pipeline metrics (did this source's
+    quality score shift mid-corpus?).
+
+    INTEGER-EXACT via n-scaling (no mean division ever happens):
+    with ``vm = floor(value·1000)`` ordered by ``(ts, id)``,
+
+        S_k · n = n·prefix_k − k·Σvm        (pure int64)
+
+    so s_max/s_min/argmax are exact on both engines. The change point
+    reports the EARLIEST position attaining ``max |S·n|`` (ties break
+    on the (ts, id) order — id must make the ordering unique, the
+    asof/EMA stance). Overflow: |n·prefix| ≤ n²·max|vm| — raise the
+    quantization or shard beyond ~2·10⁶ rows·milli-units per group
+    (ANSI raises loudly, never wraps).
+
+    Scale: one shuffle on the group key, two ordered windows over the
+    same sort, one whole-partition max, one aggregate. NULL ts and
+    NULL/NaN/±Inf values are excluded (mirror in twins).
+
+    Returns ``group, n, sum_milli, s_n_max, s_n_min, cp_pos,
+    cp_ts_us`` (s_n_* in n-scaled milli-units; cp_pos is the
+    1-indexed rank of the extreme; cp_ts_us its epoch microseconds)."""
+    from pyspark.sql import Window
+
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    w = Window.partitionBy("_g").orderBy("_us", "_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("_g")
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    F.col(id_col).alias("_id"), vm.alias("_vm")))
+    cur = (base
+           .withColumn("_k", F.row_number().over(w).cast("long"))
+           .withColumn("_pre", F.sum("_vm").over(wcum))
+           .withColumn("_n", F.count(F.lit(1)).over(wall))
+           .withColumn("_tot", F.sum("_vm").over(wall))
+           .withColumn("_s", F.col("_n") * F.col("_pre")
+                       - F.col("_k") * F.col("_tot"))
+           .withColumn("_amax", F.max(F.abs(F.col("_s"))).over(wall)))
+    # the earliest extreme folds into the SAME aggregate as the sums —
+    # min over struct(_k, _us) is deterministic because _k is unique
+    # per group (never min_by, whose tie pick is engine-arbitrary; a
+    # filter+join formulation would re-plan the windowed subtree on
+    # both join sides, the r7 bloom hazard)
+    agg = (cur.groupBy("_g")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.max("_tot").alias("sum_milli"),
+                F.max("_s").alias("s_n_max"),
+                F.min("_s").alias("s_n_min"),
+                F.min(F.when(F.abs(F.col("_s")) == F.col("_amax"),
+                             F.struct("_k", "_us"))).alias("_cp")))
+    return agg.select(F.col("_g").alias(group_col), "n", "sum_milli",
+                      "s_n_max", "s_n_min",
+                      F.col("_cp._k").alias("cp_pos"),
+                      F.col("_cp._us").alias("cp_ts_us"))

@@ -387,3 +387,48 @@ def ols_fit(df: DataFrame, vec_col: str = "embedding",
     return spark.createDataFrame(
         [(term, v, n, r2) for term, v in out],
         "term int, beta double, n long, r2 double")
+
+
+def feature_hashing(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", dims: int = 1024,
+                    signed: bool = True) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009 — the
+    fixed-dimension, vocabulary-free featurizer classifiers run over a
+    corpus): token → ``dim = pmod(xxhash64(token), dims)``, with the
+    signed variant drawing a ±1 from an independent chained hash
+    (``xxhash64(token, 1)``) so collisions cancel in expectation
+    instead of biasing counts upward.
+
+    Emitted as scalar ``(doc, dim, weight)`` SPARSE rows — never an
+    array column (the r11 non-scalar tripwire), and sparse is the
+    honest representation at dims ≫ tokens-per-doc. Exact integers end
+    to end; engine-pinned the loader-golden way: Spark's ``xxhash64``
+    on a string is XXH64(UTF-8 bytes, seed 42), and the chained form
+    appends the int32's 4 LE bytes with the running hash as seed — the
+    spec-written Python model in tests/test_loader_golden.py replays
+    every row Spark-free.
+
+    Scale: one token explode + one (doc, dim) count shuffle — the
+    contamination_check shape; output bounded by distinct (doc, dim)
+    pairs. NULL texts and NULL ids drop out (mirror in twins).
+
+    Returns ``id, dim, weight``."""
+    from ..functions.text import words_array
+
+    if int(dims) < 1:
+        raise ValueError(
+            f"feature_hashing: dims must be >= 1, got {dims}")
+    toks = (docs.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col),
+                    F.explode(words_array(F.col(text_col)))
+                    .alias("_w")))
+    dim = F.pmod(F.xxhash64(F.col("_w")), F.lit(int(dims))).cast("int")
+    if signed:
+        s = (F.when(F.pmod(F.xxhash64(F.col("_w"), F.lit(1)),
+                           F.lit(2)) == 0,
+                    F.lit(1)).otherwise(F.lit(-1))).cast("long")
+    else:
+        s = F.lit(1).cast("long")
+    return (toks.select(F.col(id_col), dim.alias("dim"), s.alias("_s"))
+            .groupBy(id_col, "dim")
+            .agg(F.sum("_s").alias("weight")))

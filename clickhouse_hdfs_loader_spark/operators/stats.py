@@ -1366,3 +1366,43 @@ KENDALL_TAU_SQL = (
     " / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE)))"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
     " / CAST(10000 AS DOUBLE) END")
+
+
+def group_array_intersect(df: DataFrame, group_col: str,
+                          arr_col: str) -> DataFrame:
+    """ClickHouse ``groupArrayIntersect``: per group, the elements
+    present in EVERY row's array — "which event types does every user
+    in this cohort share?". Emitted as scalar ``(group, elem)`` ROWS,
+    never an array column (the r11 non-scalar-output tripwire); a
+    group whose intersection is empty yields no rows by definition.
+
+    ONE scan: the group's row total is a count window BEFORE the
+    explode (an O(1) buffer — never a collected id set), then
+    ``array_distinct`` per row (within-row multiplicity must not
+    double-count) explodes so each row contributes an element AT MOST
+    once — an element intersects iff its count equals the row total.
+    EMPTY arrays stay in the denominator (explode drops their rows,
+    but the pre-explode count already holds them, so they force an
+    empty intersection — exactly ClickHouse's semantics); NULL arrays
+    are EXCLUDED up-front (the repo NULL stance; mirror the WHERE in
+    twins).
+
+    Scale: one group-keyed count window + one explode + one
+    (group, elem) count shuffle; output bounded by |intersection| per
+    group.
+
+    Returns ``group, elem, rows`` (rows = the group's row count, for
+    auditability)."""
+    wall = Window.partitionBy("_g")
+    base = (df.where(F.col(arr_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(arr_col).alias("_arr"))
+            .withColumn("rows", F.count(F.lit(1)).over(wall))
+            .select("_g", "rows",
+                    F.explode(F.array_distinct(F.col("_arr")))
+                    .alias("elem")))
+    per_elem = (base.groupBy("_g", "elem")
+                .agg(F.count(F.lit(1)).alias("_c"),
+                     F.max("rows").alias("rows")))
+    return (per_elem.where(F.col("_c") == F.col("rows"))
+            .select(F.col("_g").alias(group_col), "elem", "rows"))

@@ -5647,9 +5647,16 @@ def ema_summary(spark, sf_dir):
 #        against the mutual_information oracle like stream_entropy;
 #        pmi_collocations — corpus.py, milli-log2 integer with a
 #        TakeOrderedAndProject top-k (oracle at
-#        tests/test_llm_operators.py); other oracles at
-#        tests/test_stats_operators.py +
-#        tests/test_dispersion_operators.py; ols_fit stays
+#        tests/test_llm_operators.py); histogram_equi_depth /
+#        cusum_changepoint — analytics.py, rank-formula buckets and
+#        n-scaled integer CUSUM, both single-scan;
+#        group_array_intersect — stats.py, scalar-row output;
+#        benford_deviation — dispersion.py, BENFORD_P_E6 shared
+#        literals; trimmed_mean / robust_scale — dispersion.py,
+#        rank-exact; other oracles at tests/test_stats_operators.py +
+#        tests/test_dispersion_operators.py; feature_hashing —
+#        features.py, XXH64-golden-pinned (grade rows-only or via a
+#        pinned-literal checksum golden); ols_fit stays
 #        replay-pinned by design — LAPACK-solve ulps, the pca_whiten
 #        rationale — with the bitwise replay at
 #        tests/test_whitening.py);

@@ -63,7 +63,13 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.corpus import (
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        cohort_overlap)
+        cohort_overlap, cusum_changepoint, histogram_equi_depth)
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        group_array_intersect)
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        benford_deviation, robust_scale, trimmed_mean)
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        feature_hashing)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -150,6 +156,18 @@ def _operator_picks(spark, sf):
             ev, "event_type", "user_id"),
         "zipf_fit": zipf_fit(ev, "event_type", "user_id"),
         "pmi_collocations": pmi_collocations(docs, min_count=5, k=15),
+        "histogram_equi_depth": histogram_equi_depth(
+            ev, "event_type", "value", buckets=7),
+        "cusum_changepoint": cusum_changepoint(ev),
+        "group_array_intersect": group_array_intersect(
+            binned.groupBy("event_type", "user_id")
+            .agg(F.sort_array(F.collect_set("xbin")).alias("arr")),
+            "event_type", "arr"),
+        "benford_deviation": benford_deviation(ev, "event_type",
+                                               "value"),
+        "trimmed_mean": trimmed_mean(ev, "event_type", "value"),
+        "robust_scale": robust_scale(ev, "event_type", "value"),
+        "feature_hashing": feature_hashing(docs, dims=64),
         "cohort_overlap": cohort_overlap(ev, "event_type", "user_id"),
         "gini_coefficient": gini_coefficient(ev, "event_type", "value"),
         "mad_outliers": mad_outliers(ev, "event_type", "value"),

@@ -297,3 +297,297 @@ def test_cohort_overlap_oracle_and_hand_cases(spark, sf_dir):
     # a single group yields an EMPTY matrix (no pairs), not a crash
     single = spark.createDataFrame([("Z", 1)], "g string, uid long")
     assert cohort_overlap(single, "g", "uid").count() == 0
+
+
+def test_histogram_equi_depth_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        histogram_equi_depth)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, histogram_equi_depth(
+        ev, "event_type", "value", buckets=7).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        r AS (SELECT g, vm,
+                     CAST(row_number() OVER (PARTITION BY g
+                       ORDER BY vm) AS BIGINT) AS rn,
+                     CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                       AS n
+              FROM v)
+        SELECT g AS event_type,
+               CAST(CASE WHEN ((rn - 1) * 7) // n < 6
+                    THEN ((rn - 1) * 7) // n ELSE 6 END AS BIGINT)
+                 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(vm) AS BIGINT) AS lo_milli,
+               CAST(max(vm) AS BIGINT) AS hi_milli
+        FROM r GROUP BY 1, 2
+    """).fetchall()))
+    assert got == want and len(got) == 35   # 5 groups x 7 buckets
+    # equi-depth invariant: per-group bucket counts differ by <= 1
+    from collections import defaultdict
+    per_g = defaultdict(list)
+    for g, _b, cnt, _lo, _hi in got:
+        per_g[g].append(cnt)
+    assert all(max(c) - min(c) <= 1 for c in per_g.values())
+
+    # hand case: ranks 1..8 into 3 buckets -> 3/3/2 by the div formula
+    df = spark.createDataFrame([("g", float(i)) for i in range(1, 9)],
+                               "g string, v double")
+    rows = sorted(map(tuple, histogram_equi_depth(
+        df, "g", "v", buckets=3).collect()))
+    assert rows == [("g", 0, 3, 1000, 3000), ("g", 1, 3, 4000, 6000),
+                    ("g", 2, 2, 7000, 8000)]
+    # ties straddle rank boundaries by design: 4x the same value in 2
+    # buckets still counts 2/2 (count is the invariant, not boundaries)
+    tied = spark.createDataFrame([("g", 5.0)] * 4, "g string, v double")
+    rows = sorted(map(tuple, histogram_equi_depth(
+        tied, "g", "v", buckets=2).collect()))
+    assert rows == [("g", 0, 2, 5000, 5000), ("g", 1, 2, 5000, 5000)]
+    with pytest.raises(ValueError, match="buckets"):
+        histogram_equi_depth(tied, "g", "v", buckets=0)
+
+
+def test_cusum_changepoint_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        cusum_changepoint)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, cusum_changepoint(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g, epoch_us(ts) AS us,
+                          event_id AS id,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL),
+        c AS (SELECT g, us,
+                     CAST(row_number() OVER w AS BIGINT) AS k,
+                     CAST(sum(vm) OVER w AS BIGINT) AS pre,
+                     CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                       AS n,
+                     CAST(sum(vm) OVER (PARTITION BY g) AS BIGINT)
+                       AS tot
+              FROM v
+              WINDOW w AS (PARTITION BY g ORDER BY us, id
+                           ROWS UNBOUNDED PRECEDING)),
+        s AS (SELECT g, us, k, n, tot, n * pre - k * tot AS sn,
+                     max(abs(n * pre - k * tot))
+                       OVER (PARTITION BY g) AS amax
+              FROM c)
+        SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(tot) AS BIGINT) AS sum_milli,
+               CAST(max(sn) AS BIGINT) AS s_n_max,
+               CAST(min(sn) AS BIGINT) AS s_n_min,
+               CAST(min(CASE WHEN abs(sn) = amax THEN k END)
+                    AS BIGINT) AS cp_pos,
+               CAST(min(CASE WHEN abs(sn) = amax
+                    THEN struct_pack(k := k, us := us) END).us
+                    AS BIGINT) AS cp_ts_us
+        FROM s GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # hand case: a clean level shift 0,0,0 -> 10,10,10; the extreme
+    # |S| sits exactly at the last pre-shift point (k = 3)
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=i), "g",
+             0.0 if i <= 3 else 10.0) for i in range(1, 7)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, g string, value double")
+    r = cusum_changepoint(df, "g", "ts", "value", "event_id").collect()[0]
+    assert (r["n"], r["sum_milli"], r["s_n_max"], r["s_n_min"],
+            r["cp_pos"]) == (6, 30000, 0, -90000, 3)
+    # constant series: S == 0 everywhere, the earliest row is the
+    # (degenerate) change point
+    flat = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=i), "g", 5.0)
+         for i in range(1, 5)],
+        "event_id long, ts timestamp, g string, value double")
+    r = cusum_changepoint(flat, "g", "ts", "value",
+                          "event_id").collect()[0]
+    assert (r["s_n_max"], r["s_n_min"], r["cp_pos"]) == (0, 0, 1)
+
+
+def test_benford_deviation_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        BENFORD_P_E6, benford_deviation)
+
+    t_all = sum(BENFORD_P_E6)
+    p_cases = " ".join(
+        f"WHEN {d} THEN {p}"
+        for d, p in enumerate(BENFORD_P_E6, start=1))
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, benford_deviation(
+        ev, "event_type", "value").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        d AS (SELECT g, CAST(substr(CAST(abs(vm) AS VARCHAR), 1, 1)
+                             AS INT) AS dg
+              FROM v WHERE vm != 0),
+        c AS (SELECT g, dg, CAST(count(*) AS BIGINT) AS c,
+                     CAST(CASE dg {p_cases} END AS BIGINT) AS p
+              FROM d GROUP BY 1, 2),
+        w AS (SELECT g, dg, c, p,
+                     CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+              FROM c)
+        SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST((sum(abs(c * 1000000 - p * n))
+                     + ({t_all} - sum(p)) * max(n)) // max(n)
+                    AS BIGINT) AS dev_e6,
+               CAST(min(CASE WHEN c = (SELECT max(c2.c) FROM w c2
+                        WHERE c2.g = w.g) THEN dg END) AS INT)
+                 AS top_digit,
+               CAST(max(c) AS BIGINT) AS top_cnt
+        FROM w GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    def run(vals):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return benford_deviation(df, "g", "v").collect()[0]
+
+    # uniform digits 1..9: dev = Σ|1/9 − p_d| exactly, in the
+    # quantized contract's own units (re-derived from the literals)
+    r = run(range(1, 10))
+    expect = (sum(abs(9 * 1_000_000 // 9 - p * 9) for p in BENFORD_P_E6)
+              + 0) // 9
+    assert (r["n"], r["dev_e6"]) == (9, expect)
+    # all mass on digit 1: observed term |1e6 − p1| plus every
+    # missing digit's p_d — re-derived, not hardcoded
+    r = run([1.5, 100.0, 0.0195])
+    expect = (abs(3 * 1_000_000 - BENFORD_P_E6[0] * 3)
+              + (t_all - BENFORD_P_E6[0]) * 3) // 3
+    assert (r["n"], r["dev_e6"], r["top_digit"], r["top_cnt"]) == (
+        3, expect, 1, 3)
+    # zero values carry no leading digit and are excluded
+    assert run([0.0, 1.0])["n"] == 1
+    # top-digit ties break on the SMALLER digit
+    r = run([1.0, 2.0])
+    assert (r["top_digit"], r["top_cnt"]) == (1, 1)
+
+
+def test_trimmed_mean_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        trimmed_mean)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, trimmed_mean(
+        ev, "event_type", "value", trim_milli=100).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        r AS (SELECT g, vm,
+                     CAST(row_number() OVER (PARTITION BY g
+                       ORDER BY vm) AS BIGINT) AS rn,
+                     CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                       AS n
+              FROM v),
+        k AS (SELECT g, n, vm,
+                     rn > (n * 100) // 1000
+                     AND rn <= n - (n * 100) // 1000 AS keep
+              FROM r)
+        SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept,
+               CAST(sum(CASE WHEN keep THEN vm ELSE 0 END) AS BIGINT)
+                 AS sum_kept_milli,
+               CAST(sum(CASE WHEN keep THEN vm ELSE 0 END)
+                    // sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mean_milli
+        FROM k GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # robustness direction: trimming pulls the mean toward the median
+    # on the right-skewed fixture values (sanity, not a pin)
+
+    def run(vals, t=100):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return trimmed_mean(df, "g", "v", trim_milli=t).collect()[0]
+
+    # hand case: 0..9 trimmed 10% each side keeps ranks 2..9
+    r = run(range(10))
+    assert (r["n"], r["kept"], r["sum_kept_milli"], r["mean_milli"]) \
+        == (10, 8, 36000, 4500)
+    # trim 0 = plain truncated mean; outlier suppressed at 20%
+    assert run([1, 1, 1, 1000], t=0)["mean_milli"] == 250750
+    assert run([1, 1, 1, 1000], t=250)["mean_milli"] == 1000
+    # invalid trim raises before any job
+    with pytest.raises(ValueError, match="trim_milli"):
+        trimmed_mean(read_table(spark, sf_dir, "events"),
+                     "event_type", "value", trim_milli=500)
+
+
+def test_robust_scale_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        robust_scale)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, robust_scale(ev, "event_type", "value")
+                     .select("event_id", "scaled_milli").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_id, event_type AS g,
+                          CASE WHEN value IS NOT NULL
+                               AND isfinite(value)
+                          THEN CAST(floor(value * 1000) AS BIGINT)
+                          END AS vm
+                   FROM events),
+        r AS (SELECT event_id, g, vm,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY vm ASC NULLS LAST) AS rn,
+                     count(vm) OVER (PARTITION BY g) AS n
+              FROM v),
+        m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN vm END)
+                          OVER (PARTITION BY g) AS med
+              FROM r),
+        d AS (SELECT *, abs(vm - med) AS dev,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY abs(vm - med) ASC NULLS LAST) AS rd
+              FROM m),
+        md AS (SELECT *, max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+                           OVER (PARTITION BY g) AS mad
+               FROM d)
+        SELECT event_id,
+               CAST(CASE WHEN vm IS NULL OR mad IS NULL OR mad = 0
+                    THEN NULL
+                    ELSE ((vm - med) * 1000) // mad END AS BIGINT)
+                 AS scaled_milli
+        FROM md
+    """).fetchall()))
+    assert got == want and len(got) == 1000
+
+    # hand case: [1,2,3,100] -> med 2, MAD 1; the row set passes
+    # through intact with the appended column
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate([1, 2, 3, 100])],
+        "id long, g string, v double")
+    out = {r["id"]: r["scaled_milli"]
+           for r in robust_scale(df, "g", "v").collect()}
+    assert out == {0: -1000, 1: 0, 2: 1000, 3: 98000}
+    # constant-majority group: MAD = 0 -> NULL everywhere (never a
+    # division trap); non-finite rows pass through with NULL
+    deg = spark.createDataFrame(
+        [(0, "g", 5.0), (1, "g", 5.0), (2, "g", 9.0),
+         (3, "g", float("nan"))],
+        "id long, g string, v double")
+    out = {r["id"]: r["scaled_milli"]
+           for r in robust_scale(deg, "g", "v").collect()}
+    assert out == {0: None, 1: None, 2: None, 3: None}
+    mixed = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 2.0), (2, "g", 3.0),
+         (3, "g", float("nan"))],
+        "id long, g string, v double")
+    out = {r["id"]: r["scaled_milli"]
+           for r in robust_scale(mixed, "g", "v").collect()}
+    assert out == {0: -1000, 1: 0, 2: 1000, 3: None}

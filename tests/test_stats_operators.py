@@ -1528,3 +1528,63 @@ def test_stream_mutual_information_matches_batch_any_partition(
         assert got == one_shot
 
     check()
+
+
+def test_group_array_intersect_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        group_array_intersect)
+
+    # rows = a user-week's active DAYS, each carrying its distinct
+    # event-type array; intersection = the types hit on EVERY active
+    # day of the week (habitual actions) — genuinely varied on the
+    # fixtures (the per-user or per-day extremes are vacuous: 15 users
+    # all hit all 5 types; no user hits any type all 65 days)
+    ev = read_table(spark, sf_dir, "events")
+    week = F.pmod(F.expr(
+        "(unix_date(to_date(ts)) * CAST(86400 AS BIGINT)) div 604800"),
+        F.lit(100))
+    arr = (ev.where(F.col("user_id").isNotNull()
+                    & F.col("ts").isNotNull())
+           .withColumn("g", F.col("user_id") * 100 + week)
+           .groupBy("g", F.to_date("ts").alias("d"))
+           .agg(F.sort_array(F.collect_set("event_type"))
+                .alias("types")))
+    got = sorted(map(tuple, group_array_intersect(
+        arr, "g", "types").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH ud AS (SELECT user_id * 100
+                           + (CAST(epoch(CAST(ts AS DATE)) AS BIGINT)
+                              // 604800) % 100 AS g,
+                           CAST(ts AS DATE) AS d, event_type
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    GROUP BY 1, 2, 3),
+        days AS (SELECT g, CAST(count(DISTINCT d) AS BIGINT) AS rows
+                 FROM ud GROUP BY 1),
+        pe AS (SELECT g, event_type AS elem,
+                      CAST(count(DISTINCT d) AS BIGINT) AS c
+               FROM ud GROUP BY 1, 2)
+        SELECT g, elem, rows FROM pe JOIN days USING (g)
+        WHERE c = rows
+    """).fetchall()))
+    # 8 intersect rows over ~400 user-week groups at sf0.001 — most
+    # weeks have NO every-day type (non-vacuous in both directions)
+    assert got == want and len(got) >= 5
+    assert len({g for g, _e, _r in got}) < arr.select("g").distinct().count()
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, a array<string>")
+        return sorted(map(tuple, group_array_intersect(
+            df, "g", "a").collect()))
+
+    # shared element survives; within-row duplicates count once
+    assert run([("g", ["a", "b", "b"]), ("g", ["b", "c"])]) == [
+        ("g", "b", 2)]
+    # an EMPTY array forces an empty intersection (it is a row)
+    assert run([("g", ["a"]), ("g", ["a", "b"]), ("g", [])]) == []
+    # a NULL array is excluded entirely (the repo NULL stance)
+    assert run([("g", ["a"]), ("g", None)]) == [("g", "a", 1)]
+    # disjoint rows -> empty; single row -> its own distinct set
+    assert run([("g", ["a"]), ("g", ["b"])]) == []
+    assert run([("g", ["x", "y", "x"])]) == [("g", "x", 1),
+                                             ("g", "y", 1)]

@@ -250,3 +250,61 @@ def test_ols_fit_bitwise_replay_and_contracts(spark, sf_dir):
         "embedding array<double>, y double")
     r = ols_fit(const, "embedding", "y").collect()[0]
     assert r["r2"] is None
+
+
+def test_feature_hashing_golden_replay_and_contracts(spark, sf_dir):
+    """feature_hashing: every (doc, dim, weight) row re-derived
+    Spark-free — duckdb parquet read + the same tokenizer regex + the
+    spec-written XXH64 model (chained for the sign hash, the
+    multi-arg golden recipe) — plus the signed/unsigned and bounds
+    contracts."""
+    import re
+    import struct
+
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        feature_hashing)
+    from tests.test_loader_golden import xxh64
+
+    DIMS = 64
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(map(tuple, feature_hashing(
+        docs, dims=DIMS).collect()))
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id IS NOT NULL").fetchall()
+    expect: dict = {}
+    for did, text in rows:
+        for w in re.split(r"[^a-z0-9]+", (text or "").lower()):
+            if not w:
+                continue
+            h = xxh64(w.encode("utf-8"), 42)
+            # Spark's pmod on the SIGNED 64-bit hash value
+            signed_h = h - (1 << 64) if h >= (1 << 63) else h
+            dim = signed_h % DIMS
+            s2 = xxh64(struct.pack("<i", 1), h)
+            sign = 1 if s2 % 2 == 0 else -1
+            key = (did, dim)
+            expect[key] = expect.get(key, 0) + sign
+    want = sorted((d, dim, w) for (d, dim), w in expect.items())
+    assert got == want and len(got) > 0
+
+    # unsigned mode counts plain occurrences: per-doc weight sums to
+    # the doc's token count (signed weights cancel instead)
+    uns = feature_hashing(docs, dims=DIMS, signed=False)
+    per_doc = {r["doc_id"]: r["tot"] for r in
+               uns.groupBy("doc_id")
+               .agg(F.sum("weight").alias("tot")).collect()}
+    toks = {did: len([w for w in
+                      re.split(r"[^a-z0-9]+", (t or "").lower()) if w])
+            for did, t in rows}
+    assert per_doc == {d: t for d, t in toks.items() if t > 0}
+    # dims bound holds on every row
+    assert uns.where((F.col("dim") < 0)
+                     | (F.col("dim") >= DIMS)).count() == 0
+    # deterministic: same input, same rows (hash, not rand)
+    again = sorted(map(tuple, feature_hashing(
+        docs, dims=DIMS).collect()))
+    assert again == got
+    with pytest.raises(ValueError, match="dims"):
+        feature_hashing(docs, dims=0)
