@@ -1393,8 +1393,12 @@ def cusum_changepoint(df: DataFrame, group_col: str = "event_type",
     w = Window.partitionBy("_g").orderBy("_us", "_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy("_g")
+    # NULL ids would sort NULLS FIRST here and NULLS LAST in a SQL
+    # twin (the r9 window-ordered-oracle divergence class) — exclude
+    # them on both sides
     base = (df.where(_quantizable_col(value_col)
-                     & F.col(ts_col).isNotNull())
+                     & F.col(ts_col).isNotNull()
+                     & F.col(id_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.unix_micros(F.col(ts_col)).alias("_us"),
                     F.col(id_col).alias("_id"), vm.alias("_vm")))

@@ -315,38 +315,51 @@ def robust_scale(df: DataFrame, group_col: str, value_col: str,
     (whole-partition conditional maxima over the sorted partition —
     no median join re-planning the source); the input row set passes
     through unchanged except the appended column, excluded rows
-    (NULL/NaN/±Inf values) carrying NULL.
+    (NULL/NaN/±Inf values) carrying NULL. All working columns are
+    ``_rs_``-prefixed and that prefix is RESERVED (a caller column
+    named ``_rs_*`` or ``out_col`` would be silently overwritten —
+    raise instead; review-caught: the first cut used bare
+    ``median_milli``/``_dev`` names that clobbered same-named caller
+    columns, plausibly fed back from mad_outliers itself).
 
     Scale: one shuffle on the group key, two sorts of the same
     partition. Returns the input columns + ``out_col``."""
+    clash = [c for c in df.columns
+             if c.lower().startswith("_rs_") or c == out_col]
+    if clash:
+        raise ValueError(
+            f"robust_scale: input columns {clash} collide with the "
+            f"reserved _rs_ working prefix / out_col")
     vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
-    wall = Window.partitionBy("_g")
-    pos = F.floor((F.col("_n") + 1) / 2)
-    base = (df.withColumn("_ok", _quantizable_col(value_col))
-            .withColumn("_g", F.col(group_col))
-            .withColumn("_vm", F.when(F.col("_ok"), vm)))
-    # excluded rows sort NULLS FIRST in the _vm window; ranks for the
-    # median positions must count only the quantizable rows, so rank
-    # over a NULL-last key and size the window on the finite count
+    wall = Window.partitionBy("_rs_g")
+    pos = F.floor((F.col("_rs_n") + 1) / 2)
+    base = (df.withColumn("_rs_g", F.col(group_col))
+            .withColumn("_rs_vm",
+                        F.when(_quantizable_col(value_col), vm)))
+    # excluded rows sort NULLS FIRST in the value window; ranks for
+    # the median positions must count only the quantizable rows, so
+    # rank over a NULL-last key and size the window on the finite
+    # count
     d = (base
-         .withColumn("_rn", F.row_number().over(
-             Window.partitionBy("_g").orderBy(
-                 F.col("_vm").asc_nulls_last())))
-         .withColumn("_n", F.count("_vm").over(wall))
-         .withColumn("median_milli",
-                     F.max(F.when(F.col("_rn") == pos, F.col("_vm")))
-                     .over(wall))
-         .withColumn("_dev", F.abs(F.col("_vm")
-                                   - F.col("median_milli")))
-         .withColumn("_rd", F.row_number().over(
-             Window.partitionBy("_g").orderBy(
-                 F.col("_dev").asc_nulls_last())))
-         .withColumn("_mad",
-                     F.max(F.when(F.col("_rd") == pos, F.col("_dev")))
-                     .over(wall)))
+         .withColumn("_rs_rn", F.row_number().over(
+             Window.partitionBy("_rs_g").orderBy(
+                 F.col("_rs_vm").asc_nulls_last())))
+         .withColumn("_rs_n", F.count("_rs_vm").over(wall))
+         .withColumn("_rs_med",
+                     F.max(F.when(F.col("_rs_rn") == pos,
+                                  F.col("_rs_vm"))).over(wall))
+         .withColumn("_rs_dev", F.abs(F.col("_rs_vm")
+                                      - F.col("_rs_med")))
+         .withColumn("_rs_rd", F.row_number().over(
+             Window.partitionBy("_rs_g").orderBy(
+                 F.col("_rs_dev").asc_nulls_last())))
+         .withColumn("_rs_mad",
+                     F.max(F.when(F.col("_rs_rd") == pos,
+                                  F.col("_rs_dev"))).over(wall)))
     scaled = F.expr(
-        "CASE WHEN _vm IS NULL OR _mad IS NULL OR _mad = 0 THEN NULL "
-        "ELSE ((_vm - median_milli) * 1000) div _mad END")
+        "CASE WHEN _rs_vm IS NULL OR _rs_mad IS NULL OR _rs_mad = 0 "
+        "THEN NULL "
+        "ELSE ((_rs_vm - _rs_med) * 1000) div _rs_mad END")
     return (d.withColumn(out_col, scaled)
-            .drop("_g", "_ok", "_vm", "_rn", "_n", "median_milli",
-                  "_dev", "_rd", "_mad"))
+            .drop("_rs_g", "_rs_vm", "_rs_rn", "_rs_n", "_rs_med",
+                  "_rs_dev", "_rs_rd", "_rs_mad"))

@@ -1304,9 +1304,15 @@ def kendall_tau(df: DataFrame, group_col: str, x_col: str,
     sequence. Every count is a pure integer both engines replay; only
     the final τ is float (NULL when either column is constant).
 
-    Both columns milli-quantize first (order- and tie-preserving on
-    integers and on floats alike — τ only reads the ordering);
-    NULL/NaN/±Inf in EITHER column drops the row on both sides.
+    Both columns milli-quantize first — order-preserving always, and
+    tie-EXACT on values spaced ≥ 1 milli apart; closer floats MERGE
+    into manufactured ties, so the CONTRACT is τ of the QUANTIZED
+    data (the repo stance — the twin mirrors the quantization;
+    re-scale upstream if sub-milli resolution matters). NULL/NaN/±Inf
+    in EITHER column drops the row on both sides, and NULL GROUP keys
+    are excluded up-front (a NULL numeric key round-trips through
+    Arrow as NaN into the long output schema — the r9 mapInPandas
+    class; mirror the WHERE in twins).
 
     Plan: ONE applyInPandas over the group key — the whole-group
     in-memory contract (the EMA/LTTB stance: inversion counting needs
@@ -1323,7 +1329,8 @@ def kendall_tau(df: DataFrame, group_col: str, x_col: str,
     g_ddl = df.schema[group_col].dataType.simpleString()
     qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
     qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
-    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col))
+    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col)
+                     & F.col(group_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     qx.alias("_x"), qy.alias("_y")))
 

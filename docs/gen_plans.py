@@ -54,20 +54,17 @@ def _operator_picks(spark, sf):
         anova_f, arg_min_max_by_group, avg_weighted, categorical_iv,
         cramers_v, cramers_v_bias_corrected,
         exponential_moving_average, group_array_sorted,
-        group_bit_aggregate, kendall_tau, ks_test, mann_whitney_u,
-        map_aggregate, mean_z_test, mutual_information, pearson_corr,
-        rank_corr, rrf_fuse, skew_kurt, student_ttest, theils_u,
-        welch_ttest)
+        group_array_intersect, group_bit_aggregate, kendall_tau,
+        ks_test, mann_whitney_u, map_aggregate, mean_z_test,
+        mutual_information, pearson_corr, rank_corr, rrf_fuse,
+        skew_kurt, student_ttest, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
-        gini_coefficient, mad_outliers, simpson_diversity)
+        benford_deviation, gini_coefficient, mad_outliers,
+        robust_scale, simpson_diversity, trimmed_mean)
     from clickhouse_hdfs_loader_spark.operators.corpus import (
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cohort_overlap, cusum_changepoint, histogram_equi_depth)
-    from clickhouse_hdfs_loader_spark.operators.stats import (
-        group_array_intersect)
-    from clickhouse_hdfs_loader_spark.operators.dispersion import (
-        benford_deviation, robust_scale, trimmed_mean)
     from clickhouse_hdfs_loader_spark.operators.features import (
         feature_hashing)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table

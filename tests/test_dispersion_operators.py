@@ -26,14 +26,24 @@ def _duck(sf_dir):
     return con
 
 
+def _ev(spark, sf_dir):
+    """The promotion-ready grading input: NULL group keys excluded on
+    BOTH sides even though today's fixtures have none (the r9 fixture-
+    drift stance — Spark and DuckDB disagree on NULL-key join/sort
+    placement, and every twin below mirrors this WHERE)."""
+    return (read_table(spark, sf_dir, "events")
+            .where(F.col("event_type").isNotNull()))
+
+
 def test_simpson_diversity_oracle_and_hand_cases(spark, sf_dir):
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, simpson_diversity(
         ev, "event_type", "user_id").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH c AS (SELECT event_type AS g, user_id AS v,
                           CAST(count(*) AS BIGINT) AS c
                    FROM events WHERE user_id IS NOT NULL
+                     AND event_type IS NOT NULL
                    GROUP BY 1, 2),
         a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
                      CAST(count(*) AS BIGINT) AS k,
@@ -73,14 +83,15 @@ def test_simpson_diversity_oracle_and_hand_cases(spark, sf_dir):
 
 
 def test_gini_coefficient_oracle_and_hand_cases(spark, sf_dir):
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, gini_coefficient(
         ev, "event_type", "value").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH v AS (SELECT event_type AS g,
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
         r AS (SELECT g, vm,
                      CAST(row_number() OVER (PARTITION BY g
                        ORDER BY vm) AS BIGINT) AS i
@@ -125,14 +136,15 @@ def test_gini_coefficient_oracle_and_hand_cases(spark, sf_dir):
 
 
 def test_mad_outliers_oracle_and_hand_cases(spark, sf_dir):
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, mad_outliers(
         ev, "event_type", "value", k=3).collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH v AS (SELECT event_type AS g,
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
         m AS (SELECT g, vm AS med FROM (
                 SELECT g, vm,
                        row_number() OVER (PARTITION BY g ORDER BY vm)
@@ -194,13 +206,14 @@ def test_zipf_fit_oracle_and_hand_cases(spark, sf_dir):
 
     # term = user activity (user_id) per event_type: a genuinely
     # skewed frequency table that exercises ranks, ties, and both logs
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, zipf_fit(
         ev, "event_type", "user_id").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute(f"""
         WITH c AS (SELECT event_type AS g, user_id AS t,
                           CAST(count(*) AS BIGINT) AS c
                    FROM events WHERE user_id IS NOT NULL
+                     AND event_type IS NOT NULL
                    GROUP BY 1, 2),
         r AS (SELECT g, c,
                      CAST(row_number() OVER (PARTITION BY g
@@ -254,7 +267,7 @@ def test_cohort_overlap_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cohort_overlap)
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, cohort_overlap(
         ev, "event_type", "user_id").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
@@ -303,14 +316,15 @@ def test_histogram_equi_depth_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         histogram_equi_depth)
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, histogram_equi_depth(
         ev, "event_type", "value", buckets=7).collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH v AS (SELECT event_type AS g,
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
         r AS (SELECT g, vm,
                      CAST(row_number() OVER (PARTITION BY g
                        ORDER BY vm) AS BIGINT) AS rn,
@@ -355,7 +369,7 @@ def test_cusum_changepoint_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cusum_changepoint)
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, cusum_changepoint(ev).collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH v AS (SELECT event_type AS g, epoch_us(ts) AS us,
@@ -363,7 +377,8 @@ def test_cusum_changepoint_oracle_and_hand_cases(spark, sf_dir):
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
                    WHERE value IS NOT NULL AND isfinite(value)
-                     AND ts IS NOT NULL),
+                     AND ts IS NOT NULL AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
         c AS (SELECT g, us,
                      CAST(row_number() OVER w AS BIGINT) AS k,
                      CAST(sum(vm) OVER w AS BIGINT) AS pre,
@@ -421,14 +436,15 @@ def test_benford_deviation_oracle_and_hand_cases(spark, sf_dir):
     p_cases = " ".join(
         f"WHEN {d} THEN {p}"
         for d, p in enumerate(BENFORD_P_E6, start=1))
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, benford_deviation(
         ev, "event_type", "value").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute(f"""
         WITH v AS (SELECT event_type AS g,
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
         d AS (SELECT g, CAST(substr(CAST(abs(vm) AS VARCHAR), 1, 1)
                              AS INT) AS dg
               FROM v WHERE vm != 0),
@@ -479,14 +495,15 @@ def test_trimmed_mean_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         trimmed_mean)
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, trimmed_mean(
         ev, "event_type", "value", trim_milli=100).collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH v AS (SELECT event_type AS g,
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
-                   WHERE value IS NOT NULL AND isfinite(value)),
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
         r AS (SELECT g, vm,
                      CAST(row_number() OVER (PARTITION BY g
                        ORDER BY vm) AS BIGINT) AS rn,
@@ -533,7 +550,7 @@ def test_robust_scale_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         robust_scale)
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, robust_scale(ev, "event_type", "value")
                      .select("event_id", "scaled_milli").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
@@ -542,7 +559,7 @@ def test_robust_scale_oracle_and_hand_cases(spark, sf_dir):
                                AND isfinite(value)
                           THEN CAST(floor(value * 1000) AS BIGINT)
                           END AS vm
-                   FROM events),
+                   FROM events WHERE event_type IS NOT NULL),
         r AS (SELECT event_id, g, vm,
                      row_number() OVER (PARTITION BY g
                        ORDER BY vm ASC NULLS LAST) AS rn,

@@ -1376,7 +1376,12 @@ def test_strict_inversions_hypothesis():
 def test_kendall_tau_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import kendall_tau
 
-    ev = read_table(spark, sf_dir, "events")
+    # NULL group keys are excluded by the operator itself; NULL ids
+    # must be excluded HERE because the twin's pair join (a.id < b.id)
+    # silently forms no pairs for them while the operator (which never
+    # reads the id) would count the row — the review-caught drift class
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull()))
     got = sorted(map(tuple, kendall_tau(
         ev, "event_type", "value", "user_id").collect()))
     # the literal O(n²) pair self-join — exactly the definition the
@@ -1389,7 +1394,9 @@ def test_kendall_tau_oracle_and_hand_cases(spark, sf_dir):
                                AS BIGINT) AS y
                    FROM events
                    WHERE value IS NOT NULL AND isfinite(value)
-                     AND user_id IS NOT NULL),
+                     AND user_id IS NOT NULL
+                     AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
         n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v
               GROUP BY 1),
         p AS (SELECT a.g,
@@ -1558,6 +1565,9 @@ def test_group_array_intersect_oracle_and_hand_cases(spark, sf_dir):
                            CAST(ts AS DATE) AS d, event_type
                     FROM events
                     WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      -- collect_set silently drops NULL elements on
+                      -- the Spark side; mirror it (review-caught)
+                      AND event_type IS NOT NULL
                     GROUP BY 1, 2, 3),
         days AS (SELECT g, CAST(count(DISTINCT d) AS BIGINT) AS rows
                  FROM ud GROUP BY 1),
