@@ -1426,3 +1426,64 @@ def cusum_changepoint(df: DataFrame, group_col: str = "event_type",
                       "s_n_max", "s_n_min",
                       F.col("_cp._k").alias("cp_pos"),
                       F.col("_cp._us").alias("cp_ts_us"))
+
+
+def quantile_update(state_counts: "DataFrame | None", batch: DataFrame,
+                    group_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Incremental EXACT-quantile maintenance (the entropy_update
+    shape): fold one micro-batch into the ``(group, vm, c)``
+    milli-quantized value-count state and return the new state. Counts
+    are a commutative int-sum monoid, so folding ANY partition of the
+    data in ANY order equals the one-shot computation; state is
+    |distinct (group, value)| rows — the exact-quantile sibling of the
+    approx sketches, affordable whenever the value domain is bounded
+    (quantized metrics, scores, durations).
+
+    NULL group keys and NULL/NaN/±Inf values are excluded (the repo
+    stance; mirror in twins)."""
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    b = (batch.where(_quantizable_col(value_col)
+                     & F.col(group_col).isNotNull())
+         .select(F.col(group_col), vm.alias("vm"))
+         .groupBy(group_col, "vm")
+         .agg(F.count(F.lit(1)).alias("c")))
+    if state_counts is not None:
+        b = (state_counts.unionByName(b)
+             .groupBy(group_col, "vm")
+             .agg(F.sum("c").alias("c")))
+    return b
+
+
+def quantiles_from_state(state_counts: DataFrame,
+                         group_col: str = "event_type",
+                         qs_milli: "tuple[int, ...]" = (250, 500, 750),
+                         ) -> DataFrame:
+    """Exact per-group LOWER quantiles derived purely from the
+    maintained value-count state (raw rows never rescanned): the value
+    at sorted position ``max(1, ceil(n·q/1000))`` is the SMALLEST
+    carried value whose cumulative count reaches the position —
+    identical to :func:`exact_quantiles_by_group` on the underlying
+    rows by construction (position arithmetic over the same sorted
+    multiset), pinned by test.
+
+    Plan: one cumulative window + one min-per-quantile aggregate over
+    the |distinct values| state table — never row-scale.
+
+    Returns ``group, q_milli, q_value_milli``."""
+    from pyspark.sql import Window
+
+    wcum = (Window.partitionBy(group_col).orderBy("vm")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy(group_col)
+    qarr = F.array(*[F.lit(int(q)) for q in qs_milli])
+    return (state_counts
+            .withColumn("_cum", F.sum("c").over(wcum))
+            .withColumn("_n", F.sum("c").over(wall))
+            .withColumn("q_milli", F.explode(qarr))
+            .withColumn("_pos", F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(_n * q_milli + 999) div 1000")))
+            .where(F.col("_cum") >= F.col("_pos"))
+            .groupBy(group_col, "q_milli")
+            .agg(F.min("vm").alias("q_value_milli")))

@@ -363,3 +363,70 @@ def robust_scale(df: DataFrame, group_col: str, value_col: str,
     return (d.withColumn(out_col, scaled)
             .drop("_rs_g", "_rs_vm", "_rs_rn", "_rs_n", "_rs_med",
                   "_rs_dev", "_rs_rd", "_rs_mad"))
+
+
+def psi_drift(df: DataFrame, group_col: str, cat_col: str,
+              side_col: str) -> DataFrame:
+    """Population stability index per group between a reference
+    (``side = 0``) and a current (``side = 1``) sample of a
+    categorical column — the standard ML-ops distribution-drift screen
+    ("did this source's category mix shift between corpus
+    snapshots?"), in milli-BITS (the textbook ln-based PSI is this
+    times ln 2 — base 2 is the repo's entropy convention, documented):
+
+        PSI = Σ_i (p_i − q_i) · lg2(p_i / q_i)
+
+    INTEGER-EXACT with Laplace smoothing as part of the CONTRACT:
+    a_i = c_ref,i + 1, b_i = c_cur,i + 1 over the categories observed
+    in the group (either side), A = Σa, B = Σb; then with
+    x = a_i·B, y = b_i·A,
+
+        psi_milli = Σ_i (x − y)·(lgm(x) − lgm(y))  div  (A·B)
+
+    — every summand is ≥ 0 ((x−y) and Δlg share sign), the ONE
+    division is final, and the smoothing keeps absent-on-one-side
+    cells finite (the ±∞ cells of the unsmoothed formula are exactly
+    the ones that matter for drift). Side values other than 0/1 raise
+    loudly; NULL group/category/side rows are excluded (mirror in
+    twins). Overflow: x·Δlgm ≤ N²·62000 — keep groups under ~10⁸ rows
+    or pre-bucket (ANSI raises, never wraps).
+
+    Scale: one (group, category) aggregate (the two sides split via
+    conditional sums — no pivot join), one window over the |cells|
+    table, one rollup. Returns ``group, n_ref, n_cur, k,
+    psi_milli``."""
+    from .retrieval import with_ilog2_milli
+
+    side = F.expr(
+        f"CASE WHEN {side_col} IS NULL THEN NULL "
+        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
+        f"ELSE raise_error('psi_drift: side_col must be 0 or 1') END")
+    wall = Window.partitionBy("_g")
+    cells = (df.where(F.col(group_col).isNotNull()
+                      & F.col(cat_col).isNotNull()
+                      & F.col(side_col).isNotNull())
+             .select(F.col(group_col).alias("_g"),
+                     F.col(cat_col).alias("_cat"), side.alias("_s"))
+             .groupBy("_g", "_cat")
+             .agg(F.sum(F.when(F.col("_s") == 0, 1).otherwise(0))
+                  .cast("long").alias("_ca"),
+                  F.sum(F.when(F.col("_s") == 1, 1).otherwise(0))
+                  .cast("long").alias("_cb"))
+             .withColumn("_k", F.count(F.lit(1)).over(wall))
+             .withColumn("_A", F.sum("_ca").over(wall) + F.col("_k"))
+             .withColumn("_B", F.sum("_cb").over(wall) + F.col("_k"))
+             .withColumn("_x", (F.col("_ca") + 1) * F.col("_B"))
+             .withColumn("_y", (F.col("_cb") + 1) * F.col("_A")))
+    logged = with_ilog2_milli(
+        with_ilog2_milli(cells, "_x", "_lx"), "_y", "_ly")
+    return (logged
+            .withColumn("_term", (F.col("_x") - F.col("_y"))
+                        * (F.col("_lx") - F.col("_ly")))
+            .groupBy("_g")
+            .agg((F.max("_A") - F.max("_k")).alias("n_ref"),
+                 (F.max("_B") - F.max("_k")).alias("n_cur"),
+                 F.max("_k").alias("k"),
+                 F.expr("sum(_term) div (max(_A) * max(_B))")
+                 .alias("psi_milli"))
+            .select(F.col("_g").alias(group_col), "n_ref", "n_cur",
+                    "k", "psi_milli"))

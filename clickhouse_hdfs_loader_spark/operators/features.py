@@ -432,3 +432,82 @@ def feature_hashing(docs: DataFrame, text_col: str = "text",
     return (toks.select(F.col(id_col), dim.alias("dim"), s.alias("_s"))
             .groupBy(id_col, "dim")
             .agg(F.sum("_s").alias("weight")))
+
+
+def isotonic_fit(df: DataFrame, group_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """Per-group isotonic (monotone non-decreasing) least-squares fit
+    via pool-adjacent-violators — probability calibration's workhorse
+    (PAVA; Zadrozny & Elkan 2002, public algorithm). "Fit a monotone
+    score→label curve per source" is the classifier-calibration step
+    between scoring and thresholding.
+
+    EXACT end to end: x and y milli-quantize; tied x's pre-average
+    into one point (a function must give equal x equal fits — this
+    removes tie-order sensitivity entirely); PAVA pools compare by
+    integer CROSS-MULTIPLICATION (``sum_a·cnt_b > sum_b·cnt_a``), so
+    pooling decisions are exact rational arithmetic with no float
+    anywhere; the emitted fit truncates each pool's rational mean to
+    milli units, with the pool's ``(sum, cnt)`` carried alongside so
+    the rational answer stays auditable. A pure-Fraction Python replay
+    matches every output exactly (pinned by test).
+
+    Plan: one (group, x) pre-aggregate, then ONE applyInPandas over
+    the group key — the whole-group contract (EMA/kendall stance:
+    PAVA is inherently sequential in x; per-group distinct-x count
+    must fit one executor). The output group column carries the INPUT
+    column's type (ADVICE r10). NULL group keys and NULL/NaN/±Inf in
+    either column are excluded (the kendall stance).
+
+    Returns ``group, x_milli, pts, pool_sum_milli, pool_cnt,
+    fit_milli`` — one row per distinct (group, x), fit monotone
+    non-decreasing in x within each group."""
+    import pandas as pd
+
+    from .analytics import _quantizable_col
+
+    g_ddl = df.schema[group_col].dataType.simpleString()
+    qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
+    qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col)
+                     & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    qx.alias("_x"), qy.alias("_y"))
+            .groupBy("_g", "_x")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum("_y").alias("_s")))
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_x", kind="mergesort")
+        xs = [int(v) for v in pdf["_x"]]
+        ns = [int(v) for v in pdf["_n"]]
+        ss = [int(v) for v in pdf["_s"]]
+        # stack of pools as (sum, cnt, n_points); merge while the
+        # previous pool's mean exceeds the new one's (cross-mult)
+        pools: list = []
+        for s, c in zip(ss, ns):
+            cur = (s, c, 1)
+            while pools and pools[-1][0] * cur[1] > cur[0] * pools[-1][1]:
+                p = pools.pop()
+                cur = (p[0] + cur[0], p[1] + cur[1], p[2] + cur[2])
+            pools.append(cur)
+        out_rows = []
+        i = 0
+        for s, c, npts in pools:
+            # TRUNCATE toward zero like SQL `div` (Python // floors —
+            # the CLAUDE.md tdiv note; keeps a future SQL twin of the
+            # fit column engine-exact on negative pools)
+            fit = s // c if s >= 0 else -((-s) // c)
+            for _ in range(npts):
+                out_rows.append((pdf["_g"].iloc[0], xs[i], ns[i],
+                                 s, c, fit))
+                i += 1
+        return pd.DataFrame(out_rows, columns=[
+            "_g", "x_milli", "pts", "pool_sum_milli", "pool_cnt",
+            "fit_milli"])
+
+    out = base.groupBy("_g").applyInPandas(
+        pava, schema=(f"_g {g_ddl}, x_milli long, pts long, "
+                      f"pool_sum_milli long, pool_cnt long, "
+                      f"fit_milli long"))
+    return out.withColumnRenamed("_g", group_col)

@@ -1413,3 +1413,29 @@ def group_array_intersect(df: DataFrame, group_col: str,
                      F.max("rows").alias("rows")))
     return (per_elem.where(F.col("_c") == F.col("rows"))
             .select(F.col("_g").alias(group_col), "elem", "rows"))
+
+
+def mann_kendall_trend(events: DataFrame,
+                       group_col: str = "event_type",
+                       ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """Mann-Kendall monotone-trend test per group (Mann 1945, public
+    semantics — "is this metric drifting up or down over time?"): the
+    S statistic is Σ sign((v_j − v_i)·(t_j − t_i)) over pairs, which
+    is EXACTLY Kendall's C − D with x = event time — so this is a thin
+    composition over :func:`kendall_tau`, inheriting the Knight
+    O(n log n) engine path, the O(n²) pair-join oracle shape, and
+    every exclusion rule.
+
+    Time enters at SECOND resolution (``unix_seconds·1000`` stays
+    under 2^53, so the double product quantizes exactly; microseconds
+    would silently lose low bits in the ·1000 double multiply —
+    same-second events become ties, counted in n1, the standard
+    Mann-Kendall tie treatment).
+
+    Returns ``group, n, n0, n1, n2, n3, dis, s, tau_b_e4`` (s =
+    con_minus_dis; positive = upward trend)."""
+    base = events.withColumn(
+        "_mk_sec", F.unix_seconds(F.col(ts_col)).cast("double"))
+    out = kendall_tau(base, group_col, "_mk_sec", value_col)
+    return out.withColumnRenamed("con_minus_dis", "s")

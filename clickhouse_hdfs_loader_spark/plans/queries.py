@@ -5652,14 +5652,23 @@ def ema_summary(spark, sf_dir):
 #        n-scaled integer CUSUM, both single-scan;
 #        group_array_intersect — stats.py, scalar-row output;
 #        benford_deviation — dispersion.py, BENFORD_P_E6 shared
-#        literals; trimmed_mean / robust_scale — dispersion.py,
-#        rank-exact; other oracles at tests/test_stats_operators.py +
-#        tests/test_dispersion_operators.py; feature_hashing —
+#        literals; trimmed_mean / robust_scale / psi_drift —
+#        dispersion.py, rank-exact / smoothed milli-log2;
+#        stream_exact_quantiles — foreachBatch twin on the
+#        quantile_update count monoid (graded like stream_entropy);
+#        mann_kendall_trend — stats.py thin wrapper over kendall_tau
+#        (time as x; kendall's pair-join oracle shape applies);
+#        other oracles at tests/test_stats_operators.py +
+#        tests/test_dispersion_operators.py +
+#        tests/test_interval_combinators.py; jaro_winkler_e6_udf —
+#        functions/text.py, textbook-pinned exact e6 (pair queries
+#        would grade via a fuzzy_join-style projection);
+#        feature_hashing —
 #        features.py, XXH64-golden-pinned (grade rows-only or via a
-#        pinned-literal checksum golden); ols_fit stays
-#        replay-pinned by design — LAPACK-solve ulps, the pca_whiten
-#        rationale — with the bitwise replay at
-#        tests/test_whitening.py);
+#        pinned-literal checksum golden); ols_fit / isotonic_fit stay
+#        replay-pinned by design — LAPACK-solve ulps / non-SQL PAVA,
+#        the pca_whiten rationale — with the bitwise/Fraction replays
+#        at tests/test_whitening.py);
 #        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

@@ -584,3 +584,35 @@ def stream_mutual_information(spark: SparkSession,
     if not state:
         raise RuntimeError("stream produced no batches")
     return mi_from_state(state[0], "event_type", "xbin", "ybin")
+
+
+def stream_exact_quantiles(spark: SparkSession, sf_dir: str,
+                           qs_milli: "tuple[int, ...]" = (250, 500, 750),
+                           ) -> DataFrame:
+    """Streaming twin of the exact-quantile family: each micro-batch
+    folds into the ``(group, vm, c)`` value-count state via
+    ``analytics.quantile_update`` inside ``foreachBatch`` (int-sum
+    monoid — order-insensitive, the entropy/retention contract), and
+    the exact lower quantiles derive from state alone through
+    ``quantiles_from_state`` — identical to the batch operator over
+    the same rows by construction, pinned by test."""
+    from ..operators.analytics import (quantile_update,
+                                       quantiles_from_state)
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        nxt = quantile_update(state[0] if state else None, bdf) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return quantiles_from_state(state[0], qs_milli=qs_milli)

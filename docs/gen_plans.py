@@ -55,18 +55,19 @@ def _operator_picks(spark, sf):
         cramers_v, cramers_v_bias_corrected,
         exponential_moving_average, group_array_sorted,
         group_array_intersect, group_bit_aggregate, kendall_tau,
-        ks_test, mann_whitney_u, map_aggregate, mean_z_test,
-        mutual_information, pearson_corr, rank_corr, rrf_fuse,
-        skew_kurt, student_ttest, theils_u, welch_ttest)
+        ks_test, mann_kendall_trend, mann_whitney_u, map_aggregate,
+        mean_z_test, mutual_information, pearson_corr, rank_corr,
+        rrf_fuse, skew_kurt, student_ttest, theils_u, welch_ttest)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
-        benford_deviation, gini_coefficient, mad_outliers,
+        benford_deviation, gini_coefficient, mad_outliers, psi_drift,
         robust_scale, simpson_diversity, trimmed_mean)
     from clickhouse_hdfs_loader_spark.operators.corpus import (
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        cohort_overlap, cusum_changepoint, histogram_equi_depth)
+        cohort_overlap, cusum_changepoint, histogram_equi_depth,
+        quantile_update, quantiles_from_state)
     from clickhouse_hdfs_loader_spark.operators.features import (
-        feature_hashing)
+        feature_hashing, isotonic_fit)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -165,6 +166,15 @@ def _operator_picks(spark, sf):
         "trimmed_mean": trimmed_mean(ev, "event_type", "value"),
         "robust_scale": robust_scale(ev, "event_type", "value"),
         "feature_hashing": feature_hashing(docs, dims=64),
+        "psi_drift": psi_drift(
+            binned.withColumn("s", F.pmod(F.col("event_id"),
+                                          F.lit(2))),
+            "event_type", "xbin", "s"),
+        "quantiles_from_state": quantiles_from_state(
+            quantile_update(None, ev)),
+        "isotonic_fit": isotonic_fit(ev, "event_type", "user_id",
+                                     "value"),
+        "mann_kendall_trend": mann_kendall_trend(ev),
         "cohort_overlap": cohort_overlap(ev, "event_type", "user_id"),
         "gini_coefficient": gini_coefficient(ev, "event_type", "value"),
         "mad_outliers": mad_outliers(ev, "event_type", "value"),

@@ -562,3 +562,98 @@ def test_lttb_downsample_guards(spark):
     # short series pass through whole
     rows = lttb_downsample(df, "g", "x", "y", 3).collect()
     assert [(r["x"], r["y"], r["pos"]) for r in rows] == [(1.0, 1.0, 0)]
+
+
+def test_stream_exact_quantiles_matches_batch_any_partition(
+        spark, sf_dir):
+    """The foreachBatch exact-quantile twin equals the batch operator
+    over the milli-quantized values (the state IS the sorted multiset,
+    so position arithmetic agrees by construction), and folding ANY
+    random partition through quantile_update (int-sum monoid) equals
+    the one-shot report. A DuckDB twin pins the derivation to plain
+    SQL at fixture scale."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        exact_quantiles_by_group, quantile_update, quantiles_from_state)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_exact_quantiles)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    # batch reference: the graded exact-quantile operator over the
+    # SAME milli-quantized column the state carries
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        _quantizable_col)
+    evq = (ev.where(_quantizable_col("value"))
+           .withColumn("vmq", F.floor(F.col("value").cast("double")
+                                      * 1000).cast("long")))
+    batch = sorted(
+        (r["event_type"], r["q_milli"], r["q_value"]) for r in
+        exact_quantiles_by_group(evq, "event_type", "vmq").collect())
+    stream = sorted(map(tuple, stream_exact_quantiles(
+        spark, sf_dir).collect()))
+    assert stream == batch and len(stream) == 15   # 5 groups x 3 qs
+
+    # DuckDB twin of the from-state derivation (registry standard)
+    one_shot = quantile_update(None, ev)
+    got = sorted(map(tuple, quantiles_from_state(one_shot).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH s AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL
+                   GROUP BY 1, 2),
+        w AS (SELECT g, vm, c,
+                     CAST(sum(c) OVER (PARTITION BY g ORDER BY vm
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                     CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+              FROM s),
+        q AS (SELECT g, vm, cum, n, unnest([250, 500, 750]) AS q_milli
+              FROM w)
+        SELECT g AS event_type, q_milli,
+               CAST(min(vm) AS BIGINT) AS q_value_milli
+        FROM q
+        WHERE cum >= greatest(1, (n * q_milli + 999) // 1000)
+        GROUP BY 1, 2
+    """).fetchall()))
+    assert got == want
+
+    schema = "event_type string, value double"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),
+                              st.integers(-5, 5)),
+                    min_size=1, max_size=24),
+           st.lists(st.integers(0, 2), min_size=1, max_size=24))
+    @settings(max_examples=8, deadline=None)
+    def check(evs, assignment):
+        rows = [(f"g{g}", float(v)) for g, v in evs]
+        full = spark.createDataFrame(rows, schema)
+        fullq = full.withColumn(
+            "vmq", F.floor(F.col("value").cast("double") * 1000)
+            .cast("long"))
+        one = sorted(
+            (r["event_type"], r["q_milli"], r["q_value"]) for r in
+            exact_quantiles_by_group(fullq, "event_type",
+                                     "vmq").collect())
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = quantile_update(state, bdf) \
+                .localCheckpoint(eager=True)
+        got = sorted(map(tuple,
+                         quantiles_from_state(state).collect()))
+        assert got == one
+
+    check()

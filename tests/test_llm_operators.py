@@ -3085,3 +3085,66 @@ def test_pmi_collocations_oracle_and_hand_cases(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError, match="min_count"):
         pmi_collocations(synth, min_count=0)
+
+
+def test_jaro_winkler_e6_textbook_and_properties(spark, sf_dir):
+    """jaro_winkler_e6_udf: exact e6 integers pinned on the textbook
+    pairs (cross-checked against DuckDB's float implementation), the
+    identity/empty/NULL edge contract, symmetry, and a DuckDB
+    cross-check over real document-text prefixes."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.functions.text import (
+        jaro_winkler_e6_udf)
+
+    jw = jaro_winkler_e6_udf()
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return [r["s"] for r in
+                df.select(jw("a", "b").alias("s")).collect()]
+
+    # textbook pins (Winkler's own examples; DuckDB floats agree):
+    # MARTHA/MARHTA 0.9611…, DIXON/DICKSONX 0.8133…, DWAYNE/DUANE
+    # 0.84 — the double-truncated integer contract sits ≤ 2 micro-
+    # units BELOW the real value (jaro truncates, then the prefix
+    # boost of the truncated jaro truncates again), so the pins are
+    # the CONTRACT values, not rounded floats
+    got = run([("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+               ("DWAYNE", "DUANE")])
+    assert got == [961110, 813332, 839999]
+    duck = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity('MARTHA','MARHTA'),"
+        " jaro_winkler_similarity('DIXON','DICKSONX'),"
+        " jaro_winkler_similarity('DWAYNE','DUANE')").fetchone()
+    assert all(abs(g / 1e6 - d) < 3e-6 for g, d in zip(got, duck))
+
+    # identity / empty / disjoint / NULL contract
+    assert run([("abc", "abc"), ("", ""), ("", "abc"),
+                ("abc", "xyz")]) == [1_000_000, 1_000_000, 0, 0]
+    df = spark.createDataFrame([("abc", None), (None, None)],
+                               "a string, b string")
+    assert [r["s"] for r in
+            df.select(jw("a", "b").alias("s")).collect()] == [None,
+                                                              None]
+
+    # symmetry on real corpus text prefixes + DuckDB float agreement
+    # within the e6 truncation (the exact integer formula is the
+    # CONTRACT; DuckDB is the sanity mirror)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = (docs.where(F.col("doc_id") < 40)
+             .select(F.substring("text", 1, 30).alias("a"),
+                     F.substring("text", 12, 30).alias("b")))
+    fwd = [r["s"] for r in pairs.select(jw("a", "b").alias("s"))
+           .orderBy("a", "b").collect()]
+    rev = [r["s"] for r in pairs.select(jw("b", "a").alias("s"))
+           .orderBy("a", "b").collect()]
+    assert fwd == rev and len(fwd) == 40
+    duckrows = duckdb.connect().execute(f"""
+        SELECT jaro_winkler_similarity(substr(text, 1, 30),
+                                       substr(text, 12, 30))
+        FROM '{sf_dir}/documents.parquet' WHERE doc_id < 40
+        ORDER BY substr(text, 1, 30), substr(text, 12, 30)
+    """).fetchall()
+    assert all(abs(g / 1e6 - d[0]) < 5e-4
+               for g, d in zip(fwd, duckrows))

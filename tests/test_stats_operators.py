@@ -1598,3 +1598,40 @@ def test_group_array_intersect_oracle_and_hand_cases(spark, sf_dir):
     assert run([("g", ["a"]), ("g", ["b"])]) == []
     assert run([("g", ["x", "y", "x"])]) == [("g", "x", 1),
                                              ("g", "y", 1)]
+
+
+def test_mann_kendall_trend_identity_and_planted(spark, sf_dir):
+    """mann_kendall_trend IS kendall_tau against second-resolution
+    time (identity pinned on the real events), with planted monotone
+    trends recovering tau = ±1 and same-second events landing in the
+    time-tie count."""
+    import datetime as _dt
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        kendall_tau, mann_kendall_trend)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, mann_kendall_trend(ev).collect()))
+    twin = sorted(map(tuple, kendall_tau(
+        ev.withColumn("_mk_sec",
+                      F.unix_seconds(F.col("ts")).cast("double")),
+        "event_type", "_mk_sec", "value").collect()))
+    assert got == twin and len(got) == 5
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def run(vals, secs=None):
+        secs = secs or range(len(vals))
+        rows = [("g", base + _dt.timedelta(seconds=int(s)), float(v))
+                for s, v in zip(secs, vals)]
+        df = spark.createDataFrame(rows,
+                                   "g string, ts timestamp, v double")
+        return mann_kendall_trend(df, "g", "ts", "v").collect()[0]
+
+    r = run([1, 2, 3, 4])
+    assert (r["s"], r["tau_b_e4"]) == (6, 1.0)
+    r = run([4, 3, 2, 1])
+    assert (r["s"], r["tau_b_e4"]) == (-6, -1.0)
+    # two events in the SAME second are a time tie (n1), not a pair
+    r = run([1, 2, 3], secs=[0, 0, 5])
+    assert r["n1"] == 1 and r["s"] == 2

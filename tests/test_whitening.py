@@ -308,3 +308,120 @@ def test_feature_hashing_golden_replay_and_contracts(spark, sf_dir):
     assert again == got
     with pytest.raises(ValueError, match="dims"):
         feature_hashing(docs, dims=0)
+
+
+def _pava_fraction_replay(points):
+    """Independent exact-rational PAVA: points = [(x, n, s)] sorted by
+    x; returns [(x, n, pool_s, pool_c, fit)] with Fraction pooling and
+    trunc-div fits."""
+    from fractions import Fraction
+
+    pools = []
+    for x, n, s in points:
+        cur = [s, n, [(x, n)]]
+        while pools and Fraction(pools[-1][0], pools[-1][1]) \
+                > Fraction(cur[0], cur[1]):
+            p = pools.pop()
+            cur = [p[0] + cur[0], p[1] + cur[1], p[2] + cur[2]]
+        pools.append(cur)
+    out = []
+    for s, c, members in pools:
+        fit = s // c if s >= 0 else -((-s) // c)
+        for x, n in members:
+            out.append((x, n, s, c, fit))
+    return out
+
+
+def test_isotonic_fit_replay_and_contracts(spark, sf_dir):
+    """isotonic_fit (PAVA): exact-Fraction Python replay on the real
+    events (value vs user activity per type), the monotonicity and
+    mean-preservation invariants, and the tie/degenerate hand cases."""
+    import duckdb as _dd
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        isotonic_fit)
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isNotNull()))
+    got = sorted(map(tuple, isotonic_fit(
+        ev, "event_type", "user_id", "value").collect()))
+
+    rows = _dd.connect().execute(f"""
+        SELECT event_type,
+               CAST(floor(CAST(user_id AS DOUBLE) * 1000) AS BIGINT)
+                 AS x,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL AND isfinite(value)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    want = []
+    from itertools import groupby
+    for g, grp in groupby(rows, key=lambda r: r[0]):
+        pts = [(x, n, s) for _, x, n, s in grp]
+        want.extend((g, x, n, ps, pc, fit)
+                    for x, n, ps, pc, fit in _pava_fraction_replay(pts))
+    assert got == sorted(want) and len(got) > 0
+
+    # invariants on the real data: fits monotone within each group;
+    # pool means preserve the group's total y mass exactly
+    from collections import defaultdict
+    per_g = defaultdict(list)
+    for g, x, n, ps, pc, fit in got:
+        per_g[g].append((x, n, ps, pc, fit))
+    for g, pts in per_g.items():
+        pts.sort()
+        fits = [f for _, _, _, _, f in pts]
+        assert fits == sorted(fits)
+        # each pool's (sum, cnt) appears once per member; dedup pools
+        mass = sum(s for s, _c in {(s, c) for _, _, s, c, _ in pts})
+        assert mass == sum(r[3] for r in rows if r[0] == g)
+
+    def run(pairs):
+        df = spark.createDataFrame(
+            [("g", float(x), float(y)) for x, y in pairs],
+            "g string, x double, y double")
+        return sorted(map(tuple, isotonic_fit(
+            df, "g", "x", "y").collect()))
+
+    # already-monotone input is untouched (fit = per-x mean)
+    assert run([(1, 1), (2, 2), (3, 3)]) == [
+        ("g", 1000, 1, 1000, 1, 1000), ("g", 2000, 1, 2000, 1, 2000),
+        ("g", 3000, 1, 3000, 1, 3000)]
+    # a decreasing series pools globally to the grand mean
+    assert run([(1, 3), (2, 2), (3, 1)]) == [
+        ("g", 1000, 1, 6000, 3, 2000), ("g", 2000, 1, 6000, 3, 2000),
+        ("g", 3000, 1, 6000, 3, 2000)]
+    # tied x pre-averages into ONE point (equal x -> equal fit)
+    assert run([(1, 0), (1, 4), (2, 5)]) == [
+        ("g", 1000, 2, 4000, 2, 2000), ("g", 2000, 1, 5000, 1, 5000)]
+    # the textbook violator: [1, 3, 2] pools only the tail
+    assert run([(1, 1), (2, 3), (3, 2)]) == [
+        ("g", 1000, 1, 1000, 1, 1000), ("g", 2000, 1, 5000, 2, 2500),
+        ("g", 3000, 1, 5000, 2, 2500)]
+
+    # hypothesis: monotone fits + exact mass preservation on random
+    # small inputs (pure-python replay equality re-checked per case)
+    @given(st.lists(st.tuples(st.integers(0, 6), st.integers(-5, 5)),
+                    min_size=1, max_size=15))
+    @settings(max_examples=8, deadline=None)
+    def check(pairs):
+        out = run(pairs)
+        fits = [f for _, _, _, _, _, f in out]
+        assert fits == sorted(fits)
+        agg = {}
+        for x, y in pairs:
+            k = x * 1000
+            n, s = agg.get(k, (0, 0))
+            agg[k] = (n + 1, s + y * 1000)
+        pts = [(x, n, s) for x, (n, s) in sorted(agg.items())]
+        want = [("g",) + t for t in _pava_fraction_replay(pts)]
+        assert out == sorted(want)
+
+    check()
