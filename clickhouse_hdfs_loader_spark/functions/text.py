@@ -184,17 +184,23 @@ def jaro_winkler_e6_udf():
         jaro_e6 = (m²·|b| + m²·|a| + (m−t)·|a|·|b|) · 10⁶
                   div (3·|a|·|b|·m)
         jw_e6   = jaro_e6 + (l · (10⁶ − jaro_e6)) div 10
+                  when jaro_e6 > 700000, else jaro_e6
 
-    with m = matches inside the standard window (max(|a|,|b|) div 2
-    − 1), t = half-transpositions div 2 (the Apache-commons integer
-    convention), l = common prefix capped at 4, and p = 0.1 exact as
-    ``div 10``. The rational formula is the CONTRACT — every division
-    is a final integer ``div``, so a Fraction replay matches exactly
-    (pinned in tests; DuckDB's float jaro_winkler_similarity is a
-    sanity cross-check only). Identical strings (including empty =
-    empty) score 10⁶; an empty vs non-empty pair scores 0; NULL
-    propagates NULL. Strings beyond 2000 chars raise (the ·10⁶
-    numerator bound) rather than silently truncating.
+    with m = matches inside the standard window (max(0, max(|a|,|b|)
+    div 2 − 1) — the floor matters: 1-char identical strings have an
+    empty window otherwise and would score 0, review-caught), t =
+    half-transpositions div 2 (the Apache-commons integer convention),
+    l = common prefix capped at 4, p = 0.1 exact as ``div 10``, and
+    Winkler's ORIGINAL 0.7 boost threshold (DuckDB gates there too —
+    an ungated boost diverges from it by up to 0.03·l on low-jaro
+    shared-prefix pairs, review-measured at 0.056). The rational
+    formula is the CONTRACT — every division is a final integer
+    ``div``, so a Fraction replay matches exactly (pinned in tests;
+    DuckDB's float jaro_winkler_similarity is a sanity cross-check
+    only). Identical strings (including empty = empty) score 10⁶; an
+    empty vs non-empty pair scores 0; NULL propagates NULL. Strings
+    beyond 2000 chars raise (the ·10⁶ numerator bound) rather than
+    silently truncating.
 
     Row-at-a-time character DP is unavoidable here (the same
     reasoning as shingles_udf: Arrow batching amortizes the Python
@@ -216,7 +222,7 @@ def jaro_winkler_e6_udf():
                 return 1_000_000
             if la == 0 or lb == 0:
                 return 0
-            win = max(la, lb) // 2 - 1
+            win = max(0, max(la, lb) // 2 - 1)
             ma = [False] * la
             mb = [False] * lb
             m = 0
@@ -241,6 +247,8 @@ def jaro_winkler_e6_udf():
             t = k // 2
             jaro = ((m * m * lb + m * m * la + (m - t) * la * lb)
                     * 1_000_000) // (3 * la * lb * m)
+            if jaro <= 700_000:
+                return jaro
             l = 0
             for x, y in zip(s1[:4], s2[:4]):
                 if x != y:

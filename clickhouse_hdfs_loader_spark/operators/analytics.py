@@ -1487,3 +1487,75 @@ def quantiles_from_state(state_counts: DataFrame,
             .where(F.col("_cum") >= F.col("_pos"))
             .groupBy(group_col, "q_milli")
             .agg(F.min("vm").alias("q_value_milli")))
+
+
+def kaplan_meier(df: DataFrame, group_col: str, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Kaplan-Meier survival curve per group (Kaplan & Meier 1958,
+    public semantics) — the right-censoring-aware retention/lifetime
+    estimator ("how long do users stay active, given many are still
+    active at observation end?"): at each distinct event time t,
+
+        S(t) ← S(t⁻) · (n_t − d_t) / n_t
+
+    with n_t = subjects still at risk and d_t = events at t; censored
+    subjects (``event_col = 0``) leave the risk set without an event.
+
+    Deterministic integer CONTRACT: durations milli-quantize; the
+    survival product folds STEPWISE in e6 units — ``s ← (s·(n−d))
+    div n`` from 10⁶ — so every engine (and the pure-Python replay)
+    reproduces it exactly; truncation compounds < one micro-unit per
+    event time, documented, never silently rounded. ``event_col``
+    must be 0/1 (else raises loudly inside the projection); NULL
+    group/duration/flag rows and negative durations are excluded
+    (negative durations are data bugs — excluded loudly via the
+    where, mirror in twins).
+
+    Plan: one (group, time) count aggregate, then ONE applyInPandas
+    over the group key for the sequential fold (the EMA/PAVA
+    whole-group contract — per-group DISTINCT TIMES must fit one
+    executor; the row table never does the fold). The output group
+    column carries the INPUT column's type (ADVICE r10).
+
+    Returns ``group, t_milli, at_risk, events, censored, s_e6`` —
+    one row per distinct (group, duration), survival non-increasing
+    in t."""
+    import pandas as pd
+
+    g_ddl = df.schema[group_col].dataType.simpleString()
+    flag = F.expr(
+        f"CASE WHEN {event_col} IS NULL THEN NULL "
+        f"WHEN {event_col} IN (0, 1) THEN CAST({event_col} AS INT) "
+        f"ELSE raise_error('kaplan_meier: event_col must be 0 or 1') "
+        f"END")
+    tm = F.floor(F.col(duration_col).cast("double") * 1000) \
+        .cast("long")
+    base = (df.where(_quantizable_col(duration_col)
+                     & (F.col(duration_col) >= 0)
+                     & F.col(group_col).isNotNull()
+                     & F.col(event_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), tm.alias("_t"),
+                    flag.alias("_e"))
+            .groupBy("_g", "_t")
+            .agg(F.sum(F.col("_e")).cast("long").alias("_d"),
+                 F.sum(1 - F.col("_e")).cast("long").alias("_c")))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_t", kind="mergesort")
+        total = int((pdf["_d"] + pdf["_c"]).sum())
+        at_risk = total
+        s = 1_000_000
+        rows = []
+        for t, d, c in zip(pdf["_t"], pdf["_d"], pdf["_c"]):
+            d, c = int(d), int(c)
+            if d > 0:
+                s = (s * (at_risk - d)) // at_risk
+            rows.append((pdf["_g"].iloc[0], int(t), at_risk, d, c, s))
+            at_risk -= d + c
+        return pd.DataFrame(rows, columns=[
+            "_g", "t_milli", "at_risk", "events", "censored", "s_e6"])
+
+    out = base.groupBy("_g").applyInPandas(
+        fold, schema=(f"_g {g_ddl}, t_milli long, at_risk long, "
+                      f"events long, censored long, s_e6 long"))
+    return out.withColumnRenamed("_g", group_col)

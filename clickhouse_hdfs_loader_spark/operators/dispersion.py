@@ -1,11 +1,14 @@
 """Diversity, inequality, and robust-dispersion measures ([EXT]):
-Simpson's diversity index, the Gini coefficient, and MAD-based robust
-outlier detection — the corpus-composition and data-quality screens a
-training-data pipeline runs per source/shard (is one domain dominating
-the mix? is the token-count distribution degenerating? which rows are
-robust outliers?). Public textbook semantics (Simpson 1949, Gini 1912,
-Hampel's MAD rule), re-derived under the repo's graded-oracle
-discipline:
+Simpson's diversity index, the Gini coefficient, MAD-based robust
+outlier detection and its row-transform sibling (robust_scale),
+rank-exact trimmed means, the Benford first-digit screen, and the PSI
+distribution-drift index — the corpus-composition and data-quality
+screens a training-data pipeline runs per source/shard (is one domain
+dominating the mix? is the token-count distribution degenerating?
+which rows are robust outliers? did the category mix shift between
+snapshots?). Public textbook semantics (Simpson 1949, Gini 1912,
+Hampel's MAD rule, Benford 1938, the credit-scoring PSI), re-derived
+under the repo's graded-oracle discipline:
 
 - float values milli-quantize to int64 BEFORE any aggregate, so every
   sum is order-free-exact and a DuckDB twin replays hash-identically;
@@ -388,8 +391,10 @@ def psi_drift(df: DataFrame, group_col: str, cat_col: str,
     cells finite (the ±∞ cells of the unsmoothed formula are exactly
     the ones that matter for drift). Side values other than 0/1 raise
     loudly; NULL group/category/side rows are excluded (mirror in
-    twins). Overflow: x·Δlgm ≤ N²·62000 — keep groups under ~10⁸ rows
-    or pre-bucket (ANSI raises, never wraps).
+    twins). Overflow: the per-cell product reaches N²·62000, which
+    crosses 2^63 near N ≈ 1.2·10⁷ — keep groups under ~10⁷ rows or
+    pre-bucket (ANSI raises, never wraps; review-caught: an earlier
+    draft advertised 10⁸, 10× past the bound).
 
     Scale: one (group, category) aggregate (the two sides split via
     conditional sums — no pivot join), one window over the |cells|

@@ -5665,10 +5665,12 @@ def ema_summary(spark, sf_dir):
 #        would grade via a fuzzy_join-style projection);
 #        feature_hashing —
 #        features.py, XXH64-golden-pinned (grade rows-only or via a
-#        pinned-literal checksum golden); ols_fit / isotonic_fit stay
-#        replay-pinned by design — LAPACK-solve ulps / non-SQL PAVA,
-#        the pca_whiten rationale — with the bitwise/Fraction replays
-#        at tests/test_whitening.py);
+#        pinned-literal checksum golden); ols_fit / isotonic_fit /
+#        kaplan_meier stay replay-pinned by design — LAPACK-solve
+#        ulps / non-SQL PAVA / non-SQL truncated product fold, the
+#        pca_whiten rationale — with the bitwise/Fraction/stepwise
+#        replays at tests/test_whitening.py +
+#        tests/test_dispersion_operators.py);
 #        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

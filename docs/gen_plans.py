@@ -65,7 +65,7 @@ def _operator_picks(spark, sf):
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cohort_overlap, cusum_changepoint, histogram_equi_depth,
-        quantile_update, quantiles_from_state)
+        kaplan_meier, quantile_update, quantiles_from_state)
     from clickhouse_hdfs_loader_spark.operators.features import (
         feature_hashing, isotonic_fit)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
@@ -175,6 +175,13 @@ def _operator_picks(spark, sf):
         "isotonic_fit": isotonic_fit(ev, "event_type", "user_id",
                                      "value"),
         "mann_kendall_trend": mann_kendall_trend(ev),
+        "kaplan_meier": kaplan_meier(
+            binned.groupBy("event_type", "user_id")
+            .agg((F.unix_seconds(F.max("ts")) / 1000.0)
+                 .alias("dur_ks"),
+                 F.pmod(F.count(F.lit(1)), F.lit(2)).cast("int")
+                 .alias("ended")),
+            "event_type", "dur_ks", "ended"),
         "cohort_overlap": cohort_overlap(ev, "event_type", "user_id"),
         "gini_coefficient": gini_coefficient(ev, "event_type", "value"),
         "mad_outliers": mad_outliers(ev, "event_type", "value"),

@@ -690,3 +690,88 @@ def test_psi_drift_oracle_and_hand_cases(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(Exception, match="0 or 1"):
         run([("g", "a", 2)])
+
+
+def test_kaplan_meier_replay_and_hand_cases(spark, sf_dir):
+    """kaplan_meier: pure-Python stepwise replay on a fixture-derived
+    lifetime table (user active-span per type, purchase = event),
+    the textbook small-sample curve, censoring semantics, and the
+    monotone/telescoping invariants."""
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        kaplan_meier)
+
+    # per (event_type, user): duration = active span in ks, event =
+    # "ever purchased in type"? purchase IS a type — instead: event =
+    # user's last event has value above their median (arbitrary but
+    # deterministic); built once, used by operator AND replay
+    ev = _ev(spark, sf_dir).where(F.col("user_id").isNotNull()
+                                  & F.col("ts").isNotNull())
+    life = (ev.groupBy("event_type", "user_id")
+            .agg(((F.unix_seconds(F.max("ts"))
+                   - F.unix_seconds(F.min("ts"))) / 1000.0)
+                 .alias("dur_ks"),
+                 F.pmod(F.count(F.lit(1)), F.lit(2)).cast("int")
+                 .alias("ended")))
+    got = sorted(map(tuple, kaplan_meier(
+        life, "event_type", "dur_ks", "ended").collect()))
+
+    # Spark-free replay: duckdb derives the same lifetime table, then
+    # the same stepwise integer fold in pure Python
+    rows = _duck(sf_dir).execute("""
+        SELECT event_type,
+               -- floor(), never CAST: DuckDB's epoch() is a DOUBLE
+               -- with fractional seconds and CAST rounds half-up,
+               -- while Spark's unix_seconds truncates
+               CAST(floor(((CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT)) / 1000.0)
+                 * 1000) AS BIGINT) AS t,
+               CAST(count(*) % 2 AS INT) AS ended
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+        GROUP BY event_type, user_id
+    """).fetchall()
+    from collections import defaultdict
+    agg = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for g, t, e in rows:
+        agg[g][t][0 if e else 1] += 1
+    want = []
+    for g, times in agg.items():
+        at_risk = sum(d + c for d, c in times.values())
+        s = 1_000_000
+        for t in sorted(times):
+            d, c = times[t]
+            if d > 0:
+                s = (s * (at_risk - d)) // at_risk
+            want.append((g, t, at_risk, d, c, s))
+            at_risk -= d + c
+    assert got == sorted(want) and len(got) > 0
+    # survival is non-increasing within each group
+    from itertools import groupby
+    for g, grp in groupby(got, key=lambda r: r[0]):
+        ss = [r[5] for r in sorted(grp, key=lambda r: r[1])]
+        assert ss == sorted(ss, reverse=True)
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, d double, e int")
+        return sorted(map(tuple, kaplan_meier(
+            df, "g", "d", "e").collect()))
+
+    # textbook: deaths at 1, 2 of 4 subjects with a censoring at 1.5:
+    # S(1) = 3/4; at-risk at 2 is 2 (one censored left) -> S(2) = 3/8
+    out = run([("g", 1.0, 1), ("g", 1.5, 0), ("g", 2.0, 1),
+               ("g", 3.0, 0)])
+    assert out == [("g", 1000, 4, 1, 0, 750000),
+                   ("g", 1500, 3, 0, 1, 750000),
+                   ("g", 2000, 2, 1, 0, 375000),
+                   ("g", 3000, 1, 0, 1, 375000)]
+    # no censoring: the curve telescopes to remaining/total at each
+    # event time (stepwise truncation stays within a micro-unit)
+    out = run([("g", float(t), 1) for t in (1, 2, 3)])
+    assert [r[5] for r in out] == [666666, 333333, 0]
+    # all-censored: S stays exactly 1
+    out = run([("g", 1.0, 0), ("g", 2.0, 0)])
+    assert [r[5] for r in out] == [1_000_000, 1_000_000]
+    # invalid flag raises loudly
+    with pytest.raises(Exception, match="0 or 1"):
+        run([("g", 1.0, 7)])

@@ -3118,9 +3118,18 @@ def test_jaro_winkler_e6_textbook_and_properties(spark, sf_dir):
         " jaro_winkler_similarity('DWAYNE','DUANE')").fetchone()
     assert all(abs(g / 1e6 - d) < 3e-6 for g, d in zip(got, duck))
 
-    # identity / empty / disjoint / NULL contract
+    # identity / empty / disjoint / NULL contract — including 1-char
+    # identity (the window floor: max(la,lb)//2 - 1 is -1 there,
+    # review-caught) and the 0.7 boost threshold (a low-jaro shared-
+    # prefix pair gets NO Winkler boost, matching DuckDB/Winkler)
     assert run([("abc", "abc"), ("", ""), ("", "abc"),
-                ("abc", "xyz")]) == [1_000_000, 1_000_000, 0, 0]
+                ("abc", "xyz"), ("a", "a")]) == [
+        1_000_000, 1_000_000, 0, 0, 1_000_000]
+    low = run([("taxxxxxx", "tzzzz")])[0]
+    lowd = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity('taxxxxxx','tzzzz')"
+    ).fetchone()[0]
+    assert abs(low / 1e6 - lowd) < 3e-6 and low < 700_000
     df = spark.createDataFrame([("abc", None), (None, None)],
                                "a string, b string")
     assert [r["s"] for r in

@@ -344,7 +344,11 @@ def test_isotonic_fit_replay_and_contracts(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.features import (
         isotonic_fit)
 
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    # read_table, never raw spark.read.parquet — the events ts-drift
+    # rule applies to the READ even when ts is unused (review-caught)
+    ev = (read_table(spark, sf_dir, "events")
           .where(F.col("event_type").isNotNull()))
     got = sorted(map(tuple, isotonic_fit(
         ev, "event_type", "user_id", "value").collect()))
@@ -379,8 +383,20 @@ def test_isotonic_fit_replay_and_contracts(spark, sf_dir):
         pts.sort()
         fits = [f for _, _, _, _, f in pts]
         assert fits == sorted(fits)
-        # each pool's (sum, cnt) appears once per member; dedup pools
-        mass = sum(s for s, _c in {(s, c) for _, _, s, c, _ in pts})
+        # pool mass: a run of rows sharing (s, c) in x order may span
+        # SEVERAL adjacent equal-mean pools (PAVA merges only strict
+        # violations), so count pools per run as Σn_run / c — each
+        # pool's member counts sum to exactly c (review-caught: a
+        # set-dedup by (s, c) collapses such twins)
+        mass = 0
+        run_key, run_n = None, 0
+        for _x, n, s, c, _f in pts + [(None, 0, None, None, None)]:
+            if (s, c) != run_key:
+                if run_key is not None:
+                    assert run_n % run_key[1] == 0
+                    mass += run_key[0] * (run_n // run_key[1])
+                run_key, run_n = (s, c), 0
+            run_n += n
         assert mass == sum(r[3] for r in rows if r[0] == g)
 
     def run(pairs):
