@@ -1559,3 +1559,71 @@ def kaplan_meier(df: DataFrame, group_col: str, duration_col: str,
         fold, schema=(f"_g {g_ddl}, t_milli long, at_risk long, "
                       f"events long, censored long, s_e6 long"))
     return out.withColumnRenamed("_g", group_col)
+
+
+def histogram_adaptive(df: DataFrame, group_col: str, value_col: str,
+                       bins: int = 10) -> DataFrame:
+    """ClickHouse ``histogram(bins)``-style adaptive histogram, made
+    DETERMINISTIC: per group, the milli-quantized distinct-value count
+    table greedily merges the adjacent bin pair with the smallest
+    center distance until ``bins`` remain — centers are exact
+    rationals (weighted sums over counts) and pair distances compare
+    by integer CROSS-MULTIPLICATION, ties merging the LEFTMOST pair,
+    so the result replays exactly (ClickHouse's own combinator is
+    streaming and seed-dependent; the deterministic greedy is this
+    operator's CONTRACT, pinned by a Fraction replay).
+
+    Plan: one (group, value) count shuffle, then ONE applyInPandas
+    over the group key for the sequential merge (the EMA/PAVA
+    whole-group contract — per-group DISTINCT VALUES must fit one
+    executor; the merge loop is O(k·(k−bins)) exact-integer work,
+    fine to ~10⁴ distinct values per group, pre-quantize coarser
+    beyond). NULL group keys and NULL/NaN/±Inf values are excluded.
+
+    Returns ``group, bin, lo_milli, hi_milli, cnt, center_milli``
+    (center truncated toward zero from the exact rational; bins
+    ordered, disjoint, mass-preserving — all pinned by test)."""
+    import pandas as pd
+
+    if int(bins) < 1:
+        raise ValueError(
+            f"histogram_adaptive: bins must be >= 1, got {bins}")
+    g_ddl = df.schema[group_col].dataType.simpleString()
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), vm.alias("_vm"))
+            .groupBy("_g", "_vm")
+            .agg(F.count(F.lit(1)).alias("_c")))
+    b = int(bins)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_vm", kind="mergesort")
+        # bin state: [lo, hi, cnt, wsum] with exact python ints
+        cur = [[int(v), int(v), int(c), int(v) * int(c)]
+               for v, c in zip(pdf["_vm"], pdf["_c"])]
+        while len(cur) > b:
+            # closest adjacent centers: dist(i) = w2/c2 - w1/c1 >= 0
+            # (sorted); compare dist(i) < dist(j) by cross-mult —
+            # denominators are positive counts, so signs are safe
+            best, bn, bd = 0, None, None
+            for i in range(len(cur) - 1):
+                n_i = (cur[i + 1][3] * cur[i][2]
+                       - cur[i][3] * cur[i + 1][2])
+                d_i = cur[i][2] * cur[i + 1][2]
+                if bn is None or n_i * bd < bn * d_i:   # strict: ties
+                    best, bn, bd = i, n_i, d_i          # keep leftmost
+            l, r = cur[best], cur[best + 1]
+            cur[best:best + 2] = [[l[0], r[1], l[2] + r[2],
+                                   l[3] + r[3]]]
+        rows = []
+        for k, (lo, hi, c, w) in enumerate(cur):
+            center = w // c if w >= 0 else -((-w) // c)   # trunc-div
+            rows.append((pdf["_g"].iloc[0], k, lo, hi, c, center))
+        return pd.DataFrame(rows, columns=[
+            "_g", "bin", "lo_milli", "hi_milli", "cnt", "center_milli"])
+
+    out = base.groupBy("_g").applyInPandas(
+        merge, schema=(f"_g {g_ddl}, bin int, lo_milli long, "
+                       f"hi_milli long, cnt long, center_milli long"))
+    return out.withColumnRenamed("_g", group_col)

@@ -511,3 +511,61 @@ def isotonic_fit(df: DataFrame, group_col: str, x_col: str,
                       f"pool_sum_milli long, pool_cnt long, "
                       f"fit_milli long"))
     return out.withColumnRenamed("_g", group_col)
+
+
+def corr_matrix(emb: DataFrame, vec_col: str = "embedding",
+                dims: int | None = None) -> DataFrame:
+    """ClickHouse ``corrMatrix``: the full Pearson correlation matrix
+    across vector dimensions, as scalar ``(i, j, corr_e4)`` rows for
+    0 ≤ i ≤ j < d — the redundancy screen run before feature pruning /
+    whitening. Pure composition over :func:`covariance_stats`' exact
+    integer moment sums:
+
+        corr = (n·s_ij − s_i·s_j)
+               / (√(n·s_ii − s_i²) · √(n·s_jj − s_j²))
+
+    computed in DOUBLE with one verbatim expression order
+    (``CORR_MATRIX_SQL``, the rank_corr stance: each cast to DOUBLE
+    first — above 2^53 the products round, but identically on every
+    engine, so the e4 knife-edge round replays). NULL corr on a
+    constant dimension (zero variance). Diagonal entries are exactly
+    1.0 whenever variance is nonzero (asserted by test, not special-
+    cased).
+
+    Plan: the gemm stats table feeds the pair rows once, and the
+    diagonal moments arrive via ONE collect_list map row
+    (map_from_entries → element_at, the bloom_semi_join idiom) — so
+    the corpus is scanned exactly TWICE (pairs + diagonal branch),
+    never once per diagonal join side. Output is O(d²) rows.
+
+    Returns ``i, j, n, corr_e4``."""
+    stats = covariance_stats(emb, vec_col, dims=dims)
+    diag = (stats.where(F.col("i") == F.col("j"))
+            .select(F.col("i").alias("_di"),
+                    F.struct(F.col("s_i").alias("s"),
+                             F.col("s_ij").alias("ss")).alias("_v"))
+            .agg(F.map_from_entries(F.collect_list(
+                F.struct("_di", "_v"))).alias("_dmap")))
+    return (stats.crossJoin(F.broadcast(diag))
+            .withColumn("_sii", F.expr("element_at(_dmap, i).ss"))
+            .withColumn("_sjj", F.expr("element_at(_dmap, j).ss"))
+            .withColumn("corr_e4", F.expr(CORR_MATRIX_SQL))
+            .select("i", "j", "n", "corr_e4"))
+
+
+# shared verbatim: the e4-rounded Pearson finish from the exact
+# integer gemm sums, every operand cast to DOUBLE before multiplying
+# (identical IEEE on both engines — the rank_corr stance)
+_CM_NUM = ("(CAST(n AS DOUBLE) * CAST(s_ij AS DOUBLE)"
+           " - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE))")
+_CM_DI = ("(CAST(n AS DOUBLE) * CAST(_sii AS DOUBLE)"
+          " - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE))")
+_CM_DJ = ("(CAST(n AS DOUBLE) * CAST(_sjj AS DOUBLE)"
+          " - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))")
+CORR_MATRIX_SQL = (
+    "CASE WHEN n < 2 OR " + _CM_DI + " <= CAST(0 AS DOUBLE)"
+    " OR " + _CM_DJ + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
+    "CAST(floor(" + _CM_NUM + " / (sqrt(" + _CM_DI + ")"
+    " * sqrt(" + _CM_DJ + "))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")

@@ -5658,6 +5658,9 @@ def ema_summary(spark, sf_dir):
 #        quantile_update count monoid (graded like stream_entropy);
 #        mann_kendall_trend — stats.py thin wrapper over kendall_tau
 #        (time as x; kendall's pair-join oracle shape applies);
+#        corr_matrix — features.py over the covariance gemm,
+#        CORR_MATRIX_SQL verbatim finish (oracle at
+#        tests/test_whitening.py);
 #        other oracles at tests/test_stats_operators.py +
 #        tests/test_dispersion_operators.py +
 #        tests/test_interval_combinators.py; jaro_winkler_e6_udf —
@@ -5666,11 +5669,11 @@ def ema_summary(spark, sf_dir):
 #        feature_hashing —
 #        features.py, XXH64-golden-pinned (grade rows-only or via a
 #        pinned-literal checksum golden); ols_fit / isotonic_fit /
-#        kaplan_meier stay replay-pinned by design — LAPACK-solve
-#        ulps / non-SQL PAVA / non-SQL truncated product fold, the
-#        pca_whiten rationale — with the bitwise/Fraction/stepwise
-#        replays at tests/test_whitening.py +
-#        tests/test_dispersion_operators.py);
+#        kaplan_meier / histogram_adaptive stay replay-pinned by
+#        design — LAPACK-solve ulps / non-SQL PAVA / non-SQL truncated
+#        product fold / non-SQL greedy merge, the pca_whiten rationale
+#        — with the bitwise/Fraction/stepwise replays at
+#        tests/test_whitening.py + tests/test_dispersion_operators.py);
 #        re-confirm the rest of the r6-graded TPC-H (q15-q22), the
 #        r10-displaced re-confirmation remainder (q12_priority_shipping,
 #        quality_expectations, limit_offset, having_filter,

@@ -64,10 +64,11 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.corpus import (
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        cohort_overlap, cusum_changepoint, histogram_equi_depth,
-        kaplan_meier, quantile_update, quantiles_from_state)
+        cohort_overlap, cusum_changepoint, histogram_adaptive,
+        histogram_equi_depth, kaplan_meier, quantile_update,
+        quantiles_from_state)
     from clickhouse_hdfs_loader_spark.operators.features import (
-        feature_hashing, isotonic_fit)
+        corr_matrix, feature_hashing, isotonic_fit)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
 
     docs = read_table(spark, sf, "documents")
@@ -175,6 +176,8 @@ def _operator_picks(spark, sf):
         "isotonic_fit": isotonic_fit(ev, "event_type", "user_id",
                                      "value"),
         "mann_kendall_trend": mann_kendall_trend(ev),
+        "histogram_adaptive": histogram_adaptive(
+            ev, "event_type", "value", bins=8),
         "kaplan_meier": kaplan_meier(
             binned.groupBy("event_type", "user_id")
             .agg((F.unix_seconds(F.max("ts")) / 1000.0)
@@ -223,6 +226,7 @@ def _operator_picks(spark, sf):
         # dims=64 keeps construction lazy (no eager min/max bounds job
         # that would scan the source during plan audit — ADVICE r9)
         "covariance_stats": covariance_stats(emb, dims=64),
+        "corr_matrix": corr_matrix(emb, dims=64),
         # pagerank / pca_whiten / ols_fit run eager jobs
         # (localCheckpoint, stats/solve collects) during construction —
         # replay-pinned instead of plan-audited

@@ -775,3 +775,94 @@ def test_kaplan_meier_replay_and_hand_cases(spark, sf_dir):
     # invalid flag raises loudly
     with pytest.raises(Exception, match="0 or 1"):
         run([("g", 1.0, 7)])
+
+
+def _adaptive_fraction_replay(points, bins):
+    """Independent exact-rational greedy merge: points = sorted
+    [(vm, c)]; Fraction centers, leftmost-tie merges, trunc-div
+    centers out."""
+    from fractions import Fraction
+
+    cur = [[v, v, c, v * c] for v, c in points]
+    while len(cur) > bins:
+        best, bd = 0, None
+        for i in range(len(cur) - 1):
+            d = (Fraction(cur[i + 1][3], cur[i + 1][2])
+                 - Fraction(cur[i][3], cur[i][2]))
+            if bd is None or d < bd:
+                best, bd = i, d
+        l, r = cur[best], cur[best + 1]
+        cur[best:best + 2] = [[l[0], r[1], l[2] + r[2], l[3] + r[3]]]
+    out = []
+    for k, (lo, hi, c, w) in enumerate(cur):
+        center = w // c if w >= 0 else -((-w) // c)
+        out.append((k, lo, hi, c, center))
+    return out
+
+
+def test_histogram_adaptive_replay_and_hand_cases(spark, sf_dir):
+    """histogram_adaptive: exact-Fraction replay of the deterministic
+    greedy merge on the real events, the structural invariants
+    (ordered disjoint bins, exact mass preservation, bin count), and
+    clustered hand cases."""
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        histogram_adaptive)
+
+    ev = _ev(spark, sf_dir)
+    got = sorted(map(tuple, histogram_adaptive(
+        ev, "event_type", "value", bins=8).collect()))
+    rows = _duck(sf_dir).execute("""
+        SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events
+        WHERE value IS NOT NULL AND isfinite(value)
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    from itertools import groupby
+    want = []
+    for g, grp in groupby(rows, key=lambda r: r[0]):
+        pts = [(vm, c) for _, vm, c in grp]
+        want.extend((g,) + t
+                    for t in _adaptive_fraction_replay(pts, 8))
+    assert got == sorted(want) and len(got) == 40   # 5 groups x 8
+
+    # invariants: ordered disjoint bins, mass preserved exactly
+    from collections import defaultdict
+    per_g = defaultdict(list)
+    for g, k, lo, hi, c, ctr in got:
+        per_g[g].append((k, lo, hi, c, ctr))
+    totals = dict(_duck(sf_dir).execute("""
+        SELECT event_type, CAST(count(*) AS BIGINT) FROM events
+        WHERE value IS NOT NULL AND isfinite(value)
+          AND event_type IS NOT NULL GROUP BY 1""").fetchall())
+    for g, bs in per_g.items():
+        bs.sort()
+        assert sum(c for _, _, _, c, _ in bs) == totals[g]
+        for (_, _, hi1, _, _), (_, lo2, _, _, _) in zip(bs, bs[1:]):
+            assert hi1 < lo2
+        assert all(lo <= ctr <= hi for _, lo, hi, _, ctr in bs)
+
+    def run(vals, bins):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return sorted(map(tuple, histogram_adaptive(
+            df, "g", "v", bins=bins).collect()))
+
+    # fewer distinct values than bins: identity bins
+    assert run([1, 2, 3], 5) == [
+        ("g", 0, 1000, 1000, 1, 1000), ("g", 1, 2000, 2000, 1, 2000),
+        ("g", 2, 3000, 3000, 1, 3000)]
+    # bins=1 pools everything; center = truncated grand mean
+    assert run([1, 2, 6], 1) == [("g", 0, 1000, 6000, 3, 3000)]
+    # two tight clusters survive a bins=2 cut intact (values a clean
+    # half-milli apart — 1.001·1000 floors to 1000 in double, the
+    # quantization collapse trap)
+    assert run([1.0, 1.5, 10.0, 10.5], 2) == [
+        ("g", 0, 1000, 1500, 2, 1250), ("g", 1, 10000, 10500, 2,
+                                        10250)]
+    # duplicate values collapse to one weighted point first
+    assert run([5, 5, 5, 9], 2) == [
+        ("g", 0, 5000, 5000, 3, 5000), ("g", 1, 9000, 9000, 1, 9000)]
+    with pytest.raises(ValueError, match="bins"):
+        histogram_adaptive(ev, "event_type", "value", bins=0)

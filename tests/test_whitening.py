@@ -441,3 +441,47 @@ def test_isotonic_fit_replay_and_contracts(spark, sf_dir):
         assert out == sorted(want)
 
     check()
+
+
+def test_corr_matrix_oracle_and_hand_cases(spark, sf_dir):
+    """corr_matrix (ClickHouse corrMatrix): DuckDB oracle via the
+    covariance-sum CTE + the VERBATIM shared finish, the diagonal/
+    bounds invariants, and exact ±1 planted hand cases."""
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        CORR_MATRIX_SQL, corr_matrix)
+
+    got = sorted(map(tuple, corr_matrix(
+        _emb(spark, sf_dir), dims=64).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    want = sorted(map(tuple, con.execute(f"""
+        WITH base AS ({COV_SQL}),
+        diag AS (SELECT i AS d, s_ij AS ss FROM base WHERE i = j),
+        t AS (SELECT b.i, b.j, b.n, b.s_i, b.s_j, b.s_ij,
+                     di.ss AS _sii, dj.ss AS _sjj
+              FROM base b
+              JOIN diag di ON di.d = b.i
+              JOIN diag dj ON dj.d = b.j)
+        SELECT i, j, n, {CORR_MATRIX_SQL.replace('div', '//')}
+                 AS corr_e4
+        FROM t
+    """).fetchall()))
+    assert got == want and len(got) == 64 * 65 // 2
+    # diagonal exactly 1; every entry in [-1, 1] (the e4 round can't
+    # escape the Cauchy-Schwarz bound by more than half a unit)
+    for i, j, _n, c in got:
+        if i == j:
+            assert c == 1.0
+        assert c is None or -1.0001 <= c <= 1.0001
+
+    # planted: dim1 = 2·dim0 -> corr exactly 1; dim2 = −dim0 -> −1;
+    # dim3 constant -> NULL against everything
+    rows = [([float(v), 2.0 * v, -1.0 * v, 7.0],)
+            for v in (1, 2, 5, 9, 3)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = {(r["i"], r["j"]): r["corr_e4"]
+           for r in corr_matrix(df).collect()}
+    assert out[(0, 1)] == 1.0 and out[(0, 2)] == -1.0
+    assert out[(1, 2)] == -1.0
+    assert out[(0, 3)] is None and out[(3, 3)] is None
