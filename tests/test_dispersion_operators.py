@@ -1,12 +1,16 @@
-"""Corpus-composition and dispersion measures (the late-r11 r12-queue
-batch): Simpson's index, the Gini coefficient, and MAD-based outlier
-screening (operators/dispersion.py), the Zipf power-law fit
-(corpus.zipf_fit), and the pairwise cohort-overlap matrix
-(analytics.cohort_overlap) — DuckDB exact-replay oracles on the real
-events table (written to registry standards for the r12 promotion
-queue) plus the degenerate / tie hand cases the fixtures can't force
-and the structural invariances (scale invariance, complement identity,
-skew monotonicity) each measure must satisfy."""
+"""Corpus-composition and dispersion measures (the post-endgame r11
+batches, r12 promotion queue): Simpson's index, the Gini coefficient,
+MAD outliers + the robust_scale row transform, trimmed means, the
+Benford first-digit screen, and PSI drift (operators/dispersion.py);
+the Zipf power-law fit (corpus.zipf_fit); the cohort-overlap matrix,
+equi-depth histogram, CUSUM change point, Kaplan-Meier survival, and
+the deterministic adaptive histogram (operators/analytics.py) —
+DuckDB exact-replay oracles on the real events table (written to
+registry standards, NULL-group/id hardening mirrored on both sides)
+or exact Fraction/stepwise replays for the non-SQL folds, plus the
+degenerate / tie hand cases the fixtures can't force and the
+structural invariances (scale invariance, complement identity, mass
+preservation, monotonicity) each measure must satisfy."""
 
 from __future__ import annotations
 

@@ -1,6 +1,8 @@
-"""covariance_stats + pca_whiten + ols_fit: exact integer moment sums
-(DuckDB oracle), bitwise projection/solve replays, and the
-whitening/regression contracts."""
+"""The features.py family — covariance_stats, pca_whiten, ols_fit,
+corr_matrix, isotonic_fit, feature_hashing: exact integer moment sums
+(DuckDB oracles, the corr finish shared verbatim), bitwise
+projection/solve replays, the Fraction PAVA replay, the XXH64 golden,
+and the whitening/regression/vectorizer contracts."""
 
 from __future__ import annotations
 
