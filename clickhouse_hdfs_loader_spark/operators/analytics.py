@@ -1627,3 +1627,91 @@ def histogram_adaptive(df: DataFrame, group_col: str, value_col: str,
         merge, schema=(f"_g {g_ddl}, bin int, lo_milli long, "
                        f"hi_milli long, cnt long, center_milli long"))
     return out.withColumnRenamed("_g", group_col)
+
+
+def runs_test(events: DataFrame, group_col: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value",
+              id_col: str = "event_id") -> DataFrame:
+    """Wald-Wolfowitz runs test per group (1940, public semantics) —
+    "is this metric's sequence random, or does it streak?": values
+    above/below the group median form a ±sequence ordered by time,
+    and too FEW runs means autocorrelation/drift while too MANY means
+    oscillation. The randomness screen that complements CUSUM's
+    level-shift hunt.
+
+    INTEGER-EXACT core: values milli-quantize; the reference median
+    is the window-folded exact LOWER median (the mad_outliers idiom —
+    no median join); rows AT the median are excluded (the standard
+    treatment — a tie has no sign); runs count via one lag over the
+    (ts, id) order. Only the z-score finish is float, in the shared
+    verbatim expression (``RUNS_Z_SQL``): with a = n_plus, b =
+    n_minus, μ = 2ab/(a+b) + 1 and σ² = 2ab(2ab−a−b) /
+    ((a+b)²(a+b−1)); NULL z when either side is empty or a+b < 2.
+    NULL ts/id/group and NULL/NaN/±Inf values are excluded (mirror
+    in twins; NULL ids would sort NULLS FIRST vs a twin's NULLS
+    LAST — the cusum stance).
+
+    Plan: ONE scan, ONE shuffle on the group key — a value-sort
+    window (median fold), a time-sort window (lag), one aggregate.
+
+    Returns ``group, n_plus, n_minus, runs, z_e4``."""
+    from pyspark.sql import Window
+
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    wall = Window.partitionBy("_g")
+    wv = Window.partitionBy("_g").orderBy("_vm")
+    wt = Window.partitionBy("_g").orderBy("_us", "_id")
+    pos = F.floor((F.col("_n") + 1) / 2)
+    base = (events.where(_quantizable_col(value_col)
+                         & F.col(ts_col).isNotNull()
+                         & F.col(id_col).isNotNull()
+                         & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    F.col(id_col).alias("_id"), vm.alias("_vm"))
+            .withColumn("_rn", F.row_number().over(wv))
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .withColumn("_med",
+                        F.max(F.when(F.col("_rn") == pos,
+                                     F.col("_vm"))).over(wall))
+            .where(F.col("_vm") != F.col("_med"))
+            .withColumn("_s", F.when(F.col("_vm") > F.col("_med"), 1)
+                        .otherwise(-1))
+            .withColumn("_prev", F.lag("_s").over(wt))
+            .withColumn("_new", F.when(
+                F.col("_prev").isNull()
+                | (F.col("_s") != F.col("_prev")), 1).otherwise(0)))
+    return (base.groupBy("_g")
+            .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_plus"),
+                 F.sum(F.when(F.col("_s") == -1, 1).otherwise(0))
+                 .cast("long").alias("n_minus"),
+                 F.sum("_new").cast("long").alias("runs"))
+            .withColumn("z_e4", F.expr(RUNS_Z_SQL))
+            .select(F.col("_g").alias(group_col), "n_plus", "n_minus",
+                    "runs", "z_e4"))
+
+
+# shared verbatim: the runs-test z from the exact integer counts
+# (a = n_plus, b = n_minus; knife-edge e4 round, sign-uniform)
+_RUNS_MU = ("(CAST(2 AS DOUBLE) * CAST(n_plus AS DOUBLE)"
+            " * CAST(n_minus AS DOUBLE)"
+            " / (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))"
+            " + CAST(1 AS DOUBLE))")
+_RUNS_VAR = (
+    "((CAST(2 AS DOUBLE) * CAST(n_plus AS DOUBLE)"
+    " * CAST(n_minus AS DOUBLE))"
+    " * (CAST(2 AS DOUBLE) * CAST(n_plus AS DOUBLE)"
+    " * CAST(n_minus AS DOUBLE)"
+    " - CAST(n_plus AS DOUBLE) - CAST(n_minus AS DOUBLE))"
+    " / ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))"
+    " * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))"
+    " * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)"
+    " - CAST(1 AS DOUBLE))))")
+RUNS_Z_SQL = (
+    "CASE WHEN n_plus = 0 OR n_minus = 0"
+    " OR n_plus + n_minus < 2 THEN NULL ELSE "
+    "CAST(floor((CAST(runs AS DOUBLE) - " + _RUNS_MU + ")"
+    " / sqrt(" + _RUNS_VAR + ")"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")

@@ -5660,7 +5660,8 @@ def ema_summary(spark, sf_dir):
 #        (time as x; kendall's pair-join oracle shape applies);
 #        corr_matrix — features.py over the covariance gemm,
 #        CORR_MATRIX_SQL verbatim finish (oracle at
-#        tests/test_whitening.py);
+#        tests/test_whitening.py); runs_test — analytics.py,
+#        RUNS_Z_SQL verbatim finish;
 #        other oracles at tests/test_stats_operators.py +
 #        tests/test_dispersion_operators.py +
 #        tests/test_interval_combinators.py; jaro_winkler_e6_udf —

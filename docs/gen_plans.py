@@ -66,7 +66,7 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cohort_overlap, cusum_changepoint, histogram_adaptive,
         histogram_equi_depth, kaplan_meier, quantile_update,
-        quantiles_from_state)
+        quantiles_from_state, runs_test)
     from clickhouse_hdfs_loader_spark.operators.features import (
         corr_matrix, feature_hashing, isotonic_fit)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
@@ -178,6 +178,7 @@ def _operator_picks(spark, sf):
         "mann_kendall_trend": mann_kendall_trend(ev),
         "histogram_adaptive": histogram_adaptive(
             ev, "event_type", "value", bins=8),
+        "runs_test": runs_test(ev),
         "kaplan_meier": kaplan_meier(
             binned.groupBy("event_type", "user_id")
             .agg((F.unix_seconds(F.max("ts")) / 1000.0)

@@ -870,3 +870,71 @@ def test_histogram_adaptive_replay_and_hand_cases(spark, sf_dir):
         ("g", 0, 5000, 5000, 3, 5000), ("g", 1, 9000, 9000, 1, 9000)]
     with pytest.raises(ValueError, match="bins"):
         histogram_adaptive(ev, "event_type", "value", bins=0)
+
+
+def test_runs_test_oracle_and_hand_cases(spark, sf_dir):
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        RUNS_Z_SQL, runs_test)
+
+    ev = _ev(spark, sf_dir)
+    got = sorted(map(tuple, runs_test(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH v AS (SELECT event_type AS g, epoch_us(ts) AS us,
+                          event_id AS id,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+        m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN vm END)
+                          OVER (PARTITION BY g) AS med
+              FROM (SELECT *,
+                           row_number() OVER (PARTITION BY g
+                             ORDER BY vm) AS rn,
+                           count(*) OVER (PARTITION BY g) AS n
+                    FROM v)),
+        s AS (SELECT g, us, id,
+                     CASE WHEN vm > med THEN 1 ELSE -1 END AS sgn
+              FROM m WHERE vm != med),
+        r AS (SELECT g, sgn,
+                     lag(sgn) OVER (PARTITION BY g ORDER BY us, id)
+                       AS prev
+              FROM s)
+        SELECT g AS event_type,
+               CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_plus,
+               CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_minus,
+               CAST(sum(CASE WHEN prev IS NULL OR sgn != prev
+                    THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+               {RUNS_Z_SQL.replace(' div ', ' // ')} AS z_e4
+        FROM r GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # a random-ish fixture shouldn't streak pathologically: |z| < 5
+    assert all(abs(z) < 5 for (_, _, _, _, z) in got)
+
+    import datetime as _dt
+    base = _dt.datetime(2024, 1, 1)
+
+    def run(vals):
+        rows = [("g", base + _dt.timedelta(seconds=i), i, float(v))
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, event_id long, v double")
+        return runs_test(df, "g", "ts", "v", "event_id").collect()[0]
+
+    # perfectly alternating around the median: every step is a new
+    # run (median rows excluded: [1,9]*4 has median 1 -> only the 9s?
+    # no: lower median of [1,1,1,1,9,9,9,9] is 1 -> 1s EXCLUDED, so
+    # use 3 levels to keep both sides: [1,9,1,9,...] median 1 drops
+    # the 1s — instead plant values straddling a median row set)
+    r = run([0, 9, 0, 9, 0, 9, 5, 5])   # median 5: the 5s drop
+    assert (r["n_plus"], r["n_minus"], r["runs"]) == (3, 3, 6)
+    # a sorted (maximally streaky) sequence has exactly 2 runs
+    r = run([0, 0, 0, 9, 9, 9, 5, 5])   # median 5 excluded
+    assert (r["n_plus"], r["n_minus"], r["runs"]) == (3, 3, 2)
+    # one-sided after median exclusion -> z NULL (no randomness to
+    # test), counts still reported
+    r = run([5, 5, 9, 9])               # median 5 -> only +1s remain
+    assert r["n_minus"] == 0 and r["z_e4"] is None
