@@ -1641,15 +1641,19 @@ def runs_test(events: DataFrame, group_col: str = "event_type",
 
     INTEGER-EXACT core: values milli-quantize; the reference median
     is the window-folded exact LOWER median (the mad_outliers idiom —
-    no median join); rows AT the median are excluded (the standard
-    treatment — a tie has no sign); runs count via one lag over the
-    (ts, id) order. Only the z-score finish is float, in the shared
-    verbatim expression (``RUNS_Z_SQL``): with a = n_plus, b =
-    n_minus, μ = 2ab/(a+b) + 1 and σ² = 2ab(2ab−a−b) /
-    ((a+b)²(a+b−1)); NULL z when either side is empty or a+b < 2.
-    NULL ts/id/group and NULL/NaN/±Inf values are excluded (mirror
-    in twins; NULL ids would sort NULLS FIRST vs a twin's NULLS
-    LAST — the cusum stance).
+    no median join); rows AT the median carry NO sign (the standard
+    treatment — a tie has no sign) but STAY in the frame, so a
+    constant-valued group still emits its row with n_plus = n_minus =
+    runs = 0 and NULL z; the previous sign skips tie rows via
+    last-non-null over the (ts, id) order. Only the z-score finish is
+    float, in the shared verbatim expression (``RUNS_Z_SQL``): with
+    a = n_plus, b = n_minus, μ = 2ab/(a+b) + 1 and σ² =
+    2ab(2ab−a−b) / ((a+b)²(a+b−1)); NULL z when either side is empty
+    or a+b < 3 (a = b = 1 is the only point where 2ab = a+b makes
+    σ² exactly 0 — an unguarded 0/0 under ANSI). NULL ts/id/group
+    and NULL/NaN/±Inf values are excluded (mirror in twins; NULL ids
+    would sort NULLS FIRST vs a twin's NULLS LAST — the cusum
+    stance).
 
     Plan: ONE scan, ONE shuffle on the group key — a value-sort
     window (median fold), a time-sort window (lag), one aggregate.
@@ -1674,13 +1678,17 @@ def runs_test(events: DataFrame, group_col: str = "event_type",
             .withColumn("_med",
                         F.max(F.when(F.col("_rn") == pos,
                                      F.col("_vm"))).over(wall))
-            .where(F.col("_vm") != F.col("_med"))
+            # tie rows get a NULL sign but are KEPT so the group
+            # still aggregates to a counts row (fixture-drift-proof)
             .withColumn("_s", F.when(F.col("_vm") > F.col("_med"), 1)
-                        .otherwise(-1))
-            .withColumn("_prev", F.lag("_s").over(wt))
+                        .when(F.col("_vm") < F.col("_med"), -1))
+            .withColumn("_prev", F.last("_s", ignorenulls=True).over(
+                wt.rowsBetween(Window.unboundedPreceding, -1)))
             .withColumn("_new", F.when(
-                F.col("_prev").isNull()
-                | (F.col("_s") != F.col("_prev")), 1).otherwise(0)))
+                F.col("_s").isNotNull()
+                & (F.col("_prev").isNull()
+                   | (F.col("_s") != F.col("_prev"))), 1)
+                .otherwise(0)))
     return (base.groupBy("_g")
             .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0))
                  .cast("long").alias("n_plus"),
@@ -1709,8 +1717,10 @@ _RUNS_VAR = (
     " * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)"
     " - CAST(1 AS DOUBLE))))")
 RUNS_Z_SQL = (
+    # a+b < 3 also excludes a = b = 1, the ONLY zero-variance point
+    # (2ab = a+b there), which is a 0/0 under ANSI (ADVICE r11)
     "CASE WHEN n_plus = 0 OR n_minus = 0"
-    " OR n_plus + n_minus < 2 THEN NULL ELSE "
+    " OR n_plus + n_minus < 3 THEN NULL ELSE "
     "CAST(floor((CAST(runs AS DOUBLE) - " + _RUNS_MU + ")"
     " / sqrt(" + _RUNS_VAR + ")"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"

@@ -894,18 +894,22 @@ def test_runs_test_oracle_and_hand_cases(spark, sf_dir):
                            count(*) OVER (PARTITION BY g) AS n
                     FROM v)),
         s AS (SELECT g, us, id,
-                     CASE WHEN vm > med THEN 1 ELSE -1 END AS sgn
-              FROM m WHERE vm != med),
+                     CASE WHEN vm > med THEN 1
+                          WHEN vm < med THEN -1 END AS sgn
+              FROM m),
         r AS (SELECT g, sgn,
-                     lag(sgn) OVER (PARTITION BY g ORDER BY us, id)
-                       AS prev
+                     last_value(sgn IGNORE NULLS) OVER (
+                       PARTITION BY g ORDER BY us, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev
               FROM s)
         SELECT g AS event_type,
                CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_plus,
                CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_minus,
-               CAST(sum(CASE WHEN prev IS NULL OR sgn != prev
+               CAST(sum(CASE WHEN sgn IS NOT NULL
+                    AND (prev IS NULL OR sgn != prev)
                     THEN 1 ELSE 0 END) AS BIGINT) AS runs,
                {RUNS_Z_SQL.replace(' div ', ' // ')} AS z_e4
         FROM r GROUP BY 1
@@ -938,3 +942,18 @@ def test_runs_test_oracle_and_hand_cases(spark, sf_dir):
     # test), counts still reported
     r = run([5, 5, 9, 9])               # median 5 -> only +1s remain
     assert r["n_minus"] == 0 and r["z_e4"] is None
+    # a = b = 1 is the zero-variance knife edge (2ab = a+b): the z
+    # formula is 0/0 there — must be NULL, not an ANSI divide error
+    # (ADVICE r11 hand case)
+    r = run([0, 9, 5, 5])               # median 5 -> one row per side
+    assert (r["n_plus"], r["n_minus"], r["runs"]) == (1, 1, 2)
+    assert r["z_e4"] is None
+    # a constant group still emits its counts row (all rows tie the
+    # median — previously the group vanished from the output)
+    r = run([5, 5, 5])
+    assert (r["n_plus"], r["n_minus"], r["runs"]) == (0, 0, 0)
+    assert r["z_e4"] is None
+    # ties interleaved among signed rows must not break a run: the
+    # skipped tie row sits between two same-sign rows
+    r = run([0, 9, 5, 9, 0])            # median 5; [−,+,(tie),+,−]
+    assert (r["n_plus"], r["n_minus"], r["runs"]) == (2, 2, 3)
