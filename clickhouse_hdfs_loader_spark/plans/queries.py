@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.vectors import cosine
 from ..operators import dedup as DD
-from ..operators.stats import (CONTINGENCY_SQL, CRAMERS_V_SQL, KS_D_SQL,
-                               KURT_SQL, RANK_CORR_SQL, SKEW_SQL,
-                               STUDENT_T_SQL, WELCH_T_SQL)
+from ..operators.stats import (ANOVA_F_SQL, AVG_WEIGHTED_SQL,
+                               CONTINGENCY_SQL, CRAMERS_V_BC_SQL,
+                               CRAMERS_V_SQL, KS_D_SQL, KURT_SQL,
+                               RANK_CORR_SQL, SKEW_SQL, STUDENT_T_SQL,
+                               WELCH_T_SQL, mean_z_sql)
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import transform as T
@@ -5597,6 +5599,1038 @@ def ema_summary(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# [EXT-STATS2] the r12 promotion: the late-r11 odds-and-ends aggregates
+# and the post-endgame association/dispersion/cohort batch. SQL moved
+# VERBATIM from tests/test_stats_operators.py,
+# tests/test_dispersion_operators.py, tests/test_llm_operators.py,
+# tests/test_interval_combinators.py and tests/test_whitening.py (the
+# r9/r10/r11 promotion precedent); float finishes interpolate the
+# exported *_SQL constants so both engines share expression order by
+# construction.
+# ---------------------------------------------------------------------------
+
+from ..operators.corpus import ZIPF_R2_SQL, ZIPF_S_SQL  # noqa: E402
+from ..operators.dispersion import BENFORD_P_E6  # noqa: E402
+from ..operators.features import CORR_MATRIX_SQL  # noqa: E402
+from ..operators.analytics import RUNS_Z_SQL  # noqa: E402
+from ..operators.stats import KENDALL_TAU_SQL  # noqa: E402
+
+# pmod-safe category derivations shared by the contingency-table family
+# (value mod-7 bucket x user mod-5 class — the theils_u grading shape)
+_XBIN_SQL = "((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)"
+_YBIN_SQL = "((user_id % 5 + 5) % 5)"
+
+
+def _xy_binned_events(spark, sf_dir):
+    """The contingency grading input: value mod-7 bucket x user mod-5
+    class, NULL users and non-finite values out (mirrored in twins)."""
+    from ..operators.analytics import _quantizable_col
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull()
+                   & _quantizable_col("value"))
+            .withColumn("xbin",
+                        F.pmod(F.floor(F.col("value")).cast("long"),
+                               F.lit(7)))
+            .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+
+
+@query("group_bit_aggregate", oracle="""
+    SELECT 'and' AS how, event_type,
+           CAST(bit_and(CAST(user_id AS BIGINT)) AS BIGINT) AS bits
+    FROM events WHERE user_id IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'or' AS how, event_type,
+           CAST(bit_or(CAST(user_id AS BIGINT)) AS BIGINT) AS bits
+    FROM events WHERE user_id IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'xor' AS how, event_type,
+           CAST(bit_xor(CAST(user_id AS BIGINT)) AS BIGINT) AS bits
+    FROM events WHERE user_id IS NOT NULL GROUP BY 2
+""")
+def group_bit_aggregate_q(spark, sf_dir):
+    """ClickHouse ``groupBitAnd``/``groupBitOr``/``groupBitXor``: all
+    three mask folds over the same input, tagged and unioned (one
+    graded surface for the family). operators/stats.py:
+    group_bit_aggregate."""
+    from ..operators.stats import group_bit_aggregate as _gba
+    ev = _t(spark, sf_dir, "events")
+    parts = [_gba(ev, "event_type", "user_id", how=h)
+             .withColumn("how", F.lit(h)) for h in ("and", "or", "xor")]
+    return (parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .select("how", "event_type", "bits"))
+
+
+@query("avg_weighted", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      ((event_id % 5 + 5) % 5) AS w,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_id IS NOT NULL),
+    a AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS wsum,
+                 CAST(sum(w * vm) AS BIGINT) AS wvsum_milli
+          FROM b GROUP BY 1)
+    SELECT event_type, wsum, wvsum_milli,
+           {AVG_WEIGHTED_SQL} AS avg_w_e4
+    FROM a
+""")
+def avg_weighted_q(spark, sf_dir):
+    """ClickHouse ``avgWeighted``: exact integer weighted sums
+    (non-negative integer weights enforced), verbatim-shared float
+    finish. operators/stats.py:avg_weighted."""
+    from ..operators.stats import avg_weighted as _aw
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("w", F.pmod(F.col("event_id"), F.lit(5))))
+    return _aw(ev, "event_type", "value", "w")
+
+
+@query("pearson_corr", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS x,
+                      CAST(floor((value * value) * 1000) AS BIGINT)
+                        AS y
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND (value * value) IS NOT NULL
+                 AND isfinite(value * value)),
+    j AS (SELECT g, CAST(x AS HUGEINT) AS _qx,
+                 CAST(y AS HUGEINT) AS _qy FROM b),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(_qx) AS _sx, sum(_qy) AS _sy,
+                 sum(_qx * _qx) AS _sxx, sum(_qy * _qy) AS _syy,
+                 sum(_qx * _qy) AS _sxy
+          FROM j GROUP BY 1)
+    SELECT g AS event_type, n, {RANK_CORR_SQL} AS corr_e4 FROM a
+""")
+def pearson_corr_q(spark, sf_dir):
+    """ClickHouse ``corr`` on raw (not ranked) values: the rank_corr
+    moment machinery over milli-quantized (value, value²) — 128-bit
+    internal sums, shared RANK_CORR_SQL finish. operators/stats.py:
+    pearson_corr."""
+    from ..operators.stats import pearson_corr as _pc
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("y2", (F.col("value") * F.col("value"))
+                      .cast("double")))
+    return _pc(ev, "event_type", "value", "y2")
+
+
+@query("mean_z_test", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS s
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL),
+    a AS (SELECT event_type,
+            CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(sum(CASE WHEN s = 1 THEN vm ELSE 0 END) AS BIGINT)
+              AS sum1,
+            CAST(sum(CASE WHEN s = 0 THEN vm ELSE 0 END) AS BIGINT)
+              AS sum2
+          FROM b GROUP BY 1)
+    SELECT event_type, n1, n2, sum1, sum2,
+           {mean_z_sql(4.0, 9.0)} AS z_e4
+    FROM a
+""")
+def mean_z_test_q(spark, sf_dir):
+    """ClickHouse ``meanZTest`` (known variances 4 and 9): two-sample
+    z from exact integer sums; the finish SQL is generated once and
+    shared verbatim (finite-variance validation at build time).
+    operators/stats.py:mean_z_test."""
+    from ..operators.stats import mean_z_test as _mz
+    return _mz(_sided_events(spark, sf_dir), "event_type", "value",
+               "side", var1=4.0, var2=9.0)
+
+
+@query("anova_f", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      ((user_id % 3 + 3) % 3) AS c,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL),
+    pc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS nc,
+                  CAST(sum(vm) AS HUGEINT) AS s,
+                  sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT))
+                    AS ss
+           FROM b GROUP BY 1, 2),
+    pt AS (SELECT g, c, nc, s, ss, (s * s * 1000) // nc AS t
+           FROM pc),
+    pg AS (SELECT g, CAST(count(DISTINCT c) AS BIGINT) AS k,
+                  CAST(sum(nc) AS BIGINT) AS n,
+                  sum(s) AS stot, sum(ss) AS sstot,
+                  sum(t) AS tsum
+           FROM pt GROUP BY 1),
+    a AS (SELECT g, k, n,
+                 CAST(greatest(0, tsum - (stot * stot * 1000) // n)
+                   AS BIGINT) AS ssb_milli,
+                 CAST(sstot * 1000 - tsum AS BIGINT) AS ssw_milli
+          FROM pg)
+    SELECT g AS event_type, k, n, ssb_milli, ssw_milli,
+           {ANOVA_F_SQL} AS f_e4
+    FROM a
+""")
+def anova_f_q(spark, sf_dir):
+    """ClickHouse ``analysisOfVariance`` (one-way ANOVA F): exact
+    128-bit-internal sum-of-squares decomposition over user mod-3
+    classes, shared ANOVA_F_SQL finish. operators/stats.py:anova_f."""
+    from ..operators.stats import anova_f as _af
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))))
+    return _af(ev, "event_type", "value", "cls")
+
+
+@query("cramers_v_bias_corrected", oracle=f"""
+    WITH b AS (SELECT event_type AS g, {_XBIN_SQL} AS x,
+                      {_YBIN_SQL} AS y
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND isfinite(value)),
+    nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2, 3),
+    nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
+           GROUP BY 1, 2),
+    ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS ny FROM nxy
+           GROUP BY 1, 2),
+    cells AS (SELECT nxy.g, (c * c * 1000000) // (nx * ny) AS term,
+                     c
+              FROM nxy JOIN nx USING (g, x) JOIN ny USING (g, y)),
+    pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                  (SELECT count(DISTINCT x) FROM nxy i
+                   WHERE i.g = cells.g) AS r,
+                  (SELECT count(DISTINCT y) FROM nxy i
+                   WHERE i.g = cells.g) AS c,
+                  CAST(greatest(0, sum(term) - 1000000) AS BIGINT)
+                    AS phi2_micro
+           FROM cells GROUP BY g),
+    a AS (SELECT g AS event_type, n, CAST(r AS BIGINT) AS r,
+                 CAST(c AS BIGINT) AS c,
+                 CAST(CASE WHEN n < 2 THEN NULL ELSE
+                   greatest(0, phi2_micro
+                     - ((r - 1) * (c - 1) * 1000000) // (n - 1))
+                   END AS BIGINT) AS phi2c_micro,
+                 CAST(CASE WHEN n < 2 THEN NULL ELSE
+                   r * 1000 - ((r - 1) * (r - 1) * 1000) // (n - 1)
+                   END AS BIGINT) AS rk_milli,
+                 CAST(CASE WHEN n < 2 THEN NULL ELSE
+                   c * 1000 - ((c - 1) * (c - 1) * 1000) // (n - 1)
+                   END AS BIGINT) AS ck_milli
+          FROM pg)
+    SELECT event_type, n, r, c, phi2c_micro, rk_milli, ck_milli,
+           {CRAMERS_V_BC_SQL} AS v_e4
+    FROM a
+""")
+def cramers_v_bias_corrected_q(spark, sf_dir):
+    """ClickHouse ``cramersVBiasCorrected`` (Bergsma 2013 correction):
+    φ² via the Σn²/(n_x·n_y)−1 identity (no dense grid), corrected
+    dimensions in exact integers, shared CRAMERS_V_BC_SQL finish.
+    operators/stats.py:cramers_v_bias_corrected."""
+    from ..operators.stats import cramers_v_bias_corrected as _cbc
+    return _cbc(_xy_binned_events(spark, sf_dir), "event_type",
+                "xbin", "ybin")
+
+
+_IV_LG = {k: _ILOG2.format(x=k) for k in ("zg", "zb", "ztg", "ztb")}
+
+
+@query("categorical_iv", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      ((event_id % 4 + 4) % 4) AS cat,
+                      ((user_id % 2 + 2) % 2) AS t
+               FROM events WHERE user_id IS NOT NULL),
+    pc AS (SELECT g, cat, CAST(sum(t) AS BIGINT) AS gp,
+                  CAST(sum(1 - t) AS BIGINT) AS bn
+           FROM b GROUP BY 1, 2),
+    tt AS (SELECT g, CAST(sum(gp) AS BIGINT) AS tgp,
+                  CAST(sum(bn) AS BIGINT) AS tbn
+           FROM pc GROUP BY 1),
+    l AS (SELECT pc.g, cat, gp, bn, tgp, tbn,
+                 CASE WHEN gp > 0 THEN gp ELSE 1 END AS zg,
+                 CASE WHEN bn > 0 THEN bn ELSE 1 END AS zb,
+                 tgp AS ztg, tbn AS ztb
+          FROM pc JOIN tt ON pc.g = tt.g),
+    w AS (SELECT g, cat, gp, bn, tgp, tbn,
+            CAST(CASE WHEN gp = 0 OR bn = 0 THEN NULL ELSE
+              ({_IV_LG['zg']} + {_IV_LG['ztb']})
+              - ({_IV_LG['zb']} + {_IV_LG['ztg']})
+              END AS BIGINT) AS woe_milli
+          FROM l)
+    SELECT g AS event_type, cat AS cat4,
+           gp AS pos_cnt, bn AS neg_cnt, woe_milli,
+           CAST(CASE WHEN woe_milli IS NULL THEN NULL ELSE
+             (CAST(gp AS HUGEINT) * tbn - CAST(bn AS HUGEINT) * tgp)
+             * woe_milli // (CAST(tgp AS HUGEINT) * tbn)
+             END AS BIGINT) AS iv_milli
+    FROM w
+""")
+def categorical_iv_q(spark, sf_dir):
+    """Weight-of-evidence / information value per category (the
+    credit-scoring WoE, fully integer via milli-log2; binary tag from
+    user parity, categories from event_id mod 4).
+    operators/stats.py:categorical_iv."""
+    from ..operators.stats import categorical_iv as _iv
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .withColumn("tag", F.pmod(F.col("user_id"), F.lit(2)))
+          .withColumn("cat4", F.pmod(F.col("event_id"), F.lit(4))))
+    return _iv(ev, "event_type", "cat4", "tag")
+
+
+_MI_LG = _ILOG2.format(x="c")
+
+_MI_ORACLE = f"""
+    WITH b AS (SELECT event_type AS g, {_XBIN_SQL} AS x,
+                      {_YBIN_SQL} AS y
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND isfinite(value)),
+    nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2, 3),
+    sxy AS (SELECT g, CAST(sum(c * {_MI_LG}) AS BIGINT) AS sxy
+            FROM nxy GROUP BY 1),
+    nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS c FROM nxy
+           GROUP BY 1, 2),
+    sx AS (SELECT g, CAST(sum(c * {_MI_LG}) AS BIGINT) AS sx,
+                  CAST(sum(c) AS BIGINT) AS n
+           FROM nx GROUP BY 1),
+    ny AS (SELECT g, y, CAST(sum(c) AS BIGINT) AS c FROM nxy
+           GROUP BY 1, 2),
+    sy AS (SELECT g, CAST(sum(c * {_MI_LG}) AS BIGINT) AS sy
+           FROM ny GROUP BY 1),
+    a AS (SELECT g, n,
+                 n * {_ILOG2.format(x="n")} - sx AS hx,
+                 n * {_ILOG2.format(x="n")} - sy AS hy,
+                 n * {_ILOG2.format(x="n")} - sx - sy + sxy AS mi
+          FROM sx JOIN sy USING (g) JOIN sxy USING (g))
+    SELECT g AS event_type, n,
+           CAST(hx AS BIGINT) AS hx_n_milli,
+           CAST(hy AS BIGINT) AS hy_n_milli,
+           CAST(mi AS BIGINT) AS mi_n_milli,
+           CAST(CASE WHEN least(hx, hy) <= 0 THEN NULL ELSE
+             (mi * 1000) // least(hx, hy) END AS BIGINT)
+             AS nmi_milli
+    FROM a
+"""
+
+
+@query("mutual_information", oracle=_MI_ORACLE)
+def mutual_information_q(spark, sf_dir):
+    """Mutual information + NMI per group (theils_u's shared
+    (group, x, y) rollup, fully integer via milli-log2; exact on
+    power-of-two counts). operators/stats.py:mutual_information."""
+    from ..operators.stats import mutual_information as _mi
+    return _mi(_xy_binned_events(spark, sf_dir), "event_type",
+               "xbin", "ybin")
+
+
+@query("stream_mutual_information", oracle=_MI_ORACLE)
+def stream_mutual_information_q(spark, sf_dir):
+    """Streaming MI monitor: foreachBatch folds each micro-batch into
+    the (group, x, y) cell-count monoid; the report derives from the
+    O(cells) state alone — graded against the batch twin's oracle
+    (the stream_entropy precedent). streaming/events.py:
+    stream_mutual_information."""
+    from ..streaming.events import stream_mutual_information as _smi
+    return _smi(spark, sf_dir)
+
+
+_KENDALL_PAIR_CTE = """
+    WITH v AS (SELECT event_type AS g, event_id AS id,
+                      {x_expr} AS x,
+                      {y_expr} AS y
+               FROM events
+               WHERE {filters}),
+    nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v
+           GROUP BY 1),
+    p AS (SELECT a.g,
+            CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                 OR (a.x > b.x AND a.y < b.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+            CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                 OR (a.x > b.x AND a.y > b.y) THEN 1
+                 WHEN (a.x < b.x AND a.y > b.y)
+                 OR (a.x > b.x AND a.y < b.y) THEN -1
+                 ELSE 0 END) AS BIGINT) AS cmd
+          FROM v a JOIN v b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1),
+    a AS (SELECT nn.g AS event_type, n, n * (n - 1) // 2 AS n0,
+                 coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+                 coalesce(n3, 0) AS n3, coalesce(dis, 0) AS dis,
+                 coalesce(cmd, 0) AS con_minus_dis
+          FROM nn LEFT JOIN p ON nn.g = p.g)
+"""
+
+_KENDALL_FILTERS = ("value IS NOT NULL AND isfinite(value) "
+                    "AND user_id IS NOT NULL "
+                    "AND event_type IS NOT NULL "
+                    "AND event_id IS NOT NULL")
+
+
+@query("kendall_tau", oracle=_KENDALL_PAIR_CTE.format(
+    x_expr="CAST(floor(value * 1000) AS BIGINT)",
+    y_expr="CAST(floor(CAST(user_id AS DOUBLE) * 1000) AS BIGINT)",
+    filters=_KENDALL_FILTERS) + f"""
+    SELECT event_type, n, n0, n1, n2, n3, dis, con_minus_dis,
+           {KENDALL_TAU_SQL} AS tau_b_e4
+    FROM a
+""")
+def kendall_tau_q(spark, sf_dir):
+    """Kendall τ-b per group: Knight O(n log n) inversion counting
+    Spark-side, graded against the LITERAL O(n²) pair self-join
+    (NULL event_ids excluded on both sides — the twin's pair join
+    needs the id; single-row groups survive via the LEFT JOIN).
+    operators/stats.py:kendall_tau."""
+    from ..operators.stats import kendall_tau as _kt
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull()))
+    return _kt(ev, "event_type", "value", "user_id")
+
+
+@query("mann_kendall_trend", oracle=_KENDALL_PAIR_CTE.format(
+    x_expr="CAST(floor(epoch(ts)) AS BIGINT) * 1000",
+    y_expr="CAST(floor(value * 1000) AS BIGINT)",
+    filters=("value IS NOT NULL AND isfinite(value) "
+             "AND ts IS NOT NULL AND event_type IS NOT NULL "
+             "AND event_id IS NOT NULL")) + f"""
+    SELECT event_type, n, n0, n1, n2, n3, dis, con_minus_dis AS s,
+           {KENDALL_TAU_SQL} AS tau_b_e4
+    FROM a
+""")
+def mann_kendall_trend_q(spark, sf_dir):
+    """Mann-Kendall monotone-trend S per group — kendall_tau with
+    x = event time at second resolution (floor(epoch) mirrors
+    unix_seconds truncation; same-second events are time ties).
+    operators/stats.py:mann_kendall_trend."""
+    from ..operators.stats import mann_kendall_trend as _mk
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull()))
+    return _mk(ev)
+
+
+@query("simpson_diversity", oracle="""
+    WITH c AS (SELECT event_type AS g, user_id AS v,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(c * (c - 1)) AS BIGINT) AS same
+          FROM c GROUP BY 1)
+    SELECT g AS event_type, n, k,
+           CAST(CASE WHEN n < 2 THEN NULL ELSE
+             (same * CAST(1000000 AS BIGINT)) // (n * (n - 1))
+             END AS BIGINT) AS d_e6,
+           CAST(CASE WHEN n < 2 THEN NULL ELSE
+             CAST(1000000 AS BIGINT)
+             - (same * CAST(1000000 AS BIGINT)) // (n * (n - 1))
+             END AS BIGINT) AS gs_e6
+    FROM a
+""")
+def simpson_diversity_q(spark, sf_dir):
+    """Simpson's diversity index D and Gini-Simpson 1−D per group
+    (unbiased n(n−1) form, exact e6 integers).
+    operators/dispersion.py:simpson_diversity."""
+    from ..operators.dispersion import simpson_diversity as _sd
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _sd(ev, "event_type", "user_id")
+
+
+@query("gini_coefficient", oracle="""
+    WITH v AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    r AS (SELECT g, vm,
+                 CAST(row_number() OVER (PARTITION BY g
+                   ORDER BY vm) AS BIGINT) AS i
+          FROM v),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vm) AS BIGINT) AS s,
+                 CAST(sum(i * vm) AS BIGINT) AS isum
+          FROM r GROUP BY 1),
+    d AS (SELECT g, n, s, 2 * isum - (n + 1) * s AS num,
+                 n * s AS den
+          FROM a)
+    SELECT g AS event_type, n, s AS sum_milli,
+           CAST(CASE WHEN n < 1 OR s = 0 THEN NULL ELSE
+             ((num * 1000) // den) * 1000
+             + (((num * 1000) % den) * 1000) // den
+             END AS BIGINT) AS g_e6
+    FROM d
+""")
+def gini_coefficient_q(spark, sf_dir):
+    """The Gini concentration coefficient per group: partitioned rank
+    window + the exact two-step e6 division (no DECIMAL).
+    operators/dispersion.py:gini_coefficient."""
+    from ..operators.dispersion import gini_coefficient as _gc
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _gc(ev, "event_type", "value")
+
+
+@query("mad_outliers", oracle="""
+    WITH v AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    m AS (SELECT g, vm AS med FROM (
+            SELECT g, vm,
+                   row_number() OVER (PARTITION BY g ORDER BY vm)
+                     AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM v) WHERE rn = (n + 1) // 2),
+    d AS (SELECT v.g, abs(vm - med) AS dev, med
+          FROM v JOIN m ON v.g = m.g),
+    md AS (SELECT g, dev AS mad FROM (
+             SELECT g, dev,
+                    row_number() OVER (PARTITION BY g ORDER BY dev)
+                      AS rn,
+                    count(*) OVER (PARTITION BY g) AS n
+             FROM d) WHERE rn = (n + 1) // 2)
+    SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(med) AS BIGINT) AS median_milli,
+           CAST(max(mad) AS BIGINT) AS mad_milli,
+           CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS outlier_cnt,
+           CAST((sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                 * 10000) // count(*) AS BIGINT)
+             AS outlier_rate_e4
+    FROM d JOIN md ON d.g = md.g GROUP BY 1
+""")
+def mad_outliers_q(spark, sf_dir):
+    """Median-absolute-deviation outlier screen (Hampel k=3; MAD=0
+    degenerates to dev>0): both medians fold into whole-partition
+    windows — one scan, one shuffle. operators/dispersion.py:
+    mad_outliers."""
+    from ..operators.dispersion import mad_outliers as _mo
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _mo(ev, "event_type", "value", k=3)
+
+
+@query("zipf_fit", oracle=f"""
+    WITH c AS (SELECT event_type AS g, user_id AS t,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    r AS (SELECT g, c,
+                 CAST(row_number() OVER (PARTITION BY g
+                   ORDER BY c DESC, t ASC) AS BIGINT) AS r
+          FROM c),
+    l AS (SELECT g, c, {_ILOG2.format(x="r")} AS x,
+                 {_ILOG2.format(x="c")} AS y
+          FROM r),
+    s AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(c) AS BIGINT) AS total_cnt,
+                 CAST(sum(x) AS BIGINT) AS _sx,
+                 CAST(sum(y) AS BIGINT) AS _sy,
+                 CAST(sum(x * y) AS BIGINT) AS _sxy,
+                 CAST(sum(x * x) AS BIGINT) AS _sxx,
+                 CAST(sum(y * y) AS BIGINT) AS _syy
+          FROM l GROUP BY 1)
+    SELECT g AS event_type, k, total_cnt,
+           {ZIPF_S_SQL} AS s_e4, {ZIPF_R2_SQL} AS r2_e4
+    FROM s
+""")
+def zipf_fit_q(spark, sf_dir):
+    """Zipf power-law fit per group: log-log least squares over the
+    rank/frequency table in exact milli-log2 integers, shared
+    ZIPF_S_SQL/ZIPF_R2_SQL finishes (term = user activity).
+    operators/corpus.py:zipf_fit."""
+    from ..operators.corpus import zipf_fit as _zf
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _zf(ev, "event_type", "user_id")
+
+
+@query("cohort_overlap", oracle="""
+    WITH d AS (SELECT DISTINCT event_type AS g, user_id AS id
+               FROM events
+               WHERE event_type IS NOT NULL
+                 AND user_id IS NOT NULL),
+    s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d
+          GROUP BY 1),
+    i AS (SELECT a.g AS ga, b.g AS gb,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM d a JOIN d b ON a.id = b.id AND a.g < b.g
+          GROUP BY 1, 2)
+    SELECT sa.g AS g_a, sb.g AS g_b, sa.n AS n_a, sb.n AS n_b,
+           CAST(coalesce(o, 0) AS BIGINT) AS overlap_cnt,
+           CAST((coalesce(o, 0) * 10000)
+                // (sa.n + sb.n - coalesce(o, 0)) AS BIGINT)
+             AS jaccard_e4
+    FROM s sa JOIN s sb ON sa.g < sb.g
+    LEFT JOIN i ON i.ga = sa.g AND i.gb = sb.g
+""")
+def cohort_overlap_q(spark, sf_dir):
+    """Pairwise cohort-overlap matrix (users per event type): distinct
+    membership, zero-filled pairs, exact e4 jaccard.
+    operators/analytics.py:cohort_overlap."""
+    from ..operators.analytics import cohort_overlap as _co
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _co(ev, "event_type", "user_id")
+
+
+@query("histogram_equi_depth", oracle="""
+    WITH v AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    r AS (SELECT g, vm,
+                 CAST(row_number() OVER (PARTITION BY g
+                   ORDER BY vm) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                   AS n
+          FROM v)
+    SELECT g AS event_type,
+           CAST(CASE WHEN ((rn - 1) * 7) // n < 6
+                THEN ((rn - 1) * 7) // n ELSE 6 END AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(vm) AS BIGINT) AS lo_milli,
+           CAST(max(vm) AS BIGINT) AS hi_milli
+    FROM r GROUP BY 1, 2
+""")
+def histogram_equi_depth_q(spark, sf_dir):
+    """Equi-depth (equal-count) histogram, 7 buckets: rank-formula
+    bucket assignment (never ntile — its remainder placement is
+    engine-specific), single scan. operators/analytics.py:
+    histogram_equi_depth."""
+    from ..operators.analytics import histogram_equi_depth as _he
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _he(ev, "event_type", "value", buckets=7)
+
+
+@query("cusum_changepoint", oracle="""
+    WITH v AS (SELECT event_type AS g, epoch_us(ts) AS us,
+                      event_id AS id,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_type IS NOT NULL
+                 AND event_id IS NOT NULL),
+    c AS (SELECT g, us,
+                 CAST(row_number() OVER w AS BIGINT) AS k,
+                 CAST(sum(vm) OVER w AS BIGINT) AS pre,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                   AS n,
+                 CAST(sum(vm) OVER (PARTITION BY g) AS BIGINT)
+                   AS tot
+          FROM v
+          WINDOW w AS (PARTITION BY g ORDER BY us, id
+                       ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT g, us, k, n, tot, n * pre - k * tot AS sn,
+                 max(abs(n * pre - k * tot))
+                   OVER (PARTITION BY g) AS amax
+          FROM c)
+    SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(tot) AS BIGINT) AS sum_milli,
+           CAST(max(sn) AS BIGINT) AS s_n_max,
+           CAST(min(sn) AS BIGINT) AS s_n_min,
+           CAST(min(CASE WHEN abs(sn) = amax THEN k END)
+                AS BIGINT) AS cp_pos,
+           CAST(min(CASE WHEN abs(sn) = amax
+                THEN struct_pack(k := k, us := us) END).us
+                AS BIGINT) AS cp_ts_us
+    FROM s GROUP BY 1
+""")
+def cusum_changepoint_q(spark, sf_dir):
+    """CUSUM level-shift change point per group: n-scaled integer
+    cumulative deviations (S_k = n·pre_k − k·total, no division),
+    extreme position via min-over-struct (deterministic, never
+    min_by). operators/analytics.py:cusum_changepoint."""
+    from ..operators.analytics import cusum_changepoint as _cc
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _cc(ev)
+
+
+@query("group_array_intersect", oracle="""
+    WITH ud AS (SELECT user_id * 100
+                       + (CAST(epoch(CAST(ts AS DATE)) AS BIGINT)
+                          // 604800) % 100 AS g,
+                       CAST(ts AS DATE) AS d, event_type
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY 1, 2, 3),
+    days AS (SELECT g, CAST(count(DISTINCT d) AS BIGINT) AS rows
+             FROM ud GROUP BY 1),
+    pe AS (SELECT g, event_type AS elem,
+                  CAST(count(DISTINCT d) AS BIGINT) AS c
+           FROM ud GROUP BY 1, 2)
+    SELECT g, elem, rows FROM pe JOIN days USING (g)
+    WHERE c = rows
+""")
+def group_array_intersect_q(spark, sf_dir):
+    """ClickHouse ``groupArrayIntersect`` over user-week day arrays:
+    the event types hit on EVERY active day of the week (pre-explode
+    count window, scalar rows out). operators/stats.py:
+    group_array_intersect."""
+    from ..operators.stats import group_array_intersect as _gai
+    ev = _t(spark, sf_dir, "events")
+    week = F.pmod(F.expr(
+        "(unix_date(to_date(ts)) * CAST(86400 AS BIGINT)) div 604800"),
+        F.lit(100))
+    arr = (ev.where(F.col("user_id").isNotNull()
+                    & F.col("ts").isNotNull())
+           .withColumn("g", F.col("user_id") * 100 + week)
+           .groupBy("g", F.to_date("ts").alias("d"))
+           .agg(F.sort_array(F.collect_set("event_type"))
+                .alias("types")))
+    return _gai(arr, "g", "types")
+
+
+_BENFORD_T = sum(BENFORD_P_E6)
+_BENFORD_CASES = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(BENFORD_P_E6, start=1))
+
+
+@query("benford_deviation", oracle=f"""
+    WITH v AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    d AS (SELECT g, CAST(substr(CAST(abs(vm) AS VARCHAR), 1, 1)
+                         AS INT) AS dg
+          FROM v WHERE vm != 0),
+    c AS (SELECT g, dg, CAST(count(*) AS BIGINT) AS c,
+                 CAST(CASE dg {_BENFORD_CASES} END AS BIGINT) AS p
+          FROM d GROUP BY 1, 2),
+    w AS (SELECT g, dg, c, p,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM c)
+    SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST((sum(abs(c * 1000000 - p * n))
+                 + ({_BENFORD_T} - sum(p)) * max(n)) // max(n)
+                AS BIGINT) AS dev_e6,
+           CAST(min(CASE WHEN c = (SELECT max(c2.c) FROM w c2
+                    WHERE c2.g = w.g) THEN dg END) AS INT)
+             AS top_digit,
+           CAST(max(c) AS BIGINT) AS top_cnt
+    FROM w GROUP BY 1
+""")
+def benford_deviation_q(spark, sf_dir):
+    """Benford first-digit deviation per group: L1 distance to the
+    Benford law in e6 integers — missing digits fold in algebraically
+    ((T − Σ_observed p)·n), no zero-fill grid join.
+    operators/dispersion.py:benford_deviation."""
+    from ..operators.dispersion import benford_deviation as _bd
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _bd(ev, "event_type", "value")
+
+
+@query("trimmed_mean", oracle="""
+    WITH v AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    r AS (SELECT g, vm,
+                 CAST(row_number() OVER (PARTITION BY g
+                   ORDER BY vm) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                   AS n
+          FROM v),
+    k AS (SELECT g, n, vm,
+                 rn > (n * 100) // 1000
+                 AND rn <= n - (n * 100) // 1000 AS keep
+          FROM r)
+    SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept,
+           CAST(sum(CASE WHEN keep THEN vm ELSE 0 END) AS BIGINT)
+             AS sum_kept_milli,
+           CAST(sum(CASE WHEN keep THEN vm ELSE 0 END)
+                // sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS mean_milli
+    FROM k GROUP BY 1
+""")
+def trimmed_mean_q(spark, sf_dir):
+    """ClickHouse-style trimmed mean (10% each side): rank-exact trim
+    bounds, integer truncated mean. operators/dispersion.py:
+    trimmed_mean."""
+    from ..operators.dispersion import trimmed_mean as _tm
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _tm(ev, "event_type", "value", trim_milli=100)
+
+
+@query("robust_scale", oracle="""
+    WITH v AS (SELECT event_id, event_type AS g,
+                      CASE WHEN value IS NOT NULL
+                           AND isfinite(value)
+                      THEN CAST(floor(value * 1000) AS BIGINT)
+                      END AS vm
+               FROM events WHERE event_type IS NOT NULL),
+    r AS (SELECT event_id, g, vm,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY vm ASC NULLS LAST) AS rn,
+                 count(vm) OVER (PARTITION BY g) AS n
+          FROM v),
+    m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN vm END)
+                      OVER (PARTITION BY g) AS med
+          FROM r),
+    d AS (SELECT *, abs(vm - med) AS dev,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY abs(vm - med) ASC NULLS LAST) AS rd
+          FROM m),
+    md AS (SELECT *, max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY g) AS mad
+           FROM d)
+    SELECT event_id,
+           CAST(CASE WHEN vm IS NULL OR mad IS NULL OR mad = 0
+                THEN NULL
+                ELSE ((vm - med) * 1000) // mad END AS BIGINT)
+             AS scaled_milli
+    FROM md
+""")
+def robust_scale_q(spark, sf_dir):
+    """Median/MAD row scaling (the mad_outliers shape as a transform):
+    rows pass through with the appended column; non-finite rows keep a
+    NULL score. Graded projection: (event_id, scaled_milli).
+    operators/dispersion.py:robust_scale."""
+    from ..operators.dispersion import robust_scale as _rs
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _rs(ev, "event_type", "value").select(
+        "event_id", "scaled_milli")
+
+
+_PSI_LG = {c: _ILOG2.format(x=c) for c in ("x", "y")}
+
+
+@query("psi_drift", oracle=f"""
+    WITH b AS (SELECT event_type AS g,
+                      {_XBIN_SQL} AS cat,
+                      ((event_id % 2 + 2) % 2) AS s
+               FROM events
+               WHERE event_type IS NOT NULL
+                 AND value IS NOT NULL AND isfinite(value)
+                 AND event_id IS NOT NULL),
+    c AS (SELECT g, cat,
+                 CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM b GROUP BY 1, 2),
+    w AS (SELECT g, ca, cb,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                   AS k,
+                 CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT)
+                   + CAST(count(*) OVER (PARTITION BY g)
+                          AS BIGINT) AS A,
+                 CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT)
+                   + CAST(count(*) OVER (PARTITION BY g)
+                          AS BIGINT) AS B
+          FROM c),
+    t AS (SELECT g, k, A, B, (ca + 1) * B AS x, (cb + 1) * A AS y
+          FROM w)
+    SELECT g AS event_type,
+           CAST(max(A) - max(k) AS BIGINT) AS n_ref,
+           CAST(max(B) - max(k) AS BIGINT) AS n_cur,
+           CAST(max(k) AS BIGINT) AS k,
+           CAST(sum((x - y) * ({_PSI_LG['x']} - {_PSI_LG['y']}))
+                // (max(A) * max(B)) AS BIGINT) AS psi_milli
+    FROM t GROUP BY 1
+""")
+def psi_drift_q(spark, sf_dir):
+    """Population-stability-index drift between the event-parity
+    halves over value mod-7 categories: add-one smoothing keeps
+    one-sided categories finite; milli-log2 integer PSI.
+    operators/dispersion.py:psi_drift."""
+    from ..operators.analytics import _quantizable_col
+    from ..operators.dispersion import psi_drift as _pd
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()
+                 & _quantizable_col("value"))
+          .withColumn("cat7",
+                      F.pmod(F.floor(F.col("value")).cast("long"),
+                             F.lit(7)))
+          .withColumn("side", F.pmod(F.col("event_id"), F.lit(2))))
+    return _pd(ev, "event_type", "cat7", "side")
+
+
+@query("stream_exact_quantiles", oracle="""
+    WITH s AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    w AS (SELECT g, vm, c,
+                 CAST(sum(c) OVER (PARTITION BY g ORDER BY vm
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM s),
+    q AS (SELECT g, vm, cum, n, unnest([250, 500, 750]) AS q_milli
+          FROM w)
+    SELECT g AS event_type, CAST(q_milli AS BIGINT) AS q_milli,
+           CAST(min(vm) AS BIGINT) AS q_value_milli
+    FROM q
+    WHERE cum >= greatest(1, (n * q_milli + 999) // 1000)
+    GROUP BY 1, 2
+""")
+def stream_exact_quantiles_q(spark, sf_dir):
+    """Streaming exact quantiles: foreachBatch folds micro-batches
+    into the (group, value, count) monoid; p25/p50/p75 derive from
+    the state alone (position arithmetic identical to the batch
+    operator by construction — the stream_entropy precedent).
+    streaming/events.py:stream_exact_quantiles."""
+    from ..streaming.events import stream_exact_quantiles as _sq
+    return _sq(spark, sf_dir)
+
+
+_PMI_LG = {c: _ILOG2.format(x=c) for c in ("c12", "c1", "c2", "n_tok")}
+
+
+@query("pmi_collocations", oracle=f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text),
+                                            '[^a-z0-9]+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l
+             FROM ws),
+    uni AS (SELECT l[i] AS w, CAST(count(*) AS BIGINT) AS cw
+            FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM uni),
+    bg AS (SELECT l[i] || ' ' || l[i+1] AS bg
+           FROM toks WHERE i < len(l)),
+    c2t AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg
+            GROUP BY 1 HAVING count(*) >= 5),
+    j AS (SELECT c2t.bg, c12, u1.cw AS c1, u2.cw AS c2, n_tok
+          FROM c2t
+          JOIN uni u1 ON u1.w = string_split(c2t.bg, ' ')[1]
+          JOIN uni u2 ON u2.w = string_split(c2t.bg, ' ')[2]
+          CROSS JOIN tot)
+    SELECT bg, c12, c1, c2,
+           CAST({_PMI_LG['c12']} + {_PMI_LG['n_tok']}
+                - {_PMI_LG['c1']} - {_PMI_LG['c2']} AS BIGINT)
+             AS pmi_milli
+    FROM j ORDER BY pmi_milli DESC, bg LIMIT 15
+""")
+def pmi_collocations_q(spark, sf_dir):
+    """Top-15 PMI bigram collocations over the document corpus:
+    tokenize → bigram/unigram counts → exact milli-log2 PMI →
+    TakeOrderedAndProject top-k with the bg ASC tie cut.
+    operators/corpus.py:pmi_collocations."""
+    from ..operators.corpus import pmi_collocations as _pmi
+    return _pmi(_t(spark, sf_dir, "documents"), min_count=5, k=15)
+
+
+@query("corr_matrix", oracle=f"""
+    WITH q AS (SELECT vec_id AS rid,
+                      generate_subscripts(embedding, 1) - 1 AS d2,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1000.0) AS BIGINT) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.d2 AS i, b.d2 AS j,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+          FROM q a JOIN q b ON a.rid = b.rid AND a.d2 <= b.d2
+          GROUP BY 1, 2),
+    s AS (SELECT d2, CAST(sum(q) AS BIGINT) AS sv FROM q GROUP BY 1),
+    nn AS (SELECT CAST(count(DISTINCT rid) AS BIGINT) AS n FROM q),
+    base AS (SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+                    nn.n, si.sv AS s_i, sj.sv AS s_j, p.s_ij
+             FROM p
+             JOIN s si ON si.d2 = p.i
+             JOIN s sj ON sj.d2 = p.j
+             CROSS JOIN nn),
+    diag AS (SELECT i AS d, s_ij AS ss FROM base WHERE i = j),
+    t AS (SELECT b.i, b.j, b.n, b.s_i, b.s_j, b.s_ij,
+                 di.ss AS _sii, dj.ss AS _sjj
+          FROM base b
+          JOIN diag di ON di.d = b.i
+          JOIN diag dj ON dj.d = b.j)
+    SELECT i, j, n, {CORR_MATRIX_SQL.replace('div', '//')}
+             AS corr_e4
+    FROM t
+    WHERE (SELECT CASE WHEN count(*) = count(DISTINCT vec_id) THEN 1
+           ELSE error('corr_matrix oracle: duplicate vec_id in '
+                      || 'embeddings — rid self-join would cross-match')
+           END FROM embeddings WHERE embedding IS NOT NULL) = 1
+""")
+def corr_matrix_q(spark, sf_dir):
+    """ClickHouse ``corrMatrix``: Pearson over every dimension pair
+    from the covariance gemm's exact integer sums — one broadcast
+    diagonal map, shared CORR_MATRIX_SQL finish.
+    operators/features.py:corr_matrix."""
+    from ..operators.features import corr_matrix as _cm
+    return _cm(_t(spark, sf_dir, "embeddings"), dims=64)
+
+
+@query("runs_test", oracle=f"""
+    WITH v AS (SELECT event_type AS g, epoch_us(ts) AS us,
+                      event_id AS id,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+    m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN vm END)
+                      OVER (PARTITION BY g) AS med
+          FROM (SELECT *,
+                       row_number() OVER (PARTITION BY g
+                         ORDER BY vm) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v)),
+    s AS (SELECT g, us, id,
+                 CASE WHEN vm > med THEN 1
+                      WHEN vm < med THEN -1 END AS sgn
+          FROM m),
+    r AS (SELECT g, sgn,
+                 last_value(sgn IGNORE NULLS) OVER (
+                   PARTITION BY g ORDER BY us, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS prev
+          FROM s)
+    SELECT g AS event_type,
+           CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_plus,
+           CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_minus,
+           CAST(sum(CASE WHEN sgn IS NOT NULL
+                AND (prev IS NULL OR sgn != prev)
+                THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+           {RUNS_Z_SQL} AS z_e4
+    FROM r GROUP BY 1
+""")
+def runs_test_q(spark, sf_dir):
+    """Wald-Wolfowitz runs test per group: exact integer ± counts
+    around the window-folded lower median (tie rows unsigned but
+    kept), shared RUNS_Z_SQL finish (a=b=1 zero-variance point
+    guarded). operators/analytics.py:runs_test."""
+    from ..operators.analytics import runs_test as _rt
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _rt(ev)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
 # every §2.A/§2.B reference-core query plus one representative per extension
@@ -5682,7 +6716,35 @@ def ema_summary(spark, sf_dir):
 #        q19_disjunctive_predicates), then second confirmations of the
 #        r10 first-grades (interval/series combinators, entropy,
 #        weighted aggregates, goldens, streaming twins) as slots allow.
-#   r13+: second confirmations of the r11 stats-family first-grades.
+#   r12 EXECUTED (this window): all 27 queue names first-grade — the
+#        odds-and-ends batch (group_bit_aggregate and/or/xor unioned,
+#        avg_weighted, pearson_corr, mean_z_test, anova_f,
+#        cramers_v_bias_corrected, categorical_iv), the association/
+#        dispersion/cohort batch (mutual_information + stream twin,
+#        kendall_tau, mann_kendall_trend, simpson_diversity,
+#        gini_coefficient, mad_outliers, zipf_fit, cohort_overlap,
+#        pmi_collocations, histogram_equi_depth, cusum_changepoint,
+#        group_array_intersect, benford_deviation, trimmed_mean,
+#        robust_scale, psi_drift, stream_exact_quantiles, corr_matrix,
+#        runs_test) — plus the 4 oldest latest-green queries (the r1
+#        staleness tail: date_arithmetic, json_extract, pivot_status,
+#        window_running_sum). The replay-pinned four (ols_fit,
+#        isotonic_fit, kaplan_meier, histogram_adaptive) stay out per
+#        the pca_whiten precedent; feature_hashing stays XXH64-golden
+#        in tests (candidate for a pinned-checksum golden later).
+#   r13: START THE STALENESS ROTATION in earnest — reserve ~10 slots
+#        for the r3-era latest-green core: dedup_exact,
+#        dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
+#        dedup_fingerprint, dedup_embedding_cosine, similarity_topk,
+#        similarity_topk_blas, q1_pricing_summary, q3_shipping_priority,
+#        q5_region_revenue; then the scheduled re-confirmation backlog
+#        (q15-q22 TPC-H; the r10-displaced remainder: q12_priority_
+#        shipping, quality_expectations, limit_offset, having_filter,
+#        nulls_ordering, pii_scrub, embedding_quantize,
+#        q19_disjunctive_predicates), then second confirmations of the
+#        r11/r12 first-grades as slots allow.
+#   r14+: second confirmations of the r12 batch; rotate the r4-era
+#        tail (events/windows family) through the staleness slots.
 # pca_whiten stays replay-pinned BY DESIGN: a golden would bake in
 # LAPACK-build-specific eigh ulps (the projection magnifies them past
 # the floor-quantize step), unlike the EMA/LTTB folds which are pure
@@ -5700,21 +6762,21 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- r11 first-grades: the stats family (r10 promotion queue)
-    "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
-    "welch_ttest", "student_ttest", "ks_test", "theils_u", "cramers_v",
-    "skew_kurt", "map_aggregate", "rrf_fuse", "rank_corr",
-    "stream_ab_test", "ema_summary", "lttb_summary",
-    # --- r11 re-grades: graded surface changed this round
-    "minmax_normalize", "dimension_stats", "covariance_stats",
-    # --- re-confirmations: the r10-displaced r9 batch
-    "multimodal_header_decode", "regexp_extract_groups",
-    "case_when_bucketing", "array_ops", "q2_min_cost_supplier",
-    "q4_order_priority", "q6_forecast_revenue", "set_intersect",
-    "set_except", "q8_market_share", "q9_product_profit",
-    "q11_important_stock",
-    # --- re-confirmations: start of the r6-graded TPC-H backlog
-    "q14_promo_effect",
+    # --- r12 first-grades: the late-r11 odds-and-ends aggregates
+    "group_bit_aggregate", "avg_weighted", "pearson_corr",
+    "mean_z_test", "anova_f", "cramers_v_bias_corrected",
+    "categorical_iv",
+    # --- r12 first-grades: association / dispersion / cohort batch
+    "mutual_information", "stream_mutual_information", "kendall_tau",
+    "mann_kendall_trend", "simpson_diversity", "gini_coefficient",
+    "mad_outliers", "zipf_fit", "cohort_overlap", "pmi_collocations",
+    "histogram_equi_depth", "cusum_changepoint",
+    "group_array_intersect", "benford_deviation", "trimmed_mean",
+    "robust_scale", "psi_drift", "stream_exact_quantiles",
+    "corr_matrix", "runs_test",
+    # --- staleness rotation: the r1-era latest-green tail
+    "date_arithmetic", "json_extract", "pivot_status",
+    "window_running_sum",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -143,15 +143,19 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r11: the stats-family promotion (+ the three re-grades whose
-        # graded surface changed this round — minmax_normalize's scalar
-        # re-projection, dimension_stats' isfinite mirror,
-        # covariance_stats' uniqueness guard)
-        "group_array_sorted", "arg_min_max_by_group", "mann_whitney_u",
-        "welch_ttest", "student_ttest", "ks_test", "theils_u",
-        "cramers_v", "skew_kurt", "map_aggregate", "rrf_fuse",
-        "rank_corr", "stream_ab_test", "ema_summary", "lttb_summary",
-        "minmax_normalize", "dimension_stats", "covariance_stats",
+        # r12: the full promotion-queue drain — the late-r11
+        # odds-and-ends aggregates plus the association/dispersion/
+        # cohort batch (SQL moved verbatim from the in-test oracles)
+        "group_bit_aggregate", "avg_weighted", "pearson_corr",
+        "mean_z_test", "anova_f", "cramers_v_bias_corrected",
+        "categorical_iv", "mutual_information",
+        "stream_mutual_information", "kendall_tau",
+        "mann_kendall_trend", "simpson_diversity", "gini_coefficient",
+        "mad_outliers", "zipf_fit", "cohort_overlap",
+        "pmi_collocations", "histogram_equi_depth", "cusum_changepoint",
+        "group_array_intersect", "benford_deviation", "trimmed_mean",
+        "robust_scale", "psi_drift", "stream_exact_quantiles",
+        "corr_matrix", "runs_test",
     }
     missing = added_this_round - window
     assert not missing, (
