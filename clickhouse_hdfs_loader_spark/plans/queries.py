@@ -5062,6 +5062,36 @@ def _sided_events(spark, sf_dir):
             .withColumn("side", F.pmod(F.col("user_id"), F.lit(2))))
 
 
+# pmod-safe category derivations shared by the whole contingency-table
+# family (theils_u, cramers_v ± bias correction, mutual_information,
+# psi_drift): value mod-7 bucket x user mod-5 class — ONE copy
+_XBIN_SQL = "((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)"
+_YBIN_SQL = "((user_id % 5 + 5) % 5)"
+
+# the (group, x, y) preamble every contingency twin starts from
+_XY_B_CTE = f"""
+    WITH b AS (SELECT event_type AS g, {_XBIN_SQL} AS x,
+                      {_YBIN_SQL} AS y
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND isfinite(value)),"""
+
+
+def _xy_binned_events(spark, sf_dir):
+    """The contingency grading input: value mod-7 bucket x user mod-5
+    class, NULL users and non-finite values out (mirrored in
+    ``_XY_B_CTE``; an Inf would saturate floor().cast(long) Spark-side
+    while DuckDB drops the row — the r11 review catch)."""
+    from ..operators.analytics import _quantizable_col
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull()
+                   & _quantizable_col("value"))
+            .withColumn("xbin",
+                        F.pmod(F.floor(F.col("value")).cast("long"),
+                               F.lit(7)))
+            .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
+
+
 @query("group_array_sorted", oracle="""
     WITH v AS (SELECT event_type,
                       CAST(floor(value * 1000) AS BIGINT) AS vm,
@@ -5223,14 +5253,7 @@ def ks_test_q(spark, sf_dir):
                "side")
 
 
-@query("theils_u", oracle=f"""
-    WITH b AS (SELECT event_type AS g,
-                      ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
-                        AS x,
-                      ((user_id % 5 + 5) % 5) AS y
-               FROM events
-               WHERE user_id IS NOT NULL AND value IS NOT NULL
-                 AND isfinite(value)),
+@query("theils_u", oracle=f"""{_XY_B_CTE}
     nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
             FROM b GROUP BY 1, 2, 3),
     sxy AS (SELECT g, CAST(sum(c * {_ILOG2.format(x="c")}) AS BIGINT)
@@ -5263,28 +5286,12 @@ def theils_u_q(spark, sf_dir):
     entropy numerators (the shared n denominator cancels; ONE guarded
     division). X = value mod-7 bucket, Y = user parity class.
     operators/stats.py:theils_u."""
-    from ..operators.analytics import _quantizable_col
     from ..operators.stats import theils_u as _tu
-    # full non-finite mirror of the oracle's isfinite(value): an Inf
-    # would saturate floor().cast(long) Spark-side while DuckDB drops
-    # the row (review-caught in r11)
-    ev = (_sided_events(spark, sf_dir)
-          .where(_quantizable_col("value"))
-          .withColumn("xbin",
-                      F.pmod(F.floor(F.col("value")).cast("long"),
-                             F.lit(7)))
-          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
-    return _tu(ev, "event_type", "xbin", "ybin")
+    return _tu(_xy_binned_events(spark, sf_dir), "event_type",
+               "xbin", "ybin")
 
 
-@query("cramers_v", oracle=f"""
-    WITH b AS (SELECT event_type AS g,
-                      ((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)
-                        AS x,
-                      ((user_id % 5 + 5) % 5) AS y
-               FROM events
-               WHERE user_id IS NOT NULL AND value IS NOT NULL
-                 AND isfinite(value)),
+@query("cramers_v", oracle=f"""{_XY_B_CTE}
     nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
             FROM b GROUP BY 1, 2, 3),
     nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
@@ -5312,17 +5319,9 @@ def cramers_v_q(spark, sf_dir):
     (Σ n_xy²/(n_x·n_y) − 1 — absent cells contribute exactly 0, no
     dense grid). Micro-quantized int cell terms, verbatim sqrt finish.
     operators/stats.py:cramers_v."""
-    from ..operators.analytics import _quantizable_col
     from ..operators.stats import cramers_v as _cv
-    # full non-finite mirror of the oracle's isfinite(value) — see
-    # theils_u_q
-    ev = (_sided_events(spark, sf_dir)
-          .where(_quantizable_col("value"))
-          .withColumn("xbin",
-                      F.pmod(F.floor(F.col("value")).cast("long"),
-                             F.lit(7)))
-          .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
-    return _cv(ev, "event_type", "xbin", "ybin")
+    return _cv(_xy_binned_events(spark, sf_dir), "event_type",
+               "xbin", "ybin")
 
 
 @query("skew_kurt", oracle=f"""
@@ -5615,25 +5614,6 @@ from ..operators.features import CORR_MATRIX_SQL  # noqa: E402
 from ..operators.analytics import RUNS_Z_SQL  # noqa: E402
 from ..operators.stats import KENDALL_TAU_SQL  # noqa: E402
 
-# pmod-safe category derivations shared by the contingency-table family
-# (value mod-7 bucket x user mod-5 class — the theils_u grading shape)
-_XBIN_SQL = "((CAST(floor(value) AS BIGINT) % 7 + 7) % 7)"
-_YBIN_SQL = "((user_id % 5 + 5) % 5)"
-
-
-def _xy_binned_events(spark, sf_dir):
-    """The contingency grading input: value mod-7 bucket x user mod-5
-    class, NULL users and non-finite values out (mirrored in twins)."""
-    from ..operators.analytics import _quantizable_col
-    return (_t(spark, sf_dir, "events")
-            .where(F.col("user_id").isNotNull()
-                   & _quantizable_col("value"))
-            .withColumn("xbin",
-                        F.pmod(F.floor(F.col("value")).cast("long"),
-                               F.lit(7)))
-            .withColumn("ybin", F.pmod(F.col("user_id"), F.lit(5))))
-
-
 @query("group_bit_aggregate", oracle="""
     SELECT 'and' AS how, event_type,
            CAST(bit_and(CAST(user_id AS BIGINT)) AS BIGINT) AS bits
@@ -5785,12 +5765,7 @@ def anova_f_q(spark, sf_dir):
     return _af(ev, "event_type", "value", "cls")
 
 
-@query("cramers_v_bias_corrected", oracle=f"""
-    WITH b AS (SELECT event_type AS g, {_XBIN_SQL} AS x,
-                      {_YBIN_SQL} AS y
-               FROM events
-               WHERE user_id IS NOT NULL AND value IS NOT NULL
-                 AND isfinite(value)),
+@query("cramers_v_bias_corrected", oracle=f"""{_XY_B_CTE}
     nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
             FROM b GROUP BY 1, 2, 3),
     nx AS (SELECT g, x, CAST(sum(c) AS BIGINT) AS nx FROM nxy
@@ -5842,7 +5817,10 @@ _IV_LG = {k: _ILOG2.format(x=k) for k in ("zg", "zb", "ztg", "ztb")}
     WITH b AS (SELECT event_type AS g,
                       ((event_id % 4 + 4) % 4) AS cat,
                       ((user_id % 2 + 2) % 2) AS t
-               FROM events WHERE user_id IS NOT NULL),
+               FROM events WHERE user_id IS NOT NULL
+                 -- NULL event_id => NULL cat, which the operator drops;
+                 -- mirror it or NULL rows inflate tgp/tbn (review-caught)
+                 AND event_id IS NOT NULL),
     pc AS (SELECT g, cat, CAST(sum(t) AS BIGINT) AS gp,
                   CAST(sum(1 - t) AS BIGINT) AS bn
            FROM b GROUP BY 1, 2),
@@ -5883,12 +5861,7 @@ def categorical_iv_q(spark, sf_dir):
 
 _MI_LG = _ILOG2.format(x="c")
 
-_MI_ORACLE = f"""
-    WITH b AS (SELECT event_type AS g, {_XBIN_SQL} AS x,
-                      {_YBIN_SQL} AS y
-               FROM events
-               WHERE user_id IS NOT NULL AND value IS NOT NULL
-                 AND isfinite(value)),
+_MI_ORACLE = f"""{_XY_B_CTE}
     nxy AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
             FROM b GROUP BY 1, 2, 3),
     sxy AS (SELECT g, CAST(sum(c * {_MI_LG}) AS BIGINT) AS sxy
@@ -6266,8 +6239,8 @@ def cusum_changepoint_q(spark, sf_dir):
 
 @query("group_array_intersect", oracle="""
     WITH ud AS (SELECT user_id * 100
-                       + (CAST(epoch(CAST(ts AS DATE)) AS BIGINT)
-                          // 604800) % 100 AS g,
+                       + ((CAST(epoch(CAST(ts AS DATE)) AS BIGINT)
+                           // 604800) % 100 + 100) % 100 AS g,
                        CAST(ts AS DATE) AS d, event_type
                 FROM events
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -6291,8 +6264,13 @@ def group_array_intersect_q(spark, sf_dir):
     week = F.pmod(F.expr(
         "(unix_date(to_date(ts)) * CAST(86400 AS BIGINT)) div 604800"),
         F.lit(100))
+    # NULL event_type filtered at ROW level: collect_set drops the
+    # ELEMENT but keeps the day row, so an all-NULL day would force an
+    # empty intersection Spark-side while the twin's row-level WHERE
+    # deletes the whole day (review-caught drift class)
     arr = (ev.where(F.col("user_id").isNotNull()
-                    & F.col("ts").isNotNull())
+                    & F.col("ts").isNotNull()
+                    & F.col("event_type").isNotNull())
            .withColumn("g", F.col("user_id") * 100 + week)
            .groupBy("g", F.to_date("ts").alias("d"))
            .agg(F.sort_array(F.collect_set("event_type"))
@@ -6566,8 +6544,7 @@ def pmi_collocations_q(spark, sf_dir):
           FROM base b
           JOIN diag di ON di.d = b.i
           JOIN diag dj ON dj.d = b.j)
-    SELECT i, j, n, {CORR_MATRIX_SQL.replace('div', '//')}
-             AS corr_e4
+    SELECT i, j, n, {CORR_MATRIX_SQL} AS corr_e4
     FROM t
     WHERE (SELECT CASE WHEN count(*) = count(DISTINCT vec_id) THEN 1
            ELSE error('corr_matrix oracle: duplicate vec_id in '

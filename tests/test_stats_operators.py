@@ -1550,8 +1550,12 @@ def test_group_array_intersect_oracle_and_hand_cases(spark, sf_dir):
     week = F.pmod(F.expr(
         "(unix_date(to_date(ts)) * CAST(86400 AS BIGINT)) div 604800"),
         F.lit(100))
+    # NULL event_type filtered at ROW level (not just as dropped set
+    # elements): an all-NULL day would otherwise stay an empty-array
+    # row Spark-side while the twin's WHERE deletes the whole day
     arr = (ev.where(F.col("user_id").isNotNull()
-                    & F.col("ts").isNotNull())
+                    & F.col("ts").isNotNull()
+                    & F.col("event_type").isNotNull())
            .withColumn("g", F.col("user_id") * 100 + week)
            .groupBy("g", F.to_date("ts").alias("d"))
            .agg(F.sort_array(F.collect_set("event_type"))
@@ -1560,13 +1564,11 @@ def test_group_array_intersect_oracle_and_hand_cases(spark, sf_dir):
         arr, "g", "types").collect()))
     want = sorted(map(tuple, _duck(sf_dir).execute("""
         WITH ud AS (SELECT user_id * 100
-                           + (CAST(epoch(CAST(ts AS DATE)) AS BIGINT)
-                              // 604800) % 100 AS g,
+                           + ((CAST(epoch(CAST(ts AS DATE)) AS BIGINT)
+                               // 604800) % 100 + 100) % 100 AS g,
                            CAST(ts AS DATE) AS d, event_type
                     FROM events
                     WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                      -- collect_set silently drops NULL elements on
-                      -- the Spark side; mirror it (review-caught)
                       AND event_type IS NOT NULL
                     GROUP BY 1, 2, 3),
         days AS (SELECT g, CAST(count(DISTINCT d) AS BIGINT) AS rows
