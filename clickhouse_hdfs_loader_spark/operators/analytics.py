@@ -1725,3 +1725,105 @@ RUNS_Z_SQL = (
     " / sqrt(" + _RUNS_VAR + ")"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
     " / CAST(10000 AS DOUBLE) END")
+
+
+def quantile_timing(events: DataFrame, group_col: str = "event_type",
+                    value_col: str = "value",
+                    qs: tuple = (500, 900, 990)) -> DataFrame:
+    """ClickHouse ``quantileTiming``-family quantiles under the
+    documented fixed-resolution timing histogram (public accuracy
+    model: latencies in ms are exact below ~1 s, 16 ms-granular above,
+    and saturate at 30 s — ClickHouse's own docs state values over
+    30 000 ms "are assumed to be 30 000 ms" and results round to
+    16 ms past 1024):
+
+        t = floor(value) clamped to [0, 30000]  (negatives → 0)
+        bucket(t) = t              for t < 1024   (1 ms exact)
+                  = (t div 16)·16  for t ≥ 1024   (16 ms resolution)
+
+    The quantile is the LOWER bucket representative at rank
+    max(1, ceil(n·q/1000)) — the exact_quantiles_by_group element
+    rule over bucketized values. Unlike HLL/percentile_approx whose
+    internals are engine-specific (graded by accuracy CONTRACT only),
+    this sketch's output is fully DETERMINED by the documented
+    bucketization, so it grades value-exact in plain SQL.
+
+    NULL/NaN/±Inf values and NULL group keys are excluded (mirror in
+    twins). Scale: one (group, bucket) count shuffle — state is ≤
+    1024 + (30000−1024)/16 + 1 ≈ 2.8k buckets per group regardless of
+    row count — plus a cumulative window over that bounded table.
+
+    Returns ``group, q_milli, t_ms``."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not (isinstance(q, int) and 0 < q < 1000):
+            raise ValueError(f"qs must be integer milli-quantiles in "
+                             f"(0, 1000), got {q!r}")
+    t = F.expr(
+        f"CASE WHEN floor(CAST({value_col} AS DOUBLE)) < 0 "
+        f"THEN CAST(0 AS BIGINT) "
+        f"WHEN floor(CAST({value_col} AS DOUBLE)) > 30000 "
+        f"THEN CAST(30000 AS BIGINT) "
+        f"ELSE CAST(floor(CAST({value_col} AS DOUBLE)) AS BIGINT) END")
+    counts = (events.where(_quantizable_col(value_col)
+                           & F.col(group_col).isNotNull())
+              .select(F.col(group_col).alias("_g"), t.alias("_t"))
+              .withColumn("_b", F.expr(
+                  "CASE WHEN _t < 1024 THEN _t "
+                  "ELSE (_t div 16) * 16 END"))
+              .groupBy("_g", "_b")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    wcum = (Window.partitionBy("_g").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("_g")
+    cum = (counts.withColumn("_cum", F.sum("_c").over(wcum))
+           .withColumn("_n", F.sum("_c").over(wall)))
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    hit = (cum.withColumn("q_milli", F.explode(qarr))
+           .where(F.col("_cum") >= F.greatest(
+               F.lit(1), F.expr("(_n * q_milli + 999) div 1000"))))
+    return (hit.groupBy("_g", "q_milli")
+            .agg(F.min("_b").alias("t_ms"))
+            .select(F.col("_g").alias(group_col),
+                    F.col("q_milli").cast("long").alias("q_milli"),
+                    "t_ms"))
+
+
+def sequence_match_multi(events: DataFrame, patterns: dict,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         within_hours: "int | None" = None) -> DataFrame:
+    """Batch ``sequenceMatch``: evaluate a NAMED SET of step patterns
+    in one call — the dashboard shape ("which of these K journeys did
+    each user complete?") that would otherwise be K separate queries.
+
+    Each pattern runs the SAME greedy earliest-completion chain as
+    :func:`sequence_match` / :func:`funnel` (sibling coherence by
+    construction — the shared-semantics contract), with the optional
+    ``within_hours`` conversion window applied uniformly; the tagged
+    per-user flags union into one result. Patterns evaluate in sorted
+    name order so the plan (and any downstream sampling) is
+    deterministic.
+
+    Scale: per pattern, len(steps) filtered |users|-row aggregates —
+    canonically identical base scans dedupe at runtime via
+    ReusedExchange; at very large |events| pre-project and checkpoint
+    the (user, ts, type) slice upstream once for all patterns.
+
+    Returns ``user, pattern, matched`` — |users|·K rows."""
+    if not patterns:
+        raise ValueError("patterns must be a non-empty "
+                         "{name: [step, ...]} dict")
+    for name, steps in patterns.items():
+        if not steps:
+            raise ValueError(f"pattern {name!r} has no steps")
+    out = None
+    for name in sorted(patterns):
+        flag = sequence_match(events, list(patterns[name]), user_col,
+                              ts_col, type_col, within_hours)
+        tagged = flag.select(user_col, F.lit(name).alias("pattern"),
+                             "matched")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

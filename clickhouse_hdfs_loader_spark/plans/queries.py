@@ -6607,6 +6607,97 @@ def runs_test_q(spark, sf_dir):
     return _rt(ev)
 
 
+@query("curate_report", oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l FROM ws),
+    bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+           FROM toks WHERE i < len(l)),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+           FROM c2 GROUP BY 1),
+    model AS (SELECT bg, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS q
+              FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+    agg AS (SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
+                   count(*) AS n_bigrams
+            FROM bg b LEFT JOIN model USING (bg) GROUP BY b.doc_id),
+    scores AS (SELECT d.doc_id, d.text,
+                      CAST(CASE WHEN n_bigrams IS NULL THEN 0
+                           ELSE floor(q_sum * 1.0 / n_bigrams) END
+                           AS BIGINT) AS score
+               FROM documents d LEFT JOIN agg USING (doc_id)),
+    good AS (SELECT doc_id, text FROM scores WHERE score >= 33500),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+    c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT id, centroid FROM (
+        SELECT e.vec_id AS id, c.centroid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.cv[i] * c.cv[i]))))
+                 DESC, c.centroid ASC) AS rn
+        FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
+    pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(ea.embedding[i] AS DOUBLE)
+                      * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(ea.embedding[i] AS DOUBLE)
+                      * CAST(ea.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(eb.embedding[i] AS DOUBLE)
+                      * CAST(eb.embedding[i] AS DOUBLE)))))
+             AS cos
+      FROM a1 x JOIN a1 y ON x.centroid = y.centroid AND x.id < y.id
+      JOIN embeddings ea ON ea.vec_id = x.id
+      JOIN embeddings eb ON eb.vec_id = y.id),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+                WHERE cos >= 0.4),
+    nums AS (SELECT
+      (SELECT count(*) FROM documents) AS input,
+      (SELECT count(*) FROM good) AS n1,
+      (SELECT count(*) FROM keepers) AS n2,
+      (SELECT count(*) FROM keepers k
+       WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)) AS n3)
+    SELECT CAST(input AS BIGINT) AS input,
+           CAST(input - n1 AS BIGINT) AS dropped_quality,
+           CAST(n1 - n2 AS BIGINT) AS dropped_exact,
+           CAST(n2 - n3 AS BIGINT) AS dropped_semantic,
+           CAST(n3 AS BIGINT) AS kept
+    FROM nums
+""")
+def curate_report_q(spark, sf_dir):
+    """The end-to-end curation FUNNEL (quality gate → exact dedup →
+    SemDeDup), graded through ``curate()`` itself — the whole report
+    row replays in SQL: the bigram-likelihood twin scores the gate,
+    min-id-per-text counts the exact stage, and the semantic_dedup
+    twin (seed centroids → cluster-confined cosine) yields the dropped
+    set. Stages 4-5 (leakage-safe split, packing) are hash-component-
+    dependent and stay pytest-covered (`split_and_pack=False`; report
+    identical either way, pinned by test). Threshold 33500 keeps a
+    majority at every fixture sf (scores cluster ~33-36k).
+    operators/corpus.py:curate."""
+    from ..operators.corpus import curate as _cur
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, report = _cur(docs, emb, min_quality_score=33500,
+                        split_and_pack=False)
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -6710,7 +6801,8 @@ def runs_test_q(spark, sf_dir):
 #        the pca_whiten precedent; feature_hashing stays XXH64-golden
 #        in tests (candidate for a pinned-checksum golden later).
 #   r13: START THE STALENESS ROTATION in earnest — reserve ~10 slots
-#        for the r3-era latest-green core: dedup_exact,
+#        for window_running_sum (r1) + the r3-era latest-green core:
+#        dedup_exact,
 #        dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
 #        dedup_fingerprint, dedup_embedding_cosine, similarity_topk,
 #        similarity_topk_blas, q1_pricing_summary, q3_shipping_priority,
@@ -6751,9 +6843,14 @@ _GRADING_WINDOW = [
     "group_array_intersect", "benford_deviation", "trimmed_mean",
     "robust_scale", "psi_drift", "stream_exact_quantiles",
     "corr_matrix", "runs_test",
+    # --- the end-to-end curation funnel, driver-graded at last
+    # (pytest-only since r6; ~50 s at sf0.01, all in the already-
+    # graded semantic_dedup kernel)
+    "curate_report",
     # --- staleness rotation: the r1-era latest-green tail
+    # (window_running_sum yields its slot to curate_report; it leads
+    # the r13 staleness batch)
     "date_arithmetic", "json_extract", "pivot_status",
-    "window_running_sum",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

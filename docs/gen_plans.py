@@ -65,8 +65,9 @@ def _operator_picks(spark, sf):
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cohort_overlap, cusum_changepoint, histogram_adaptive,
-        histogram_equi_depth, kaplan_meier, quantile_update,
-        quantiles_from_state, runs_test)
+        histogram_equi_depth, kaplan_meier, quantile_timing,
+        quantile_update, quantiles_from_state, runs_test,
+        sequence_match_multi)
     from clickhouse_hdfs_loader_spark.operators.features import (
         corr_matrix, feature_hashing, isotonic_fit)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
@@ -133,6 +134,10 @@ def _operator_picks(spark, sf):
                                                    id_col="id"),
         "max_intersections": max_intersections(iv, "g", "s", "e"),
         "delta_sum": delta_sum(ev),
+        "quantile_timing": quantile_timing(ev),
+        "sequence_match_multi": sequence_match_multi(
+            ev, {"v_c_p": ["view", "click", "purchase"],
+                 "p_v": ["purchase", "view"]}),
         "bounding_ratio": bounding_ratio(ev),
         "sequence_next_node": sequence_next_node(ev, ["view", "click"]),
         "window_funnel_strict_order": window_funnel_strict_order(

@@ -657,3 +657,140 @@ def test_stream_exact_quantiles_matches_batch_any_partition(
         assert got == one
 
     check()
+
+
+def test_quantile_timing_oracle_and_hand_cases(spark, sf_dir):
+    """quantile_timing: in-test DuckDB oracle (registry standard, r13
+    queue) — the documented fixed-resolution bucketization (1 ms below
+    1024, 16 ms to 30 s, clamped above) replays exactly in SQL; hand
+    cases cover every resolution regime the sub-1024 fixture values
+    can't force."""
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        quantile_timing)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    got = sorted(map(tuple, quantile_timing(ev).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT)
+                               WHEN floor(value) > 30000
+                               THEN CAST(30000 AS BIGINT)
+                               ELSE CAST(floor(value) AS BIGINT) END AS t
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
+        c AS (SELECT g, CASE WHEN t < 1024 THEN t
+                             ELSE (t // 16) * 16 END AS b,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM v GROUP BY 1, 2),
+        w AS (SELECT g, b, c,
+                     CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                     CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+              FROM c),
+        q AS (SELECT g, b, cum, n,
+                     unnest([500, 900, 990]) AS q_milli
+              FROM w)
+        SELECT g AS event_type, CAST(q_milli AS BIGINT) AS q_milli,
+               CAST(min(b) AS BIGINT) AS t_ms
+        FROM q WHERE cum >= greatest(1, (n * q_milli + 999) // 1000)
+        GROUP BY 1, 2
+    """).fetchall()))
+    assert got == want and len(got) == 15   # 5 groups x 3 qs
+
+    def run(vals, qs=(500,)):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return {(r["q_milli"]): r["t_ms"] for r in
+                quantile_timing(df, "g", "v", qs=qs).collect()}
+
+    # exact regime: all under 1024 -> 1 ms buckets, lower-median rule
+    assert run([3, 1, 2])[500] == 2
+    # 16 ms regime: 1500 floors to (1500 div 16)*16 = 1488
+    assert run([1500.9])[500] == 1488
+    # boundary: 1023 stays exact; 1024 is the first coarse bucket
+    assert run([1023])[500] == 1023 and run([1024])[500] == 1024
+    # saturation: anything past 30 s clamps to 30000 (a coarse bucket:
+    # 30000 div 16 * 16 = 29984... no — clamp happens BEFORE
+    # bucketing, and 30000 -> (30000 div 16)*16 = 29984 div? pin the
+    # actual contract value here)
+    assert run([99999, 31000])[500] == (30000 // 16) * 16
+    # negatives clamp to 0 (exact bucket)
+    assert run([-5, -1, 7])[500] == 0
+    # multi-q on a spread: p99-ish picks the top element
+    r = run(list(range(100)), qs=(500, 990))
+    assert (r[500], r[990]) == (49, 98)
+    # invalid q raises before any job
+    with pytest.raises(ValueError, match="milli-quantiles"):
+        quantile_timing(ev, qs=(0,))
+    with pytest.raises(ValueError, match="milli-quantiles"):
+        quantile_timing(ev, qs=(1000,))
+
+
+def test_sequence_match_multi_oracle_and_coherence(spark, sf_dir):
+    """sequence_match_multi: in-test DuckDB oracle (the per-pattern
+    chain-CTE ladder, unioned with pattern tags — registry standard,
+    r13 queue), coherence with single-pattern sequence_match by
+    construction, and the guard cases."""
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match, sequence_match_multi)
+
+    ev = read_table(spark, sf_dir, "events")
+    pats = {"v_c_p": ["view", "click", "purchase"],
+            "p_v": ["purchase", "view"],
+            "c_e": ["click", "error"]}
+    got = sorted(
+        (r["user_id"], r["pattern"], bool(r["matched"])) for r in
+        sequence_match_multi(ev, pats).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+
+    def ladder(name, steps):
+        ctes, prev = [], None
+        for i, s in enumerate(steps):
+            if prev is None:
+                ctes.append(f"s{i} AS (SELECT user_id, min(ts) AS t "
+                            f"FROM events WHERE event_type = '{s}' "
+                            f"GROUP BY 1)")
+            else:
+                ctes.append(
+                    f"s{i} AS (SELECT e.user_id, min(e.ts) AS t "
+                    f"FROM events e JOIN s{i-1} USING (user_id) "
+                    f"WHERE e.event_type = '{s}' AND e.ts > s{i-1}.t "
+                    f"GROUP BY 1)")
+            prev = i
+        return (f"SELECT DISTINCT user_id, '{name}' AS pattern, "
+                f"coalesce(user_id IN (SELECT user_id FROM s{prev}), "
+                f"false) AS matched FROM events"), ", ".join(ctes)
+
+    parts = []
+    for name in sorted(pats):
+        sel, ctes = ladder(name, pats[name])
+        parts.append(f"(WITH {ctes} {sel})")
+    want = sorted(map(tuple, con.execute(
+        " UNION ALL ".join(parts)).fetchall()))
+    assert got == want and len(got) == 45   # 15 users x 3 patterns
+
+    # coherence: each pattern's slice IS single-pattern sequence_match
+    for name, steps in pats.items():
+        single = sorted((r["user_id"], r["matched"]) for r in
+                        sequence_match(ev, steps).collect())
+        multi = sorted((u, m) for u, p, m in got if p == name)
+        assert multi == single, name
+
+    # guards: empty dict / empty steps raise before any job
+    with pytest.raises(ValueError, match="non-empty"):
+        sequence_match_multi(ev, {})
+    with pytest.raises(ValueError, match="no steps"):
+        sequence_match_multi(ev, {"bad": []})

@@ -1296,6 +1296,14 @@ def test_curate_pipeline_accounting_and_invariants(spark, sf_dir):
     # packing covers exactly the train split (per-bin doc accounting)
     train_n = sum(1 for x in rows if x["split"] == "train")
     assert sum(b["n_docs"] for b in packed.collect()) == train_n
+    # the funnel-only mode (what the registry's curate_report grades)
+    # yields the IDENTICAL report row — stages 4-5 never change the
+    # accounting — with packed=None and no split column
+    c2, p2, rep2 = curate(docs, emb, min_quality_score=1,
+                          split_and_pack=False)
+    assert tuple(rep2.collect()[0]) == tuple(r)
+    assert p2 is None and "split" not in c2.columns
+    assert c2.count() == r["kept"]
 
 
 def test_media_header_heif_family():

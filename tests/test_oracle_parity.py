@@ -155,7 +155,7 @@ def test_grading_window_registry_discipline():
         "pmi_collocations", "histogram_equi_depth", "cusum_changepoint",
         "group_array_intersect", "benford_deviation", "trimmed_mean",
         "robust_scale", "psi_drift", "stream_exact_quantiles",
-        "corr_matrix", "runs_test",
+        "corr_matrix", "runs_test", "curate_report",
     }
     missing = added_this_round - window
     assert not missing, (
