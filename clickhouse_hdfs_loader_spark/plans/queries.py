@@ -3480,8 +3480,12 @@ def passage_dedup_spans(spark, sf_dir):
                                 min_docs=2)
 
 
-@query("semantic_dedup", oracle="""
-    WITH c0 AS (
+# ONE copy of the SemDeDup assign→pair SQL (seed centroids = the m
+# lowest-id vectors; cluster-confined pairwise cosine) — shared by the
+# semantic_dedup oracle and the curate_report funnel twin
+# (review-caught: a 4th inline copy had appeared; the *_SQL-constant
+# convention applies to CTE blocks too).
+_SEMDEDUP_CTES = """c0 AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid,
              list_transform(generate_series(1, 64),
                             i -> CAST(embedding[i] AS DOUBLE)) AS cv
@@ -3509,12 +3513,58 @@ def passage_dedup_spans(spark, sf_dir):
              AS cos
       FROM a1 x JOIN a1 y ON x.centroid = y.centroid AND x.id < y.id
       JOIN embeddings ea ON ea.vec_id = x.id
-      JOIN embeddings eb ON eb.vec_id = y.id),
+      JOIN embeddings eb ON eb.vec_id = y.id)"""
+
+# drift tripwire for every oracle riding _SEMDEDUP_CTES: the Spark
+# side excludes zero-norm vectors via ivf_assign's centroid -1
+# sentinel, and DuckDB sorts NaN ABOVE all values, so a drifted
+# zero-norm/non-finite embedding would silently flip assignments and
+# pass 'cos >= threshold' with a NaN cosine — raise a named error
+# instead (the r6 golden-guard stance, review-caught r12)
+_SEMDEDUP_NORM_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))")
+_SEMDEDUP_GUARD = f"""(SELECT CASE WHEN count(*) = 0 THEN 1 ELSE
+        error('semdedup oracle: zero-norm or non-finite embedding in
+ the fixture - Spark excludes these via the ivf centroid -1 sentinel;
+ re-mirror the exclusion on the oracle side before grading')
+        END FROM embeddings WHERE embedding IS NOT NULL
+        AND (NOT isfinite({_SEMDEDUP_NORM_SQL})
+             OR {_SEMDEDUP_NORM_SQL} = 0)) = 1"""
+
+# ONE copy of the bigram-LM scoring ladder (tokenize → bigram/unigram
+# counts → continuation model → per-doc sums) — shared by the
+# bigram_likelihood oracle and the curate_report quality gate
+_BIGRAM_SCORE_CTES = """ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l FROM ws),
+    bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+           FROM toks WHERE i < len(l)),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+           FROM c2 GROUP BY 1),
+    model AS (
+      SELECT bg, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS q
+      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+    agg AS (
+      SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
+             count(*) AS n_bigrams
+      FROM bg b LEFT JOIN model USING (bg)
+      GROUP BY b.doc_id)"""
+
+
+@query("semantic_dedup", oracle=f"""
+    WITH {_SEMDEDUP_CTES},
     sel AS (SELECT * FROM pairs WHERE cos >= 0.4)
     SELECT id_b AS dropped_id, min(id_a) AS keeper_id,
            min(centroid) AS centroid,
            round(arg_min(cos, id_a), 4) AS cos
-    FROM sel GROUP BY id_b
+    FROM sel
+    WHERE {_SEMDEDUP_GUARD}
+    GROUP BY id_b
 """)
 def semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): seed-centroid clustering confines
@@ -3573,26 +3623,8 @@ def quality_expectations(spark, sf_dir):
     ])
 
 
-@query("bigram_likelihood", oracle="""
-    WITH ws AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         w -> w <> '') AS l
-      FROM documents),
-    toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l FROM ws),
-    bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
-           FROM toks WHERE i < len(l)),
-    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
-    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
-           FROM c2 GROUP BY 1),
-    model AS (
-      SELECT bg, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS q
-      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
-    agg AS (
-      SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
-             count(*) AS n_bigrams
-      FROM bg b LEFT JOIN model USING (bg)
-      GROUP BY b.doc_id)
+@query("bigram_likelihood", oracle=f"""
+    WITH {_BIGRAM_SCORE_CTES}
     SELECT d.doc_id,
            CAST(coalesce(q_sum, 0) AS BIGINT) AS q_sum,
            CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
@@ -6607,23 +6639,8 @@ def runs_test_q(spark, sf_dir):
     return _rt(ev)
 
 
-@query("curate_report", oracle="""
-    WITH ws AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         w -> w <> '') AS l
-      FROM documents),
-    toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, l FROM ws),
-    bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
-           FROM toks WHERE i < len(l)),
-    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
-    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
-           FROM c2 GROUP BY 1),
-    model AS (SELECT bg, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS q
-              FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
-    agg AS (SELECT b.doc_id, sum(coalesce(q, 0)) AS q_sum,
-                   count(*) AS n_bigrams
-            FROM bg b LEFT JOIN model USING (bg) GROUP BY b.doc_id),
+@query("curate_report", oracle=f"""
+    WITH {_BIGRAM_SCORE_CTES},
     scores AS (SELECT d.doc_id, d.text,
                       CAST(CASE WHEN n_bigrams IS NULL THEN 0
                            ELSE floor(q_sum * 1.0 / n_bigrams) END
@@ -6631,39 +6648,7 @@ def runs_test_q(spark, sf_dir):
                FROM documents d LEFT JOIN agg USING (doc_id)),
     good AS (SELECT doc_id, text FROM scores WHERE score >= 33500),
     keepers AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
-    c0 AS (
-      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid,
-             list_transform(generate_series(1, 64),
-                            i -> CAST(embedding[i] AS DOUBLE)) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT 8),
-    a1 AS (
-      SELECT id, centroid FROM (
-        SELECT e.vec_id AS id, c.centroid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
-                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(e.embedding[i] AS DOUBLE)
-                          * CAST(e.embedding[i] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(generate_series(1, 64),
-                     i -> c.cv[i] * c.cv[i]))))
-                 DESC, c.centroid ASC) AS rn
-        FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
-    pairs AS (
-      SELECT x.id AS id_a, y.id AS id_b,
-             list_sum(list_transform(generate_series(1, 64),
-                 i -> CAST(ea.embedding[i] AS DOUBLE)
-                      * CAST(eb.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                 i -> CAST(ea.embedding[i] AS DOUBLE)
-                      * CAST(ea.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(generate_series(1, 64),
-                 i -> CAST(eb.embedding[i] AS DOUBLE)
-                      * CAST(eb.embedding[i] AS DOUBLE)))))
-             AS cos
-      FROM a1 x JOIN a1 y ON x.centroid = y.centroid AND x.id < y.id
-      JOIN embeddings ea ON ea.vec_id = x.id
-      JOIN embeddings eb ON eb.vec_id = y.id),
+    {_SEMDEDUP_CTES},
     dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs
                 WHERE cos >= 0.4),
     nums AS (SELECT
@@ -6678,6 +6663,7 @@ def runs_test_q(spark, sf_dir):
            CAST(n2 - n3 AS BIGINT) AS dropped_semantic,
            CAST(n3 AS BIGINT) AS kept
     FROM nums
+    WHERE {_SEMDEDUP_GUARD}
 """)
 def curate_report_q(spark, sf_dir):
     """The end-to-end curation FUNNEL (quality gate → exact dedup →
@@ -6801,8 +6787,8 @@ def curate_report_q(spark, sf_dir):
 #        the pca_whiten precedent; feature_hashing stays XXH64-golden
 #        in tests (candidate for a pinned-checksum golden later).
 #   r13: START THE STALENESS ROTATION in earnest — reserve ~10 slots
-#        for window_running_sum (r1) + the r3-era latest-green core:
-#        dedup_exact,
+#        for window_running_sum + pivot_status (r1) + the r3-era
+#        latest-green core: dedup_exact,
 #        dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
 #        dedup_fingerprint, dedup_embedding_cosine, similarity_topk,
 #        similarity_topk_blas, q1_pricing_summary, q3_shipping_priority,
@@ -6847,10 +6833,15 @@ _GRADING_WINDOW = [
     # (pytest-only since r6; ~50 s at sf0.01, all in the already-
     # graded semantic_dedup kernel)
     "curate_report",
+    # --- re-grade: oracle surface changed this round (the shared
+    # zero-norm/non-finite drift guard — the covariance_stats r11
+    # precedent)
+    "semantic_dedup",
     # --- staleness rotation: the r1-era latest-green tail
-    # (window_running_sum yields its slot to curate_report; it leads
-    # the r13 staleness batch)
-    "date_arithmetic", "json_extract", "pivot_status",
+    # (window_running_sum and pivot_status yield their slots to
+    # curate_report and the semantic_dedup re-grade; they lead the
+    # r13 staleness batch)
+    "date_arithmetic", "json_extract",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

@@ -717,11 +717,10 @@ def test_quantile_timing_oracle_and_hand_cases(spark, sf_dir):
     assert run([1500.9])[500] == 1488
     # boundary: 1023 stays exact; 1024 is the first coarse bucket
     assert run([1023])[500] == 1023 and run([1024])[500] == 1024
-    # saturation: anything past 30 s clamps to 30000 (a coarse bucket:
-    # 30000 div 16 * 16 = 29984... no — clamp happens BEFORE
-    # bucketing, and 30000 -> (30000 div 16)*16 = 29984 div? pin the
-    # actual contract value here)
-    assert run([99999, 31000])[500] == (30000 // 16) * 16
+    # saturation: anything past 30 s clamps to 30000 BEFORE bucketing,
+    # and 30000 is itself a multiple of 16 — the contract value is the
+    # pinned literal, never re-derived via the operator's own formula
+    assert run([99999, 31000])[500] == 30000
     # negatives clamp to 0 (exact bucket)
     assert run([-5, -1, 7])[500] == 0
     # multi-q on a spread: p99-ish picks the top element

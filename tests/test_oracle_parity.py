@@ -156,6 +156,9 @@ def test_grading_window_registry_discipline():
         "group_array_intersect", "benford_deviation", "trimmed_mean",
         "robust_scale", "psi_drift", "stream_exact_quantiles",
         "corr_matrix", "runs_test", "curate_report",
+        # + the semantic_dedup re-grade (oracle gained the shared
+        # zero-norm drift guard this round)
+        "semantic_dedup",
     }
     missing = added_this_round - window
     assert not missing, (
