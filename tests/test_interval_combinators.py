@@ -793,3 +793,37 @@ def test_sequence_match_multi_oracle_and_coherence(spark, sf_dir):
         sequence_match_multi(ev, {})
     with pytest.raises(ValueError, match="no steps"):
         sequence_match_multi(ev, {"bad": []})
+
+
+def test_quantile_timing_hypothesis_vs_replay(spark):
+    """Property: quantile_timing equals a pure-Python replay of the
+    documented contract (clamp -> bucket -> lower-quantile rank) on
+    arbitrary small samples spanning all three resolution regimes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        quantile_timing)
+
+    def replay(vals, qs):
+        ts = []
+        for v in vals:
+            t = 0 if v < 0 else (30000 if v > 30000 else int(v))
+            ts.append(t if t < 1024 else (t // 16) * 16)
+        ts.sort()
+        n = len(ts)
+        return {q: ts[max(1, -(-n * q // 1000)) - 1] for q in qs}
+
+    @given(st.lists(st.one_of(st.integers(-10, 2000),
+                              st.integers(25000, 40000)),
+                    min_size=1, max_size=30))
+    @settings(max_examples=8, deadline=None)
+    def check(vals):
+        qs = (250, 500, 990)
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        got = {r["q_milli"]: r["t_ms"] for r in
+               quantile_timing(df, "g", "v", qs=qs).collect()}
+        assert got == replay(vals, qs)
+
+    check()
