@@ -1831,3 +1831,69 @@ def sequence_match_multi(events: DataFrame, patterns: dict,
                              "matched")
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",
+                          weight_col: str = "wt",
+                          ts_col: str = "ts",
+                          half_life_s: int = 604800,
+                          k: int = 10, capacity: int = 256,
+                          as_of_us: "int | None" = None) -> DataFrame:
+    """ClickHouse ``topKWeighted`` with TIME DECAY — "what's heavy
+    lately?" — under an exact integer half-life contract instead of a
+    float exponential: a row of weight w and age a (microseconds before
+    the reference instant) contributes
+
+        wd = shiftright(w, min(a div (half_life_s·10⁶), 62))
+
+    i.e. its weight integer-halves once per FULL elapsed half-life
+    (ages < one half-life keep full weight; rows after the reference
+    instant clamp to age 0; the shift saturates at 62 so wd is 0, never
+    an overflow). The quantized-decay CONTRACT is deliberate — a float
+    2^(−a/hl) is not engine-exact, while this is pure int64 arithmetic
+    both engines replay bit-for-bit (the quantile_timing stance:
+    document the deterministic contract, grade value-exact).
+
+    The reference instant defaults to the frame's max event time
+    (joined in as a broadcast 1-row aggregate — no driver collect, one
+    plan); pass ``as_of_us`` for a pinned wall-clock. Decayed-to-zero
+    rows drop (they cannot affect any sum). Everything downstream IS
+    :func:`heavy_hitters_weighted` — the certified two-pass weighted
+    Misra-Gries — so the exactness certificate carries over verbatim:
+    the result is the exact decayed-weight top-k or a loud raise,
+    never a silent approximation.
+
+    Weight/NULL stance inherited: integral non-negative weights
+    enforced loudly, NULL value/weight/ts rows excluded (mirror in
+    twins). Returns ``value, weight, rank`` (weight = exact summed
+    decayed weight)."""
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be positive, got "
+                         f"{half_life_s!r}")
+    base = (events.where(F.col(ts_col).isNotNull())
+            .withColumn("_us", F.unix_micros(F.col(ts_col))))
+    if as_of_us is None:
+        asof = base.agg(F.max("_us").alias("_asof"))
+        base = base.crossJoin(F.broadcast(asof))
+    else:
+        base = base.withColumn("_asof", F.lit(int(as_of_us)))
+    hl_us = int(half_life_s) * 1_000_000
+    # validate the RAW weight before the cast — CAST(0.7 AS BIGINT)
+    # would silently zero-weight and NaN would cast to 0 (the
+    # avg_weighted review class); the check lives INSIDE the kept
+    # expression so Catalyst cannot prune it
+    wint = (f"CASE WHEN {weight_col} IS NULL THEN NULL "
+            f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
+            f"OR CAST({weight_col} AS DOUBLE) < CAST(0 AS DOUBLE) "
+            f"OR NOT CAST({weight_col} AS DOUBLE) "
+            f"= floor(CAST({weight_col} AS DOUBLE)) "
+            f"THEN raise_error('heavy_hitters_decayed: weights must "
+            f"be non-negative integers') "
+            f"ELSE CAST({weight_col} AS BIGINT) END")
+    decayed = (base.withColumn("_age_hl", F.expr(
+        f"greatest(CAST(0 AS BIGINT), (_asof - _us) div {hl_us})"))
+        .withColumn("_wd", F.expr(
+            f"shiftright({wint}, CAST(least(_age_hl, 62) AS INT))"))
+        .where(F.col("_wd") > 0))
+    return heavy_hitters_weighted(decayed, col, "_wd", k=k,
+                                  capacity=capacity)

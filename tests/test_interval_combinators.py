@@ -827,3 +827,86 @@ def test_quantile_timing_hypothesis_vs_replay(spark):
         assert got == replay(vals, qs)
 
     check()
+
+
+def test_heavy_hitters_decayed_oracle_and_hand_cases(spark, sf_dir):
+    """heavy_hitters_decayed: in-test DuckDB oracle (registry standard,
+    r13 queue) — the integer half-life decay (shiftright once per FULL
+    elapsed half-life, saturating at 62) composed over the certified
+    weighted-MG top-k replays exactly in SQL; hand cases pin the
+    rank-flip decay actually causes, the future-row age clamp, and the
+    loud fractional-weight raise."""
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        heavy_hitters_decayed)
+
+    # base weights scaled x1024 so ~9 half-lives of decay over the
+    # fixture's time span still leave every row a nonzero contribution
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("wt", (F.pmod(F.col("event_id"), F.lit(5)) + 1)
+                      * F.lit(1024)))
+    got = sorted(map(tuple, heavy_hitters_decayed(
+        ev, "event_type", "wt", half_life_s=604800, k=3,
+        capacity=64).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH b AS (SELECT event_type,
+                          (((event_id % 5 + 5) % 5) + 1) * 1024 AS w,
+                          epoch_us(ts) AS us
+                   FROM events
+                   WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+        m AS (SELECT max(us) AS ref_us FROM b),
+        d AS (SELECT event_type,
+                     (CAST(w AS BIGINT) >> CAST(least(
+                        greatest(0, (ref_us - us) // 604800000000), 62)
+                        AS INT)) AS wd
+              FROM b, m)
+        SELECT event_type AS value,
+               CAST(sum(wd) AS BIGINT) AS weight,
+               CAST(row_number() OVER (ORDER BY sum(wd) DESC,
+                    event_type) AS INT) AS rank
+        FROM d WHERE wd > 0
+        GROUP BY event_type ORDER BY weight DESC, value LIMIT 3
+    """).fetchall()))
+    assert got == want and len(got) == 3
+    assert all(w > 0 for (_v, w, _r) in got)
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+
+    def run(rows, **kw):
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, wt long")
+        return [tuple(r) for r in heavy_hitters_decayed(
+            df, "event_type", "wt", **kw).collect()]
+
+    # decay FLIPS the ranking: 'old' out-weighs 'new' undecayed
+    # (96 > 80) but after 2 full 1-day half-lives old's 96 >> 2 = 24
+    # loses to new's 80 (age 0 — the reference instant is max ts)
+    rows = [("old", t0, 96), ("new", t0 + 2 * day, 80)]
+    assert run(rows, half_life_s=86400, k=2, capacity=8) == [
+        ("new", 80, 1), ("old", 24, 2)]
+    # sub-half-life ages keep FULL weight (quantized decay, not float)
+    rows = [("a", t0, 10), ("b", t0 + dt.timedelta(hours=23), 9)]
+    assert run(rows, half_life_s=86400, k=2, capacity=8) == [
+        ("a", 10, 1), ("b", 9, 2)]
+    # a pinned as_of far in the future decays everything to zero ->
+    # empty result, never an error (shift saturates at 62)
+    assert run([("a", t0, 5)], half_life_s=1, k=2, capacity=8,
+               as_of_us=2_000_000_000_000_000_000) == []
+    # fractional / negative weights raise loudly (never truncate)
+    for bad in (0.7, -3.0):
+        df = spark.createDataFrame(
+            [("a", t0, float(bad))],
+            "event_type string, ts timestamp, wt double")
+        with pytest.raises(Exception, match="non-negative integers"):
+            heavy_hitters_decayed(df, "event_type", "wt",
+                                  half_life_s=86400).collect()
+    with pytest.raises(ValueError, match="half_life_s"):
+        heavy_hitters_decayed(ev, "event_type", "wt", half_life_s=0)
