@@ -1878,22 +1878,16 @@ def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",
     else:
         base = base.withColumn("_asof", F.lit(int(as_of_us)))
     hl_us = int(half_life_s) * 1_000_000
-    # validate the RAW weight before the cast — CAST(0.7 AS BIGINT)
-    # would silently zero-weight and NaN would cast to 0 (the
-    # avg_weighted review class); the check lives INSIDE the kept
-    # expression so Catalyst cannot prune it
-    wint = (f"CASE WHEN {weight_col} IS NULL THEN NULL "
-            f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
-            f"OR CAST({weight_col} AS DOUBLE) < CAST(0 AS DOUBLE) "
-            f"OR NOT CAST({weight_col} AS DOUBLE) "
-            f"= floor(CAST({weight_col} AS DOUBLE)) "
-            f"THEN raise_error('heavy_hitters_decayed: weights must "
-            f"be non-negative integers') "
-            f"ELSE CAST({weight_col} AS BIGINT) END")
-    decayed = (base.withColumn("_age_hl", F.expr(
-        f"greatest(CAST(0 AS BIGINT), (_asof - _us) div {hl_us})"))
+    # validate the RAW weight before the cast via the ONE shared
+    # integral-weight validator — CAST(0.7 AS BIGINT) would silently
+    # zero-weight and NaN would cast to 0 (the avg_weighted review
+    # class; a second inline copy here was itself a review catch)
+    decayed = (base.withColumn("_wint", _integral_weight_expr(
+        "heavy_hitters_decayed", weight_col))
+        .withColumn("_age_hl", F.expr(
+            f"greatest(CAST(0 AS BIGINT), (_asof - _us) div {hl_us})"))
         .withColumn("_wd", F.expr(
-            f"shiftright({wint}, CAST(least(_age_hl, 62) AS INT))"))
+            "shiftright(_wint, CAST(least(_age_hl, 62) AS INT))"))
         .where(F.col("_wd") > 0))
     return heavy_hitters_weighted(decayed, col, "_wd", k=k,
                                   capacity=capacity)

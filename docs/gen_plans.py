@@ -65,7 +65,7 @@ def _operator_picks(spark, sf):
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         cohort_overlap, cusum_changepoint, histogram_adaptive,
-        heavy_hitters_decayed, histogram_equi_depth, kaplan_meier,
+        histogram_equi_depth, kaplan_meier,
         quantile_timing, quantile_update, quantiles_from_state,
         runs_test, sequence_match_multi)
     from clickhouse_hdfs_loader_spark.operators.features import (
@@ -135,10 +135,11 @@ def _operator_picks(spark, sf):
         "max_intersections": max_intersections(iv, "g", "s", "e"),
         "delta_sum": delta_sum(ev),
         "quantile_timing": quantile_timing(ev),
-        "heavy_hitters_decayed": heavy_hitters_decayed(
-            ev.withColumn("wt", (F.pmod(F.col("event_id"), F.lit(5))
-                                 + 1) * F.lit(1024)),
-            "event_type", "wt", half_life_s=604800, k=3, capacity=64),
+        # heavy_hitters_decayed is NOT plan-audited: the two-pass MG
+        # collects candidates eagerly during construction (the
+        # pagerank/pca_whiten posture below), so its "plan" would be a
+        # local-result scan; the decay projection itself is a
+        # stateless expression over the audited weighted-MG pipeline
         "sequence_match_multi": sequence_match_multi(
             ev, {"v_c_p": ["view", "click", "purchase"],
                  "p_v": ["purchase", "view"]}),

@@ -859,7 +859,10 @@ def test_heavy_hitters_decayed_oracle_and_hand_cases(spark, sf_dir):
                           (((event_id % 5 + 5) % 5) + 1) * 1024 AS w,
                           epoch_us(ts) AS us
                    FROM events
-                   WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+                   WHERE event_id IS NOT NULL AND ts IS NOT NULL
+                     -- the MG pass drops NULL values Spark-side;
+                     -- mirror (r9 fixture-drift stance)
+                     AND event_type IS NOT NULL),
         m AS (SELECT max(us) AS ref_us FROM b),
         d AS (SELECT event_type,
                      (CAST(w AS BIGINT) >> CAST(least(
@@ -900,12 +903,15 @@ def test_heavy_hitters_decayed_oracle_and_hand_cases(spark, sf_dir):
     # empty result, never an error (shift saturates at 62)
     assert run([("a", t0, 5)], half_life_s=1, k=2, capacity=8,
                as_of_us=2_000_000_000_000_000_000) == []
-    # fractional / negative weights raise loudly (never truncate)
-    for bad in (0.7, -3.0):
+    # fractional / negative weights raise loudly via the ONE shared
+    # integral-weight validator (never truncate)
+    for bad, msg in ((0.7, "integral counts"),
+                     (-3.0, "negative weight"),
+                     (float("nan"), "NaN weight")):
         df = spark.createDataFrame(
             [("a", t0, float(bad))],
             "event_type string, ts timestamp, wt double")
-        with pytest.raises(Exception, match="non-negative integers"):
+        with pytest.raises(Exception, match=msg):
             heavy_hitters_decayed(df, "event_type", "wt",
                                   half_life_s=86400).collect()
     with pytest.raises(ValueError, match="half_life_s"):
