@@ -1756,6 +1756,12 @@ def quantile_timing(events: DataFrame, group_col: str = "event_type",
     Returns ``group, q_milli, t_ms``."""
     from pyspark.sql import Window
 
+    # empty qs would silently return an empty frame — loud-raise
+    # instead, matching sequence_match_multi's empty-pattern posture
+    # (ADVICE r12)
+    if not qs:
+        raise ValueError("qs must be a non-empty tuple of integer "
+                         "milli-quantiles in (0, 1000)")
     for q in qs:
         if not (isinstance(q, int) and 0 < q < 1000):
             raise ValueError(f"qs must be integer milli-quantiles in "
@@ -1854,9 +1860,12 @@ def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",
     both engines replay bit-for-bit (the quantile_timing stance:
     document the deterministic contract, grade value-exact).
 
-    The reference instant defaults to the frame's max event time
-    (joined in as a broadcast 1-row aggregate — no driver collect, one
-    plan); pass ``as_of_us`` for a pinned wall-clock. Decayed-to-zero
+    The reference instant defaults to the frame's max event time,
+    CONTRACT: max ts over ALL non-NULL-ts input rows, BEFORE the
+    value/weight exclusions below — twins must compute it from the
+    same pre-exclusion row set (ADVICE r12) — joined in as a broadcast
+    1-row aggregate (no driver collect, one plan); pass ``as_of_us``
+    for a pinned wall-clock. Decayed-to-zero
     rows drop (they cannot affect any sum). Everything downstream IS
     :func:`heavy_hitters_weighted` — the certified two-pass weighted
     Misra-Gries — so the exactness certificate carries over verbatim:

@@ -5949,7 +5949,20 @@ _KENDALL_PAIR_CTE = """
                       {x_expr} AS x,
                       {y_expr} AS y
                FROM events
-               WHERE {filters}),
+               WHERE ({filters})
+                 -- uniqueness guard (ADVICE r12, the corr_matrix
+                 -- pattern): the pair self-join keys on a.id < b.id,
+                 -- so a drifted fixture with duplicate event_ids
+                 -- would silently DROP those pairs from the twin's
+                 -- concordance counts while the Spark Knight-
+                 -- inversion side counts them; raise a named error
+                 AND (SELECT CASE WHEN count(*) =
+                      count(DISTINCT event_id) THEN 1
+                      ELSE error('kendall pair oracle: duplicate '
+                                 || 'event_id in events — the '
+                                 || 'a.id < b.id self-join would '
+                                 || 'drop tied-id pairs')
+                      END FROM events WHERE {filters}) = 1),
     nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v
            GROUP BY 1),
     p AS (SELECT a.g,
@@ -6684,6 +6697,132 @@ def curate_report_q(spark, sf_dir):
     return report
 
 
+@query("quantile_timing", oracle="""
+    WITH v AS (SELECT event_type AS g,
+                      CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT)
+                           WHEN floor(value) > 30000
+                           THEN CAST(30000 AS BIGINT)
+                           ELSE CAST(floor(value) AS BIGINT) END AS t
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    c AS (SELECT g, CASE WHEN t < 1024 THEN t
+                         ELSE (t // 16) * 16 END AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM v GROUP BY 1, 2),
+    w AS (SELECT g, b, c,
+                 CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM c),
+    q AS (SELECT g, b, cum, n,
+                 unnest([500, 900, 990]) AS q_milli
+          FROM w)
+    SELECT g AS event_type, CAST(q_milli AS BIGINT) AS q_milli,
+           CAST(min(b) AS BIGINT) AS t_ms
+    FROM q WHERE cum >= greatest(1, (n * q_milli + 999) // 1000)
+    GROUP BY 1, 2
+""")
+def quantile_timing_q(spark, sf_dir):
+    """ClickHouse ``quantileTiming`` under the documented
+    fixed-resolution bucketization (1 ms exact below 1024, 16 ms to
+    30 s, clamped above; lower-bucket rank rule) — fully determined by
+    the public contract, so it grades value-exact where HLL can only
+    grade an accuracy band. SQL verbatim from the r12 in-test oracle
+    (tests/test_interval_combinators.py); hand cases there cover the
+    coarse/clamp regimes the sub-1024 fixture can't force.
+    operators/analytics.py:quantile_timing."""
+    from ..operators.analytics import quantile_timing as _qt
+    return _qt(_t(spark, sf_dir, "events"))
+
+
+def _seq_ladder_sql(name: str, steps: list) -> str:
+    """One pattern's greedy earliest-completion chain as a DuckDB CTE
+    ladder (the graded sequence_match shape, pattern-tagged)."""
+    ctes, prev = [], None
+    for i, s in enumerate(steps):
+        if prev is None:
+            ctes.append(f"s{i} AS (SELECT user_id, min(ts) AS t "
+                        f"FROM events WHERE event_type = '{s}' "
+                        f"GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t "
+                f"FROM events e JOIN s{i-1} USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > s{i-1}.t "
+                f"GROUP BY 1)")
+        prev = i
+    sel = (f"SELECT DISTINCT user_id, '{name}' AS pattern, "
+           f"CAST(coalesce(user_id IN (SELECT user_id FROM s{prev}), "
+           f"false) AS INT) AS matched FROM events")
+    return f"(WITH {', '.join(ctes)} {sel})"
+
+
+_SEQ_MULTI_PATTERNS = {"v_c_p": ["view", "click", "purchase"],
+                       "p_v": ["purchase", "view"],
+                       "c_e": ["click", "error"]}
+
+
+@query("sequence_match_multi", oracle=" UNION ALL ".join(
+    _seq_ladder_sql(n, _SEQ_MULTI_PATTERNS[n])
+    for n in sorted(_SEQ_MULTI_PATTERNS)))
+def sequence_match_multi_q(spark, sf_dir):
+    """K named sequenceMatch patterns in one call (K=3 here so the
+    union shape is exercised — VERDICT r12 item 2), each pattern the
+    SAME greedy chain as the graded sequence_match (sibling coherence
+    pinned in tests). matched cast to INT on BOTH sides (the
+    sequence_match bool-rendering stance).
+    operators/analytics.py:sequence_match_multi."""
+    from ..operators.analytics import sequence_match_multi as _smm
+    return (_smm(_t(spark, sf_dir, "events"), _SEQ_MULTI_PATTERNS)
+            .select("user_id", "pattern",
+                    F.col("matched").cast("int").alias("matched")))
+
+
+@query("heavy_hitters_decayed", oracle="""
+    WITH b AS (SELECT event_type,
+                      (((event_id % 5 + 5) % 5) + 1) * 1024 AS w,
+                      epoch_us(ts) AS us
+               FROM events
+               WHERE event_id IS NOT NULL AND ts IS NOT NULL
+                 -- the MG pass drops NULL values Spark-side; mirror
+                 AND event_type IS NOT NULL),
+    -- reference instant CONTRACT: max ts over ALL non-NULL-ts input
+    -- rows BEFORE value/weight exclusions (the operator's _asof
+    -- aggregate on `base`; ADVICE r12 — computing this from b would
+    -- drift if the unique max-ts row ever lands on a NULL-event_type
+    -- row)
+    m AS (SELECT max(epoch_us(ts)) AS ref_us FROM events
+          WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+    d AS (SELECT event_type,
+                 (CAST(w AS BIGINT) >> CAST(least(
+                    greatest(0, (ref_us - us) // 604800000000), 62)
+                    AS INT)) AS wd
+          FROM b, m)
+    SELECT event_type AS value,
+           CAST(sum(wd) AS BIGINT) AS weight,
+           CAST(row_number() OVER (ORDER BY sum(wd) DESC,
+                event_type) AS INT) AS rank
+    FROM d WHERE wd > 0
+    GROUP BY event_type ORDER BY weight DESC, value LIMIT 3
+""")
+def heavy_hitters_decayed_q(spark, sf_dir):
+    """ClickHouse ``topKWeighted`` with exact integer half-life decay
+    (shiftright once per FULL elapsed half-life, saturating at 62)
+    composed over the certified weighted Misra-Gries — exact decayed
+    top-k or a loud raise, never a silent approximation. Weights
+    scaled x1024 so ~9 half-lives across the fixture span still leave
+    nonzero contributions. SQL verbatim from the r12 in-test oracle.
+    operators/analytics.py:heavy_hitters_decayed."""
+    from ..operators.analytics import heavy_hitters_decayed as _hd
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("wt", (F.pmod(F.col("event_id"), F.lit(5)) + 1)
+                      * F.lit(1024)))
+    return _hd(ev, "event_type", "wt", half_life_s=604800, k=3,
+               capacity=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -6780,26 +6919,40 @@ def curate_report_q(spark, sf_dir):
 #        pmi_collocations, histogram_equi_depth, cusum_changepoint,
 #        group_array_intersect, benford_deviation, trimmed_mean,
 #        robust_scale, psi_drift, stream_exact_quantiles, corr_matrix,
-#        runs_test) — plus the 4 oldest latest-green queries (the r1
-#        staleness tail: date_arithmetic, json_extract, pivot_status,
-#        window_running_sum). The replay-pinned four (ols_fit,
+#        runs_test) — plus 2 of the 4 oldest latest-green queries
+#        (date_arithmetic, json_extract; pivot_status and
+#        window_running_sum yielded their slots to curate_report and
+#        the semantic_dedup re-grade — they lead the r13 staleness
+#        batch; VERDICT r12 finding 1). The replay-pinned four (ols_fit,
 #        isotonic_fit, kaplan_meier, histogram_adaptive) stay out per
 #        the pca_whiten precedent; feature_hashing stays XXH64-golden
 #        in tests (candidate for a pinned-checksum golden later).
-#   r13: START THE STALENESS ROTATION in earnest — reserve ~10 slots
-#        for window_running_sum + pivot_status (r1) + the r3-era
-#        latest-green core: dedup_exact,
-#        dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
-#        dedup_fingerprint, dedup_embedding_cosine, similarity_topk,
-#        similarity_topk_blas, q1_pricing_summary, q3_shipping_priority,
-#        q5_region_revenue; then the scheduled re-confirmation backlog
-#        (q15-q22 TPC-H; the r10-displaced remainder: q12_priority_
-#        shipping, quality_expectations, limit_offset, having_filter,
-#        nulls_ordering, pii_scrub, embedding_quantize,
-#        q19_disjunctive_predicates), then second confirmations of the
-#        r11/r12 first-grades as slots allow.
-#   r14+: second confirmations of the r12 batch; rotate the r4-era
-#        tail (events/windows family) through the staleness slots.
+#   r13 EXECUTED (this window): the staleness rotation in full — the
+#        r1 tail (window_running_sum, pivot_status) + the r3-era core
+#        (dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard,
+#        dedup_simhash, dedup_fingerprint, dedup_embedding_cosine,
+#        similarity_topk, similarity_topk_blas, q1_pricing_summary,
+#        q3_shipping_priority, q5_region_revenue); first-grades for
+#        the three r12 combinators (quantile_timing,
+#        sequence_match_multi with K=3 patterns, heavy_hitters_decayed
+#        with the ADVICE-r12 ref-instant mirror); re-grades for
+#        kendall_tau + mann_kendall_trend (pair CTE gained the
+#        duplicate-event_id guard — changed-surface rule); and 13 of
+#        the 15 backlog re-confirmations (q15-q18+q20-q22 TPC-H, q12,
+#        quality_expectations, limit_offset, having_filter,
+#        nulls_ordering, q19). pii_scrub + embedding_quantize (r10,
+#        youngest of the backlog) deferred to r14 — their slots went
+#        to the kendall re-grades.
+#   r14: second-confirm the r12 first-grade batch (the 27 promotions
+#        + curate_report) per the r12 note; finish the deferred
+#        backlog pair (pii_scrub, embedding_quantize); second-confirm
+#        the r13 first-grades (quantile_timing, sequence_match_multi,
+#        heavy_hitters_decayed); then rotate the r4-era staleness
+#        tail (ann_lsh_*, text_* family, sessionize, range_join_
+#        events, session_window_agg — 19 names, latest-green r4)
+#        through remaining slots, oldest first.
+#   r15+: continue the r4/r5-era staleness tail; keep folding 3-6
+#        re-confirmations per round.
 # pca_whiten stays replay-pinned BY DESIGN: a golden would bake in
 # LAPACK-build-specific eigh ulps (the projection magnifies them past
 # the floor-quantize step), unlike the EMA/LTTB folds which are pure
@@ -6817,31 +6970,33 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- r12 first-grades: the late-r11 odds-and-ends aggregates
-    "group_bit_aggregate", "avg_weighted", "pearson_corr",
-    "mean_z_test", "anova_f", "cramers_v_bias_corrected",
-    "categorical_iv",
-    # --- r12 first-grades: association / dispersion / cohort batch
-    "mutual_information", "stream_mutual_information", "kendall_tau",
-    "mann_kendall_trend", "simpson_diversity", "gini_coefficient",
-    "mad_outliers", "zipf_fit", "cohort_overlap", "pmi_collocations",
-    "histogram_equi_depth", "cusum_changepoint",
-    "group_array_intersect", "benford_deviation", "trimmed_mean",
-    "robust_scale", "psi_drift", "stream_exact_quantiles",
-    "corr_matrix", "runs_test",
-    # --- the end-to-end curation funnel, driver-graded at last
-    # (pytest-only since r6; ~50 s at sf0.01, all in the already-
-    # graded semantic_dedup kernel)
-    "curate_report",
-    # --- re-grade: oracle surface changed this round (the shared
-    # zero-norm/non-finite drift guard — the covariance_stats r11
-    # precedent)
-    "semantic_dedup",
-    # --- staleness rotation: the r1-era latest-green tail
-    # (window_running_sum and pivot_status yield their slots to
-    # curate_report and the semantic_dedup re-grade; they lead the
-    # r13 staleness batch)
-    "date_arithmetic", "json_extract",
+    # --- r13 first-grades: the three r12 ClickHouse combinators
+    # (oracles promoted verbatim from tests/test_interval_combinators)
+    "quantile_timing", "sequence_match_multi", "heavy_hitters_decayed",
+    # --- re-grades: oracle surface changed this round — the kendall
+    # pair CTE gained the duplicate-event_id guard (ADVICE r12; the
+    # semantic_dedup/covariance_stats changed-surface precedent)
+    "kendall_tau", "mann_kendall_trend",
+    # --- THE STALENESS ROTATION (VERDICT r12 item 1, slipped once):
+    # the r1-era tail, then the r3-era latest-green core — the
+    # engine's headline dedup/similarity family + q1/q3/q5, last
+    # graded nine rounds ago, predating the fixture-drift era
+    "window_running_sum", "pivot_status",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_fingerprint", "dedup_embedding_cosine",
+    "similarity_topk", "similarity_topk_blas",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    # --- re-confirmation backlog (carried since r11): the r6-graded
+    # TPC-H tail (+ q18, r5) and the r10-displaced remainder.
+    # pii_scrub + embedding_quantize (r10, the youngest of the
+    # backlog) defer to r14 — their slots went to the kendall
+    # re-grades above
+    "q15_top_supplier", "q16_supplier_relationship",
+    "q17_small_quantity", "q18_large_orders",
+    "q20_potential_promotion", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q12_priority_shipping", "quality_expectations", "limit_offset",
+    "having_filter", "nulls_ordering", "q19_disjunctive_predicates",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

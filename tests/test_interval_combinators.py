@@ -863,7 +863,13 @@ def test_heavy_hitters_decayed_oracle_and_hand_cases(spark, sf_dir):
                      -- the MG pass drops NULL values Spark-side;
                      -- mirror (r9 fixture-drift stance)
                      AND event_type IS NOT NULL),
-        m AS (SELECT max(us) AS ref_us FROM b),
+        -- the reference instant is max ts over ALL non-NULL-ts input
+        -- rows, BEFORE the value/weight exclusions (the operator
+        -- aggregates _asof on `base`, pre-MG — analytics.py contract);
+        -- computing it from b would drift if fixture drift ever puts
+        -- the unique max-ts row on a NULL-event_type row (ADVICE r12)
+        m AS (SELECT max(epoch_us(ts)) AS ref_us FROM events
+              WHERE event_id IS NOT NULL AND ts IS NOT NULL),
         d AS (SELECT event_type,
                      (CAST(w AS BIGINT) >> CAST(least(
                         greatest(0, (ref_us - us) // 604800000000), 62)

@@ -143,22 +143,13 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r12: the full promotion-queue drain — the late-r11
-        # odds-and-ends aggregates plus the association/dispersion/
-        # cohort batch (SQL moved verbatim from the in-test oracles)
-        "group_bit_aggregate", "avg_weighted", "pearson_corr",
-        "mean_z_test", "anova_f", "cramers_v_bias_corrected",
-        "categorical_iv", "mutual_information",
-        "stream_mutual_information", "kendall_tau",
-        "mann_kendall_trend", "simpson_diversity", "gini_coefficient",
-        "mad_outliers", "zipf_fit", "cohort_overlap",
-        "pmi_collocations", "histogram_equi_depth", "cusum_changepoint",
-        "group_array_intersect", "benford_deviation", "trimmed_mean",
-        "robust_scale", "psi_drift", "stream_exact_quantiles",
-        "corr_matrix", "runs_test", "curate_report",
-        # + the semantic_dedup re-grade (oracle gained the shared
-        # zero-norm drift guard this round)
-        "semantic_dedup",
+        # r13: the three r12 ClickHouse combinators, promoted verbatim
+        # from their in-test oracles (tests/test_interval_combinators)
+        "quantile_timing", "sequence_match_multi",
+        "heavy_hitters_decayed",
+        # + the kendall re-grades (pair CTE gained the duplicate-
+        # event_id guard this round — changed-surface rule)
+        "kendall_tau", "mann_kendall_trend",
     }
     missing = added_this_round - window
     assert not missing, (
