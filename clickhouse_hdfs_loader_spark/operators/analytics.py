@@ -1796,6 +1796,116 @@ def quantile_timing(events: DataFrame, group_col: str = "event_type",
                     "t_ms"))
 
 
+def quantile_timing_weighted(events: DataFrame,
+                             group_col: str = "event_type",
+                             value_col: str = "value",
+                             weight_col: str = "wt",
+                             qs: tuple = (500, 900, 990)) -> DataFrame:
+    """ClickHouse ``quantileTimingWeighted``: :func:`quantile_timing`'s
+    documented fixed-resolution bucketization (1 ms exact below 1024,
+    16 ms to 30 s, clamp above) with each row counted ``weight`` times —
+    same sketch, weighted ranks. The quantile is the LOWER bucket
+    representative at weighted rank ``max(1, ceil(W·q/1000))`` over the
+    per-group total weight ``W`` — exactly the repeat-count reading of
+    the unweighted rule, so a weight-w row is indistinguishable from w
+    copies (pinned by test).
+
+    Weights route through the ONE shared integral validator
+    (:func:`_integral_weight_expr` — fractional/negative/NaN raise
+    loudly); NULL-weight and zero-weight rows contribute nothing and
+    are excluded up-front, alongside the NULL/NaN/±Inf value and NULL
+    group-key exclusions (mirror all of it in twins). Overflow: ranks
+    need ``W·q < 2^63`` — safe for per-group weight totals below
+    ~9·10^15.
+
+    Scale: identical shape to the unweighted operator — one
+    (group, bucket) SUM shuffle (map-side combine), ≤ ~2.8k buckets
+    per group regardless of rows, then the bounded cumulative window.
+
+    Returns ``group, q_milli, t_ms``."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be a non-empty tuple of integer "
+                         "milli-quantiles in (0, 1000)")
+    for q in qs:
+        if not (isinstance(q, int) and 0 < q < 1000):
+            raise ValueError(f"qs must be integer milli-quantiles in "
+                             f"(0, 1000), got {q!r}")
+    t = F.expr(
+        f"CASE WHEN floor(CAST({value_col} AS DOUBLE)) < 0 "
+        f"THEN CAST(0 AS BIGINT) "
+        f"WHEN floor(CAST({value_col} AS DOUBLE)) > 30000 "
+        f"THEN CAST(30000 AS BIGINT) "
+        f"ELSE CAST(floor(CAST({value_col} AS DOUBLE)) AS BIGINT) END")
+    counts = (events.where(_quantizable_col(value_col)
+                           & F.col(group_col).isNotNull())
+              .withColumn("_w", _integral_weight_expr(
+                  "quantile_timing_weighted", weight_col))
+              .where(F.col("_w") > 0)
+              .select(F.col(group_col).alias("_g"), t.alias("_t"),
+                      "_w")
+              .withColumn("_b", F.expr(
+                  "CASE WHEN _t < 1024 THEN _t "
+                  "ELSE (_t div 16) * 16 END"))
+              .groupBy("_g", "_b")
+              .agg(F.sum("_w").alias("_c")))
+    wcum = (Window.partitionBy("_g").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("_g")
+    cum = (counts.withColumn("_cum", F.sum("_c").over(wcum))
+           .withColumn("_n", F.sum("_c").over(wall)))
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    hit = (cum.withColumn("q_milli", F.explode(qarr))
+           .where(F.col("_cum") >= F.greatest(
+               F.lit(1), F.expr("(_n * q_milli + 999) div 1000"))))
+    return (hit.groupBy("_g", "q_milli")
+            .agg(F.min("_b").alias("t_ms"))
+            .select(F.col("_g").alias(group_col),
+                    F.col("q_milli").cast("long").alias("q_milli"),
+                    "t_ms"))
+
+
+def group_array_moving_avg(events: DataFrame, n: int = 5,
+                           group_col: str = "event_type",
+                           ts_col: str = "ts", value_col: str = "value",
+                           id_col: str = "event_id") -> DataFrame:
+    """ClickHouse's ``groupArrayMovingAvg(n)`` combinator: per group,
+    in (ts, id) order, the moving AVERAGE of the last ``n`` values —
+    under ClickHouse's documented rule that the divisor is ALWAYS the
+    window size ``n`` (never the number of elements accumulated so
+    far), with integer result types dividing by truncation. We milli-
+    quantize first (the :func:`group_array_moving_sum` substrate), so
+    the contract is
+
+        moving_avg_milli = moving_sum_milli div n
+
+    — Spark ``div`` truncates toward zero and DuckDB integer ``//``
+    does the same (verified r10: −7 // 2 = −3), so the twin replays
+    hash-identically with ``//``; Python replays must use int(a/b)-
+    style truncation, not floor division.
+
+    Same shape and exclusions as the moving sum (ONE group-key
+    shuffle, bounded ROWS frame; NULL values/timestamps excluded
+    up-front). Returns ``group, pos, avg_milli``."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be a positive window size, got {n!r}")
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    wm = w.rowsBetween(-(n - 1), Window.currentRow)
+    base = (events
+            .where(_quantizable_col(value_col)
+                   & F.col(ts_col).isNotNull())
+            .withColumn("_vm",
+                        F.floor(F.col(value_col).cast("double") * 1000)
+                        .cast("long")))
+    return (base.withColumn("_ms", F.sum("_vm").over(wm))
+            .select(F.col(group_col),
+                    F.row_number().over(w).alias("pos"),
+                    F.expr(f"_ms div {int(n)}").alias("avg_milli")))
+
+
 def sequence_match_multi(events: DataFrame, patterns: dict,
                          user_col: str = "user_id",
                          ts_col: str = "ts",
@@ -1837,6 +1947,85 @@ def sequence_match_multi(events: DataFrame, patterns: dict,
                              "matched")
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+def sequence_match_timed(events: DataFrame, steps: list,
+                         max_gaps_s: list,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """ClickHouse ``sequenceMatch`` with PER-STEP time constraints —
+    the ``'(?1)(?t<=3600)(?2)...'`` pattern form: did the user emit the
+    step types in strict time order with each adjacent gap bounded by
+    ``max_gaps_s[i]`` seconds (``None`` = unbounded, the plain ``.*``)?
+
+    Greedy earliest-completion chains are WRONG under per-step gaps
+    (the earliest step-i event can strand a later one whose gap window
+    actually reaches a step-i+1 event: A@00:00, A@05:00, B@05:30 with a
+    1 h gap matches only via the 05:00 A — pinned by test). The correct
+    existence DP: an event e of type ``steps[i]`` is i-matchable iff
+    SOME (i−1)-matchable event lies in ``[ts(e) − gap, ts(e))`` — and
+    because the LATEST matchable predecessor strictly before ``ts(e)``
+    is in that window whenever any is, each step reduces to a running
+    max: union the previous step's matchable rows (markers, kind 1)
+    with this step's candidates (kind 0), sort by ``(ts, kind)`` so
+    tied-ts markers sort AFTER candidates (strict '>' enforced
+    structurally, the sequence_match tie rule), and keep candidates
+    whose running marker max is within the gap. Gap bounds are
+    INCLUSIVE (``ts(e) − ts(prev) <= gap``), matching ClickHouse's
+    ``(?t<=N)``.
+
+    With every gap ``None`` the DP degenerates to "any predecessor
+    strictly before" — exactly :func:`sequence_match`'s chain
+    existence (sibling coherence pinned by test).
+
+    NULL-ts rows are excluded from the DP (the ordering key — mirror
+    in twins); the output keeps one row per distinct user over ALL
+    events, NULL users matched=false via the join, exactly the
+    sequence_match contract. Returns ``user, matched``.
+
+    Scale: K−1 window passes, each ONE shuffle on the user key over
+    (previous matchable ∪ step slice) — never more than the per-user
+    event stream; each step's candidate scan is filter-pushed on the
+    type column. Pre-project and checkpoint the (user, ts, type) slice
+    upstream for very large inputs (the sequence_match_multi
+    posture)."""
+    from pyspark.sql import Window
+
+    if not steps:
+        raise ValueError("steps must be a non-empty list")
+    if len(max_gaps_s) != len(steps) - 1:
+        raise ValueError(
+            f"max_gaps_s must have len(steps) - 1 = {len(steps) - 1} "
+            f"entries (one per adjacent pair), got {len(max_gaps_s)}")
+    for g in max_gaps_s:
+        if g is not None and (not isinstance(g, int) or g <= 0):
+            raise ValueError(f"max_gaps_s entries must be positive "
+                             f"integer seconds or None, got {g!r}")
+    base = (events.where(F.col(ts_col).isNotNull())
+            .select(user_col, F.col(type_col).alias("_ty"),
+                    F.unix_micros(F.col(ts_col)).alias("_us")))
+    m = base.where(F.col("_ty") == steps[0]).select(user_col, "_us")
+    for s, gap in zip(steps[1:], max_gaps_s):
+        cand = (base.where(F.col("_ty") == s)
+                .select(user_col, "_us", F.lit(0).alias("_k")))
+        mark = m.select(user_col, "_us", F.lit(1).alias("_k"))
+        w = (Window.partitionBy(user_col).orderBy("_us", "_k")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        uni = (cand.unionByName(mark)
+               .withColumn("_rm", F.max(
+                   F.when(F.col("_k") == 1, F.col("_us"))).over(w)))
+        flt = (F.col("_k") == 0) & F.col("_rm").isNotNull()
+        if gap is not None:
+            flt = flt & (F.col("_us") - F.col("_rm")
+                         <= F.lit(int(gap) * 1_000_000))
+        m = uni.where(flt).select(user_col, "_us")
+    users = events.select(user_col).distinct()
+    hit = (m.select(user_col).distinct()
+           .withColumn("matched", F.lit(True)))
+    return (users.join(hit, user_col, "left")
+            .select(user_col,
+                    F.coalesce("matched", F.lit(False)).alias("matched")))
 
 
 def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",

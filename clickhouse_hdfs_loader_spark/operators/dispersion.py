@@ -184,6 +184,74 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                     "mad_milli", "outlier_cnt", "outlier_rate_e4"))
 
 
+def tukey_outliers(df: DataFrame, group_col: str, value_col: str,
+                   k_e3: int = 1500) -> DataFrame:
+    """Tukey-fences outlier screen per group (the ClickHouse
+    ``seriesOutliersDetectTukey`` decision rule as a summary
+    aggregate): a row is an outlier when its value falls outside
+    ``[Q1 − k·IQR, Q3 + k·IQR]`` — the boxplot rule, quartile-based
+    where :func:`mad_outliers` is median-based.
+
+    Exact integer pipeline: values milli-quantize; Q1/Q3 are the exact
+    LOWER-quantile elements at rank ``ceil(n·q/1000)`` (the
+    exact_quantiles_by_group element rule — deterministic under ties,
+    no id tie-break needed); the fence multiplier is the integer
+    ``k_e3`` thousandths (default 1500 = Tukey's 1.5), so the margin is
+    ``(IQR·k_e3) div 1000`` — IQR ≥ 0 makes the truncation a floor,
+    and everything downstream is int64 (safe while |vm|·k_e3 < 2^63).
+
+    NULL/NaN/±Inf values are excluded up-front (mirror ``AND
+    isfinite(v)`` in twins); NULL group keys form their own group, as
+    in SQL.
+
+    Scale: ONE scan, ONE shuffle on the group key — both quartiles
+    fold into whole-partition window maxima over the already-sorted
+    rows (the mad_outliers median-join-elimination shape; no quantile
+    join ever re-plans the source), and the closing groupBy reuses the
+    window's partitioning.
+
+    Returns ``group, n, q1_milli, q3_milli, lo_milli, hi_milli,
+    n_low, n_high, outlier_rate_e4``."""
+    if int(k_e3) < 0:
+        raise ValueError(f"tukey_outliers: k_e3 must be >= 0, "
+                         f"got {k_e3}")
+    k_e3 = int(k_e3)
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    wall = Window.partitionBy("_g")
+    wv = Window.partitionBy("_g").orderBy("_vm")
+    pos1 = F.expr("(_n * 250 + 999) div 1000")
+    pos3 = F.expr("(_n * 750 + 999) div 1000")
+    d = (df.where(_quantizable_col(value_col))
+         .select(F.col(group_col).alias("_g"), vm.alias("_vm"))
+         .withColumn("_rn", F.row_number().over(wv))
+         .withColumn("_n", F.count(F.lit(1)).over(wall))
+         .withColumn("q1_milli",
+                     F.max(F.when(F.col("_rn") == pos1, F.col("_vm")))
+                     .over(wall))
+         .withColumn("q3_milli",
+                     F.max(F.when(F.col("_rn") == pos3, F.col("_vm")))
+                     .over(wall))
+         .withColumn("_lo", F.expr(
+             f"q1_milli - ((q3_milli - q1_milli) * {k_e3}) div 1000"))
+         .withColumn("_hi", F.expr(
+             f"q3_milli + ((q3_milli - q1_milli) * {k_e3}) div 1000")))
+    return (d.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("q1_milli").alias("q1_milli"),
+                 F.max("q3_milli").alias("q3_milli"),
+                 F.max("_lo").alias("lo_milli"),
+                 F.max("_hi").alias("hi_milli"),
+                 F.sum(F.when(F.col("_vm") < F.col("_lo"), 1)
+                       .otherwise(0)).alias("n_low"),
+                 F.sum(F.when(F.col("_vm") > F.col("_hi"), 1)
+                       .otherwise(0)).alias("n_high"))
+            .withColumn("outlier_rate_e4", F.expr(
+                "((n_low + n_high) * 10000) div n"))
+            .select(F.col("_g").alias(group_col), "n", "q1_milli",
+                    "q3_milli", "lo_milli", "hi_milli", "n_low",
+                    "n_high", "outlier_rate_e4"))
+
+
 # floor(log10(1 + 1/d) * 1e6) for d = 1..9 — the Benford first-digit
 # law as fixed e6 literals, shared VERBATIM with every SQL twin (both
 # engines consume the same integers, so no log ever runs at query time)

@@ -6943,10 +6943,16 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        nulls_ordering, q19). pii_scrub + embedding_quantize (r10,
 #        youngest of the backlog) deferred to r14 — their slots went
 #        to the kendall re-grades.
-#   r14: second-confirm the r12 first-grade batch (the 27 promotions
-#        + curate_report) per the r12 note; finish the deferred
-#        backlog pair (pii_scrub, embedding_quantize); second-confirm
-#        the r13 first-grades (quantile_timing, sequence_match_multi,
+#   r14: FIRST promote the r13-built operators (promotion-ready
+#        in-test DuckDB oracles, registry standard):
+#        quantile_timing_weighted + sequence_match_timed
+#        (tests/test_interval_combinators.py), group_array_moving_avg
+#        (tests/test_llm_operators.py), tukey_outliers
+#        (tests/test_dispersion_operators.py); then second-confirm the
+#        r12 first-grade batch (the 27 promotions + curate_report) per
+#        the r12 note; finish the deferred backlog pair (pii_scrub,
+#        embedding_quantize); second-confirm the r13 first-grades
+#        (quantile_timing, sequence_match_multi,
 #        heavy_hitters_decayed); then rotate the r4-era staleness
 #        tail (ann_lsh_*, text_* family, sessionize, range_join_
 #        events, session_window_agg — 19 names, latest-green r4)

@@ -39,6 +39,83 @@ def _ev(spark, sf_dir):
             .where(F.col("event_type").isNotNull()))
 
 
+def test_tukey_outliers_oracle_and_hand_cases(spark, sf_dir):
+    """tukey_outliers: in-test DuckDB oracle (registry standard, r14
+    queue) — exact lower-quantile Q1/Q3 at rank ceil(n·q/1000), integer
+    k_e3 fences, all int64; hand cases pin the rank rule, the
+    1.5→1 margin truncation, and the degenerate identical-rows group."""
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        tukey_outliers)
+
+    ev = _ev(spark, sf_dir)
+    got = sorted(map(tuple, tukey_outliers(
+        ev, "event_type", "value").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL),
+        r AS (SELECT g, vm,
+                     row_number() OVER (PARTITION BY g ORDER BY vm)
+                       AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM v),
+        q AS (SELECT g, max(n) AS n,
+                     max(CASE WHEN rn = (n * 250 + 999) // 1000
+                         THEN vm END) AS q1,
+                     max(CASE WHEN rn = (n * 750 + 999) // 1000
+                         THEN vm END) AS q3
+              FROM r GROUP BY 1),
+        f AS (SELECT g, n, q1, q3,
+                     q1 - ((q3 - q1) * 1500) // 1000 AS lo,
+                     q3 + ((q3 - q1) * 1500) // 1000 AS hi
+              FROM q)
+        SELECT f.g AS event_type, CAST(f.n AS BIGINT) AS n,
+               CAST(q1 AS BIGINT) AS q1_milli,
+               CAST(q3 AS BIGINT) AS q3_milli,
+               CAST(lo AS BIGINT) AS lo_milli,
+               CAST(hi AS BIGINT) AS hi_milli,
+               CAST(sum(CASE WHEN vm < lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN vm > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               CAST((sum(CASE WHEN vm < lo OR vm > hi THEN 1 ELSE 0
+                    END) * 10000) // f.n AS BIGINT) AS outlier_rate_e4
+        FROM v JOIN f ON v.g = f.g
+        GROUP BY f.g, f.n, q1, q3, lo, hi
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    def run(vals, k_e3=1500):
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        return tukey_outliers(df, "g", "v", k_e3=k_e3).collect()[0]
+
+    # rank rule on n=4: pos1 = (1000+999)//1000 = 1, pos3 = 3 ->
+    # Q1 = 1000, Q3 = 3000, margin = 3000; only the 100 flags (high)
+    r = run([1, 2, 3, 100])
+    assert (r["q1_milli"], r["q3_milli"], r["lo_milli"], r["hi_milli"],
+            r["n_low"], r["n_high"], r["outlier_rate_e4"]) == (
+        1000, 3000, -2000, 6000, 0, 1, 2500)
+    # margin truncation: IQR = 1 milli -> 1.5 truncates to 1 (toward
+    # zero == floor for the non-negative IQR)
+    r = run([0, 0.001])
+    assert (r["q1_milli"], r["q3_milli"], r["lo_milli"],
+            r["hi_milli"]) == (0, 1, -1, 2)
+    # identical rows: zero-width box, zero outliers (never a raise)
+    r = run([7, 7, 7])
+    assert (r["lo_milli"], r["hi_milli"], r["n_low"], r["n_high"],
+            r["outlier_rate_e4"]) == (7000, 7000, 0, 0, 0)
+    # k_e3 = 0: the fences ARE the quartiles
+    r = run([1, 2, 3, 100], k_e3=0)
+    assert (r["lo_milli"], r["hi_milli"], r["n_high"]) == (
+        1000, 3000, 1)
+    # negative k_e3 raises before any job
+    with pytest.raises(ValueError, match="k_e3 must be"):
+        tukey_outliers(ev, "event_type", "value", k_e3=-1)
+
+
 def test_simpson_diversity_oracle_and_hand_cases(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     got = sorted(map(tuple, simpson_diversity(

@@ -733,6 +733,94 @@ def test_quantile_timing_oracle_and_hand_cases(spark, sf_dir):
         quantile_timing(ev, qs=(1000,))
 
 
+def test_quantile_timing_weighted_oracle_and_hand_cases(spark, sf_dir):
+    """quantile_timing_weighted: in-test DuckDB oracle (registry
+    standard, r14 queue) — weighted ranks over the documented
+    bucketization replay exactly in SQL; the repeat-count identity
+    (a weight-w row is indistinguishable from w copies) is pinned
+    against the unweighted operator; the shared weight validator's
+    raises and the zero-weight exclusion are exercised."""
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        quantile_timing, quantile_timing_weighted)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1))
+    got = sorted(map(tuple, quantile_timing_weighted(ev).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH v AS (SELECT event_type AS g,
+                          CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT)
+                               WHEN floor(value) > 30000
+                               THEN CAST(30000 AS BIGINT)
+                               ELSE CAST(floor(value) AS BIGINT) END AS t,
+                          (((event_id % 5 + 5) % 5) + 1) AS w
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+        c AS (SELECT g, CASE WHEN t < 1024 THEN t
+                             ELSE (t // 16) * 16 END AS b,
+                     CAST(sum(w) AS BIGINT) AS c
+              FROM v GROUP BY 1, 2),
+        w AS (SELECT g, b, c,
+                     CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                     CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+              FROM c),
+        q AS (SELECT g, b, cum, n,
+                     unnest([500, 900, 990]) AS q_milli
+              FROM w)
+        SELECT g AS event_type, CAST(q_milli AS BIGINT) AS q_milli,
+               CAST(min(b) AS BIGINT) AS t_ms
+        FROM q WHERE cum >= greatest(1, (n * q_milli + 999) // 1000)
+        GROUP BY 1, 2
+    """).fetchall()))
+    assert got == want and len(got) == 15   # 5 groups x 3 qs
+
+    # repeat-count identity: weight-w rows == w physical copies, on a
+    # frame spanning all three resolution regimes (exact / 16 ms /
+    # clamp) and a rank knife-edge (total weight 10 at q=500)
+    rows = [("g", 3.0, 4), ("g", 1500.0, 3), ("g", 40000.0, 2),
+            ("g", -2.0, 1), ("h", 7.0, 1), ("h", 1024.0, 2)]
+    wdf = spark.createDataFrame(rows, "g string, v double, wt long")
+    expanded = wdf.select("g", "v", F.explode(
+        F.sequence(F.lit(1), F.col("wt"))).alias("_i"))
+    qs = (250, 500, 900)
+    got_w = sorted(map(tuple, quantile_timing_weighted(
+        wdf, "g", "v", "wt", qs=qs).collect()))
+    got_x = sorted(map(tuple, quantile_timing(
+        expanded, "g", "v", qs=qs).collect()))
+    assert got_w == got_x and len(got_w) == 6
+
+    # zero-weight rows contribute nothing; an all-zero-weight group is
+    # ABSENT (never a NULL/zero-rank row)
+    zdf = spark.createDataFrame(
+        [("g", 5.0, 2), ("g", 9.0, 0), ("z", 1.0, 0)],
+        "g string, v double, wt long")
+    zr = [tuple(r) for r in quantile_timing_weighted(
+        zdf, "g", "v", "wt", qs=(500,)).collect()]
+    assert zr == [("g", 500, 5)]
+
+    # the shared validator raises on fractional / negative / NaN
+    # weights; empty qs raises before any job
+    for bad, msg in ((0.5, "integral counts"),
+                     (-1.0, "negative weight"),
+                     (float("nan"), "NaN weight")):
+        bdf = spark.createDataFrame([("g", 5.0, float(bad))],
+                                    "g string, v double, wt double")
+        with pytest.raises(Exception, match=msg):
+            quantile_timing_weighted(bdf, "g", "v", "wt",
+                                     qs=(500,)).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_timing_weighted(ev, qs=())
+
+
 def test_sequence_match_multi_oracle_and_coherence(spark, sf_dir):
     """sequence_match_multi: in-test DuckDB oracle (the per-pattern
     chain-CTE ladder, unioned with pattern tags — registry standard,
@@ -793,6 +881,151 @@ def test_sequence_match_multi_oracle_and_coherence(spark, sf_dir):
         sequence_match_multi(ev, {})
     with pytest.raises(ValueError, match="no steps"):
         sequence_match_multi(ev, {"bad": []})
+
+
+def _timed_ladder_sql(steps, gaps_s):
+    """The sequence_match_timed DP as a DuckDB CTE ladder: per step,
+    union markers (kind 1) into candidates (kind 0), running marker max
+    ordered by (us, kind) — tied-ts markers sort after candidates, so
+    strict '>' is structural — then the inclusive gap filter."""
+    ctes = ["ev AS (SELECT user_id, epoch_us(ts) AS us, event_type "
+            "FROM events WHERE ts IS NOT NULL)",
+            f"m0 AS (SELECT user_id, us FROM ev "
+            f"WHERE event_type = '{steps[0]}')"]
+    for i, (s, g) in enumerate(zip(steps[1:], gaps_s), start=1):
+        gapc = "" if g is None else f" AND us - rm <= {g * 1_000_000}"
+        ctes.append(
+            f"u{i} AS (SELECT user_id, us, 0 AS k FROM ev "
+            f"WHERE event_type = '{s}' "
+            f"UNION ALL SELECT user_id, us, 1 AS k FROM m{i-1})")
+        ctes.append(
+            f"m{i} AS (SELECT user_id, us FROM ("
+            f"SELECT user_id, us, k, "
+            f"max(CASE WHEN k = 1 THEN us END) OVER ("
+            f"PARTITION BY user_id ORDER BY us, k "
+            f"ROWS UNBOUNDED PRECEDING) AS rm "
+            f"FROM u{i}) WHERE k = 0 AND rm IS NOT NULL{gapc})")
+    last = len(steps) - 1
+    return ("WITH " + ", ".join(ctes) +
+            f" SELECT DISTINCT user_id, CAST(coalesce(user_id IN "
+            f"(SELECT user_id FROM m{last}), false) AS INT) AS matched "
+            f"FROM events")
+
+
+def test_sequence_match_timed_oracle_and_hand_cases(spark, sf_dir):
+    """sequence_match_timed: in-test DuckDB oracle (registry standard,
+    r14 queue) — the per-step-gap existence DP replays exactly in SQL;
+    hand cases pin the case where a greedy earliest chain FAILS but the
+    DP matches, the inclusive gap boundary, the tied-ts strictness, and
+    the all-None coherence with sequence_match."""
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match, sequence_match_timed)
+
+    ev = read_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    gaps = [21600, 86400]   # 6 h view->click, 24 h click->purchase
+    got = sorted((r["user_id"], int(r["matched"])) for r in
+                 sequence_match_timed(ev, steps, gaps).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute(
+        _timed_ladder_sql(steps, gaps)).fetchall()))
+    assert got == want and len(got) == 15
+
+    # all-None gaps degenerate to plain sequence_match (sibling
+    # coherence — the shared strict-'>' chain-existence contract)
+    timed = sorted((r["user_id"], bool(r["matched"])) for r in
+                   sequence_match_timed(ev, steps,
+                                        [None, None]).collect())
+    plain = sorted((r["user_id"], bool(r["matched"])) for r in
+                   sequence_match(ev, steps).collect())
+    assert timed == plain
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(rows, steps, gaps):
+        df = spark.createDataFrame(
+            [(u, ty, t0 + dt.timedelta(seconds=s)) for u, ty, s in rows],
+            "user_id long, event_type string, ts timestamp")
+        return {r["user_id"]: bool(r["matched"]) for r in
+                sequence_match_timed(df, steps, gaps).collect()}
+
+    # THE greedy-fail case: earliest A (00:00) strands B@05:30 under a
+    # 1 h gap, but A@05:00 reaches it — the DP must match
+    rows = [(1, "A", 0), (1, "A", 18000), (1, "B", 19800)]
+    assert run(rows, ["A", "B"], [3600]) == {1: True}
+    # without the second A the same stream must NOT match
+    assert run([(1, "A", 0), (1, "B", 19800)],
+               ["A", "B"], [3600]) == {1: False}
+    # gap boundary is INCLUSIVE (ClickHouse (?t<=N)); one second over
+    # fails
+    assert run([(1, "A", 0), (1, "B", 3600)],
+               ["A", "B"], [3600]) == {1: True}
+    assert run([(1, "A", 0), (1, "B", 3601)],
+               ["A", "B"], [3600]) == {1: False}
+    # tied timestamps never chain (strict '>', the sequence_match tie
+    # rule — enforced structurally by the (us, kind) sort)
+    assert run([(1, "A", 0), (1, "B", 0)],
+               ["A", "B"], [3600]) == {1: False}
+    # a None gap mid-pattern is unbounded while the next gap still
+    # binds: B is far from A, C within 60 s of B
+    rows = [(1, "A", 0), (1, "B", 900000), (1, "C", 900030)]
+    assert run(rows, ["A", "B", "C"], [None, 60]) == {1: True}
+    assert run(rows, ["A", "B", "C"], [None, 10]) == {1: False}
+    # validation: gap-count mismatch and non-positive gaps raise
+    # before any job
+    with pytest.raises(ValueError, match="len\\(steps\\) - 1"):
+        sequence_match_timed(ev, steps, [3600])
+    with pytest.raises(ValueError, match="positive integer seconds"):
+        sequence_match_timed(ev, ["A", "B"], [0])
+    with pytest.raises(ValueError, match="non-empty"):
+        sequence_match_timed(ev, [], [])
+
+
+def test_sequence_match_timed_hypothesis_vs_bruteforce(spark):
+    """Property: the running-max DP equals literal brute-force
+    existence (all type-A/B/C triples checked against the strict-order
+    + inclusive-gap rule) on arbitrary small single-user streams with
+    heavy ts ties."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match_timed)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ok(a, b, g):
+        return b > a and (g is None or b - a <= g)
+
+    @given(st.lists(st.tuples(st.sampled_from("ABC"),
+                              st.integers(0, 20)),
+                    min_size=1, max_size=8),
+           st.sampled_from([1, 3, None]),
+           st.sampled_from([2, None]))
+    @settings(max_examples=8, deadline=None)
+    def check(evts, g1, g2):
+        As = [t for ty, t in evts if ty == "A"]
+        Bs = [t for ty, t in evts if ty == "B"]
+        Cs = [t for ty, t in evts if ty == "C"]
+        want = any(ok(a, b, g1) and ok(b, c, g2)
+                   for a in As for b in Bs for c in Cs)
+        df = spark.createDataFrame(
+            [(1, ty, t0 + dt.timedelta(seconds=t)) for ty, t in evts],
+            "user_id long, event_type string, ts timestamp")
+        got = sequence_match_timed(df, ["A", "B", "C"],
+                                   [g1, g2]).collect()
+        assert {r["user_id"]: bool(r["matched"])
+                for r in got} == {1: want}
+
+    check()
 
 
 def test_quantile_timing_hypothesis_vs_replay(spark):

@@ -2977,6 +2977,56 @@ def test_group_array_moving_sum_oracle_and_hand_case(spark, sf_dir):
     assert rows == {1: 1000, 2: 3000, 3: 5000, 4: 7000}
 
 
+def test_group_array_moving_avg_oracle_and_hand_cases(spark, sf_dir):
+    """groupArrayMovingAvg twin (registry standard, r14 queue): the
+    ClickHouse contract divides the milli-quantized moving sum by the
+    FULL window size n with integer truncation toward zero — DuckDB's
+    integer `//` matches Spark's `div` exactly (r10: −7 // 2 = −3), so
+    the twin replays hash-identically; hand cases pin the
+    always-divide-by-n rule on the warm-up rows and the toward-zero
+    truncation on negative sums."""
+    import duckdb
+    import datetime as dt
+    import pytest
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        group_array_moving_avg)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, group_array_moving_avg(ev, n=5).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_type,
+               CAST(row_number() OVER w AS INT) AS pos,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+                 w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) // 5 AS avg_milli
+        FROM events
+        WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    # hand case: n=2 — warm-up row STILL divides by 2 (the ClickHouse
+    # full-window-size rule), and −3 div 2 = −1 (toward zero; floor
+    # would give −2). vm values: 1.0→1000, −0.0035→−4, 0.001→1
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    synth = spark.createDataFrame(
+        [(1, 1, "g", t0, 1.0), (2, 1, "g", t0 + h, -0.0035),
+         (3, 1, "g", t0 + 2 * h, 0.001)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    rows = {r["pos"]: r["avg_milli"] for r in
+            group_array_moving_avg(synth, n=2).collect()}
+    assert rows == {1: 500, 2: 498, 3: -1}
+
+    with pytest.raises(ValueError, match="positive window size"):
+        group_array_moving_avg(ev, n=0)
+
+
 def test_uniq_up_to_oracle_cap_and_partition_invariance(spark, sf_dir):
     """uniqUpTo(N) twin: bounded-state capped distinct equals
     least(exact distinct, N+1) (DuckDB oracle) at a cap the data
