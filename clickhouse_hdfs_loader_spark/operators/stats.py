@@ -1178,27 +1178,35 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
                      & F.col(class_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.col(class_col).alias("_c"), vm.alias("_vm")))
+    return _anova_from_int_base(base, group_col)
 
-    # exact 128-bit floor quotient (s²·1000) / n: Spark's `div` on
-    # DECIMAL silently WRAPS to a garbage BIGINT even under ANSI
-    # (review-caught, verified on 4.1.2) — the remainder identity
-    # (a − a % b) / b is exact because the integral quotient fits the
-    # 32 integer digits DECIMAL(38,6) division keeps, GUARANTEED by
-    # the |s| ≤ 3e14 guard (s²·1000 ≤ 9e31 < 10³²); beyond the bound
-    # raise a named error instead of wrapping.
-    def _sq_quot(s_col: str, n_col: str) -> str:
-        return (
-            f"CASE WHEN {s_col} > 300000000000000"
-            f" OR {s_col} < -300000000000000 THEN "
-            f"raise_error('anova_f: |sum| exceeds the exact-quotient "
-            f"bound (3e14 milli-units) — coarsen the quantization or "
-            f"shard the group') ELSE "
-            f"CAST(((CAST({s_col} AS DECIMAL(38,0))"
-            f" * CAST({s_col} AS DECIMAL(38,0)) * 1000)"
-            f" - (CAST({s_col} AS DECIMAL(38,0))"
-            f" * CAST({s_col} AS DECIMAL(38,0)) * 1000) % {n_col})"
-            f" / {n_col} AS DECIMAL(38,0)) END")
 
+# exact 128-bit floor quotient (s²·1000) / n: Spark's `div` on
+# DECIMAL silently WRAPS to a garbage BIGINT even under ANSI
+# (review-caught, verified on 4.1.2) — the remainder identity
+# (a − a % b) / b is exact because the integral quotient fits the
+# 32 integer digits DECIMAL(38,6) division keeps, GUARANTEED by
+# the |s| ≤ 3e14 guard (s²·1000 ≤ 9e31 < 10³²); beyond the bound
+# raise a named error instead of wrapping.
+def _sq_quot(s_col: str, n_col: str) -> str:
+    return (
+        f"CASE WHEN {s_col} > 300000000000000"
+        f" OR {s_col} < -300000000000000 THEN "
+        f"raise_error('anova_f: |sum| exceeds the exact-quotient "
+        f"bound (3e14 milli-units) — coarsen the quantization or "
+        f"shard the group') ELSE "
+        f"CAST(((CAST({s_col} AS DECIMAL(38,0))"
+        f" * CAST({s_col} AS DECIMAL(38,0)) * 1000)"
+        f" - (CAST({s_col} AS DECIMAL(38,0))"
+        f" * CAST({s_col} AS DECIMAL(38,0)) * 1000) % {n_col})"
+        f" / {n_col} AS DECIMAL(38,0)) END")
+
+
+def _anova_from_int_base(base: DataFrame, group_col: str) -> DataFrame:
+    """The one-way ANOVA moment pipeline over an ALREADY-integer
+    ``(_g, _c, _vm)`` frame — :func:`anova_f`'s body, shared with
+    :func:`brown_forsythe` so the deviation variant never round-trips
+    its exact integers through floats."""
     per_c = (base.groupBy("_g", "_c")
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.sum("_vm").alias("_s"),
@@ -1242,6 +1250,118 @@ ANOVA_F_SQL = (
     " - CAST(k AS DOUBLE)))"
     " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
     " / CAST(10000 AS DOUBLE) END")
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
+                   class_col: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test per group: are the
+    SPREADS of ``value_col`` equal across the classes of
+    ``class_col``? — Levene's test with the median center (the robust
+    standard form): transform each row to its absolute deviation from
+    the per-(group, class) median, then run one-way ANOVA on the
+    deviations; a large F means the classes differ in dispersion, the
+    screen that should gate :func:`student_ttest`'s pooled variance vs
+    :func:`welch_ttest`.
+
+    Exact integer pipeline end-to-end: values milli-quantize; the
+    class median is the exact LOWER median (the exact_median_by_group
+    element rule — deterministic under ties); ``z = |vm − med_c|`` is
+    int64; and the ANOVA stage is :func:`anova_f`'s shared integer
+    body VERBATIM (``_anova_from_int_base`` — z never round-trips
+    through floats, where ``z/1000·1000`` could lose a milli-unit to
+    binary rounding). The quantized-ANOVA contract and its SSB clamp /
+    3e14 sum guard carry over unchanged.
+
+    NULL classes and NULL/NaN/±Inf values drop (mirror in twins).
+
+    Scale: the median folds into a whole-partition window max over the
+    (group, class)-sorted rows (the mad_outliers median-join
+    elimination — no median join re-plans the source), and the ANOVA
+    per-class aggregate reuses the same (group, class) partitioning.
+
+    Returns ``group, k, n, ssb_milli, ssw_milli, f_e4`` — the
+    :func:`anova_f` schema, F computed on deviations."""
+    from pyspark.sql import Window
+
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    wcls = Window.partitionBy("_g", "_c")
+    wv = Window.partitionBy("_g", "_c").orderBy("_vm")
+    pos = F.floor((F.col("_n") + 1) / 2)
+    base = (df.where(_quantizable_col(value_col)
+                     & F.col(class_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(class_col).alias("_c"), vm.alias("_vm"))
+            .withColumn("_rn", F.row_number().over(wv))
+            .withColumn("_n", F.count(F.lit(1)).over(wcls))
+            .withColumn("_med",
+                        F.max(F.when(F.col("_rn") == pos,
+                                     F.col("_vm"))).over(wcls))
+            .select("_g", "_c",
+                    F.abs(F.col("_vm") - F.col("_med")).alias("_vm")))
+    return _anova_from_int_base(base, group_col)
+
+
+def autocorr_lag(events: DataFrame, group_col: str = "event_type",
+                 ts_col: str = "ts", value_col: str = "value",
+                 id_col: str = "event_id",
+                 lags: tuple = (1,)) -> DataFrame:
+    """Per-group lag-k autocorrelation of the ``(ts, id)``-ordered
+    value series — the classic series diagnostic ("is this metric
+    mean-reverting? seasonal at lag k?"). For each requested lag the
+    statistic is the Pearson correlation of the pairs
+    ``(v_t, v_{t+k})`` over consecutive positions of the QUANTIZABLE
+    subsequence (NULL/NaN/±Inf rows are removed BEFORE pairing, so a
+    gap closes up rather than producing a NULL pair — document the
+    same subsequence rule in twins), under the repo's quantized
+    contract: milli-quantized int64 values, exact 128-bit moment sums,
+    and the SAME verbatim float finish as Spearman/Pearson
+    (:data:`RANK_CORR_SQL`).
+
+    All lags compute in ONE pass: one window sort per group emits every
+    ``lead(k)``, a literal-array explode unpivots the (lag, partner)
+    pairs, and one (group, lag) aggregate closes — never a scan or
+    shuffle per lag.
+
+    Returns ``group, lag, n, corr_e4`` (n = pair count; NULL corr when
+    n < 2 or either side of the pairing is constant)."""
+    from pyspark.sql import Window
+
+    if not lags:
+        raise ValueError("lags must be a non-empty tuple of positive "
+                         "integer lags")
+    if len(set(lags)) != len(lags):
+        raise ValueError(f"lags must be distinct, got {lags!r}")
+    for k in lags:
+        if not (isinstance(k, int) and k > 0):
+            raise ValueError(f"lags must be positive integers, "
+                             f"got {k!r}")
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    w = Window.partitionBy("_g").orderBy(ts_col, id_col)
+    base = (events.where(_quantizable_col(value_col)
+                         & F.col(ts_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), ts_col, id_col,
+                    vm.alias("_vm")))
+    for k in lags:
+        base = base.withColumn(f"_y{k}", F.lead("_vm", int(k)).over(w))
+    pairs = (base.select(
+        "_g", "_vm",
+        F.explode(F.array(*[
+            F.struct(F.lit(int(k)).alias("lag"),
+                     F.col(f"_y{k}").alias("y")) for k in lags]))
+        .alias("_p"))
+        .select("_g", F.col("_p.lag").alias("lag"),
+                F.col("_vm").cast("decimal(38,0)").alias("_qx"),
+                F.col("_p.y").cast("decimal(38,0)").alias("_qy"))
+        .where(F.col("_qy").isNotNull()))
+    agg = (pairs.groupBy("_g", "lag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_qx").alias("_sx"), F.sum("_qy").alias("_sy"),
+                F.sum(F.expr("_qx * _qx")).alias("_sxx"),
+                F.sum(F.expr("_qy * _qy")).alias("_syy"),
+                F.sum(F.expr("_qx * _qy")).alias("_sxy")))
+    return agg.select(F.col("_g").alias(group_col),
+                      F.col("lag").cast("long").alias("lag"), "n",
+                      F.expr(RANK_CORR_SQL).alias("corr_e4"))
 
 
 # shared verbatim: rho = (n·Σxy − Σx·Σy) /

@@ -6948,7 +6948,9 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        quantile_timing_weighted + sequence_match_timed
 #        (tests/test_interval_combinators.py), group_array_moving_avg
 #        (tests/test_llm_operators.py), tukey_outliers
-#        (tests/test_dispersion_operators.py); then second-confirm the
+#        (tests/test_dispersion_operators.py), brown_forsythe +
+#        autocorr_lag (tests/test_stats_operators.py — ANOVA_F_SQL /
+#        RANK_CORR_SQL finishes already shared); then second-confirm the
 #        r12 first-grade batch (the 27 promotions + curate_report) per
 #        the r12 note; finish the deferred backlog pair (pii_scrub,
 #        embedding_quantize); second-confirm the r13 first-grades

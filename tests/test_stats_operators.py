@@ -1082,6 +1082,173 @@ def test_anova_f_oracle_and_hand_cases(spark, sf_dir):
         anova_f(big, "event_type", "value", "cls").collect()
 
 
+def test_brown_forsythe_oracle_and_hand_cases(spark, sf_dir):
+    """brown_forsythe: in-test DuckDB oracle (registry standard, r14
+    queue) — exact lower medians per (group, class), |vm − med|
+    deviations, then the anova_f integer body verbatim; hand cases pin
+    the deviation moments, the equal-spread zero, and the k<2 NULL."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        ANOVA_F_SQL, brown_forsythe)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))))
+    got = sorted(map(tuple, brown_forsythe(
+        ev, "event_type", "value", "cls").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b0 AS (SELECT event_type AS g,
+                           ((user_id % 3 + 3) % 3) AS c,
+                           CAST(floor(value * 1000) AS BIGINT) AS vm
+                    FROM events
+                    WHERE value IS NOT NULL AND isfinite(value)
+                      AND user_id IS NOT NULL),
+        r AS (SELECT g, c, vm,
+                     row_number() OVER (PARTITION BY g, c ORDER BY vm)
+                       AS rn,
+                     count(*) OVER (PARTITION BY g, c) AS nn
+              FROM b0),
+        md AS (SELECT g, c, max(CASE WHEN rn = (nn + 1) // 2
+                          THEN vm END) AS med
+               FROM r GROUP BY 1, 2),
+        b AS (SELECT b0.g, b0.c, abs(vm - med) AS vm
+              FROM b0 JOIN md USING (g, c)),
+        pc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS nc,
+                      CAST(sum(vm) AS HUGEINT) AS s,
+                      sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT))
+                        AS ss
+               FROM b GROUP BY 1, 2),
+        pt AS (SELECT g, c, nc, s, ss, (s * s * 1000) // nc AS t
+               FROM pc),
+        pg AS (SELECT g, CAST(count(DISTINCT c) AS BIGINT) AS k,
+                      CAST(sum(nc) AS BIGINT) AS n,
+                      sum(s) AS stot, sum(ss) AS sstot,
+                      sum(t) AS tsum
+               FROM pt GROUP BY 1),
+        a AS (SELECT g, k, n,
+                     CAST(greatest(0, tsum - (stot * stot * 1000) // n)
+                       AS BIGINT) AS ssb_milli,
+                     CAST(sstot * 1000 - tsum AS BIGINT) AS ssw_milli
+              FROM pg)
+        SELECT g AS event_type, k, n, ssb_milli, ssw_milli,
+               {ANOVA_F_SQL} AS f_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    # hand case, fully pinned: class 0 = [0, 10] -> lower median 0,
+    # z = [0, 10000]; class 1 = [5, 5, 5] -> z = [0, 0, 0].
+    # moments: t0 = (10000²·1000)//2 = 5e10, tsum = 5e10,
+    # ssb = 5e10 − (10000²·1000)//5 = 3e10, ssw = 1e11 − 5e10 = 5e10,
+    # F = (3e10/1)/(5e10/3) = 1.8
+    known = spark.createDataFrame(
+        [("g", 0.0, 0), ("g", 10.0, 0),
+         ("g", 5.0, 1), ("g", 5.0, 1), ("g", 5.0, 1)],
+        "event_type string, value double, cls int")
+    r = brown_forsythe(known, "event_type", "value",
+                       "cls").collect()[0]
+    assert (r["k"], r["n"], r["ssb_milli"], r["ssw_milli"],
+            r["f_e4"]) == (2, 5, 30000000000, 50000000000, 1.8)
+    # identical spreads (shifted copies): deviations match exactly ->
+    # ssb clamps to 0 -> F = 0
+    same = spark.createDataFrame(
+        [("g", 0.0, 0), ("g", 4.0, 0), ("g", 100.0, 1),
+         ("g", 104.0, 1)],
+        "event_type string, value double, cls int")
+    r = brown_forsythe(same, "event_type", "value",
+                       "cls").collect()[0]
+    assert (r["ssb_milli"], r["f_e4"]) == (0, 0.0)
+    # a single class -> NULL F (the anova_f guard carries over)
+    one = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0)],
+        "event_type string, value double, cls int")
+    assert brown_forsythe(one, "event_type", "value",
+                          "cls").collect()[0]["f_e4"] is None
+
+
+def test_autocorr_lag_oracle_and_hand_cases(spark, sf_dir):
+    """autocorr_lag: in-test DuckDB oracle (registry standard, r14
+    queue) — lead-paired Pearson under the quantized contract, all
+    lags in one pass; hand cases pin the perfect ±1 series, the
+    closed-gap subsequence rule, and the n<2 / constant NULLs."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        RANK_CORR_SQL, autocorr_lag)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    got = sorted(map(tuple, autocorr_lag(ev, lags=(1, 2)).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g, ts, event_id,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_type IS NOT NULL),
+        l AS (SELECT g, vm,
+                     lead(vm, 1) OVER w AS y1,
+                     lead(vm, 2) OVER w AS y2
+              FROM b
+              WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+        p AS (SELECT g, 1 AS lag, vm AS x, y1 AS y FROM l
+              WHERE y1 IS NOT NULL
+              UNION ALL
+              SELECT g, 2, vm, y2 FROM l WHERE y2 IS NOT NULL),
+        a AS (SELECT g, lag, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(x AS HUGEINT)) AS _sx,
+                     sum(CAST(y AS HUGEINT)) AS _sy,
+                     sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                       AS _sxx,
+                     sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS _syy,
+                     sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS _sxy
+              FROM p GROUP BY 1, 2)
+        SELECT g AS event_type, CAST(lag AS BIGINT) AS lag, n,
+               {RANK_CORR_SQL} AS corr_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 10   # 5 groups x 2 lags
+
+    def run(vals, lags=(1,)):
+        rows = [(i, "g", dt.datetime(2024, 1, 1)
+                 + dt.timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, "
+            "value double")
+        return {(r["lag"]): (r["n"], r["corr_e4"]) for r in
+                autocorr_lag(df, "event_type", "ts", "value",
+                             "event_id", lags=lags).collect()}
+
+    # a strictly linear series is perfectly lag-1 AND lag-2 correlated
+    r = run([1, 2, 3, 4, 5], lags=(1, 2))
+    assert r[1] == (4, 1.0) and r[2] == (3, 1.0)
+    # an alternating series: lag 1 anti-correlated, lag 2 perfect
+    r = run([1, -1, 1, -1, 1, -1], lags=(1, 2))
+    assert r[1] == (5, -1.0) and r[2] == (4, 1.0)
+    # NULL gaps CLOSE UP (the subsequence rule): [1, NULL, 2, 3]
+    # pairs as (1,2),(2,3) — n = 2, still perfectly correlated
+    rows = [(0, "g", dt.datetime(2024, 1, 1), 1.0),
+            (1, "g", dt.datetime(2024, 1, 1, 1), None),
+            (2, "g", dt.datetime(2024, 1, 1, 2), 2.0),
+            (3, "g", dt.datetime(2024, 1, 1, 3), 3.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+        "value double")
+    out = {r["lag"]: (r["n"], r["corr_e4"]) for r in
+           autocorr_lag(df, "event_type", "ts", "value", "event_id",
+                        lags=(1,)).collect()}
+    assert out[1] == (2, 1.0)
+    # n < 2 and constant series yield NULL, never a divide error
+    assert run([1, 2])[1] == (1, None)
+    assert run([7, 7, 7, 7])[1] == (3, None)
+    # validation raises before any job
+    with pytest.raises(ValueError, match="non-empty"):
+        autocorr_lag(ev, lags=())
+    with pytest.raises(ValueError, match="distinct"):
+        autocorr_lag(ev, lags=(1, 1))
+    with pytest.raises(ValueError, match="positive integers"):
+        autocorr_lag(ev, lags=(0,))
+
+
 def test_cramers_v_bias_corrected_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
         CRAMERS_V_BC_SQL, cramers_v, cramers_v_bias_corrected)
