@@ -926,15 +926,18 @@ def group_array_moving_sum(events: DataFrame, n: int = 5,
 
     Scale: ONE shuffle on the group key; the ROWS frame streams through
     each partition (bounded by n, never materializing the group); output
-    is |input| rows. NULL values and NULL timestamps are excluded
-    up-front (engines disagree on NULL ordering)."""
+    is |input| rows. NULL values, NULL timestamps AND NULL ids are
+    excluded up-front — BOTH ordering keys, since engines disagree on
+    NULL ordering (Spark NULLS FIRST, DuckDB NULLS LAST — the r9
+    window-key rule; review-hardened r13)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
     wm = w.rowsBetween(-(n - 1), Window.currentRow)
     base = (events
             .where(_quantizable_col(value_col)
-                   & F.col(ts_col).isNotNull())
+                   & F.col(ts_col).isNotNull()
+                   & F.col(id_col).isNotNull())
             .withColumn("_vm",
                         F.floor(F.col(value_col).cast("double") * 1000)
                         .cast("long")))
@@ -1727,6 +1730,43 @@ RUNS_Z_SQL = (
     " / CAST(10000 AS DOUBLE) END")
 
 
+# The quantileTiming bucketization, ONE copy per engine dialect (the
+# r12 *_SQL-constant rule — a resolution tweak must not need lockstep
+# edits across operator + weighted twin + three oracles):
+# clamp: t = floor(value) pinned to [0, 30000]; bucket: 1 ms exact
+# below 1024, 16 ms resolution above. Spark spells integer floor
+# division `div`, DuckDB `//` — hence two constants, same contract.
+_TIMING_BUCKET_EXPR = ("CASE WHEN _t < 1024 THEN _t "
+                       "ELSE (_t div 16) * 16 END")
+TIMING_CLAMP_DUCK = (
+    "CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT) "
+    "WHEN floor(value) > 30000 THEN CAST(30000 AS BIGINT) "
+    "ELSE CAST(floor(value) AS BIGINT) END")
+TIMING_BUCKET_DUCK = "CASE WHEN t < 1024 THEN t ELSE (t // 16) * 16 END"
+
+
+def _timing_clamp_expr(value_col: str):
+    return F.expr(
+        f"CASE WHEN floor(CAST({value_col} AS DOUBLE)) < 0 "
+        f"THEN CAST(0 AS BIGINT) "
+        f"WHEN floor(CAST({value_col} AS DOUBLE)) > 30000 "
+        f"THEN CAST(30000 AS BIGINT) "
+        f"ELSE CAST(floor(CAST({value_col} AS DOUBLE)) AS BIGINT) END")
+
+
+def _validate_qs(qs) -> None:
+    # empty qs would silently return an empty frame — loud-raise
+    # instead, matching sequence_match_multi's empty-pattern posture
+    # (ADVICE r12)
+    if not qs:
+        raise ValueError("qs must be a non-empty tuple of integer "
+                         "milli-quantiles in (0, 1000)")
+    for q in qs:
+        if not (isinstance(q, int) and 0 < q < 1000):
+            raise ValueError(f"qs must be integer milli-quantiles in "
+                             f"(0, 1000), got {q!r}")
+
+
 def quantile_timing(events: DataFrame, group_col: str = "event_type",
                     value_col: str = "value",
                     qs: tuple = (500, 900, 990)) -> DataFrame:
@@ -1756,28 +1796,12 @@ def quantile_timing(events: DataFrame, group_col: str = "event_type",
     Returns ``group, q_milli, t_ms``."""
     from pyspark.sql import Window
 
-    # empty qs would silently return an empty frame — loud-raise
-    # instead, matching sequence_match_multi's empty-pattern posture
-    # (ADVICE r12)
-    if not qs:
-        raise ValueError("qs must be a non-empty tuple of integer "
-                         "milli-quantiles in (0, 1000)")
-    for q in qs:
-        if not (isinstance(q, int) and 0 < q < 1000):
-            raise ValueError(f"qs must be integer milli-quantiles in "
-                             f"(0, 1000), got {q!r}")
-    t = F.expr(
-        f"CASE WHEN floor(CAST({value_col} AS DOUBLE)) < 0 "
-        f"THEN CAST(0 AS BIGINT) "
-        f"WHEN floor(CAST({value_col} AS DOUBLE)) > 30000 "
-        f"THEN CAST(30000 AS BIGINT) "
-        f"ELSE CAST(floor(CAST({value_col} AS DOUBLE)) AS BIGINT) END")
+    _validate_qs(qs)
     counts = (events.where(_quantizable_col(value_col)
                            & F.col(group_col).isNotNull())
-              .select(F.col(group_col).alias("_g"), t.alias("_t"))
-              .withColumn("_b", F.expr(
-                  "CASE WHEN _t < 1024 THEN _t "
-                  "ELSE (_t div 16) * 16 END"))
+              .select(F.col(group_col).alias("_g"),
+                      _timing_clamp_expr(value_col).alias("_t"))
+              .withColumn("_b", F.expr(_TIMING_BUCKET_EXPR))
               .groupBy("_g", "_b")
               .agg(F.count(F.lit(1)).alias("_c")))
     wcum = (Window.partitionBy("_g").orderBy("_b")
@@ -1825,29 +1849,16 @@ def quantile_timing_weighted(events: DataFrame,
     Returns ``group, q_milli, t_ms``."""
     from pyspark.sql import Window
 
-    if not qs:
-        raise ValueError("qs must be a non-empty tuple of integer "
-                         "milli-quantiles in (0, 1000)")
-    for q in qs:
-        if not (isinstance(q, int) and 0 < q < 1000):
-            raise ValueError(f"qs must be integer milli-quantiles in "
-                             f"(0, 1000), got {q!r}")
-    t = F.expr(
-        f"CASE WHEN floor(CAST({value_col} AS DOUBLE)) < 0 "
-        f"THEN CAST(0 AS BIGINT) "
-        f"WHEN floor(CAST({value_col} AS DOUBLE)) > 30000 "
-        f"THEN CAST(30000 AS BIGINT) "
-        f"ELSE CAST(floor(CAST({value_col} AS DOUBLE)) AS BIGINT) END")
+    _validate_qs(qs)
     counts = (events.where(_quantizable_col(value_col)
                            & F.col(group_col).isNotNull())
               .withColumn("_w", _integral_weight_expr(
                   "quantile_timing_weighted", weight_col))
               .where(F.col("_w") > 0)
-              .select(F.col(group_col).alias("_g"), t.alias("_t"),
+              .select(F.col(group_col).alias("_g"),
+                      _timing_clamp_expr(value_col).alias("_t"),
                       "_w")
-              .withColumn("_b", F.expr(
-                  "CASE WHEN _t < 1024 THEN _t "
-                  "ELSE (_t div 16) * 16 END"))
+              .withColumn("_b", F.expr(_TIMING_BUCKET_EXPR))
               .groupBy("_g", "_b")
               .agg(F.sum("_w").alias("_c")))
     wcum = (Window.partitionBy("_g").orderBy("_b")
@@ -1886,8 +1897,9 @@ def group_array_moving_avg(events: DataFrame, n: int = 5,
     style truncation, not floor division.
 
     Same shape and exclusions as the moving sum (ONE group-key
-    shuffle, bounded ROWS frame; NULL values/timestamps excluded
-    up-front). Returns ``group, pos, avg_milli``."""
+    shuffle, bounded ROWS frame; NULL values/timestamps/ids excluded
+    up-front — both ordering keys, the r9 window-key rule).
+    Returns ``group, pos, avg_milli``."""
     from pyspark.sql import Window
 
     if n <= 0:
@@ -1896,7 +1908,8 @@ def group_array_moving_avg(events: DataFrame, n: int = 5,
     wm = w.rowsBetween(-(n - 1), Window.currentRow)
     base = (events
             .where(_quantizable_col(value_col)
-                   & F.col(ts_col).isNotNull())
+                   & F.col(ts_col).isNotNull()
+                   & F.col(id_col).isNotNull())
             .withColumn("_vm",
                         F.floor(F.col(value_col).cast("double") * 1000)
                         .cast("long")))

@@ -1188,11 +1188,11 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
 # 32 integer digits DECIMAL(38,6) division keeps, GUARANTEED by
 # the |s| ≤ 3e14 guard (s²·1000 ≤ 9e31 < 10³²); beyond the bound
 # raise a named error instead of wrapping.
-def _sq_quot(s_col: str, n_col: str) -> str:
+def _sq_quot(s_col: str, n_col: str, op: str = "anova_f") -> str:
     return (
         f"CASE WHEN {s_col} > 300000000000000"
         f" OR {s_col} < -300000000000000 THEN "
-        f"raise_error('anova_f: |sum| exceeds the exact-quotient "
+        f"raise_error('{op}: |sum| exceeds the exact-quotient "
         f"bound (3e14 milli-units) — coarsen the quantization or "
         f"shard the group') ELSE "
         f"CAST(((CAST({s_col} AS DECIMAL(38,0))"
@@ -1202,7 +1202,8 @@ def _sq_quot(s_col: str, n_col: str) -> str:
         f" / {n_col} AS DECIMAL(38,0)) END")
 
 
-def _anova_from_int_base(base: DataFrame, group_col: str) -> DataFrame:
+def _anova_from_int_base(base: DataFrame, group_col: str,
+                         op: str = "anova_f") -> DataFrame:
     """The one-way ANOVA moment pipeline over an ALREADY-integer
     ``(_g, _c, _vm)`` frame — :func:`anova_f`'s body, shared with
     :func:`brown_forsythe` so the deviation variant never round-trips
@@ -1213,7 +1214,7 @@ def _anova_from_int_base(base: DataFrame, group_col: str) -> DataFrame:
                   F.sum(F.expr(
                       "CAST(_vm AS DECIMAL(38,0))"
                       " * CAST(_vm AS DECIMAL(38,0))")).alias("_ss"))
-             .withColumn("_t", F.expr(_sq_quot("_s", "_n"))))
+             .withColumn("_t", F.expr(_sq_quot("_s", "_n", op))))
     per_g = (per_c.groupBy("_g")
              .agg(F.countDistinct("_c").alias("k"),
                   F.sum("_n").alias("n"),
@@ -1230,7 +1231,7 @@ def _anova_from_int_base(base: DataFrame, group_col: str) -> DataFrame:
     derived = (per_g
                .withColumn("ssb_milli", F.expr(
                    "greatest(CAST(0 AS BIGINT), CAST(_tsum - ("
-                   + _sq_quot("_stot", "n")
+                   + _sq_quot("_stot", "n", op)
                    + ") AS BIGINT))"))
                .withColumn("ssw_milli", F.expr(
                    "CAST(_sstot * 1000 - _tsum AS BIGINT)")))
@@ -1298,7 +1299,8 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
                                      F.col("_vm"))).over(wcls))
             .select("_g", "_c",
                     F.abs(F.col("_vm") - F.col("_med")).alias("_vm")))
-    return _anova_from_int_base(base, group_col)
+    return _anova_from_int_base(base, group_col,
+                                op="brown_forsythe")
 
 
 def autocorr_lag(events: DataFrame, group_col: str = "event_type",
@@ -1337,8 +1339,12 @@ def autocorr_lag(events: DataFrame, group_col: str = "event_type",
                              f"got {k!r}")
     vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
     w = Window.partitionBy("_g").orderBy(ts_col, id_col)
+    # NULL ts AND NULL id both excluded: both are lead-ordering keys,
+    # and Spark (NULLS FIRST) vs DuckDB (NULLS LAST) would pair
+    # different neighbors under drift (the r9 window-key rule)
     base = (events.where(_quantizable_col(value_col)
-                         & F.col(ts_col).isNotNull())
+                         & F.col(ts_col).isNotNull()
+                         & F.col(id_col).isNotNull())
             .select(F.col(group_col).alias("_g"), ts_col, id_col,
                     vm.alias("_vm")))
     for k in lags:

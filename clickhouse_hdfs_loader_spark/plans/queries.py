@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.vectors import cosine
+from ..operators.analytics import TIMING_BUCKET_DUCK, TIMING_CLAMP_DUCK
 from ..operators import dedup as DD
 from ..operators.stats import (ANOVA_F_SQL, AVG_WEIGHTED_SQL,
                                CONTINGENCY_SQL, CRAMERS_V_BC_SQL,
@@ -4706,6 +4707,10 @@ def heavy_hitters_weighted(spark, sf_dir):
              AS BIGINT) AS moving_milli
     FROM events
     WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+      -- event_id is the second ordering key: NULL ids excluded on
+      -- both sides (Spark NULLS FIRST vs DuckDB NULLS LAST — the r9
+      -- window-key rule; hardened r13, re-graded)
+      AND event_id IS NOT NULL
     WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 """)
 def group_array_moving_sum(spark, sf_dir):
@@ -6697,17 +6702,13 @@ def curate_report_q(spark, sf_dir):
     return report
 
 
-@query("quantile_timing", oracle="""
+@query("quantile_timing", oracle=f"""
     WITH v AS (SELECT event_type AS g,
-                      CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT)
-                           WHEN floor(value) > 30000
-                           THEN CAST(30000 AS BIGINT)
-                           ELSE CAST(floor(value) AS BIGINT) END AS t
+                      {TIMING_CLAMP_DUCK} AS t
                FROM events
                WHERE value IS NOT NULL AND isfinite(value)
                  AND event_type IS NOT NULL),
-    c AS (SELECT g, CASE WHEN t < 1024 THEN t
-                         ELSE (t // 16) * 16 END AS b,
+    c AS (SELECT g, {TIMING_BUCKET_DUCK} AS b,
                  CAST(count(*) AS BIGINT) AS c
           FROM v GROUP BY 1, 2),
     w AS (SELECT g, b, c,
@@ -6937,12 +6938,14 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        sequence_match_multi with K=3 patterns, heavy_hitters_decayed
 #        with the ADVICE-r12 ref-instant mirror); re-grades for
 #        kendall_tau + mann_kendall_trend (pair CTE gained the
-#        duplicate-event_id guard — changed-surface rule); and 13 of
-#        the 15 backlog re-confirmations (q15-q18+q20-q22 TPC-H, q12,
-#        quality_expectations, limit_offset, having_filter,
-#        nulls_ordering, q19). pii_scrub + embedding_quantize (r10,
-#        youngest of the backlog) deferred to r14 — their slots went
-#        to the kendall re-grades.
+#        duplicate-event_id guard — changed-surface rule) and
+#        group_array_moving_sum (window gained the NULL-id
+#        ordering-key exclusion — review-caught r13); and 12 of the 15
+#        backlog re-confirmations (q15-q18+q20-q22 TPC-H, q12,
+#        quality_expectations, having_filter, nulls_ordering, q19).
+#        pii_scrub + embedding_quantize + limit_offset (r10, youngest
+#        of the backlog) deferred to r14 — their slots went to the
+#        kendall and moving-sum re-grades.
 #   r14: FIRST promote the r13-built operators (promotion-ready
 #        in-test DuckDB oracles, registry standard):
 #        quantile_timing_weighted + sequence_match_timed
@@ -6952,8 +6955,9 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        autocorr_lag (tests/test_stats_operators.py — ANOVA_F_SQL /
 #        RANK_CORR_SQL finishes already shared); then second-confirm the
 #        r12 first-grade batch (the 27 promotions + curate_report) per
-#        the r12 note; finish the deferred backlog pair (pii_scrub,
-#        embedding_quantize); second-confirm the r13 first-grades
+#        the r12 note; finish the deferred backlog trio (pii_scrub,
+#        embedding_quantize, limit_offset); second-confirm the r13
+#        first-grades
 #        (quantile_timing, sequence_match_multi,
 #        heavy_hitters_decayed); then rotate the r4-era staleness
 #        tail (ann_lsh_*, text_* family, sessionize, range_join_
@@ -6994,16 +6998,20 @@ _GRADING_WINDOW = [
     "dedup_simhash", "dedup_fingerprint", "dedup_embedding_cosine",
     "similarity_topk", "similarity_topk_blas",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    # --- re-grade: oracle surface changed this round — the moving-sum
+    # window gained the NULL-event_id ordering-key exclusion on both
+    # sides (the r9 window-key rule; review-caught r13)
+    "group_array_moving_sum",
     # --- re-confirmation backlog (carried since r11): the r6-graded
     # TPC-H tail (+ q18, r5) and the r10-displaced remainder.
-    # pii_scrub + embedding_quantize (r10, the youngest of the
-    # backlog) defer to r14 — their slots went to the kendall
-    # re-grades above
+    # pii_scrub + embedding_quantize + limit_offset (r10, the
+    # youngest of the backlog) defer to r14 — their slots went to the
+    # kendall re-grades and the moving-sum re-grade above
     "q15_top_supplier", "q16_supplier_relationship",
     "q17_small_quantity", "q18_large_orders",
     "q20_potential_promotion", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
-    "q12_priority_shipping", "quality_expectations", "limit_offset",
+    "q12_priority_shipping", "quality_expectations",
     "having_filter", "nulls_ordering", "q19_disjunctive_predicates",
 ]
 

@@ -64,10 +64,15 @@ def _operator_picks(spark, sf):
     from clickhouse_hdfs_loader_spark.operators.corpus import (
         pmi_collocations, zipf_fit)
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        cohort_overlap, cusum_changepoint, histogram_adaptive,
-        histogram_equi_depth, kaplan_meier,
-        quantile_timing, quantile_update, quantiles_from_state,
-        runs_test, sequence_match_multi)
+        cohort_overlap, cusum_changepoint, group_array_moving_avg,
+        histogram_adaptive, histogram_equi_depth, kaplan_meier,
+        quantile_timing, quantile_timing_weighted, quantile_update,
+        quantiles_from_state, runs_test, sequence_match_multi,
+        sequence_match_timed)
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        autocorr_lag, brown_forsythe)
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        tukey_outliers)
     from clickhouse_hdfs_loader_spark.operators.features import (
         corr_matrix, feature_hashing, isotonic_fit)
     from clickhouse_hdfs_loader_spark.sources.tables import read_table
@@ -135,6 +140,18 @@ def _operator_picks(spark, sf):
         "max_intersections": max_intersections(iv, "g", "s", "e"),
         "delta_sum": delta_sum(ev),
         "quantile_timing": quantile_timing(ev),
+        "quantile_timing_weighted": quantile_timing_weighted(
+            ev.where(F.col("event_id").isNotNull())
+            .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1)),
+        "group_array_moving_avg": group_array_moving_avg(ev, n=5),
+        "sequence_match_timed": sequence_match_timed(
+            ev, ["view", "click", "purchase"], [21600, 86400]),
+        "tukey_outliers": tukey_outliers(ev, "event_type", "value"),
+        "brown_forsythe": brown_forsythe(
+            ev.where(F.col("user_id").isNotNull())
+            .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))),
+            "event_type", "value", "cls"),
+        "autocorr_lag": autocorr_lag(ev, lags=(1, 2)),
         # heavy_hitters_decayed is NOT plan-audited: the two-pass MG
         # collects candidates eagerly during construction (the
         # pagerank/pca_whiten posture below), so its "plan" would be a

@@ -671,23 +671,22 @@ def test_quantile_timing_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         quantile_timing)
 
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        TIMING_BUCKET_DUCK, TIMING_CLAMP_DUCK)
+
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("event_type").isNotNull()))
     got = sorted(map(tuple, quantile_timing(ev).collect()))
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'{sf_dir}/events.parquet'")
-    want = sorted(map(tuple, con.execute("""
+    want = sorted(map(tuple, con.execute(f"""
         WITH v AS (SELECT event_type AS g,
-                          CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT)
-                               WHEN floor(value) > 30000
-                               THEN CAST(30000 AS BIGINT)
-                               ELSE CAST(floor(value) AS BIGINT) END AS t
+                          {TIMING_CLAMP_DUCK} AS t
                    FROM events
                    WHERE value IS NOT NULL AND isfinite(value)
                      AND event_type IS NOT NULL),
-        c AS (SELECT g, CASE WHEN t < 1024 THEN t
-                             ELSE (t // 16) * 16 END AS b,
+        c AS (SELECT g, {TIMING_BUCKET_DUCK} AS b,
                      CAST(count(*) AS BIGINT) AS c
               FROM v GROUP BY 1, 2),
         w AS (SELECT g, b, c,
@@ -744,7 +743,8 @@ def test_quantile_timing_weighted_oracle_and_hand_cases(spark, sf_dir):
     import pytest
 
     from clickhouse_hdfs_loader_spark.operators.analytics import (
-        quantile_timing, quantile_timing_weighted)
+        TIMING_BUCKET_DUCK, TIMING_CLAMP_DUCK, quantile_timing,
+        quantile_timing_weighted)
 
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("event_id").isNotNull())
@@ -753,19 +753,15 @@ def test_quantile_timing_weighted_oracle_and_hand_cases(spark, sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'{sf_dir}/events.parquet'")
-    want = sorted(map(tuple, con.execute("""
+    want = sorted(map(tuple, con.execute(f"""
         WITH v AS (SELECT event_type AS g,
-                          CASE WHEN floor(value) < 0 THEN CAST(0 AS BIGINT)
-                               WHEN floor(value) > 30000
-                               THEN CAST(30000 AS BIGINT)
-                               ELSE CAST(floor(value) AS BIGINT) END AS t,
+                          {TIMING_CLAMP_DUCK} AS t,
                           (((event_id % 5 + 5) % 5) + 1) AS w
                    FROM events
                    WHERE value IS NOT NULL AND isfinite(value)
                      AND event_type IS NOT NULL
                      AND event_id IS NOT NULL),
-        c AS (SELECT g, CASE WHEN t < 1024 THEN t
-                             ELSE (t // 16) * 16 END AS b,
+        c AS (SELECT g, {TIMING_BUCKET_DUCK} AS b,
                      CAST(sum(w) AS BIGINT) AS c
               FROM v GROUP BY 1, 2),
         w AS (SELECT g, b, c,

@@ -2959,6 +2959,7 @@ def test_group_array_moving_sum_oracle_and_hand_case(spark, sf_dir):
                  AS BIGINT) AS moving_milli
         FROM events
         WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+          AND event_id IS NOT NULL
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     """).fetchall()))
     assert got == want and len(got) > 0
@@ -3005,6 +3006,7 @@ def test_group_array_moving_avg_oracle_and_hand_cases(spark, sf_dir):
                  AS BIGINT) // 5 AS avg_milli
         FROM events
         WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+          AND event_id IS NOT NULL
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     """).fetchall()))
     assert got == want and len(got) > 0

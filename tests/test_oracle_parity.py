@@ -150,6 +150,9 @@ def test_grading_window_registry_discipline():
         # + the kendall re-grades (pair CTE gained the duplicate-
         # event_id guard this round — changed-surface rule)
         "kendall_tau", "mann_kendall_trend",
+        # + the moving-sum re-grade (window gained the NULL-id
+        # ordering-key exclusion on both sides — changed-surface rule)
+        "group_array_moving_sum",
     }
     missing = added_this_round - window
     assert not missing, (

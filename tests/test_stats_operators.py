@@ -1181,7 +1181,8 @@ def test_autocorr_lag_oracle_and_hand_cases(spark, sf_dir):
                           CAST(floor(value * 1000) AS BIGINT) AS vm
                    FROM events
                    WHERE value IS NOT NULL AND isfinite(value)
-                     AND ts IS NOT NULL AND event_type IS NOT NULL),
+                     AND ts IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
         l AS (SELECT g, vm,
                      lead(vm, 1) OVER w AS y1,
                      lead(vm, 2) OVER w AS y2
