@@ -1370,6 +1370,72 @@ def autocorr_lag(events: DataFrame, group_col: str = "event_type",
                       F.expr(RANK_CORR_SQL).alias("corr_e4"))
 
 
+# shared verbatim: the pooled two-proportion z from the exact integer
+# counts — p̂ = (x1+x2)/(n1+n2), z = (p1−p2)/sqrt(p̂(1−p̂)(1/n1+1/n2));
+# NULL when a side is empty or the pooled rate is degenerate (0 or 1,
+# a zero denominator). Knife-edge e4 round, identical order both sides.
+PROP_Z_SQL = (
+    "CASE WHEN n1 < 1 OR n2 < 1 OR x1 + x2 <= 0 "
+    "OR x1 + x2 >= n1 + n2 THEN NULL ELSE "
+    "CAST(floor("
+    "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (CAST(1 AS DOUBLE)"
+    " - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def two_proportion_z(df: DataFrame, group_col: str, side_col: str,
+                     flag_col: str) -> DataFrame:
+    """Two-sample proportion z-test per group — the conversion-rate
+    A/B primitive (did variant 1 convert more often than variant 0?),
+    the Bernoulli sibling of :func:`welch_ttest`: pooled-variance z
+    on success COUNTS rather than value moments.
+
+    Both ``side_col`` and ``flag_col`` must be 0/1 — validated with
+    the shared loud-raise posture (the ``_sided_base`` side rule,
+    applied to the flag too: a silently-truncated 0.7 "conversion"
+    would corrupt counts); NULL side/flag rows are excluded (mirror
+    both WHEREs in twins). Sample 1 is side 1, sample 2 side 0 (the
+    ``_moments_by_side`` convention). Counts are exact int64; the only
+    float work is the one verbatim :data:`PROP_Z_SQL` finish — from
+    identical integers both engines replay it bit-for-bit. NULL z
+    when a side is empty or the pooled rate is 0 or 1.
+
+    Scale: ONE map-side-combinable aggregate to |groups| rows.
+
+    Returns ``group, n1, x1, n2, x2, z_e4``."""
+    side = F.expr(
+        f"CASE WHEN {side_col} IS NULL THEN NULL "
+        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
+        f"ELSE raise_error('two_proportion_z: side_col must be 0 "
+        f"or 1') END")
+    flag = F.expr(
+        f"CASE WHEN {flag_col} IS NULL THEN NULL "
+        f"WHEN {flag_col} IN (0, 1) THEN CAST({flag_col} AS BIGINT) "
+        f"ELSE raise_error('two_proportion_z: flag_col must be 0 "
+        f"or 1') END")
+    base = (df.where(F.col(side_col).isNotNull()
+                     & F.col(flag_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), side.alias("_s"),
+                    flag.alias("_x")))
+    agg = (base.groupBy("_g")
+           .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
+                      .cast("long")).alias("n1"),
+                F.sum(F.when(F.col("_s") == 1, F.col("_x"))
+                      .otherwise(F.lit(0).cast("long"))).alias("x1"),
+                F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)
+                      .cast("long")).alias("n2"),
+                F.sum(F.when(F.col("_s") == 0, F.col("_x"))
+                      .otherwise(F.lit(0).cast("long"))).alias("x2")))
+    return agg.select(F.col("_g").alias(group_col), "n1", "x1", "n2",
+                      "x2", F.expr(PROP_Z_SQL).alias("z_e4"))
+
+
 # shared verbatim: rho = (n·Σxy − Σx·Σy) /
 #                        (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²))
 # from the exact 128-bit rank-moment sums, cast to DOUBLE first

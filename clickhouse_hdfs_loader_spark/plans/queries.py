@@ -6952,8 +6952,10 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        (tests/test_interval_combinators.py), group_array_moving_avg
 #        (tests/test_llm_operators.py), tukey_outliers
 #        (tests/test_dispersion_operators.py), brown_forsythe +
-#        autocorr_lag (tests/test_stats_operators.py — ANOVA_F_SQL /
-#        RANK_CORR_SQL finishes already shared); then second-confirm the
+#        autocorr_lag + two_proportion_z (tests/test_stats_operators.py
+#        — ANOVA_F_SQL / RANK_CORR_SQL / PROP_Z_SQL finishes already
+#        shared), seasonal_decompose
+#        (tests/test_interval_combinators.py); then second-confirm the
 #        r12 first-grade batch (the 27 promotions + curate_report) per
 #        the r12 note; finish the deferred backlog trio (pii_scrub,
 #        embedding_quantize, limit_offset); second-confirm the r13

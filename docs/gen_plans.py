@@ -67,10 +67,10 @@ def _operator_picks(spark, sf):
         cohort_overlap, cusum_changepoint, group_array_moving_avg,
         histogram_adaptive, histogram_equi_depth, kaplan_meier,
         quantile_timing, quantile_timing_weighted, quantile_update,
-        quantiles_from_state, runs_test, sequence_match_multi,
-        sequence_match_timed)
+        quantiles_from_state, runs_test, seasonal_decompose,
+        sequence_match_multi, sequence_match_timed)
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        autocorr_lag, brown_forsythe)
+        autocorr_lag, brown_forsythe, two_proportion_z)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         tukey_outliers)
     from clickhouse_hdfs_loader_spark.operators.features import (
@@ -152,6 +152,13 @@ def _operator_picks(spark, sf):
             .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))),
             "event_type", "value", "cls"),
         "autocorr_lag": autocorr_lag(ev, lags=(1, 2)),
+        "seasonal_decompose": seasonal_decompose(ev, 7),
+        "two_proportion_z": two_proportion_z(
+            ev.where(F.col("user_id").isNotNull()
+                     & F.col("event_id").isNotNull())
+            .withColumn("side", F.pmod(F.col("user_id"), F.lit(2)))
+            .withColumn("flag", F.pmod(F.col("event_id"), F.lit(2))),
+            "event_type", "side", "flag"),
         # heavy_hitters_decayed is NOT plan-audited: the two-pass MG
         # collects candidates eagerly during construction (the
         # pagerank/pca_whiten posture below), so its "plan" would be a

@@ -879,6 +879,94 @@ def test_sequence_match_multi_oracle_and_coherence(spark, sf_dir):
         sequence_match_multi(ev, {"bad": []})
 
 
+def test_seasonal_decompose_oracle_and_hand_cases(spark, sf_dir):
+    """seasonal_decompose: in-test DuckDB oracle (registry standard,
+    r14 queue) — the classical centered-MA decomposition under the
+    exact integer contract replays in SQL; the linear+periodic hand
+    case recovers trend/seasonal EXACTLY with zero residuals, and the
+    even-period refusal raises."""
+    import datetime as dt
+
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        seasonal_decompose)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    got = sorted(map(tuple, seasonal_decompose(ev, 7).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH b AS (SELECT event_type AS g, ts, event_id,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+        r AS (SELECT g, vm, row_number() OVER w AS pos,
+                     count(*) OVER (PARTITION BY g) AS n,
+                     sum(vm) OVER (w ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING) AS ws
+              FROM b
+              WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+        t AS (SELECT g, pos, vm,
+                     CASE WHEN pos > 3 AND pos <= n - 3
+                          THEN ws // 7 END AS trend,
+                     (pos - 1) % 7 AS ph
+              FROM r),
+        -- dd is NULL outside the interior; sum/count over the
+        -- (g, phase) partition therefore see interior rows only
+        -- (mirrors the operator's window form — no join)
+        s AS (SELECT g, pos, vm, trend, vm - trend AS dd,
+                     sum(vm - trend) OVER (PARTITION BY g, ph) AS ssum,
+                     count(vm - trend) OVER (PARTITION BY g, ph)
+                       AS scnt
+              FROM t)
+        SELECT g AS event_type, CAST(pos AS INT) AS pos,
+               vm AS vm_milli, CAST(trend AS BIGINT) AS trend_milli,
+               CAST(CASE WHEN scnt > 0 THEN ssum // scnt END
+                    AS BIGINT) AS seasonal_milli,
+               CAST(dd - CASE WHEN scnt > 0 THEN ssum // scnt END
+                    AS BIGINT) AS resid_milli
+        FROM s
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+    # linear + periodic hand case: vm = 10 + 2t + s[t % 3] with
+    # s = (5, -3, -2) (sums to 0) — the centered MA of the periodic
+    # part vanishes EXACTLY, so trend = 10 + 2t, seasonal = s, and
+    # every interior residual is 0 (integer arithmetic, no tolerance)
+    season = (5, -3, -2)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t, "g", t0 + dt.timedelta(hours=t),
+             (10 + 2 * t + season[t % 3]) / 1000.0)
+            for t in range(9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+        "value double")
+    out = {r["pos"]: r for r in
+           seasonal_decompose(df, 3, "event_type", "ts", "value",
+                              "event_id").collect()}
+    assert len(out) == 9
+    for pos, r in out.items():
+        t = pos - 1
+        assert r["vm_milli"] == 10 + 2 * t + season[t % 3]
+        assert r["seasonal_milli"] == season[t % 3]
+        if 2 <= pos <= 8:     # interior: full centered window
+            assert r["trend_milli"] == 10 + 2 * t
+            assert r["resid_milli"] == 0
+        else:                 # edges: no full window
+            assert r["trend_milli"] is None
+            assert r["resid_milli"] is None
+    # even or too-small periods are a DIFFERENT estimator — refuse
+    for bad in (2, 4, 1, 0):
+        with pytest.raises(ValueError, match="ODD integer"):
+            seasonal_decompose(ev, bad)
+
+
 def _timed_ladder_sql(steps, gaps_s):
     """The sequence_match_timed DP as a DuckDB CTE ladder: per step,
     union markers (kind 1) into candidates (kind 0), running marker max

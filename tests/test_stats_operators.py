@@ -1250,6 +1250,69 @@ def test_autocorr_lag_oracle_and_hand_cases(spark, sf_dir):
         autocorr_lag(ev, lags=(0,))
 
 
+def test_two_proportion_z_oracle_and_hand_cases(spark, sf_dir):
+    """two_proportion_z: in-test DuckDB oracle (registry standard, r14
+    queue) — exact integer conversion counts, one verbatim PROP_Z_SQL
+    finish; hand cases pin a known z, the degenerate pooled rates, and
+    the loud 0/1 validation on BOTH the side and the flag."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        PROP_Z_SQL, two_proportion_z)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("side", F.pmod(F.col("user_id"), F.lit(2)))
+          .withColumn("flag", F.pmod(F.col("event_id"), F.lit(2))))
+    got = sorted(map(tuple, two_proportion_z(
+        ev, "event_type", "side", "flag").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          ((user_id % 2 + 2) % 2) AS s,
+                          ((event_id % 2 + 2) % 2) AS x
+                   FROM events
+                   WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+        a AS (SELECT g,
+                     CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN s = 1 THEN x ELSE 0 END)
+                          AS BIGINT) AS x1,
+                     CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN s = 0 THEN x ELSE 0 END)
+                          AS BIGINT) AS x2
+              FROM b GROUP BY 1)
+        SELECT g AS event_type, n1, x1, n2, x2,
+               {PROP_Z_SQL} AS z_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, s int, x int")
+        return two_proportion_z(df, "g", "s", "x").collect()[0]
+
+    # known z: 3/4 vs 1/4 converts, pooled 1/2 ->
+    # z = 0.5 / sqrt(0.25 * 0.5) = sqrt(2) -> 1.4142 at e4
+    rows = ([("g", 1, 1)] * 3 + [("g", 1, 0)]
+            + [("g", 0, 1)] + [("g", 0, 0)] * 3)
+    r = run(rows)
+    assert (r["n1"], r["x1"], r["n2"], r["x2"], r["z_e4"]) == (
+        4, 3, 4, 1, 1.4142)
+    # degenerate pooled rates (all 0 / all 1) and an empty side -> NULL
+    assert run([("g", 1, 0), ("g", 0, 0)])["z_e4"] is None
+    assert run([("g", 1, 1), ("g", 0, 1)])["z_e4"] is None
+    assert run([("g", 1, 1), ("g", 1, 0)])["z_e4"] is None
+    # non-0/1 side or flag raises loudly (never silent truncation)
+    bad = spark.createDataFrame([("g", 2, 1)], "g string, s int, x int")
+    with pytest.raises(Exception, match="side_col must be 0 or 1"):
+        two_proportion_z(bad, "g", "s", "x").collect()
+    bad = spark.createDataFrame([("g", 1, 5)], "g string, s int, x int")
+    with pytest.raises(Exception, match="flag_col must be 0 or 1"):
+        two_proportion_z(bad, "g", "s", "x").collect()
+
+
 def test_cramers_v_bias_corrected_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
         CRAMERS_V_BC_SQL, cramers_v, cramers_v_bias_corrected)
