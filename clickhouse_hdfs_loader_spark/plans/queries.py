@@ -6955,7 +6955,11 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        autocorr_lag + two_proportion_z (tests/test_stats_operators.py
 #        — ANOVA_F_SQL / RANK_CORR_SQL / PROP_Z_SQL finishes already
 #        shared), seasonal_decompose
-#        (tests/test_interval_combinators.py); then second-confirm the
+#        (tests/test_interval_combinators.py), and the
+#        feature_hashing_summary pinned-checksum golden
+#        (tests/test_whitening.py — tag golden-sf0.01; the VERDICT r12
+#        item 8 candidate, literals re-derived Spark-free); then
+#        second-confirm the
 #        r12 first-grade batch (the 27 promotions + curate_report) per
 #        the r12 note; finish the deferred backlog trio (pii_scrub,
 #        embedding_quantize, limit_offset); second-confirm the r13

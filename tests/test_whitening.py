@@ -312,6 +312,53 @@ def test_feature_hashing_golden_replay_and_contracts(spark, sf_dir):
         feature_hashing(docs, dims=0)
 
 
+def test_feature_hashing_summary_golden(spark):
+    """feature_hashing promotion golden (registry standard, r14 queue,
+    golden-sf0.01 tag): the per-corpus summary of the dims=64 signed
+    hashing — row count and four weight checksums — pinned as sf0.01
+    literals RE-DERIVED Spark-free (duckdb parquet read + the
+    tokenizer regex + the spec-written XXH64 model; the derivation
+    script is this test's sibling replay above), with the r6 content
+    guard (count alone cannot distinguish sf0.001 from sf0.01 — both
+    have 500 docs with the same ids but DIFFERENT text, so the guard
+    pins sum(length(text)) too)."""
+    from clickhouse_hdfs_loader_spark.operators.features import (
+        feature_hashing)
+
+    sf01 = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf01}/documents.parquet")
+    fh = feature_hashing(docs, dims=64)
+    got = [tuple(r) for r in fh.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("weight").alias("sum_w"),
+        F.sum(F.abs(F.col("weight"))).alias("sum_abs_w"),
+        F.sum(F.col("dim").cast("long") * F.col("weight"))
+        .alias("sum_dim_w"),
+        F.sum(F.col("doc_id") * F.col("weight"))
+        .alias("sum_doc_w")).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf01}/documents.parquet'")
+    want = [tuple(r) for r in con.execute("""
+        SELECT CAST(8804 AS BIGINT) AS n_rows,
+               CAST(1653 AS BIGINT) AS sum_w,
+               CAST(24915 AS BIGINT) AS sum_abs_w,
+               CAST(-201 AS BIGINT) AS sum_dim_w,
+               CAST(403705 AS BIGINT) AS sum_doc_w
+        WHERE (SELECT CASE WHEN count(*) = 500
+               AND sum(length(text)) = 149174
+               AND sum(doc_id) = 124750 THEN 1
+               ELSE error('feature_hashing_summary golden: the sf0.01 '
+                          || 'documents fixture drifted from the '
+                          || 'pinned content (need count 500, '
+                          || 'sum(length(text)) 149174, sum(doc_id) '
+                          || '124750) — re-derive the literals '
+                          || 'Spark-free') END
+               FROM documents) = 1
+    """).fetchall()]
+    assert got == want and len(got) == 1
+
+
 def _pava_fraction_replay(points):
     """Independent exact-rational PAVA: points = [(x, n, s)] sorted by
     x; returns [(x, n, pool_s, pool_c, fit)] with Fraction pooling and
