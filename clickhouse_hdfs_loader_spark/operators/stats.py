@@ -35,18 +35,26 @@ from pyspark.sql import functions as F
 from .analytics import _quantizable_col
 
 
+def _zero_one_expr(col: str, op: str, label: str,
+                   cast_to: str = "INT"):
+    """The ONE copy of the 0/1 column validator: NULL short-circuits
+    FIRST because ``NULL IN (0,1)`` is NULL and would otherwise fall
+    through to the raise branch if Catalyst evaluates the projection
+    before the isNotNull filter; anything else raises a named error
+    (never silent truncation)."""
+    return F.expr(
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} IN (0, 1) THEN CAST({col} AS {cast_to}) "
+        f"ELSE raise_error('{op}: {label} must be 0 or 1') END")
+
+
 def _sided_base(df: DataFrame, group_col: str, value_col: str,
                 side_col: str, op: str) -> DataFrame:
     """The ONE copy of the two-sample preamble (review-caught
-    triplication): validate the 0/1 side column — NULL short-circuits
-    FIRST because ``NULL IN (0,1)`` is NULL and would otherwise fall
-    through to the raise branch if Catalyst evaluates the projection
-    before the isNotNull filter — and milli-quantize the value with the
+    triplication): validate the 0/1 side column via
+    :func:`_zero_one_expr` and milli-quantize the value with the
     repo-wide finite guard. Returns ``group, _vm, _s``."""
-    side = F.expr(
-        f"CASE WHEN {side_col} IS NULL THEN NULL "
-        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
-        f"ELSE raise_error('{op}: side_col must be 0 or 1') END")
+    side = _zero_one_expr(side_col, op, "side_col")
     vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
     return (df.where(_quantizable_col(value_col)
                      & F.col(side_col).isNotNull())
@@ -1409,16 +1417,9 @@ def two_proportion_z(df: DataFrame, group_col: str, side_col: str,
     Scale: ONE map-side-combinable aggregate to |groups| rows.
 
     Returns ``group, n1, x1, n2, x2, z_e4``."""
-    side = F.expr(
-        f"CASE WHEN {side_col} IS NULL THEN NULL "
-        f"WHEN {side_col} IN (0, 1) THEN CAST({side_col} AS INT) "
-        f"ELSE raise_error('two_proportion_z: side_col must be 0 "
-        f"or 1') END")
-    flag = F.expr(
-        f"CASE WHEN {flag_col} IS NULL THEN NULL "
-        f"WHEN {flag_col} IN (0, 1) THEN CAST({flag_col} AS BIGINT) "
-        f"ELSE raise_error('two_proportion_z: flag_col must be 0 "
-        f"or 1') END")
+    side = _zero_one_expr(side_col, "two_proportion_z", "side_col")
+    flag = _zero_one_expr(flag_col, "two_proportion_z", "flag_col",
+                          cast_to="BIGINT")
     base = (df.where(F.col(side_col).isNotNull()
                      & F.col(flag_col).isNotNull())
             .select(F.col(group_col).alias("_g"), side.alias("_s"),
