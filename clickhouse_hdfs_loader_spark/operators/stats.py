@@ -1417,24 +1417,54 @@ def two_proportion_z(df: DataFrame, group_col: str, side_col: str,
     Scale: ONE map-side-combinable aggregate to |groups| rows.
 
     Returns ``group, n1, x1, n2, x2, z_e4``."""
+    return prop_from_state(
+        prop_update(None, df, group_col, side_col, flag_col),
+        group_col)
+
+
+def prop_update(state: "DataFrame | None", batch: DataFrame,
+                group_col: str = "event_type",
+                side_col: str = "side",
+                flag_col: str = "flag") -> DataFrame:
+    """Fold a batch into the per-group four-count proportion state
+    (``group, n1, x1, n2, x2``) — an int-sum MONOID, so per-batch
+    folding ≡ one-shot for ANY partition of the rows (the
+    ttest_update contract). State is O(|groups|) rows; raw history is
+    never rescanned. Validation and NULL exclusions are
+    :func:`two_proportion_z`'s, applied per batch."""
     side = _zero_one_expr(side_col, "two_proportion_z", "side_col")
     flag = _zero_one_expr(flag_col, "two_proportion_z", "flag_col",
                           cast_to="BIGINT")
-    base = (df.where(F.col(side_col).isNotNull()
-                     & F.col(flag_col).isNotNull())
-            .select(F.col(group_col).alias("_g"), side.alias("_s"),
+    base = (batch.where(F.col(side_col).isNotNull()
+                        & F.col(flag_col).isNotNull())
+            .select(F.col(group_col), side.alias("_s"),
                     flag.alias("_x")))
-    agg = (base.groupBy("_g")
-           .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
-                      .cast("long")).alias("n1"),
-                F.sum(F.when(F.col("_s") == 1, F.col("_x"))
-                      .otherwise(F.lit(0).cast("long"))).alias("x1"),
-                F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)
-                      .cast("long")).alias("n2"),
-                F.sum(F.when(F.col("_s") == 0, F.col("_x"))
-                      .otherwise(F.lit(0).cast("long"))).alias("x2")))
-    return agg.select(F.col("_g").alias(group_col), "n1", "x1", "n2",
-                      "x2", F.expr(PROP_Z_SQL).alias("z_e4"))
+    fresh = (base.groupBy(group_col)
+             .agg(F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)
+                        .cast("long")).alias("n1"),
+                  F.sum(F.when(F.col("_s") == 1, F.col("_x"))
+                        .otherwise(F.lit(0).cast("long"))).alias("x1"),
+                  F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)
+                        .cast("long")).alias("n2"),
+                  F.sum(F.when(F.col("_s") == 0, F.col("_x"))
+                        .otherwise(F.lit(0).cast("long"))).alias("x2")))
+    if state is None:
+        return fresh
+    cols = ["n1", "x1", "n2", "x2"]
+    return (state.unionByName(fresh)
+            .groupBy(group_col)
+            .agg(*[F.sum(c).alias(c) for c in cols]))
+
+
+def prop_from_state(state: DataFrame,
+                    group_col: str = "event_type") -> DataFrame:
+    """Derive the proportion z report from the four-count state alone
+    — ``group, n1, x1, n2, x2, z_e4`` via the shared verbatim
+    :data:`PROP_Z_SQL` (continuous conversion-rate monitoring: the
+    report is O(|groups|) and recomputes from state in
+    milliseconds)."""
+    return state.select(group_col, "n1", "x1", "n2", "x2",
+                        F.expr(PROP_Z_SQL).alias("z_e4"))
 
 
 # shared verbatim: rho = (n·Σxy − Σx·Σy) /

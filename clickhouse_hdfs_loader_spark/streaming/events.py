@@ -543,6 +543,46 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ttest_from_state(state[0])
 
 
+def stream_two_proportion(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Streaming conversion-rate A/B monitor twin: each micro-batch
+    derives side = user parity and flag = event_id parity (the batch
+    twin's derivation — NULL user/event_id rows excluded identically)
+    and folds into the per-group four-count proportion state via
+    ``stats.prop_update`` inside ``foreachBatch`` (int-sum monoid —
+    order-insensitive, the stream_ab_test contract); the pooled-z
+    report derives from the O(|groups|) state alone through
+    ``stats.prop_from_state``. Matches the batch operator exactly by
+    test."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import prop_from_state, prop_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        sided = (bdf.where(F.col("user_id").isNotNull()
+                           & F.col("event_id").isNotNull())
+                 .withColumn("side", F.pmod(F.col("user_id"),
+                                            F.lit(2)))
+                 .withColumn("flag", F.pmod(F.col("event_id"),
+                                            F.lit(2))))
+        nxt = prop_update(state[0] if state else None, sided) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return prop_from_state(state[0])
+
+
 def stream_mutual_information(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Streaming twin of operators/stats.mutual_information: each

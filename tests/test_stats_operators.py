@@ -512,6 +512,59 @@ def test_stream_ab_test_matches_batch_any_partition(spark, sf_dir):
     check()
 
 
+def test_stream_two_proportion_matches_batch_any_partition(spark,
+                                                           sf_dir):
+    """The foreachBatch conversion-rate twin reproduces the batch
+    two_proportion_z exactly (same user/event_id parity derivation),
+    and folding ANY random partition of the rows equals the one-shot
+    report (the four-count state is an int-sum monoid) — registry
+    standard, r14 queue (graded against the batch oracle, the
+    stream_ab_test precedent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        prop_from_state, prop_update, two_proportion_z)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_two_proportion)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .withColumn("side", F.pmod(F.col("user_id"), F.lit(2)))
+          .withColumn("flag", F.pmod(F.col("event_id"), F.lit(2))))
+    want = sorted(map(tuple, two_proportion_z(
+        ev, "event_type", "side", "flag").collect()))
+    got = sorted(map(tuple, stream_two_proportion(
+        spark, sf_dir).collect()))
+    assert got == want and len(got) == 5
+
+    schema = "event_type string, side int, flag int"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),          # group
+                              st.integers(0, 1),          # side
+                              st.integers(0, 1)),         # flag
+                    min_size=1, max_size=20),
+           st.lists(st.integers(0, 2), min_size=1, max_size=20))
+    @settings(max_examples=6, deadline=None)
+    def check(evs, assignment):
+        rows = [(f"g{g}", sd, fl) for g, sd, fl in evs]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, prop_from_state(
+            prop_update(None, full)).collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)], []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = prop_update(state, bdf).localCheckpoint(eager=True)
+        got2 = sorted(map(tuple, prop_from_state(state).collect()))
+        assert got2 == one_shot
+
+    check()
+
+
 def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
     """Independent pure-Python replay of the EMA fold over the raw
     parquet (duckdb read, same (ts, id) order, same-order IEEE ops) —
