@@ -70,7 +70,8 @@ def _operator_picks(spark, sf):
         quantiles_from_state, runs_test, seasonal_decompose,
         sequence_match_multi, sequence_match_timed)
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        autocorr_lag, brown_forsythe, two_proportion_z)
+        autocorr_lag, brown_forsythe, exponential_time_decayed,
+        two_proportion_z)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         tukey_outliers)
     from clickhouse_hdfs_loader_spark.operators.features import (
@@ -250,6 +251,7 @@ def _operator_picks(spark, sf):
             sided.withColumnRenamed("side", "tag"),
             "event_type", "event_type", "tag"),
         "exponential_moving_average": exponential_moving_average(ev),
+        "exponential_time_decayed": exponential_time_decayed(ev),
         "rank_corr": rank_corr(
             ev.withColumn("y2", (F.col("value") * F.col("value"))
                           .cast("double")),

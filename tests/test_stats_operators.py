@@ -649,6 +649,77 @@ def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
     assert rows[0]["gk"] == 7 and isinstance(rows[0]["gk"], int)
 
 
+def test_exponential_time_decayed_bitwise_replay(spark, sf_dir):
+    """exponentialTimeDecayedSum/Count/Max: independent pure-Python
+    replay of the triple fold over the raw parquet — BITWISE equality
+    (the EMA stance). Hand cases pin exact power-of-two decay, the
+    tied-ts full-contribution rule (the documented CONTRAST with the
+    EMA's first-at-instant rule), the decayed max race, and guards."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        exponential_time_decayed)
+
+    hl = 3600.0
+    ev = read_table(spark, sf_dir, "events")
+    got = {r["event_type"]: (r["n"], r["last_ts_us"], r["dsum"],
+                             r["dcnt"], r["dmax"]) for r in
+           exponential_time_decayed(ev, half_life_s=hl).collect()}
+
+    rows = _duck(sf_dir).execute(
+        "SELECT event_type, epoch_us(ts) AS us, CAST(value AS DOUBLE) "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) ORDER BY event_type, us, event_id"
+    ).fetchall()
+    series: dict = {}
+    for g, us, v in rows:
+        series.setdefault(g, []).append((us, v))
+    want = {}
+    for g, pts in series.items():
+        dsum = dcnt = dmax = prev = None
+        for us, v in pts:
+            if dsum is None:
+                dsum, dcnt, dmax = float(v), 1.0, float(v)
+            else:
+                decay = 2.0 ** (-((us - prev) / 1e6) / hl)
+                dsum = float(v) + dsum * decay
+                dcnt = 1.0 + dcnt * decay
+                dmax = max(float(v), dmax * decay)
+            prev = int(us)
+        want[g] = (len(pts), prev, dsum, dcnt, dmax)
+    assert got == want and len(got) == 5   # bitwise: == on doubles
+
+    # partitioning invariance (one shuffle on the series key)
+    repart = {r["event_type"]: (r["n"], r["dsum"], r["dcnt"], r["dmax"])
+              for r in exponential_time_decayed(
+                  ev.repartition(13), half_life_s=hl).collect()}
+    assert repart == {g: (n, s, c, m)
+                      for g, (n, _us, s, c, m) in want.items()}
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, event_type string, ts timestamp, "
+              "value double")
+
+    def run(rows, hl_s=3600):
+        df = spark.createDataFrame(rows, schema)
+        return exponential_time_decayed(df, half_life_s=hl_s).collect()[0]
+
+    # exact power-of-two decay: v=8 then v=0 one half-life later ->
+    # dsum = 0 + 8*0.5 = 4, dcnt = 1 + 0.5 = 1.5, dmax = max(0, 4) = 4
+    r = run([(1, "g", t0, 8.0),
+             (2, "g", t0 + dt.timedelta(seconds=3600), 0.0)])
+    assert (r["dsum"], r["dcnt"], r["dmax"]) == (4.0, 1.5, 4.0)
+    # tied timestamps CONTRIBUTE IN FULL (decay = 1): two rows at the
+    # same instant sum and count fully (contrast the EMA tie rule)
+    r = run([(1, "g", t0, 3.0), (2, "g", t0, 4.0)])
+    assert (r["dsum"], r["dcnt"], r["dmax"]) == (7.0, 2.0, 4.0)
+    # decayed-max race: an old peak of 16 beats a fresh 3 for one
+    # half-life (16*0.5 = 8 > 3) — the peak's ghost outweighs the new
+    r = run([(1, "g", t0, 16.0),
+             (2, "g", t0 + dt.timedelta(seconds=3600), 3.0)])
+    assert r["dmax"] == 8.0
+    with pytest.raises(ValueError, match="half_life"):
+        exponential_time_decayed(ev, half_life_s=-1.0)
+
+
 def test_ema_summary_golden_rederivation():
     """The ema_summary driver golden, re-derived 100% Spark-free at the
     grading scale (duckdb parquet read + the same-order pure-Python
