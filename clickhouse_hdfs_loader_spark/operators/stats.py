@@ -835,22 +835,12 @@ def exponential_moving_average(events: DataFrame,
     string — ADVICE r10)."""
     import pandas as pd
 
-    hl = float(half_life_s)
-    if not hl > 0:
-        raise ValueError(
-            f"exponential_moving_average: half_life_s must be > 0, "
-            f"got {half_life_s}")
-    g_ddl = events.schema[group_col].dataType.simpleString()
-
-    base = (events.where(_quantizable_col(value_col)
-                         & F.col(ts_col).isNotNull())
-            .select(F.col(group_col).alias("_g"),
-                    F.unix_micros(F.col(ts_col)).alias("_us"),
-                    F.col(id_col).alias("_id"),
-                    F.col(value_col).cast("double").alias("_v")))
+    base, g_ddl, hl = _series_fold_base(
+        events, group_col, ts_col, value_col, id_col, half_life_s,
+        "exponential_moving_average")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_us", "_id"], kind="mergesort")
+        pdf = _series_sorted(pdf)
         ema = None
         prev_us = None
         for us, v in zip(pdf["_us"], pdf["_v"]):
@@ -869,6 +859,35 @@ def exponential_moving_average(events: DataFrame,
     out = base.groupBy("_g").applyInPandas(
         fold, schema=f"_g {g_ddl}, n long, last_ts_us long, ema double")
     return out.withColumnRenamed("_g", group_col)
+
+
+def _series_fold_base(events: DataFrame, group_col: str, ts_col: str,
+                      value_col: str, id_col: str,
+                      half_life_s: float, op: str):
+    """The ONE copy of the sequential-series-fold scaffold (the
+    r13 _zero_one_expr drift class, applied to the EMA/decayed pair):
+    validate the half-life loudly, derive the group column's INPUT
+    type for the applyInPandas output schema (ADVICE r10), and project
+    the quantizable-value / non-NULL-ts series rows. Returns
+    ``(base, group_ddl, half_life)``."""
+    hl = float(half_life_s)
+    if not hl > 0:
+        raise ValueError(
+            f"{op}: half_life_s must be > 0, got {half_life_s}")
+    g_ddl = events.schema[group_col].dataType.simpleString()
+    base = (events.where(_quantizable_col(value_col)
+                         & F.col(ts_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    F.col(id_col).alias("_id"),
+                    F.col(value_col).cast("double").alias("_v")))
+    return base, g_ddl, hl
+
+
+def _series_sorted(pdf):
+    """The ONE copy of the per-series sort: stable mergesort on
+    (ts, id) — the tie key every replay mirrors."""
+    return pdf.sort_values(["_us", "_id"], kind="mergesort")
 
 
 def exponential_time_decayed(events: DataFrame,
@@ -909,22 +928,12 @@ def exponential_time_decayed(events: DataFrame,
     doubles)."""
     import pandas as pd
 
-    hl = float(half_life_s)
-    if not hl > 0:
-        raise ValueError(
-            f"exponential_time_decayed: half_life_s must be > 0, "
-            f"got {half_life_s}")
-    g_ddl = events.schema[group_col].dataType.simpleString()
-
-    base = (events.where(_quantizable_col(value_col)
-                         & F.col(ts_col).isNotNull())
-            .select(F.col(group_col).alias("_g"),
-                    F.unix_micros(F.col(ts_col)).alias("_us"),
-                    F.col(id_col).alias("_id"),
-                    F.col(value_col).cast("double").alias("_v")))
+    base, g_ddl, hl = _series_fold_base(
+        events, group_col, ts_col, value_col, id_col, half_life_s,
+        "exponential_time_decayed")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_us", "_id"], kind="mergesort")
+        pdf = _series_sorted(pdf)
         dsum = dcnt = dmax = None
         prev_us = None
         for us, v in zip(pdf["_us"], pdf["_v"]):
@@ -1495,22 +1504,25 @@ def two_proportion_z(df: DataFrame, group_col: str, side_col: str,
 
     Returns ``group, n1, x1, n2, x2, z_e4``."""
     return prop_from_state(
-        prop_update(None, df, group_col, side_col, flag_col),
+        prop_update(None, df, group_col, side_col, flag_col,
+                    op="two_proportion_z"),
         group_col)
 
 
 def prop_update(state: "DataFrame | None", batch: DataFrame,
                 group_col: str = "event_type",
                 side_col: str = "side",
-                flag_col: str = "flag") -> DataFrame:
+                flag_col: str = "flag",
+                op: str = "prop_update") -> DataFrame:
     """Fold a batch into the per-group four-count proportion state
     (``group, n1, x1, n2, x2``) — an int-sum MONOID, so per-batch
     folding ≡ one-shot for ANY partition of the rows (the
     ttest_update contract). State is O(|groups|) rows; raw history is
     never rescanned. Validation and NULL exclusions are
-    :func:`two_proportion_z`'s, applied per batch."""
-    side = _zero_one_expr(side_col, "two_proportion_z", "side_col")
-    flag = _zero_one_expr(flag_col, "two_proportion_z", "flag_col",
+    :func:`two_proportion_z`'s, applied per batch; errors name the
+    calling operator via ``op`` (the _sided_base convention)."""
+    side = _zero_one_expr(side_col, op, "side_col")
+    flag = _zero_one_expr(flag_col, op, "flag_col",
                           cast_to="BIGINT")
     base = (batch.where(F.col(side_col).isNotNull()
                         & F.col(flag_col).isNotNull())
