@@ -1464,6 +1464,43 @@ def autocorr_lag(events: DataFrame, group_col: str = "event_type",
                       F.expr(RANK_CORR_SQL).alias("corr_e4"))
 
 
+def series_period_detect(events: DataFrame,
+                         group_col: str = "event_type",
+                         ts_col: str = "ts", value_col: str = "value",
+                         id_col: str = "event_id",
+                         max_lag: int = 16) -> DataFrame:
+    """Dominant-period detection per group — the deterministic analog
+    of ClickHouse's ``seriesPeriodDetectFFT`` (an FFT's float
+    pipeline is not engine-exact; the CONTRACT here is the
+    autocorrelation criterion, which is): the detected period is the
+    lag in ``1..max_lag`` with the HIGHEST :func:`autocorr_lag`
+    correlation, ties broken toward the SMALLEST lag (e4 quantization
+    makes ties real — the tie rule is part of the contract). Lags with
+    NULL correlation (too few pairs, constant series) never win; a
+    group where every lag is NULL is absent from the output.
+
+    Scale: exactly :func:`autocorr_lag`'s one window pass + one
+    (group, lag) aggregate over max_lag lags, then a |groups|·max_lag
+    → |groups| rank window — no extra scan.
+
+    Returns ``group, period, corr_e4, n`` (n = pair count at the
+    winning lag)."""
+    from pyspark.sql import Window
+
+    if not (isinstance(max_lag, int) and max_lag >= 1):
+        raise ValueError(f"max_lag must be a positive integer, "
+                         f"got {max_lag!r}")
+    ac = autocorr_lag(events, group_col, ts_col, value_col, id_col,
+                      lags=tuple(range(1, max_lag + 1)))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("corr_e4").desc(), F.col("lag").asc()))
+    return (ac.where(F.col("corr_e4").isNotNull())
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(group_col, F.col("lag").alias("period"),
+                    "corr_e4", "n"))
+
+
 # shared verbatim: the pooled two-proportion z from the exact integer
 # counts — p̂ = (x1+x2)/(n1+n2), z = (p1−p2)/sqrt(p̂(1−p̂)(1/n1+1/n2));
 # NULL when a side is empty or the pooled rate is degenerate (0 or 1,

@@ -6955,7 +6955,8 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        autocorr_lag + two_proportion_z (tests/test_stats_operators.py
 #        — ANOVA_F_SQL / RANK_CORR_SQL / PROP_Z_SQL finishes already
 #        shared; stream_two_proportion grades against the SAME batch
-#        oracle, the stream_ab_test precedent), seasonal_decompose
+#        oracle, the stream_ab_test precedent; series_period_detect
+#        rides the autocorr twin + QUALIFY argmax), seasonal_decompose
 #        (tests/test_interval_combinators.py), and the
 #        feature_hashing_summary pinned-checksum golden
 #        (tests/test_whitening.py — tag golden-sf0.01; the VERDICT r12

@@ -71,7 +71,7 @@ def _operator_picks(spark, sf):
         sequence_match_multi, sequence_match_timed)
     from clickhouse_hdfs_loader_spark.operators.stats import (
         autocorr_lag, brown_forsythe, exponential_time_decayed,
-        two_proportion_z)
+        series_period_detect, two_proportion_z)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         tukey_outliers)
     from clickhouse_hdfs_loader_spark.operators.features import (
@@ -153,6 +153,7 @@ def _operator_picks(spark, sf):
             .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))),
             "event_type", "value", "cls"),
         "autocorr_lag": autocorr_lag(ev, lags=(1, 2)),
+        "series_period_detect": series_period_detect(ev, max_lag=8),
         "seasonal_decompose": seasonal_decompose(ev, 7),
         "two_proportion_z": two_proportion_z(
             ev.where(F.col("user_id").isNotNull()

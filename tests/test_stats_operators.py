@@ -1374,6 +1374,80 @@ def test_autocorr_lag_oracle_and_hand_cases(spark, sf_dir):
         autocorr_lag(ev, lags=(0,))
 
 
+def test_series_period_detect_oracle_and_hand_cases(spark, sf_dir):
+    """series_period_detect: in-test DuckDB oracle (registry standard,
+    r14 queue) — the autocorrelation-argmax criterion with the
+    smallest-lag tie rule replays exactly in SQL; the planted period-3
+    hand case exercises the tie (lags 3 and 6 both hit corr 1.0 and
+    the SMALLER must win)."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        RANK_CORR_SQL, series_period_detect)
+
+    MAXL = 8
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    got = sorted(map(tuple, series_period_detect(
+        ev, max_lag=MAXL).collect()))
+    leads = ",\n".join(
+        f"lead(vm, {k}) OVER w AS y{k}" for k in range(1, MAXL + 1))
+    pieces = " UNION ALL ".join(
+        f"SELECT g, {k} AS lag, vm AS x, y{k} AS y FROM l "
+        f"WHERE y{k} IS NOT NULL" for k in range(1, MAXL + 1))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g, ts, event_id,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+        l AS (SELECT g, vm, {leads}
+              FROM b
+              WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+        p AS ({pieces}),
+        a AS (SELECT g, lag, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(x AS HUGEINT)) AS _sx,
+                     sum(CAST(y AS HUGEINT)) AS _sy,
+                     sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                       AS _sxx,
+                     sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS _syy,
+                     sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS _sxy
+              FROM p GROUP BY 1, 2),
+        c AS (SELECT g, lag, n, {RANK_CORR_SQL} AS corr_e4 FROM a)
+        SELECT g AS event_type, CAST(lag AS BIGINT) AS period,
+               corr_e4, n
+        FROM c WHERE corr_e4 IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY g
+                ORDER BY corr_e4 DESC, lag) = 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(vals, max_lag=8):
+        rows = [(i, "g", t0 + dt.timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, "
+            "value double")
+        return series_period_detect(df, max_lag=max_lag).collect()
+
+    # planted period 3: lags 3 AND 6 both reach corr 1.0 — the
+    # smallest-lag tie rule must pick 3
+    r = run([5, -3, -2] * 5)
+    assert len(r) == 1 and (r[0]["period"], r[0]["corr_e4"]) == (3, 1.0)
+    # a strictly linear series is maximally correlated at EVERY lag —
+    # ties all the way down, so period = 1
+    r = run(list(range(12)))
+    assert r[0]["period"] == 1 and r[0]["corr_e4"] == 1.0
+    # constant series: every lag NULL -> the group is ABSENT
+    assert run([7, 7, 7, 7, 7, 7]) == []
+    with pytest.raises(ValueError, match="max_lag"):
+        series_period_detect(ev, max_lag=0)
+
+
 def test_two_proportion_z_oracle_and_hand_cases(spark, sf_dir):
     """two_proportion_z: in-test DuckDB oracle (registry standard, r14
     queue) — exact integer conversion counts, one verbatim PROP_Z_SQL
