@@ -1839,8 +1839,9 @@ def quantile_timing_weighted(events: DataFrame,
     loudly); NULL-weight and zero-weight rows contribute nothing and
     are excluded up-front, alongside the NULL/NaN/±Inf value and NULL
     group-key exclusions (mirror all of it in twins). Overflow: ranks
-    need ``W·q < 2^63`` — safe for per-group weight totals below
-    ~9·10^15.
+    need ``W·q < 2^63`` — a per-group weight total above 9·10^15
+    RAISES a named error (ADVICE r13: never a generic ANSI arithmetic
+    error), mirrored in twins.
 
     Scale: identical shape to the unweighted operator — one
     (group, bucket) SUM shuffle (map-side combine), ≤ ~2.8k buckets
@@ -1864,8 +1865,15 @@ def quantile_timing_weighted(events: DataFrame,
     wcum = (Window.partitionBy("_g").orderBy("_b")
             .rowsBetween(Window.unboundedPreceding, 0))
     wall = Window.partitionBy("_g")
+    # the W·q rank-bound guard lives INSIDE the _n expression every
+    # rank comparison consumes, so pruning can never drop it
     cum = (counts.withColumn("_cum", F.sum("_c").over(wcum))
-           .withColumn("_n", F.sum("_c").over(wall)))
+           .withColumn("_n0", F.sum("_c").over(wall))
+           .withColumn("_n", F.expr(
+               "CASE WHEN _n0 > 9000000000000000 THEN "
+               "raise_error('quantile_timing_weighted: per-group "
+               "weight total exceeds the W*q rank bound (9e15) — "
+               "rescale weights') ELSE _n0 END")))
     qarr = F.array(*[F.lit(int(q)) for q in qs])
     hit = (cum.withColumn("q_milli", F.explode(qarr))
            .where(F.col("_cum") >= F.greatest(

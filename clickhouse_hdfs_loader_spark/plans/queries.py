@@ -5956,17 +5956,22 @@ _KENDALL_PAIR_CTE = """
                FROM events
                WHERE ({filters})
                  -- uniqueness guard (ADVICE r12, the corr_matrix
-                 -- pattern): the pair self-join keys on a.id < b.id,
-                 -- so a drifted fixture with duplicate event_ids
-                 -- would silently DROP those pairs from the twin's
-                 -- concordance counts while the Spark Knight-
-                 -- inversion side counts them; raise a named error
+                 -- pattern): the pair self-join keys on a.g = b.g
+                 -- AND a.id < b.id, so a drifted fixture with
+                 -- duplicate event_ids WITHIN a group would silently
+                 -- DROP those pairs from the twin's concordance
+                 -- counts while the Spark Knight-inversion side
+                 -- counts them; raise a named error. Per-GROUP
+                 -- uniqueness is the exact precondition (ADVICE r13:
+                 -- a global check would spuriously fail on harmless
+                 -- cross-group duplicates)
                  AND (SELECT CASE WHEN count(*) =
-                      count(DISTINCT event_id) THEN 1
+                      count(DISTINCT (event_type, event_id)) THEN 1
                       ELSE error('kendall pair oracle: duplicate '
-                                 || 'event_id in events — the '
-                                 || 'a.id < b.id self-join would '
-                                 || 'drop tied-id pairs')
+                                 || 'event_id within a group — the '
+                                 || 'a.g = b.g AND a.id < b.id '
+                                 || 'self-join would drop tied-id '
+                                 || 'pairs')
                       END FROM events WHERE {filters}) = 1),
     nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v
            GROUP BY 1),
@@ -6737,9 +6742,23 @@ def quantile_timing_q(spark, sf_dir):
     return _qt(_t(spark, sf_dir, "events"))
 
 
+def _assert_sql_literal_safe(*names: str) -> None:
+    """Step/pattern names are interpolated into single-quoted SQL
+    literals — restrict them to a quote-free charset so a future
+    pattern name can never silently break or skew the oracle
+    (ADVICE r13)."""
+    import re
+    for s in names:
+        if not re.fullmatch(r"[A-Za-z0-9_ .\-]+", s):
+            raise ValueError(
+                f"pattern/step name {s!r} is not SQL-literal-safe "
+                f"(allowed: letters, digits, '_', ' ', '.', '-')")
+
+
 def _seq_ladder_sql(name: str, steps: list) -> str:
     """One pattern's greedy earliest-completion chain as a DuckDB CTE
     ladder (the graded sequence_match shape, pattern-tagged)."""
+    _assert_sql_literal_safe(name, *steps)
     ctes, prev = [], None
     for i, s in enumerate(steps):
         if prev is None:
@@ -6757,6 +6776,38 @@ def _seq_ladder_sql(name: str, steps: list) -> str:
            f"CAST(coalesce(user_id IN (SELECT user_id FROM s{prev}), "
            f"false) AS INT) AS matched FROM events")
     return f"(WITH {', '.join(ctes)} {sel})"
+
+
+def _timed_ladder_sql(steps: list, gaps_s: list) -> str:
+    """The sequence_match_timed existence DP as a DuckDB CTE ladder
+    (the ONE copy — the in-test oracle imports this builder): per
+    step, union markers (kind 1) into candidates (kind 0), running
+    marker max ordered by (us, kind) — tied-ts markers sort after
+    candidates, so strict '>' is structural — then the inclusive gap
+    filter."""
+    _assert_sql_literal_safe(*steps)
+    ctes = ["ev AS (SELECT user_id, epoch_us(ts) AS us, event_type "
+            "FROM events WHERE ts IS NOT NULL)",
+            f"m0 AS (SELECT user_id, us FROM ev "
+            f"WHERE event_type = '{steps[0]}')"]
+    for i, (s, g) in enumerate(zip(steps[1:], gaps_s), start=1):
+        gapc = "" if g is None else f" AND us - rm <= {g * 1_000_000}"
+        ctes.append(
+            f"u{i} AS (SELECT user_id, us, 0 AS k FROM ev "
+            f"WHERE event_type = '{s}' "
+            f"UNION ALL SELECT user_id, us, 1 AS k FROM m{i-1})")
+        ctes.append(
+            f"m{i} AS (SELECT user_id, us FROM ("
+            f"SELECT user_id, us, k, "
+            f"max(CASE WHEN k = 1 THEN us END) OVER ("
+            f"PARTITION BY user_id ORDER BY us, k "
+            f"ROWS UNBOUNDED PRECEDING) AS rm "
+            f"FROM u{i}) WHERE k = 0 AND rm IS NOT NULL{gapc})")
+    last = len(steps) - 1
+    return ("WITH " + ", ".join(ctes) +
+            f" SELECT DISTINCT user_id, CAST(coalesce(user_id IN "
+            f"(SELECT user_id FROM m{last}), false) AS INT) AS matched "
+            f"FROM events")
 
 
 _SEQ_MULTI_PATTERNS = {"v_c_p": ["view", "click", "purchase"],

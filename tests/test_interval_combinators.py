@@ -767,7 +767,14 @@ def test_quantile_timing_weighted_oracle_and_hand_cases(spark, sf_dir):
         w AS (SELECT g, b, c,
                      CAST(sum(c) OVER (PARTITION BY g ORDER BY b
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-                     CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+                     CAST(CASE WHEN sum(c) OVER (PARTITION BY g)
+                            > 9000000000000000
+                          THEN error('quantile_timing_weighted: '
+                            || 'per-group weight total exceeds the '
+                            || 'W*q rank bound (9e15) — rescale '
+                            || 'weights')
+                          ELSE sum(c) OVER (PARTITION BY g) END
+                          AS BIGINT) AS n
               FROM c),
         q AS (SELECT g, b, cum, n,
                      unnest([500, 900, 990]) AS q_milli
@@ -815,6 +822,15 @@ def test_quantile_timing_weighted_oracle_and_hand_cases(spark, sf_dir):
                                      qs=(500,)).collect()
     with pytest.raises(ValueError, match="non-empty"):
         quantile_timing_weighted(ev, qs=())
+
+    # ADVICE r13: a per-group weight total past the W*q rank bound
+    # raises the NAMED error, never a generic ANSI arithmetic one
+    big = spark.createDataFrame(
+        [("g", 5.0, 9_100_000_000_000_000)],
+        "g string, v double, wt long")
+    with pytest.raises(Exception, match="W\\*q rank bound"):
+        quantile_timing_weighted(big, "g", "v", "wt",
+                                 qs=(500,)).collect()
 
 
 def test_sequence_match_multi_oracle_and_coherence(spark, sf_dir):
@@ -967,33 +983,9 @@ def test_seasonal_decompose_oracle_and_hand_cases(spark, sf_dir):
             seasonal_decompose(ev, bad)
 
 
-def _timed_ladder_sql(steps, gaps_s):
-    """The sequence_match_timed DP as a DuckDB CTE ladder: per step,
-    union markers (kind 1) into candidates (kind 0), running marker max
-    ordered by (us, kind) — tied-ts markers sort after candidates, so
-    strict '>' is structural — then the inclusive gap filter."""
-    ctes = ["ev AS (SELECT user_id, epoch_us(ts) AS us, event_type "
-            "FROM events WHERE ts IS NOT NULL)",
-            f"m0 AS (SELECT user_id, us FROM ev "
-            f"WHERE event_type = '{steps[0]}')"]
-    for i, (s, g) in enumerate(zip(steps[1:], gaps_s), start=1):
-        gapc = "" if g is None else f" AND us - rm <= {g * 1_000_000}"
-        ctes.append(
-            f"u{i} AS (SELECT user_id, us, 0 AS k FROM ev "
-            f"WHERE event_type = '{s}' "
-            f"UNION ALL SELECT user_id, us, 1 AS k FROM m{i-1})")
-        ctes.append(
-            f"m{i} AS (SELECT user_id, us FROM ("
-            f"SELECT user_id, us, k, "
-            f"max(CASE WHEN k = 1 THEN us END) OVER ("
-            f"PARTITION BY user_id ORDER BY us, k "
-            f"ROWS UNBOUNDED PRECEDING) AS rm "
-            f"FROM u{i}) WHERE k = 0 AND rm IS NOT NULL{gapc})")
-    last = len(steps) - 1
-    return ("WITH " + ", ".join(ctes) +
-            f" SELECT DISTINCT user_id, CAST(coalesce(user_id IN "
-            f"(SELECT user_id FROM m{last}), false) AS INT) AS matched "
-            f"FROM events")
+# the timed CTE ladder lives in plans/queries.py (_timed_ladder_sql —
+# the ONE copy, shared with the registry oracle and charset-guarded per
+# ADVICE r13); this test imports it below
 
 
 def test_sequence_match_timed_oracle_and_hand_cases(spark, sf_dir):
@@ -1007,6 +999,8 @@ def test_sequence_match_timed_oracle_and_hand_cases(spark, sf_dir):
 
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         sequence_match, sequence_match_timed)
+    from clickhouse_hdfs_loader_spark.plans.queries import (
+        _timed_ladder_sql)
 
     ev = read_table(spark, sf_dir, "events")
     steps = ["view", "click", "purchase"]
@@ -1069,6 +1063,14 @@ def test_sequence_match_timed_oracle_and_hand_cases(spark, sf_dir):
         sequence_match_timed(ev, ["A", "B"], [0])
     with pytest.raises(ValueError, match="non-empty"):
         sequence_match_timed(ev, [], [])
+    # the ladder builders refuse SQL-literal-unsafe step names
+    # (ADVICE r13 — a quote could silently skew the oracle)
+    from clickhouse_hdfs_loader_spark.plans.queries import (
+        _seq_ladder_sql)
+    with pytest.raises(ValueError, match="SQL-literal-safe"):
+        _timed_ladder_sql(["a'b", "B"], [None])
+    with pytest.raises(ValueError, match="SQL-literal-safe"):
+        _seq_ladder_sql("p", ["A", "b' OR 1=1"])
 
 
 def test_sequence_match_timed_hypothesis_vs_bruteforce(spark):
