@@ -30,8 +30,8 @@ from ..operators import dedup as DD
 from ..operators.stats import (ANOVA_F_SQL, AVG_WEIGHTED_SQL,
                                CONTINGENCY_SQL, CRAMERS_V_BC_SQL,
                                CRAMERS_V_SQL, KS_D_SQL, KURT_SQL,
-                               RANK_CORR_SQL, SKEW_SQL, STUDENT_T_SQL,
-                               WELCH_T_SQL, mean_z_sql)
+                               PROP_Z_SQL, RANK_CORR_SQL, SKEW_SQL,
+                               STUDENT_T_SQL, WELCH_T_SQL, mean_z_sql)
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import transform as T
@@ -6875,6 +6875,431 @@ def heavy_hitters_decayed_q(spark, sf_dir):
                capacity=64)
 
 
+# --- r14 promotions: the eleven r13-built operators (VERDICT r13 item
+# 1). SQL moved verbatim from the in-test oracles named in the r14
+# rotation comment; the only edits are the both-sides drift hardenings
+# noted per entry.
+
+@query("quantile_timing_weighted", oracle=f"""
+    WITH v AS (SELECT event_type AS g,
+                      {TIMING_CLAMP_DUCK} AS t,
+                      (((event_id % 5 + 5) % 5) + 1) AS w
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL
+                 AND event_id IS NOT NULL),
+    c AS (SELECT g, {TIMING_BUCKET_DUCK} AS b,
+                 CAST(sum(w) AS BIGINT) AS c
+          FROM v GROUP BY 1, 2),
+    w AS (SELECT g, b, c,
+                 CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(CASE WHEN sum(c) OVER (PARTITION BY g)
+                        > 9000000000000000
+                      THEN error('quantile_timing_weighted: '
+                        || 'per-group weight total exceeds the '
+                        || 'W*q rank bound (9e15) — rescale '
+                        || 'weights')
+                      ELSE sum(c) OVER (PARTITION BY g) END
+                      AS BIGINT) AS n
+          FROM c),
+    q AS (SELECT g, b, cum, n,
+                 unnest([500, 900, 990]) AS q_milli
+          FROM w)
+    SELECT g AS event_type, CAST(q_milli AS BIGINT) AS q_milli,
+           CAST(min(b) AS BIGINT) AS t_ms
+    FROM q WHERE cum >= greatest(1, (n * q_milli + 999) // 1000)
+    GROUP BY 1, 2
+""")
+def quantile_timing_weighted_q(spark, sf_dir):
+    """ClickHouse ``quantileTimingWeighted``: the quantile_timing
+    bucketization with weighted ranks (weight-w row ≡ w copies, pinned
+    by test against the unweighted operator). Weights derive from
+    event_id parity; the W·q rank-bound guard (ADVICE r13) is mirrored
+    in the twin's n. SQL verbatim from the r13 in-test oracle
+    (tests/test_interval_combinators.py).
+    operators/analytics.py:quantile_timing_weighted."""
+    from ..operators.analytics import quantile_timing_weighted as _qtw
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("wt", F.pmod(F.col("event_id"), F.lit(5)) + 1))
+    return _qtw(ev)
+
+
+_SEQ_TIMED_STEPS = ["view", "click", "purchase"]
+_SEQ_TIMED_GAPS = [21600, 86400]   # 6 h view→click, 24 h click→purchase
+
+
+@query("sequence_match_timed",
+       oracle=_timed_ladder_sql(_SEQ_TIMED_STEPS, _SEQ_TIMED_GAPS))
+def sequence_match_timed_q(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1)(?t<=21600)(?2)(?t<=86400)(?3)')``
+    — per-step gap constraints via the existence DP (greedy chains are
+    provably wrong here; the stranding counter-example is pinned in
+    tests). Oracle = the shared _timed_ladder_sql CTE ladder (running
+    marker max, (us, kind)-sorted so strict '>' is structural).
+    matched cast to INT on BOTH sides (the sequence_match stance).
+    operators/analytics.py:sequence_match_timed."""
+    from ..operators.analytics import sequence_match_timed as _smt
+    return (_smt(_t(spark, sf_dir, "events"), _SEQ_TIMED_STEPS,
+                 _SEQ_TIMED_GAPS)
+            .select("user_id", F.col("matched").cast("int")
+                    .alias("matched")))
+
+
+@query("group_array_moving_avg", oracle="""
+    SELECT event_type,
+           CAST(row_number() OVER w AS INT) AS pos,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+             w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS BIGINT) // 5 AS avg_milli
+    FROM events
+    WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL
+      AND event_id IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""")
+def group_array_moving_avg_q(spark, sf_dir):
+    """ClickHouse ``groupArrayMovingAvg(5)``: moving sum div the FULL
+    window size n with toward-zero truncation (DuckDB integer ``//``
+    twins Spark ``div`` exactly — r10); warm-up and negative-sum rows
+    pinned in tests. SQL verbatim from the r13 in-test oracle
+    (tests/test_llm_operators.py).
+    operators/analytics.py:group_array_moving_avg."""
+    from ..operators.analytics import group_array_moving_avg as _gma
+    return _gma(_t(spark, sf_dir, "events"), n=5)
+
+
+@query("tukey_outliers", oracle="""
+    WITH v AS (SELECT event_type AS g,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND event_type IS NOT NULL),
+    r AS (SELECT g, vm,
+                 row_number() OVER (PARTITION BY g ORDER BY vm)
+                   AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM v),
+    q AS (SELECT g, max(n) AS n,
+                 max(CASE WHEN rn = (n * 250 + 999) // 1000
+                     THEN vm END) AS q1,
+                 max(CASE WHEN rn = (n * 750 + 999) // 1000
+                     THEN vm END) AS q3
+          FROM r GROUP BY 1),
+    f AS (SELECT g, n, q1, q3,
+                 q1 - ((q3 - q1) * 1500) // 1000 AS lo,
+                 q3 + ((q3 - q1) * 1500) // 1000 AS hi
+          FROM q)
+    SELECT f.g AS event_type, CAST(f.n AS BIGINT) AS n,
+           CAST(q1 AS BIGINT) AS q1_milli,
+           CAST(q3 AS BIGINT) AS q3_milli,
+           CAST(lo AS BIGINT) AS lo_milli,
+           CAST(hi AS BIGINT) AS hi_milli,
+           CAST(sum(CASE WHEN vm < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN vm > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           CAST((sum(CASE WHEN vm < lo OR vm > hi THEN 1 ELSE 0
+                END) * 10000) // f.n AS BIGINT) AS outlier_rate_e4
+    FROM v JOIN f ON v.g = f.g
+    GROUP BY f.g, f.n, q1, q3, lo, hi
+""")
+def tukey_outliers_q(spark, sf_dir):
+    """Tukey IQR fences per group: exact lower-quantile Q1/Q3 at rank
+    ceil(n·q/1000), integer k_e3 = 1500 fences, all int64 (rank rule,
+    margin truncation and the degenerate group pinned in tests). SQL
+    verbatim from the r13 in-test oracle
+    (tests/test_dispersion_operators.py).
+    operators/dispersion.py:tukey_outliers."""
+    from ..operators.dispersion import tukey_outliers as _tk
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _tk(ev, "event_type", "value")
+
+
+@query("brown_forsythe", oracle=f"""
+    WITH b0 AS (SELECT event_type AS g,
+                       ((user_id % 3 + 3) % 3) AS c,
+                       CAST(floor(value * 1000) AS BIGINT) AS vm
+                FROM events
+                WHERE value IS NOT NULL AND isfinite(value)
+                  AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+    r AS (SELECT g, c, vm,
+                 row_number() OVER (PARTITION BY g, c ORDER BY vm)
+                   AS rn,
+                 count(*) OVER (PARTITION BY g, c) AS nn
+          FROM b0),
+    md AS (SELECT g, c, max(CASE WHEN rn = (nn + 1) // 2
+                      THEN vm END) AS med
+           FROM r GROUP BY 1, 2),
+    b AS (SELECT b0.g, b0.c, abs(vm - med) AS vm
+          FROM b0 JOIN md USING (g, c)),
+    pc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS nc,
+                  CAST(sum(vm) AS HUGEINT) AS s,
+                  sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT))
+                    AS ss
+           FROM b GROUP BY 1, 2),
+    pt AS (SELECT g, c, nc, s, ss, (s * s * 1000) // nc AS t
+           FROM pc),
+    pg AS (SELECT g, CAST(count(DISTINCT c) AS BIGINT) AS k,
+                  CAST(sum(nc) AS BIGINT) AS n,
+                  sum(s) AS stot, sum(ss) AS sstot,
+                  sum(t) AS tsum
+           FROM pt GROUP BY 1),
+    a AS (SELECT g, k, n,
+                 CAST(greatest(0, tsum - (stot * stot * 1000) // n)
+                   AS BIGINT) AS ssb_milli,
+                 CAST(sstot * 1000 - tsum AS BIGINT) AS ssw_milli
+          FROM pg)
+    SELECT g AS event_type, k, n, ssb_milli, ssw_milli,
+           {ANOVA_F_SQL} AS f_e4
+    FROM a
+""")
+def brown_forsythe_q(spark, sf_dir):
+    """Brown-Forsythe spread test: exact lower medians per
+    (group, class), |vm − med| deviations through the anova_f integer
+    body verbatim (shared _anova_from_int_base + ANOVA_F_SQL finish).
+    SQL from the r13 in-test oracle (tests/test_stats_operators.py)
+    plus the NULL-group-key exclusion on BOTH sides (the r9
+    fixture-drift stance — no-op on today's fixtures).
+    operators/stats.py:brown_forsythe."""
+    from ..operators.stats import brown_forsythe as _bf
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("cls", F.pmod(F.col("user_id"), F.lit(3))))
+    return _bf(ev, "event_type", "value", "cls")
+
+
+@query("autocorr_lag", oracle=f"""
+    WITH b AS (SELECT event_type AS g, ts, event_id,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+    l AS (SELECT g, vm,
+                 lead(vm, 1) OVER w AS y1,
+                 lead(vm, 2) OVER w AS y2
+          FROM b
+          WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+    p AS (SELECT g, 1 AS lag, vm AS x, y1 AS y FROM l
+          WHERE y1 IS NOT NULL
+          UNION ALL
+          SELECT g, 2, vm, y2 FROM l WHERE y2 IS NOT NULL),
+    a AS (SELECT g, lag, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS _sx,
+                 sum(CAST(y AS HUGEINT)) AS _sy,
+                 sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                   AS _sxx,
+                 sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS _syy,
+                 sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS _sxy
+          FROM p GROUP BY 1, 2)
+    SELECT g AS event_type, CAST(lag AS BIGINT) AS lag, n,
+           {RANK_CORR_SQL} AS corr_e4
+    FROM a
+""")
+def autocorr_lag_q(spark, sf_dir):
+    """Lag-k autocorrelation, all lags in ONE window pass: lead-paired
+    Pearson under the quantized contract (shared RANK_CORR_SQL finish;
+    NULL gaps close up — the subsequence rule, pinned in tests). SQL
+    verbatim from the r13 in-test oracle
+    (tests/test_stats_operators.py). operators/stats.py:autocorr_lag."""
+    from ..operators.stats import autocorr_lag as _al
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _al(ev, lags=(1, 2))
+
+
+_PERIOD_MAXL = 8
+_PERIOD_LEADS = ",\n".join(
+    f"lead(vm, {k}) OVER w AS y{k}" for k in range(1, _PERIOD_MAXL + 1))
+_PERIOD_PIECES = " UNION ALL ".join(
+    f"SELECT g, {k} AS lag, vm AS x, y{k} AS y FROM l "
+    f"WHERE y{k} IS NOT NULL" for k in range(1, _PERIOD_MAXL + 1))
+
+
+@query("series_period_detect", oracle=f"""
+    WITH b AS (SELECT event_type AS g, ts, event_id,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+    l AS (SELECT g, vm, {_PERIOD_LEADS}
+          FROM b
+          WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+    p AS ({_PERIOD_PIECES}),
+    a AS (SELECT g, lag, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS _sx,
+                 sum(CAST(y AS HUGEINT)) AS _sy,
+                 sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                   AS _sxx,
+                 sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS _syy,
+                 sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS _sxy
+          FROM p GROUP BY 1, 2),
+    c AS (SELECT g, lag, n, {RANK_CORR_SQL} AS corr_e4 FROM a)
+    SELECT g AS event_type, CAST(lag AS BIGINT) AS period,
+           corr_e4, n
+    FROM c WHERE corr_e4 IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY g
+            ORDER BY corr_e4 DESC, lag) = 1
+""")
+def series_period_detect_q(spark, sf_dir):
+    """Dominant period via autocorrelation argmax over lags 1..8 with
+    the SMALLEST-lag tie rule (a planted period ties at its multiples
+    — pinned in tests; rides the autocorr_lag kernel + a QUALIFY
+    argmax twin). SQL verbatim from the r13 in-test oracle
+    (tests/test_stats_operators.py).
+    operators/stats.py:series_period_detect."""
+    from ..operators.stats import series_period_detect as _spd
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _spd(ev, max_lag=_PERIOD_MAXL)
+
+
+_PROP_Z_ORACLE = f"""
+    WITH b AS (SELECT event_type AS g,
+                      ((user_id % 2 + 2) % 2) AS s,
+                      ((event_id % 2 + 2) % 2) AS x
+               FROM events
+               WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+    a AS (SELECT g,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN s = 1 THEN x ELSE 0 END)
+                      AS BIGINT) AS x1,
+                 CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN s = 0 THEN x ELSE 0 END)
+                      AS BIGINT) AS x2
+          FROM b GROUP BY 1)
+    SELECT g AS event_type, n1, x1, n2, x2,
+           {PROP_Z_SQL} AS z_e4
+    FROM a
+"""
+
+
+@query("two_proportion_z", oracle=_PROP_Z_ORACLE)
+def two_proportion_z_q(spark, sf_dir):
+    """Two-proportion pooled z (conversion-rate A/B): exact integer
+    conversion counts, ONE verbatim PROP_Z_SQL float finish (degenerate
+    pooled rates NULL, 0/1 validation loud — pinned in tests). SQL
+    verbatim from the r13 in-test oracle
+    (tests/test_stats_operators.py).
+    operators/stats.py:two_proportion_z."""
+    from ..operators.stats import two_proportion_z as _tpz
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("side", F.pmod(F.col("user_id"), F.lit(2)))
+          .withColumn("flag", F.pmod(F.col("event_id"), F.lit(2))))
+    return _tpz(ev, "event_type", "side", "flag")
+
+
+@query("stream_two_proportion", oracle=_PROP_Z_ORACLE)
+def stream_two_proportion_q(spark, sf_dir):
+    """Streaming conversion-rate monitor: foreachBatch folds each
+    micro-batch into the per-group four-count proportion monoid; the
+    report derives from the O(|groups|) state alone — graded against
+    the SAME batch oracle (the stream_ab_test precedent; batch
+    identity and partition invariance pinned in tests).
+    streaming/events.py:stream_two_proportion."""
+    from ..streaming.events import stream_two_proportion as _stp
+    return _stp(spark, sf_dir)
+
+
+@query("seasonal_decompose", oracle="""
+    WITH b AS (SELECT event_type AS g, ts, event_id,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+    r AS (SELECT g, vm, row_number() OVER w AS pos,
+                 count(*) OVER (PARTITION BY g) AS n,
+                 sum(vm) OVER (w ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING) AS ws
+          FROM b
+          WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+    t AS (SELECT g, pos, vm,
+                 CASE WHEN pos > 3 AND pos <= n - 3
+                      THEN ws // 7 END AS trend,
+                 (pos - 1) % 7 AS ph
+          FROM r),
+    -- dd is NULL outside the interior; sum/count over the
+    -- (g, phase) partition therefore see interior rows only
+    -- (mirrors the operator's window form — no join)
+    s AS (SELECT g, pos, vm, trend, vm - trend AS dd,
+                 sum(vm - trend) OVER (PARTITION BY g, ph) AS ssum,
+                 count(vm - trend) OVER (PARTITION BY g, ph)
+                   AS scnt
+          FROM t)
+    SELECT g AS event_type, CAST(pos AS INT) AS pos,
+           vm AS vm_milli, CAST(trend AS BIGINT) AS trend_milli,
+           CAST(CASE WHEN scnt > 0 THEN ssum // scnt END
+                AS BIGINT) AS seasonal_milli,
+           CAST(dd - CASE WHEN scnt > 0 THEN ssum // scnt END
+                AS BIGINT) AS resid_milli
+    FROM s
+""")
+def seasonal_decompose_q(spark, sf_dir):
+    """Classical additive decomposition (period 7): centered-MA trend,
+    per-(group, phase) interior means, integer truncating div on both
+    engines — ONE scan + ONE shuffle via window-partitioning
+    subsumption (measured in the plan audit). SQL verbatim from the
+    r13 in-test oracle (tests/test_interval_combinators.py).
+    operators/analytics.py:seasonal_decompose."""
+    from ..operators.analytics import seasonal_decompose as _sd
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    return _sd(ev, 7)
+
+
+@query("feature_hashing_summary", tags=("golden-sf0.01",), oracle="""
+    SELECT CAST(8804 AS BIGINT) AS n_rows,
+           CAST(1653 AS BIGINT) AS sum_w,
+           CAST(24915 AS BIGINT) AS sum_abs_w,
+           CAST(-201 AS BIGINT) AS sum_dim_w,
+           CAST(403705 AS BIGINT) AS sum_doc_w
+    WHERE (SELECT CASE WHEN count(*) = 500
+           AND sum(length(text)) = 149174
+           AND sum(doc_id) = 124750 THEN 1
+           ELSE error('feature_hashing_summary golden: the sf0.01 '
+                      || 'documents fixture drifted from the '
+                      || 'pinned content (need count 500, '
+                      || 'sum(length(text)) 149174, sum(doc_id) '
+                      || '124750) — re-derive the literals '
+                      || 'Spark-free') END
+           FROM documents) = 1
+""")
+def feature_hashing_summary_q(spark, sf_dir):
+    """feature_hashing promotion golden (the r11 golden-ladder recipe):
+    the per-corpus summary of the dims=64 signed hashing — row count
+    and four weight checksums — pinned as sf0.01 literals RE-DERIVED
+    Spark-free (duckdb read + tokenizer regex + the spec-written XXH64
+    model, tests/test_whitening.py), with the r6 content guard
+    (sf0.001 and sf0.01 share doc counts/ids but NOT text — the guard
+    pins sum(length(text)) too). operators/features.py:feature_hashing."""
+    from ..operators.features import feature_hashing as _fh
+    fh = _fh(_t(spark, sf_dir, "documents"), dims=64)
+    return fh.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("weight").alias("sum_w"),
+        F.sum(F.abs(F.col("weight"))).alias("sum_abs_w"),
+        F.sum(F.col("dim").cast("long") * F.col("weight"))
+        .alias("sum_dim_w"),
+        F.sum(F.col("doc_id") * F.col("weight"))
+        .alias("sum_doc_w"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -6997,32 +7422,35 @@ def heavy_hitters_decayed_q(spark, sf_dir):
 #        pii_scrub + embedding_quantize + limit_offset (r10, youngest
 #        of the backlog) deferred to r14 — their slots went to the
 #        kendall and moving-sum re-grades.
-#   r14: FIRST promote the r13-built operators (promotion-ready
-#        in-test DuckDB oracles, registry standard):
-#        quantile_timing_weighted + sequence_match_timed
-#        (tests/test_interval_combinators.py), group_array_moving_avg
-#        (tests/test_llm_operators.py), tukey_outliers
-#        (tests/test_dispersion_operators.py), brown_forsythe +
-#        autocorr_lag + two_proportion_z (tests/test_stats_operators.py
-#        — ANOVA_F_SQL / RANK_CORR_SQL / PROP_Z_SQL finishes already
-#        shared; stream_two_proportion grades against the SAME batch
-#        oracle, the stream_ab_test precedent; series_period_detect
-#        rides the autocorr twin + QUALIFY argmax), seasonal_decompose
-#        (tests/test_interval_combinators.py), and the
-#        feature_hashing_summary pinned-checksum golden
-#        (tests/test_whitening.py — tag golden-sf0.01; the VERDICT r12
-#        item 8 candidate, literals re-derived Spark-free); then
-#        second-confirm the
-#        r12 first-grade batch (the 27 promotions + curate_report) per
-#        the r12 note; finish the deferred backlog trio (pii_scrub,
-#        embedding_quantize, limit_offset); second-confirm the r13
-#        first-grades
-#        (quantile_timing, sequence_match_multi,
-#        heavy_hitters_decayed); then rotate the r4-era staleness
-#        tail (ann_lsh_*, text_* family, sessionize, range_join_
-#        events, session_window_agg — 19 names, latest-green r4)
-#        through remaining slots, oldest first.
-#   r15+: continue the r4/r5-era staleness tail; keep folding 3-6
+#   r14 EXECUTED (this window): the eleven r13-built operators
+#        first-graded (quantile_timing_weighted, sequence_match_timed,
+#        group_array_moving_avg, tukey_outliers, brown_forsythe,
+#        autocorr_lag, series_period_detect, two_proportion_z +
+#        stream_two_proportion against the SAME batch oracle,
+#        seasonal_decompose, feature_hashing_summary golden-sf0.01);
+#        kendall_tau + mann_kendall_trend re-graded (pair-CTE guard
+#        narrowed to per-group uniqueness — ADVICE r13,
+#        changed-surface rule); the deferred backlog trio (pii_scrub,
+#        embedding_quantize, limit_offset); and 15 of the r3-era
+#        staleness 17 (VERDICT r13 corrected the queue: r3 is the
+#        oldest tail, NOT r4) — join_semi, join_anti,
+#        broadcast_join_agg, orderby_topk, window_topk_per_customer,
+#        count_distinct_exact, approx_count_distinct, rollup_agg,
+#        events_hourly_windows, window_rank_functions, stats_agg,
+#        sql_api_q6, asof_join_events, ann_ivf_topk,
+#        dedup_connected_components.
+#   r15: FIRST grade the two r3-era deferrals (multimodal_decode,
+#        corpus_prep_pipeline — the last ten-round-stale names); then
+#        rotate the r4-era staleness tail (ann_lsh_*, text_* family,
+#        sessionize, range_join_events, session_window_agg — 19
+#        names, latest-green r4), oldest first; second-confirm the
+#        r13 first-grade trio (quantile_timing, sequence_match_multi,
+#        heavy_hitters_decayed) and start the r12 second-confirmation
+#        batch (27 promotions + curate_report) as slots allow;
+#        graduate exponential_time_decayed to a pinned-checksum
+#        golden via the EMA golden-ladder recipe (stats.py fold is
+#        bitwise-replayable) if built.
+#   r16+: continue the r4/r5-era staleness tail; keep folding 3-6
 #        re-confirmations per round.
 # pca_whiten stays replay-pinned BY DESIGN: a golden would bake in
 # LAPACK-build-specific eigh ulps (the projection magnifies them past
@@ -7041,37 +7469,33 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- r13 first-grades: the three r12 ClickHouse combinators
-    # (oracles promoted verbatim from tests/test_interval_combinators)
-    "quantile_timing", "sequence_match_multi", "heavy_hitters_decayed",
+    # --- r14 first-grades: the eleven r13-built operators (VERDICT
+    # r13 item 1 — oracles promoted verbatim from the in-test copies
+    # named in the rotation comment; registration-same-round rule)
+    "quantile_timing_weighted", "sequence_match_timed",
+    "group_array_moving_avg", "tukey_outliers", "brown_forsythe",
+    "autocorr_lag", "series_period_detect", "two_proportion_z",
+    "stream_two_proportion", "seasonal_decompose",
+    "feature_hashing_summary",
     # --- re-grades: oracle surface changed this round — the kendall
-    # pair CTE gained the duplicate-event_id guard (ADVICE r12; the
-    # semantic_dedup/covariance_stats changed-surface precedent)
+    # pair CTE's uniqueness guard narrowed to per-(group, id)
+    # distinctness (ADVICE r13; the changed-surface rule)
     "kendall_tau", "mann_kendall_trend",
-    # --- THE STALENESS ROTATION (VERDICT r12 item 1, slipped once):
-    # the r1-era tail, then the r3-era latest-green core — the
-    # engine's headline dedup/similarity family + q1/q3/q5, last
-    # graded nine rounds ago, predating the fixture-drift era
-    "window_running_sum", "pivot_status",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_fingerprint", "dedup_embedding_cosine",
-    "similarity_topk", "similarity_topk_blas",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    # --- re-grade: oracle surface changed this round — the moving-sum
-    # window gained the NULL-event_id ordering-key exclusion on both
-    # sides (the r9 window-key rule; review-caught r13)
-    "group_array_moving_sum",
-    # --- re-confirmation backlog (carried since r11): the r6-graded
-    # TPC-H tail (+ q18, r5) and the r10-displaced remainder.
-    # pii_scrub + embedding_quantize + limit_offset (r10, the
-    # youngest of the backlog) defer to r14 — their slots went to the
-    # kendall re-grades and the moving-sum re-grade above
-    "q15_top_supplier", "q16_supplier_relationship",
-    "q17_small_quantity", "q18_large_orders",
-    "q20_potential_promotion", "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q12_priority_shipping", "quality_expectations",
-    "having_filter", "nulls_ordering", "q19_disjunctive_predicates",
+    # --- the deferred backlog trio (r10-era, deferred from r13 —
+    # VERDICT r13 item 3)
+    "pii_scrub", "embedding_quantize", "limit_offset",
+    # --- THE STALENESS ROTATION (VERDICT r13 item 2): the r3-era
+    # tail — the OLDEST latest-green grades in the registry, ten
+    # rounds stale, predating the fixture-drift era. 15 of the 17
+    # fit; multimodal_decode + corpus_prep_pipeline defer to r15
+    # (their families carry fresher sibling grades —
+    # multimodal_header_decode r11, curate_report r12) and LEAD the
+    # r15 queue.
+    "join_semi", "join_anti", "broadcast_join_agg", "orderby_topk",
+    "window_topk_per_customer", "count_distinct_exact",
+    "approx_count_distinct", "rollup_agg", "events_hourly_windows",
+    "window_rank_functions", "stats_agg", "sql_api_q6",
+    "asof_join_events", "ann_ivf_topk", "dedup_connected_components",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

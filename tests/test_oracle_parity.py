@@ -143,16 +143,17 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r13: the three r12 ClickHouse combinators, promoted verbatim
-        # from their in-test oracles (tests/test_interval_combinators)
-        "quantile_timing", "sequence_match_multi",
-        "heavy_hitters_decayed",
-        # + the kendall re-grades (pair CTE gained the duplicate-
-        # event_id guard this round — changed-surface rule)
+        # r14: the eleven r13-built operators, promoted verbatim from
+        # their in-test oracles (VERDICT r13 item 1)
+        "quantile_timing_weighted", "sequence_match_timed",
+        "group_array_moving_avg", "tukey_outliers", "brown_forsythe",
+        "autocorr_lag", "series_period_detect", "two_proportion_z",
+        "stream_two_proportion", "seasonal_decompose",
+        "feature_hashing_summary",
+        # + the kendall re-grades (pair CTE's uniqueness guard
+        # narrowed to per-group distinctness — ADVICE r13,
+        # changed-surface rule)
         "kendall_tau", "mann_kendall_trend",
-        # + the moving-sum re-grade (window gained the NULL-id
-        # ordering-key exclusion on both sides — changed-surface rule)
-        "group_array_moving_sum",
     }
     missing = added_this_round - window
     assert not missing, (
