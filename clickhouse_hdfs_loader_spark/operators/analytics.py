@@ -2088,6 +2088,27 @@ def sequence_match_timed(events: DataFrame, steps: list,
     type column. Pre-project and checkpoint the (user, ts, type) slice
     upstream for very large inputs (the sequence_match_multi
     posture)."""
+    base, ms = _timed_matchable_sets(events, steps, max_gaps_s,
+                                     user_col, ts_col, type_col)
+    users = events.select(user_col).distinct()
+    hit = (ms[-1].select(user_col).distinct()
+           .withColumn("matched", F.lit(True)))
+    return (users.join(hit, user_col, "left")
+            .select(user_col,
+                    F.coalesce("matched", F.lit(False)).alias("matched")))
+
+
+def _timed_matchable_sets(events: DataFrame, steps: list,
+                          max_gaps_s: list, user_col: str,
+                          ts_col: str, type_col: str):
+    """The ONE copy of the per-step-gap existence DP (shared by
+    sequence_match_timed and sequence_match_events): validates inputs,
+    then builds per step i the set of i-MATCHABLE events — candidates
+    whose running marker max (the latest (i−1)-matchable event
+    strictly before them, ties excluded structurally via the
+    ``(ts, kind)`` sort) lies within the inclusive gap. Returns
+    ``(base, [m_0 .. m_{K-1}])`` with each ``m_i`` a
+    ``(user, _us)`` frame."""
     from pyspark.sql import Window
 
     if not steps:
@@ -2104,6 +2125,7 @@ def sequence_match_timed(events: DataFrame, steps: list,
             .select(user_col, F.col(type_col).alias("_ty"),
                     F.unix_micros(F.col(ts_col)).alias("_us")))
     m = base.where(F.col("_ty") == steps[0]).select(user_col, "_us")
+    ms = [m]
     for s, gap in zip(steps[1:], max_gaps_s):
         cand = (base.where(F.col("_ty") == s)
                 .select(user_col, "_us", F.lit(0).alias("_k")))
@@ -2118,12 +2140,58 @@ def sequence_match_timed(events: DataFrame, steps: list,
             flt = flt & (F.col("_us") - F.col("_rm")
                          <= F.lit(int(gap) * 1_000_000))
         m = uni.where(flt).select(user_col, "_us")
-    users = events.select(user_col).distinct()
-    hit = (m.select(user_col).distinct()
-           .withColumn("matched", F.lit(True)))
-    return (users.join(hit, user_col, "left")
-            .select(user_col,
-                    F.coalesce("matched", F.lit(False)).alias("matched")))
+        ms.append(m)
+    return base, ms
+
+
+def sequence_match_events(events: DataFrame, steps: list,
+                          max_gaps_s: list,
+                          user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          type_col: str = "event_type") -> DataFrame:
+    """ClickHouse ``sequenceMatchEvents``: for every user the timed
+    pattern matches, return ONE canonical witness chain — the
+    timestamps of K events realizing the pattern — instead of just the
+    boolean. The witness is fully determined by the DP's own
+    structure (deterministic on every engine, no arbitrary pick):
+
+        t_{K−1} = min(m_{K−1})                    (earliest completion)
+        t_i     = max{ u ∈ m_i : u < t_{i+1} }    (the admitting marker)
+
+    where ``m_i`` are the matchable sets of :func:`sequence_match_timed`
+    (the ONE shared DP). The second line is EXACTLY the running marker
+    max under which the DP admitted ``t_{i+1}``, so the gap constraint
+    ``t_{i+1} − t_i ≤ gap_{i+1}`` holds by construction — never
+    re-checked, provably satisfied (the greedy-fail stream therefore
+    yields the LATER step-0 event as its witness, pinned by test).
+
+    Matched users only; tied-timestamp events never chain (inherited).
+    Returns ``user, step_idx, step, t_us`` (epoch µs — never raw
+    timestamps), K rows per matched user.
+
+    Scale: the DP's K−1 window passes plus K−1 user-key join+aggs over
+    the (already user-partitioned) matchable sets — all co-partitioned
+    after the first shuffle; the chosen-chain frame is one row per
+    matched user throughout."""
+    base, ms = _timed_matchable_sets(events, steps, max_gaps_s,
+                                     user_col, ts_col, type_col)
+    k = len(steps)
+    chosen = (ms[-1].groupBy(user_col)
+              .agg(F.min("_us").alias(f"_t{k - 1}")))
+    for i in range(k - 2, -1, -1):
+        carried = [f"_t{j}" for j in range(i + 1, k)]
+        chosen = (ms[i].join(chosen, user_col)
+                  .where(F.col("_us") < F.col(f"_t{i + 1}"))
+                  .groupBy(user_col, *carried)
+                  .agg(F.max("_us").alias(f"_t{i}")))
+    parts = [chosen.select(
+        F.col(user_col), F.lit(i).alias("step_idx"),
+        F.lit(steps[i]).alias("step"),
+        F.col(f"_t{i}").alias("t_us")) for i in range(k)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",

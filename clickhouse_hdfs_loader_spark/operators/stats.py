@@ -717,6 +717,43 @@ STUDENT_T_SQL = (
     " / CAST(10000 AS DOUBLE) END END")
 
 
+# Cohen's d rides the SAME pooled variance (_SP2) as the Student t —
+# d = (m1 - m2) / s_p, scale-invariant so the milli-quantized units
+# cancel; shared verbatim by the operator and every SQL twin.
+COHENS_D_SQL = (
+    "CASE WHEN n1 < 1 OR n2 < 1 OR n1 + n2 < 3 THEN NULL ELSE "
+    "CASE WHEN " + _SP2 + " <= CAST(0 AS DOUBLE) THEN NULL ELSE "
+    "CAST(floor("
+    "(CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(sum2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt(" + _SP2 + ")"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END END")
+
+
+def cohens_d(df: DataFrame, group_col: str, value_col: str,
+             side_col: str) -> DataFrame:
+    """Cohen's d effect size per group (the companion to
+    student_ttest — "the difference is significant, but is it BIG?"):
+    ``d = (m1 − m2) / s_p`` with the pooled standard deviation from the
+    SAME exact integer six-moment base as the t-tests (order-free int64
+    partials), one verbatim COHENS_D_SQL float finish (knife-edge-
+    rounded e4; d is scale-invariant, so the milli quantization
+    cancels). Degenerate guards are explicit CASEs: n1+n2 < 3 or zero
+    pooled variance → NULL d.
+
+    Plan: identical to welch_ttest — ONE group-key aggregate with
+    map-side combine; O(|groups|) output.
+
+    Returns ``group, n1, n2, sum1, sum2, sumsq1, sumsq2, d_e4``."""
+    agg = _moments_by_side(
+        _sided_base(df, group_col, value_col, side_col, "cohens_d"),
+        group_col)
+    return agg.select(group_col, "n1", "n2", "sum1", "sum2",
+                      "sumsq1", "sumsq2",
+                      F.expr(COHENS_D_SQL).alias("d_e4"))
+
+
 def rrf_fuse(rankings: DataFrame, query_col: str = "query_id",
              doc_col: str = "doc_id", rank_col: str = "rank",
              k: int = 60, top_n: int = 10) -> DataFrame:
@@ -1788,3 +1825,106 @@ def mann_kendall_trend(events: DataFrame,
         "_mk_sec", F.unix_seconds(F.col(ts_col)).cast("double"))
     out = kendall_tau(base, group_col, "_mk_sec", value_col)
     return out.withColumnRenamed("con_minus_dis", "s")
+
+
+# simpleLinearRegression: exact 128-bit integer moments with x =
+# ABSOLUTE epoch seconds — NOT rebased to the group min — so the five
+# sums form an int-sum monoid across batches (the stream twin's
+# requirement; a rebased x would change every moment when a new batch
+# lowers the minimum). Sums are DECIMAL(38,0) Spark-side / HUGEINT in
+# twins (the skew_kurt 128-bit precedent); the finishes cast the SAME
+# exact integers to DOUBLE (correctly rounded on both engines) in one
+# written-down float order, knife-edge-rounded.
+_TREND_DEN = "(n * _sxx - _sx * _sx)"
+TREND_SLOPE_SQL = (
+    "CASE WHEN n < 2 OR " + _TREND_DEN + " = 0 THEN NULL ELSE "
+    "CAST(floor("
+    "CAST(n * _sxy - _sx * _sy AS DOUBLE)"
+    " / CAST(" + _TREND_DEN + " AS DOUBLE)"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(1000000 AS DOUBLE) END")
+TREND_ICEPT_SQL = (
+    "CASE WHEN n < 2 OR " + _TREND_DEN + " = 0 THEN NULL ELSE "
+    "CAST(floor("
+    "CAST(_sy * _sxx - _sx * _sxy AS DOUBLE)"
+    " / CAST(" + _TREND_DEN + " AS DOUBLE)"
+    " * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE) END")
+
+
+def trend_update(state: "DataFrame | None", batch: DataFrame,
+                 group_col: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value",
+                 op: str = "trend_update") -> DataFrame:
+    """Fold a batch into the per-group linear-regression moment state
+    ``group, n, _sx, _sy, _sxy, _sxx`` (n BIGINT; sums DECIMAL(38,0))
+    — an int-sum MONOID, so per-batch folding ≡ one-shot for ANY
+    partition of the rows (the prop_update contract). x = epoch
+    SECONDS via truncating div (Spark ``div`` ≡ DuckDB ``//``, both
+    toward zero — r10); y = milli-quantized value; NULL ts and
+    NULL/NaN/±Inf values excluded up-front per batch. State is
+    O(|groups|) rows; raw history is never rescanned."""
+    vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    base = (batch.where(_quantizable_col(value_col)
+                        & F.col(ts_col).isNotNull())
+            .select(F.col(group_col),
+                    F.expr(f"unix_micros({ts_col}) div 1000000")
+                    .alias("_x"),
+                    vm.alias("_y"))
+            .withColumn("_xd", F.col("_x").cast("decimal(38,0)"))
+            .withColumn("_yd", F.col("_y").cast("decimal(38,0)")))
+    fresh = (base.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("_xd").alias("_sx"),
+                  F.sum("_yd").alias("_sy"),
+                  F.sum(F.expr("_xd * _yd")).alias("_sxy"),
+                  F.sum(F.expr("_xd * _xd")).alias("_sxx")))
+    if state is None:
+        return fresh
+    return (state.unionByName(fresh).groupBy(group_col)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("_sx").alias("_sx"),
+                 F.sum("_sy").alias("_sy"),
+                 F.sum("_sxy").alias("_sxy"),
+                 F.sum("_sxx").alias("_sxx")))
+
+
+def trend_from_state(state: DataFrame,
+                     group_col: str = "event_type") -> DataFrame:
+    """Derive the regression report from the O(|groups|) moment state
+    alone: slope (milli-units per second, e6) and intercept at epoch 0
+    (milli-units, e4) through the verbatim TREND_*_SQL finishes
+    (n < 2 or a zero denominator — a constant-x series — yields NULL,
+    never an ANSI division trap). Internal DECIMAL columns never leave
+    this function (the driver hash path sees BIGINT/DOUBLE only)."""
+    return state.select(
+        group_col, "n",
+        F.expr(TREND_SLOPE_SQL).alias("slope_e6"),
+        F.expr(TREND_ICEPT_SQL).alias("icept_e4"))
+
+
+def linear_trend(events: DataFrame, group_col: str = "event_type",
+                 ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` per group over the
+    event series — "how fast is this metric moving, in units per
+    second?" (the magnitude companion to mann_kendall_trend's
+    direction test): least-squares ``y = k·x + b`` with y the
+    milli-quantized value and x the ABSOLUTE epoch second
+    (translation is NOT applied — see trend_update's monoid note; the
+    intercept is therefore at epoch 0, documented). All moments are
+    exact 128-bit integers; the two float finishes are verbatim-shared
+    with every twin. Overflow: the intercept product Σy·Σxx is the
+    tightest term — at current-epoch x and |v| < 100 it stays inside
+    DECIMAL(38) to ~5·10^7 rows per group, beyond which the ANSI
+    decimal RAISES (loud, never silent; shard or time-slice the group
+    if hit).
+
+    Plan: ONE group-key aggregate with map-side combine (the
+    welch_ttest shape); O(|groups|) output rows.
+
+    Returns ``group, n, slope_e6, icept_e4``."""
+    return trend_from_state(
+        trend_update(None, events, group_col, ts_col, value_col,
+                     op="linear_trend"),
+        group_col)

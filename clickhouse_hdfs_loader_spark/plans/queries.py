@@ -6778,13 +6778,13 @@ def _seq_ladder_sql(name: str, steps: list) -> str:
     return f"(WITH {', '.join(ctes)} {sel})"
 
 
-def _timed_ladder_sql(steps: list, gaps_s: list) -> str:
-    """The sequence_match_timed existence DP as a DuckDB CTE ladder
-    (the ONE copy — the in-test oracle imports this builder): per
-    step, union markers (kind 1) into candidates (kind 0), running
-    marker max ordered by (us, kind) — tied-ts markers sort after
-    candidates, so strict '>' is structural — then the inclusive gap
-    filter."""
+def _timed_dp_ctes(steps: list, gaps_s: list) -> list:
+    """The sequence_match_timed existence DP as DuckDB CTEs (the ONE
+    construction, shared by the matched-flag and witness-chain
+    ladders): per step, union markers (kind 1) into candidates
+    (kind 0), running marker max ordered by (us, kind) — tied-ts
+    markers sort after candidates, so strict '>' is structural — then
+    the inclusive gap filter."""
     _assert_sql_literal_safe(*steps)
     ctes = ["ev AS (SELECT user_id, epoch_us(ts) AS us, event_type "
             "FROM events WHERE ts IS NOT NULL)",
@@ -6803,11 +6803,40 @@ def _timed_ladder_sql(steps: list, gaps_s: list) -> str:
             f"PARTITION BY user_id ORDER BY us, k "
             f"ROWS UNBOUNDED PRECEDING) AS rm "
             f"FROM u{i}) WHERE k = 0 AND rm IS NOT NULL{gapc})")
+    return ctes
+
+
+def _timed_ladder_sql(steps: list, gaps_s: list) -> str:
+    """sequence_match_timed's matched flag over the shared DP CTEs."""
+    ctes = _timed_dp_ctes(steps, gaps_s)
     last = len(steps) - 1
     return ("WITH " + ", ".join(ctes) +
             f" SELECT DISTINCT user_id, CAST(coalesce(user_id IN "
             f"(SELECT user_id FROM m{last}), false) AS INT) AS matched "
             f"FROM events")
+
+
+def _timed_events_ladder_sql(steps: list, gaps_s: list) -> str:
+    """sequence_match_events' canonical witness chain over the shared
+    DP CTEs: earliest final matchable, then per step down the
+    admitting running-marker max (``t_i = max{u ∈ m_i : u < t_{i+1}}``
+    — the exact value the DP gap-checked, so the chain satisfies every
+    gap by construction)."""
+    ctes = _timed_dp_ctes(steps, gaps_s)
+    k = len(steps)
+    ctes.append(f"c{k - 1} AS (SELECT user_id, min(us) AS t{k - 1} "
+                f"FROM m{k - 1} GROUP BY 1)")
+    for i in range(k - 2, -1, -1):
+        carried = ", ".join(f"c.t{j}" for j in range(i + 1, k))
+        ctes.append(
+            f"c{i} AS (SELECT c.user_id, {carried}, max(m.us) AS t{i} "
+            f"FROM c{i + 1} c JOIN m{i} m ON m.user_id = c.user_id "
+            f"AND m.us < c.t{i + 1} "
+            f"GROUP BY c.user_id, {carried})")
+    sel = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS step_idx, '{steps[i]}' AS step, "
+        f"t{i} AS t_us FROM c0" for i in range(k))
+    return "WITH " + ", ".join(ctes) + " " + sel
 
 
 _SEQ_MULTI_PATTERNS = {"v_c_p": ["view", "click", "purchase"],

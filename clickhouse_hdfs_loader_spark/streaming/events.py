@@ -656,3 +656,36 @@ def stream_exact_quantiles(spark: SparkSession, sf_dir: str,
     if not state:
         raise RuntimeError("stream produced no batches")
     return quantiles_from_state(state[0], qs_milli=qs_milli)
+
+
+def stream_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming regression monitor twin: each micro-batch folds into
+    the per-group five-moment linear-regression state via
+    ``stats.trend_update`` inside ``foreachBatch`` (an int-sum monoid
+    over DECIMAL(38,0) sums — order-insensitive because x is the
+    ABSOLUTE epoch second, never rebased; the stream_two_proportion
+    contract), and the slope/intercept report derives from the
+    O(|groups|) state alone through ``stats.trend_from_state``.
+    Matches the batch ``linear_trend`` exactly by test."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import trend_from_state, trend_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        batch = bdf.where(F.col("event_type").isNotNull())
+        nxt = trend_update(state[0] if state else None, batch) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return trend_from_state(state[0])

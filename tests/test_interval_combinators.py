@@ -1241,3 +1241,81 @@ def test_heavy_hitters_decayed_oracle_and_hand_cases(spark, sf_dir):
                                   half_life_s=86400).collect()
     with pytest.raises(ValueError, match="half_life_s"):
         heavy_hitters_decayed(ev, "event_type", "wt", half_life_s=0)
+
+
+def test_sequence_match_events_oracle_and_hand_cases(spark, sf_dir):
+    """sequence_match_events: in-test DuckDB oracle (registry
+    standard, r15 queue) — the canonical witness chain (earliest final
+    matchable, then per step down the admitting running-marker max)
+    replays in SQL via the shared _timed_events_ladder_sql; hand cases
+    pin the greedy-fail stream's witness (the LATER step-0 event), the
+    per-row gap/order invariants, and coherence with the matched
+    flag."""
+    import datetime as dt
+
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match_events, sequence_match_timed)
+    from clickhouse_hdfs_loader_spark.plans.queries import (
+        _timed_events_ladder_sql)
+
+    ev = read_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    gaps = [21600, 86400]
+    out = sequence_match_events(ev, steps, gaps)
+    got = sorted(map(tuple, out.collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute(
+        _timed_events_ladder_sql(steps, gaps)).fetchall()))
+    assert got == want and len(got) > 0
+
+    # coherence with the matched flag: exactly the matched users, K
+    # rows each, chain strictly increasing with every gap satisfied
+    matched = {r["user_id"] for r in
+               sequence_match_timed(ev, steps, gaps).collect()
+               if r["matched"]}
+    chains: dict = {}
+    for u, idx, step, t in got:
+        assert step == steps[idx]
+        chains.setdefault(u, {})[idx] = t
+    assert set(chains) == matched
+    for u, ch in chains.items():
+        assert sorted(ch) == [0, 1, 2]
+        assert ch[0] < ch[1] < ch[2]
+        assert ch[1] - ch[0] <= gaps[0] * 1_000_000
+        assert ch[2] - ch[1] <= gaps[1] * 1_000_000
+
+    t0 = dt.datetime(2024, 1, 1)
+    t0_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 10**6
+
+    def run(rows, steps, gaps):
+        df = spark.createDataFrame(
+            [(u, ty, t0 + dt.timedelta(seconds=s)) for u, ty, s in rows],
+            "user_id long, event_type string, ts timestamp")
+        return {(r["user_id"], r["step_idx"]):
+                (r["step"], (r["t_us"] - t0_us) // 10**6)
+                for r in sequence_match_events(df, steps, gaps).collect()}
+
+    # THE greedy-fail stream: the witness must be the LATER A (05:00),
+    # not the earliest (00:00) — the admitting marker of B@05:30
+    rows = [(1, "A", 0), (1, "A", 18000), (1, "B", 19800)]
+    assert run(rows, ["A", "B"], [3600]) == {
+        (1, 0): ("A", 18000), (1, 1): ("B", 19800)}
+    # unmatched users are ABSENT (no partial chains)
+    assert run([(1, "A", 0), (1, "B", 90000)], ["A", "B"], [3600]) == {}
+    # earliest-completion rule: with two valid completions the chain
+    # ends at the EARLIEST final event, and t_i is the latest
+    # admitting marker before it
+    rows = [(1, "A", 0), (1, "A", 100), (1, "B", 200), (1, "B", 300)]
+    assert run(rows, ["A", "B"], [3600]) == {
+        (1, 0): ("A", 100), (1, 1): ("B", 200)}
+    # K = 1 degenerates to the earliest step-0 event
+    assert run([(1, "A", 50), (1, "A", 10)], ["A"], []) == {
+        (1, 0): ("A", 10)}
+    # validation inherited from the shared DP
+    with pytest.raises(ValueError, match="len\\(steps\\) - 1"):
+        sequence_match_events(ev, steps, [3600])

@@ -2066,3 +2066,155 @@ def test_mann_kendall_trend_identity_and_planted(spark, sf_dir):
     # two events in the SAME second are a time tie (n1), not a pair
     r = run([1, 2, 3], secs=[0, 0, 5])
     assert r["n1"] == 1 and r["s"] == 2
+
+
+def test_cohens_d_oracle_and_hand_cases(spark, sf_dir):
+    """cohens_d: in-test DuckDB oracle (registry standard, r15 queue)
+    — the six-moment base verbatim (_MOMENTS_CTE) with the shared
+    COHENS_D_SQL finish; hand cases pin a known d, the zero-pooled-
+    variance NULL, and the n1+n2 < 3 NULL."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        COHENS_D_SQL, cohens_d)
+    from clickhouse_hdfs_loader_spark.plans.queries import _MOMENTS_CTE
+
+    got = sorted(map(tuple, cohens_d(
+        _sided(spark, sf_dir), "event_type", "value", "side").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""{_MOMENTS_CTE}
+        SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
+               {COHENS_D_SQL} AS d_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert any(r[7] is not None for r in got)
+
+    # pinned hand value: side1={2,4} (m1=3000, ss=2e6), side0={0,2}
+    # (m2=1000, ss=2e6) -> sp² = 4e6/2 = 2e6, d = 2000/sqrt(2e6)
+    # = sqrt(2) -> 1.4142 at e4
+    known = spark.createDataFrame(
+        [("g", 2.0, 1), ("g", 4.0, 1), ("g", 0.0, 0), ("g", 2.0, 0)],
+        "event_type string, value double, side int")
+    r = cohens_d(known, "event_type", "value", "side").collect()[0]
+    assert (r["n1"], r["n2"], r["d_e4"]) == (2, 2, 1.4142)
+    # zero pooled variance (both sides constant) -> NULL, never a trap
+    const = spark.createDataFrame(
+        [("g", 2.0, 1), ("g", 2.0, 1), ("g", 5.0, 0), ("g", 5.0, 0)],
+        "event_type string, value double, side int")
+    assert cohens_d(const, "event_type", "value",
+                    "side").collect()[0]["d_e4"] is None
+    # n1 + n2 < 3 -> NULL
+    tiny = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 4.0, 0)],
+        "event_type string, value double, side int")
+    assert cohens_d(tiny, "event_type", "value",
+                    "side").collect()[0]["d_e4"] is None
+
+
+def test_linear_trend_oracle_and_hand_cases(spark, sf_dir):
+    """linear_trend: in-test DuckDB oracle (registry standard, r15
+    queue) — DECIMAL(38) Spark moments twin HUGEINT sums exactly, the
+    TREND_*_SQL finishes are verbatim-shared; hand cases pin a perfect
+    line (exact slope AND intercept), the constant-x NULL, and n < 2."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        TREND_ICEPT_SQL, TREND_SLOPE_SQL, linear_trend)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    got = sorted(map(tuple, linear_trend(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g,
+                          epoch_us(ts) // 1000000 AS x,
+                          CAST(floor(value * 1000) AS BIGINT) AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_type IS NOT NULL),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(x AS HUGEINT)) AS _sx,
+                     sum(CAST(y AS HUGEINT)) AS _sy,
+                     sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                       AS _sxy,
+                     sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                       AS _sxx
+              FROM b GROUP BY 1)
+        SELECT g AS event_type, n, {TREND_SLOPE_SQL} AS slope_e6,
+               {TREND_ICEPT_SQL} AS icept_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert any(r[2] is not None for r in got)
+
+    # perfect line: vm = 2·(x − x0) + 5 -> slope exactly 2 milli/s and
+    # intercept exactly 5 − 2·x0 milli (both rationals are integers,
+    # so the e6/e4 roundings are exact — no tolerance)
+    t0 = dt.datetime(2024, 1, 1)
+    x0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    rows = [(i, "g", t0 + dt.timedelta(seconds=i), (2 * i + 5) / 1000.0)
+            for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+        "value double")
+    r = linear_trend(df).collect()[0]
+    assert (r["n"], r["slope_e6"], r["icept_e4"]) == (
+        9, 2.0, float(5 - 2 * x0))
+    # constant x (all rows in the same second): den = 0 -> NULL both
+    same = spark.createDataFrame(
+        [(1, "g", t0, 1.0), (2, "g", t0, 9.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    r = linear_trend(same).collect()[0]
+    assert r["slope_e6"] is None and r["icept_e4"] is None
+    # n < 2 -> NULL
+    one = spark.createDataFrame(
+        [(1, "g", t0, 1.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    r = linear_trend(one).collect()[0]
+    assert (r["n"], r["slope_e6"], r["icept_e4"]) == (1, None, None)
+
+
+def test_stream_linear_trend_matches_batch_any_partition(spark, sf_dir):
+    """The foreachBatch regression twin reproduces the batch
+    linear_trend exactly, and folding ANY random partition of the rows
+    equals the one-shot report (the five-moment state is an int-sum
+    monoid over absolute-x seconds — registry standard, r15 queue,
+    graded against the batch oracle per the stream_two_proportion
+    precedent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        linear_trend, trend_from_state, trend_update)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_linear_trend)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()))
+    want = sorted(map(tuple, linear_trend(ev).collect()))
+    got = sorted(map(tuple, stream_linear_trend(
+        spark, sf_dir).collect()))
+    assert got == want and len(got) == 5
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_type string, ts timestamp, value double"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),           # group
+                              st.integers(0, 5000),        # t offset s
+                              st.integers(-50, 50)),       # milli value
+                    min_size=1, max_size=16),
+           st.lists(st.integers(0, 2), min_size=1, max_size=16))
+    @settings(max_examples=6, deadline=None)
+    def check(evs, assignment):
+        rows = [(f"g{g}", t0 + dt.timedelta(seconds=s), v / 1000.0)
+                for g, s, v in evs]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, trend_from_state(
+            trend_update(None, full)).collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)],
+                             []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = trend_update(state, bdf).localCheckpoint(eager=True)
+        got2 = sorted(map(tuple, trend_from_state(state).collect()))
+        assert got2 == one_shot
+
+    check()
