@@ -127,3 +127,101 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "score_micro", "rank"))
+
+
+def ranking_metrics(df: DataFrame, query_col: str = "query_id",
+                    score_col: str = "score", rel_col: str = "rel",
+                    id_col: str = "doc_id", k: int = 10) -> DataFrame:
+    """Retrieval-evaluation metrics per query — NDCG@k, MRR, hits@k —
+    under the repo's EXACT integer contract (the training-data-pipeline
+    question: "did the retriever put the labeled-relevant documents on
+    top?"). Rows carry a ranking score, an integral non-negative gain
+    (graded relevance), and an id tie-break:
+
+    - ``rank``  = row_number by (score DESC, id ASC) — deterministic
+      under score ties; ``irank`` = row_number by (rel DESC, id ASC)
+      (the ideal ordering; which tied-gain row sits first cannot change
+      any sum, so no extra tie rule is needed);
+    - per-position gain ``(rel · 10⁹) div ilog2_milli(rank + 1)`` —
+      rel/log2(rank+1) in exact e6 units via the monotone engine-exact
+      milli-log2 (:func:`with_ilog2_milli`, the bm25 idf machinery);
+      DCG@k sums it over rank ≤ k, IDCG@k over irank ≤ k;
+    - ``ndcg_e6 = (dcg_e6 · 10⁶) div idcg_e6`` (NULL when no positive
+      gain exists; a perfect ranking is exactly 10⁶; per-term floors
+      can nudge it a hair past 10⁶ on near-tied log values — the
+      quantized formula IS the contract, identical on every engine);
+    - ``rr_e6 = 10⁶ div (first rank with rel > 0)`` over the FULL
+      ranking (the standard MRR, not cut at k); ``hits_k`` counts
+      rel > 0 within the top k.
+
+    Gains are validated loudly (the ONE shared integral validator —
+    fractional/negative/NaN raise; NULL-gain rows are excluded like
+    NULL scores/ids/queries); gains beyond 9·10⁹ and DCG sums beyond
+    9·10¹² raise NAMED errors before any silent int64 wrap.
+
+    Plan: two rank windows over ONE query-key exchange (same
+    partitioning, Spark only re-sorts — the r13 subsumption rule),
+    then one aggregate; O(|queries|) output rows.
+
+    Returns ``query, n, hits_k, rr_e6, dcg_e6, idcg_e6, ndcg_e6``
+    (all BIGINT)."""
+    from .analytics import _integral_weight_expr, _quantizable_col
+
+    if int(k) < 1:
+        raise ValueError(f"ranking_metrics: k must be >= 1, got {k!r}")
+    k = int(k)
+    dtypes = dict(df.dtypes)
+    score_ok = (_quantizable_col(score_col)
+                if dtypes.get(score_col) in ("float", "double")
+                else F.col(score_col).isNotNull())
+    base = (df.where(score_ok
+                     & F.col(query_col).isNotNull()
+                     & F.col(id_col).isNotNull()
+                     & F.col(rel_col).isNotNull())
+            .select(F.col(query_col).alias("_q"),
+                    F.col(score_col).alias("_sc"),
+                    F.col(id_col).alias("_id"),
+                    _integral_weight_expr("ranking_metrics", rel_col)
+                    .alias("_rel")))
+    wr = Window.partitionBy("_q").orderBy(F.col("_sc").desc(),
+                                          F.col("_id").asc())
+    wi = Window.partitionBy("_q").orderBy(F.col("_rel").desc(),
+                                          F.col("_id").asc())
+    ranked = (base.withColumn("_rnk", F.row_number().over(wr))
+              .withColumn("_irnk", F.row_number().over(wi))
+              .withColumn("_r1", F.col("_rnk") + 1)
+              .withColumn("_i1", F.col("_irnk") + 1))
+    ranked = with_ilog2_milli(ranked, "_r1", "_lg")
+    ranked = with_ilog2_milli(ranked, "_i1", "_ilg")
+    gain = ("CASE WHEN _rel > 9000000000 THEN "
+            "raise_error('ranking_metrics: gains beyond 9e9 exceed "
+            "the exact e6 integer bound — rescale the relevance "
+            "grades') ELSE (_rel * 1000000000) div {lg} END")
+    scored = (ranked
+              .withColumn("_dc", F.expr(gain.format(lg="_lg")))
+              .withColumn("_ic", F.expr(gain.format(lg="_ilg"))))
+    agg = (scored.groupBy("_q")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when((F.col("_rel") > 0)
+                             & (F.col("_rnk") <= k), 1)
+                      .otherwise(0).cast("long")).alias("hits_k"),
+                F.min(F.when(F.col("_rel") > 0, F.col("_rnk")))
+                .alias("_mr"),
+                F.sum(F.when(F.col("_rnk") <= k, F.col("_dc"))
+                      .otherwise(F.lit(0).cast("long")))
+                .alias("dcg_e6"),
+                F.sum(F.when(F.col("_irnk") <= k, F.col("_ic"))
+                      .otherwise(F.lit(0).cast("long")))
+                .alias("idcg_e6")))
+    return agg.select(
+        F.col("_q").alias(query_col), "n", "hits_k",
+        F.expr("CASE WHEN _mr IS NULL THEN NULL "
+               "ELSE 1000000 div _mr END").cast("long").alias("rr_e6"),
+        "dcg_e6", "idcg_e6",
+        F.expr("CASE WHEN idcg_e6 = 0 THEN NULL "
+               "WHEN dcg_e6 > 9000000000000 THEN "
+               "raise_error('ranking_metrics: DCG beyond 9e12 exceeds "
+               "the ndcg product bound — rescale the relevance grades "
+               "or reduce k') "
+               "ELSE (dcg_e6 * 1000000) div idcg_e6 END").cast("long")
+        .alias("ndcg_e6"))

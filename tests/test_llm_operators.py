@@ -3217,3 +3217,225 @@ def test_jaro_winkler_e6_textbook_and_properties(spark, sf_dir):
     """).fetchall()
     assert all(abs(g / 1e6 - d[0]) < 5e-4
                for g, d in zip(fwd, duckrows))
+
+
+def test_ranking_metrics_oracle_and_hand_cases(spark, sf_dir):
+    """ranking_metrics (NDCG@k / MRR / hits@k): in-test DuckDB oracle
+    (registry standard, r15 queue) — exact integer gains via the
+    shared milli-log2, rank/ideal-rank in one partition; hand cases
+    pin the perfect-ranking 10⁶, the worst-ordering zero, a
+    Python-replayed mixed case, the beyond-k MRR, and the loud
+    validation."""
+    import duckdb
+
+    from clickhouse_hdfs_loader_spark.operators.retrieval import (
+        ranking_metrics)
+    from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("rel", F.pmod(F.col("user_id"), F.lit(3))))
+    got = sorted(map(tuple, ranking_metrics(
+        ev, "event_type", "value", "rel", "event_id", k=10).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    lg = _ILOG2.format(x="(rnk + 1)")
+    ilg = _ILOG2.format(x="(irnk + 1)")
+    want = sorted(map(tuple, con.execute(f"""
+        WITH b AS (SELECT event_type AS g, value AS sc, event_id AS id,
+                          ((user_id % 3 + 3) % 3) AS rel
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND event_id IS NOT NULL AND user_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+        r AS (SELECT g, rel,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY sc DESC, id) AS rnk,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY rel DESC, id) AS irnk
+              FROM b),
+        l AS (SELECT g, rel, rnk, irnk,
+                     {lg} AS lgv, {ilg} AS ilgv
+              FROM r),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN rel > 0 AND rnk <= 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS hits_k,
+                     min(CASE WHEN rel > 0 THEN rnk END) AS _mr,
+                     CAST(sum(CASE WHEN rnk <= 10
+                          THEN (rel * 1000000000) // lgv ELSE 0 END)
+                          AS BIGINT) AS dcg_e6,
+                     CAST(sum(CASE WHEN irnk <= 10
+                          THEN (rel * 1000000000) // ilgv ELSE 0 END)
+                          AS BIGINT) AS idcg_e6
+              FROM l GROUP BY 1)
+        SELECT g AS event_type, n, hits_k,
+               CAST(CASE WHEN _mr IS NULL THEN NULL
+                    ELSE 1000000 // _mr END AS BIGINT) AS rr_e6,
+               dcg_e6, idcg_e6,
+               CAST(CASE WHEN idcg_e6 = 0 THEN NULL
+                    ELSE (dcg_e6 * 1000000) // idcg_e6 END
+                    AS BIGINT) AS ndcg_e6
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert any(r[6] is not None for r in got)
+
+    def run(rels_scores, k):
+        rows = [("q", float(sc), i, int(rel))
+                for i, (rel, sc) in enumerate(rels_scores)]
+        df = spark.createDataFrame(
+            rows, "q string, score double, doc_id long, rel long")
+        return ranking_metrics(df, "q", "score", "rel", "doc_id",
+                               k=k).collect()[0]
+
+    def pylg(x):
+        e = x.bit_length() - 1
+        return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
+
+    # perfect ranking (score order == gain order): ndcg exactly 1e6
+    r = run([(3, 30.0), (2, 20.0), (1, 10.0)], k=2)
+    assert (r["ndcg_e6"], r["rr_e6"], r["hits_k"], r["n"]) == (
+        1_000_000, 1_000_000, 2, 3)
+    # worst ordering at k=2: the only relevant doc sits at rank 3 —
+    # dcg@2 = 0, but MRR still sees it (the full-ranking rule)
+    r = run([(0, 30.0), (0, 20.0), (1, 10.0)], k=2)
+    assert (r["dcg_e6"], r["ndcg_e6"], r["hits_k"],
+            r["rr_e6"]) == (0, 0, 0, 1_000_000 // 3)
+    # mixed case, replayed exactly in pure Python
+    rels = [2, 3, 0, 1]          # in descending-score order
+    dcg = sum((rel * 10**9) // pylg(i + 2)
+              for i, rel in enumerate(rels[:3]))
+    ideal = sorted(rels, reverse=True)
+    idcg = sum((rel * 10**9) // pylg(i + 2)
+               for i, rel in enumerate(ideal[:3]))
+    r = run([(2, 40.0), (3, 30.0), (0, 20.0), (1, 10.0)], k=3)
+    assert (r["dcg_e6"], r["idcg_e6"], r["ndcg_e6"]) == (
+        dcg, idcg, (dcg * 10**6) // idcg)
+    # no relevant docs anywhere: NULL rr and NULL ndcg, zero sums
+    r = run([(0, 30.0), (0, 20.0)], k=5)
+    assert (r["rr_e6"], r["ndcg_e6"], r["dcg_e6"],
+            r["idcg_e6"]) == (None, None, 0, 0)
+    # validation: k, fractional and negative gains raise loudly
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(ev, "event_type", "value", "rel", "event_id",
+                        k=0)
+    for bad, msg in ((0.5, "integral counts"), (-1.0, "negative")):
+        df = spark.createDataFrame([("q", 1.0, 1, float(bad))],
+                                   "q string, score double, "
+                                   "doc_id long, rel double")
+        with pytest.raises(Exception, match=msg):
+            ranking_metrics(df, "q", "score", "rel",
+                            "doc_id").collect()
+
+
+def test_damerau_levenshtein_udf_duckdb_parity(spark, sf_dir):
+    """damerau_levenshtein_udf: FULL Damerau-Levenshtein over UTF-8
+    bytes — hand pins (incl. the CA→ABC = 2 case separating full DL
+    from restricted OSA's 3, and the 2-byte é), exact DuckDB-native
+    parity over real document prefixes (the promotion-ready oracle
+    shape, r15 queue), NULL/empty contract, and the length raise."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.functions.text import (
+        damerau_levenshtein_udf)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    dl = damerau_levenshtein_udf()
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return [r["d"] for r in
+                df.select(dl("a", "b").alias("d")).collect()]
+
+    # full DL, not OSA: CA -> AC -> ABC is 2 edits (OSA forbids
+    # editing inside a transposed pair and says 3); DuckDB agrees
+    assert run([("CA", "ABC"), ("ab", "ba"), ("kitten", "sitting"),
+                ("", "abc"), ("", ""), ("héllo", "hello"),
+                ("same", "same")]) == [2, 1, 3, 3, 0, 2, 0]
+    df = spark.createDataFrame([("abc", None), (None, None)],
+                               "a string, b string")
+    assert [r["d"] for r in
+            df.select(dl("a", "b").alias("d")).collect()] == [None, None]
+    with pytest.raises(Exception, match="2000 bytes"):
+        spark.createDataFrame([("x" * 2001, "y")], "a string, b string") \
+            .select(dl("a", "b").alias("d")).collect()
+
+    # exact parity with DuckDB's native damerau_levenshtein on real
+    # document-text prefixes (capped pair set — the oracle shape)
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 24)
+            .select("doc_id", F.substring("text", 1, 32).alias("p")))
+    pairs = (docs.alias("a").join(docs.alias("b"),
+                                  F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     dl(F.col("a.p"), F.col("b.p")).alias("d")))
+    got = sorted(map(tuple, pairs.collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(damerau_levenshtein(substr(a.text, 1, 32),
+                                        substr(b.text, 1, 32))
+                    AS BIGINT) AS d
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 24 AND b.doc_id < 24
+    """).fetchall()))
+    assert got == want and len(got) == 276
+
+
+def test_byte_jaccard_e6_udf_duckdb_parity(spark, sf_dir):
+    """byte_jaccard_e6_udf: byte-SET Jaccard at half-up e6 — hand pins
+    (incl. the 2-byte é and the multiset-blind 'aab'/'ab' = 10⁶),
+    exact parity with floor(duckdb.jaccard·10⁶ + 0.5) over real
+    document prefixes (the promotion-ready oracle shape, r15 queue),
+    and the NULL/empty contract mirroring DuckDB's empty-input
+    raise."""
+    import duckdb
+    from clickhouse_hdfs_loader_spark.functions.text import (
+        byte_jaccard_e6_udf)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    bj = byte_jaccard_e6_udf()
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return [r["s"] for r in
+                df.select(bj("a", "b").alias("s")).collect()]
+
+    # {a,b,c} vs {b,c,d}: 2/4; byte sets ignore multiplicity; héé is
+    # bytes {h, C3, A9} vs {h, e}: 1/4; empties are NULL (DuckDB's
+    # jaccard raises on them — a 0/1 convention would have no oracle)
+    assert run([("abc", "bcd"), ("aab", "ab"), ("héé", "he"),
+                ("same", "same"), ("", "abc"), ("abc", ""),
+                ("abc", None)]) == [
+        500_000, 1_000_000, 250_000, 1_000_000, None, None, None]
+    # half-up rounding: 1/3 -> 333333, 2/3 -> 666667
+    assert run([("a", "abc"), ("ab", "abc")]) == [333_333, 666_667]
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 40)
+                   & (F.length("text") > 0))
+            .select("doc_id", F.substring("text", 1, 48).alias("p")))
+    pairs = (docs.alias("a").join(docs.alias("b"),
+                                  F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     bj(F.col("a.p"), F.col("b.p")).alias("s")))
+    got = sorted(map(tuple, pairs.collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(floor(jaccard(substr(a.text, 1, 48),
+                                  substr(b.text, 1, 48))
+                    * 1000000 + 0.5) AS BIGINT) AS s
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 40 AND b.doc_id < 40
+          AND length(a.text) > 0 AND length(b.text) > 0
+    """).fetchall()))
+    assert got == want and len(got) > 0

@@ -2218,3 +2218,103 @@ def test_stream_linear_trend_matches_batch_any_partition(spark, sf_dir):
         assert got2 == one_shot
 
     check()
+
+
+# exponential_time_decayed promotion golden (r15 queue): per-group
+# (n, last_ts_us, floor(dsum·1e6), floor(dcnt·1e6), floor(dmax·1e6))
+# at sf0.01, RE-DERIVED Spark-free (duckdb parquet read + the
+# same-order pure-Python IEEE triple fold the bitwise-replay test pins)
+# — the EMA golden-ladder recipe; guards carry the ema_summary content
+# checksums verbatim (same fixture, same drift surface).
+ETD_GOLDEN = [
+    ("click", 2006, 1706657894262777, 163356186, 3158554, 51365661),
+    ("error", 2014, 1706657023175093, 259265649, 7276007, 126656702),
+    ("purchase", 1981, 1706657097667294, 312650140, 5342840, 97280000),
+    ("signup", 2017, 1706657349826961, 266038390, 6307363, 62709293),
+    ("view", 1982, 1706659032194062, 268527140, 5954857, 142608456),
+]
+
+ETD_GOLDEN_ORACLE = ("""
+    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
+           CAST(c2 AS BIGINT) AS last_ts_us,
+           CAST(c3 AS BIGINT) AS dsum_micro,
+           CAST(c4 AS BIGINT) AS dcnt_micro,
+           CAST(c5 AS BIGINT) AS dmax_micro
+    FROM (VALUES """ + ", ".join(
+    f"('{g}', {n}, {us}, {s}, {c}, {m})"
+    for g, n, us, s, c, m in ETD_GOLDEN) + """) AS t(c0, c1, c2, c3,
+                                                     c4, c5)
+    WHERE (SELECT CASE WHEN
+      count(*) = 10000 AND sum(event_id) = 49995000
+      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+          AS BIGINT) = 496306483
+      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+          = 431800558548676
+      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+          = 197374857
+      THEN 1 ELSE error(
+      'exponential_time_decayed golden pinned at sf0.01 (events '
+      || 'count/value/ts checksums) — re-derive via '
+      || 'test_etd_summary_golden_rederivation for this sf')
+      END FROM events) = 1
+""")
+
+
+def test_etd_summary_golden_rederivation():
+    """The exponential_time_decayed promotion golden, re-derived 100%
+    Spark-free at the grading scale (the ema_summary recipe): the
+    pinned ETD_GOLDEN literals must equal the independent pure-Python
+    triple fold."""
+    import math
+
+    con = _duck("/root/testdata/sf0.01")
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts) AS us, CAST(value AS DOUBLE) "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) ORDER BY event_type, us, event_id"
+    ).fetchall()
+    hl = 3600.0
+    series: dict = {}
+    for g, us, v in rows:
+        series.setdefault(g, []).append((us, v))
+    derived = []
+    for g in sorted(series):
+        dsum = dcnt = dmax = prev = None
+        for us, v in series[g]:
+            if dsum is None:
+                dsum, dcnt, dmax = float(v), 1.0, float(v)
+            else:
+                decay = 2.0 ** (-((us - prev) / 1e6) / hl)
+                dsum = float(v) + dsum * decay
+                dcnt = 1.0 + dcnt * decay
+                dmax = max(float(v), dmax * decay)
+            prev = int(us)
+        derived.append((g, len(series[g]), prev,
+                        math.floor(dsum * 1e6), math.floor(dcnt * 1e6),
+                        math.floor(dmax * 1e6)))
+    assert derived == ETD_GOLDEN
+
+
+def test_etd_summary_golden_vs_operator(spark):
+    """The golden's promotion-ready twin runs end-to-end at sf0.01:
+    the operator's floor(x·1e6) projection equals the guarded literal
+    oracle exactly (registry standard, r15 queue — tag golden-sf0.01
+    on promotion)."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        exponential_time_decayed)
+
+    sf01 = "/root/testdata/sf0.01"
+    ev = read_table(spark, sf01, "events")
+    out = exponential_time_decayed(ev, half_life_s=3600.0)
+    got = sorted(map(tuple, out.select(
+        "event_type", "n", "last_ts_us",
+        F.floor(F.col("dsum") * F.lit(1_000_000.0)).cast("long")
+        .alias("dsum_micro"),
+        F.floor(F.col("dcnt") * F.lit(1_000_000.0)).cast("long")
+        .alias("dcnt_micro"),
+        F.floor(F.col("dmax") * F.lit(1_000_000.0)).cast("long")
+        .alias("dmax_micro")).collect()))
+    want = sorted(map(tuple,
+                      _duck(sf01).execute(ETD_GOLDEN_ORACLE).fetchall()))
+    assert got == want and len(got) == 5
