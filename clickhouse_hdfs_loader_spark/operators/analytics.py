@@ -2100,15 +2100,28 @@ def sequence_match_timed(events: DataFrame, steps: list,
 
 def _timed_matchable_sets(events: DataFrame, steps: list,
                           max_gaps_s: list, user_col: str,
-                          ts_col: str, type_col: str):
+                          ts_col: str, type_col: str,
+                          carry_chains: bool = False):
     """The ONE copy of the per-step-gap existence DP (shared by
     sequence_match_timed and sequence_match_events): validates inputs,
     then builds per step i the set of i-MATCHABLE events — candidates
     whose running marker max (the latest (i−1)-matchable event
     strictly before them, ties excluded structurally via the
-    ``(ts, kind)`` sort) lies within the inclusive gap. Returns
-    ``(base, [m_0 .. m_{K-1}])`` with each ``m_i`` a
-    ``(user, _us)`` frame."""
+    ``(ts, kind)`` sort) lies within the inclusive gap.
+
+    With ``carry_chains`` each matchable row additionally carries the
+    witness times of its admitting prefix (``_c0 .. _c{i-1}``): the
+    running max becomes a max over ``struct(us, chain…)`` — markers
+    tied on us provably carry IDENTICAL chains (a row's chain is a
+    function of its us through the same running-max rule), so the
+    struct tie-break never actually chooses, and the carried chain
+    equals the backward reconstruction
+    ``t_{i-1} = max{u ∈ m_{i-1} : u < t_i}`` by induction. Existence
+    callers leave it off — the scalar running max shuffles K fewer
+    longs per row.
+
+    Returns ``(base, [m_0 .. m_{K-1}])``; each ``m_i`` is
+    ``(user, _us[, _c0 .. _c{i-1}])``."""
     from pyspark.sql import Window
 
     if not steps:
@@ -2126,20 +2139,44 @@ def _timed_matchable_sets(events: DataFrame, steps: list,
                     F.unix_micros(F.col(ts_col)).alias("_us")))
     m = base.where(F.col("_ty") == steps[0]).select(user_col, "_us")
     ms = [m]
-    for s, gap in zip(steps[1:], max_gaps_s):
+    chain: list = []
+    w = (Window.partitionBy(user_col).orderBy("_us", "_k")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for idx, (s, gap) in enumerate(zip(steps[1:], max_gaps_s), start=1):
         cand = (base.where(F.col("_ty") == s)
                 .select(user_col, "_us", F.lit(0).alias("_k")))
-        mark = m.select(user_col, "_us", F.lit(1).alias("_k"))
-        w = (Window.partitionBy(user_col).orderBy("_us", "_k")
-             .rowsBetween(Window.unboundedPreceding, 0))
-        uni = (cand.unionByName(mark)
-               .withColumn("_rm", F.max(
-                   F.when(F.col("_k") == 1, F.col("_us"))).over(w)))
+        if carry_chains:
+            pay = F.struct(F.col("_us").alias("_mus"),
+                           *[F.col(c) for c in chain])
+            mark = m.select(user_col, "_us", F.lit(1).alias("_k"),
+                            pay.alias("_pay"))
+            cand = cand.withColumn(
+                "_pay", F.lit(None).cast(mark.schema["_pay"].dataType))
+            uni = (cand.unionByName(mark)
+                   .withColumn("_rm", F.max(
+                       F.when(F.col("_k") == 1, F.col("_pay")))
+                       .over(w)))
+            gate = F.col("_rm._mus")
+        else:
+            mark = m.select(user_col, "_us", F.lit(1).alias("_k"))
+            uni = (cand.unionByName(mark)
+                   .withColumn("_rm", F.max(
+                       F.when(F.col("_k") == 1, F.col("_us")))
+                       .over(w)))
+            gate = F.col("_rm")
         flt = (F.col("_k") == 0) & F.col("_rm").isNotNull()
         if gap is not None:
-            flt = flt & (F.col("_us") - F.col("_rm")
+            flt = flt & (F.col("_us") - gate
                          <= F.lit(int(gap) * 1_000_000))
-        m = uni.where(flt).select(user_col, "_us")
+        if carry_chains:
+            nxt = f"_c{idx - 1}"
+            m = uni.where(flt).select(
+                user_col, "_us",
+                *[F.col(f"_rm.{c}").alias(c) for c in chain],
+                F.col("_rm._mus").alias(nxt))
+            chain = chain + [nxt]
+        else:
+            m = uni.where(flt).select(user_col, "_us")
         ms.append(m)
     return base, ms
 
@@ -2169,29 +2206,38 @@ def sequence_match_events(events: DataFrame, steps: list,
     Returns ``user, step_idx, step, t_us`` (epoch µs — never raw
     timestamps), K rows per matched user.
 
-    Scale: the DP's K−1 window passes plus K−1 user-key join+aggs over
-    the (already user-partitioned) matchable sets — all co-partitioned
-    after the first shuffle; the chosen-chain frame is one row per
-    matched user throughout."""
+    Scale: the chains ride THROUGH the DP as the running max's struct
+    payload (``carry_chains`` — identical chains on tied markers make
+    the struct max well-defined; see _timed_matchable_sets), so the
+    whole operator is the DP's K−1 window passes plus ONE final
+    group-by — no backward joins, no re-planned DP subtrees (the first
+    cut reconstructed backwards through K−1 joins and re-planned the
+    m_i ladder O(K²) times — 18 scans at K=3, plan-audit-caught; this
+    form audits at 4 scans / K exchanges)."""
     base, ms = _timed_matchable_sets(events, steps, max_gaps_s,
-                                     user_col, ts_col, type_col)
+                                     user_col, ts_col, type_col,
+                                     carry_chains=True)
     k = len(steps)
-    chosen = (ms[-1].groupBy(user_col)
-              .agg(F.min("_us").alias(f"_t{k - 1}")))
-    for i in range(k - 2, -1, -1):
-        carried = [f"_t{j}" for j in range(i + 1, k)]
-        chosen = (ms[i].join(chosen, user_col)
-                  .where(F.col("_us") < F.col(f"_t{i + 1}"))
-                  .groupBy(user_col, *carried)
-                  .agg(F.max("_us").alias(f"_t{i}")))
-    parts = [chosen.select(
-        F.col(user_col), F.lit(i).alias("step_idx"),
-        F.lit(steps[i]).alias("step"),
-        F.col(f"_t{i}").alias("t_us")) for i in range(k)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    chain_cols = [f"_c{j}" for j in range(k - 1)]
+    # earliest completion per user; tied final rows carry identical
+    # chains, so min over the struct never actually tie-breaks
+    pick = (ms[-1].groupBy(user_col)
+            .agg(F.min(F.struct(F.col("_us"),
+                                *[F.col(c) for c in chain_cols]))
+                 .alias("_w")))
+    times = chain_cols + ["_us"]   # step i -> _c{i}, last step -> _us
+    # ONE posexplode, not a K-way union — each union branch would
+    # re-plan the pick subtree (the same class as the backward-join
+    # cut this operator replaced)
+    steps_arr = F.array(*[
+        F.struct(F.lit(steps[i]).alias("step"),
+                 F.col(f"_w.{times[i]}").alias("t_us"))
+        for i in range(k)])
+    return (pick.select(F.col(user_col),
+                        F.posexplode(steps_arr).alias("step_idx", "_sv"))
+            .select(user_col, "step_idx",
+                    F.col("_sv.step").alias("step"),
+                    F.col("_sv.t_us").alias("t_us")))
 
 
 def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",
