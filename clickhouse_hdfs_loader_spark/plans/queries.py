@@ -7470,15 +7470,28 @@ def feature_hashing_summary_q(spark, sf_dir):
 #        dedup_connected_components.
 #   r15: FIRST grade the two r3-era deferrals (multimodal_decode,
 #        corpus_prep_pipeline — the last ten-round-stale names); then
-#        rotate the r4-era staleness tail (ann_lsh_*, text_* family,
-#        sessionize, range_join_events, session_window_agg — 19
-#        names, latest-green r4), oldest first; second-confirm the
-#        r13 first-grade trio (quantile_timing, sequence_match_multi,
+#        promote the r14-built batch (promotion-ready in-test DuckDB
+#        oracles, registry standard): cohens_d (COHENS_D_SQL over
+#        _MOMENTS_CTE, tests/test_stats_operators.py), linear_trend +
+#        stream_linear_trend (TREND_SLOPE/ICEPT_SQL, HUGEINT twin in
+#        the same test; the stream twin grades against the batch
+#        oracle per the stream_two_proportion precedent),
+#        etd_summary (ETD_GOLDEN_ORACLE at
+#        tests/test_stats_operators.py — tag golden-sf0.01, the EMA
+#        golden-ladder recipe executed), sequence_match_events
+#        (_timed_events_ladder_sql — the witness-chain ladder,
+#        tests/test_interval_combinators.py), ranking_metrics
+#        (NDCG/MRR/hits@k, _ILOG2 twin at tests/test_llm_operators.py),
+#        and pair queries over damerau_levenshtein_udf /
+#        byte_jaccard_e6_udf (DuckDB-NATIVE twins —
+#        damerau_levenshtein / floor(jaccard*1e6+0.5), the capped-pair
+#        shapes in tests/test_llm_operators.py); then rotate the
+#        r4-era staleness tail (ann_lsh_*, text_* family, sessionize,
+#        range_join_events, session_window_agg — 19 names,
+#        latest-green r4), oldest first; second-confirm the r13
+#        first-grade trio (quantile_timing, sequence_match_multi,
 #        heavy_hitters_decayed) and start the r12 second-confirmation
-#        batch (27 promotions + curate_report) as slots allow;
-#        graduate exponential_time_decayed to a pinned-checksum
-#        golden via the EMA golden-ladder recipe (stats.py fold is
-#        bitwise-replayable) if built.
+#        batch (27 promotions + curate_report) as slots allow.
 #   r16+: continue the r4/r5-era staleness tail; keep folding 3-6
 #        re-confirmations per round.
 # pca_whiten stays replay-pinned BY DESIGN: a golden would bake in

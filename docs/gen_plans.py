@@ -70,8 +70,13 @@ def _operator_picks(spark, sf):
         quantiles_from_state, runs_test, seasonal_decompose,
         sequence_match_multi, sequence_match_timed)
     from clickhouse_hdfs_loader_spark.operators.stats import (
-        autocorr_lag, brown_forsythe, exponential_time_decayed,
-        series_period_detect, two_proportion_z)
+        autocorr_lag, brown_forsythe, cohens_d,
+        exponential_time_decayed, linear_trend, series_period_detect,
+        two_proportion_z)
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match_events)
+    from clickhouse_hdfs_loader_spark.operators.retrieval import (
+        ranking_metrics)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         tukey_outliers)
     from clickhouse_hdfs_loader_spark.operators.features import (
@@ -273,6 +278,17 @@ def _operator_picks(spark, sf):
                       F.unix_micros("ts").cast("double").alias("x"),
                       F.col("value").alias("y")),
             "event_type", "x", "y", 100),
+        # --- the r14-built batch (r15 promotion queue)
+        "cohens_d": cohens_d(sided, "event_type", "value", "side"),
+        "linear_trend": linear_trend(
+            ev.where(F.col("event_type").isNotNull())),
+        "sequence_match_events": sequence_match_events(
+            ev, ["view", "click", "purchase"], [21600, 86400]),
+        "ranking_metrics": ranking_metrics(
+            ev.where(F.col("user_id").isNotNull()
+                     & F.col("event_type").isNotNull())
+            .withColumn("rel", F.pmod(F.col("user_id"), F.lit(3))),
+            "event_type", "value", "rel", "event_id", k=10),
     }
 
 
