@@ -42,7 +42,10 @@ def _quantizable_col(colname: str):
 
 
 def _integral_weight_expr(op: str, weight_col: str,
-                          allow_negative: bool = False):
+                          allow_negative: bool = False,
+                          noun: str = "weight",
+                          neg_reason: str = ("breaks the Misra-Gries "
+                                             "accounting")):
     """The ONE copy of the integral-weight validator (review-caught
     triplication risk). NULL weights pass through as NULL so they reach
     the caller's documented isNotNull exclusion; NaN weights route to a
@@ -52,23 +55,26 @@ def _integral_weight_expr(op: str, weight_col: str,
     fractional weights raise; negative weights raise unless
     ``allow_negative`` (callers that instead drop them with a ``> 0``
     filter). The guard lives INSIDE the weight expression so column
-    pruning can never optimize it away."""
+    pruning can never optimize it away. Non-weight callers (e.g.
+    relevance gains) pass ``noun``/``neg_reason`` so the named error
+    describes THEIR domain, not heavy-hitter internals
+    (review-caught r14)."""
     neg = ("" if allow_negative else
            f"WHEN CAST({weight_col} AS DOUBLE) < 0.0 "
-           f"THEN raise_error('{op}: negative weight breaks the "
-           f"Misra-Gries accounting; weights must be non-negative "
+           f"THEN raise_error('{op}: negative {noun} {neg_reason}; "
+           f"{noun}s must be non-negative "
            f"integral counts') ")
     return F.expr(
         f"CASE WHEN {weight_col} IS NULL THEN NULL "
         f"WHEN isnan(CAST({weight_col} AS DOUBLE)) "
-        f"THEN raise_error('{op}: NaN weight; weights "
+        f"THEN raise_error('{op}: NaN {noun}; {noun}s "
         f"must be integral counts') "
         + neg +
         f"WHEN CAST({weight_col} AS DOUBLE) "
         f"= floor(CAST({weight_col} AS DOUBLE)) "
         f"THEN CAST({weight_col} AS BIGINT) "
-        f"ELSE raise_error('{op}: weights "
-        f"must be integral counts; scale fractional weights to integers "
+        f"ELSE raise_error('{op}: {noun}s "
+        f"must be integral counts; scale fractional {noun}s to integers "
         f"first') END")
 
 
@@ -2203,8 +2209,12 @@ def sequence_match_events(events: DataFrame, steps: list,
     yields the LATER step-0 event as its witness, pinned by test).
 
     Matched users only; tied-timestamp events never chain (inherited).
-    Returns ``user, step_idx, step, t_us`` (epoch µs — never raw
-    timestamps), K rows per matched user.
+    NULL users never emit chains (excluded up-front and mirrored in
+    the twin's ladder — the matched-flag sibling renders them
+    ``matched = false`` on both engines, so emitting a NULL-user
+    chain here would contradict it; review-caught r14, the r9
+    NULL-key stance). Returns ``user, step_idx, step, t_us`` (epoch
+    µs — never raw timestamps), K rows per matched user.
 
     Scale: the chains ride THROUGH the DP as the running max's struct
     payload (``carry_chains`` — identical chains on tied markers make
@@ -2214,9 +2224,9 @@ def sequence_match_events(events: DataFrame, steps: list,
     cut reconstructed backwards through K−1 joins and re-planned the
     m_i ladder O(K²) times — 18 scans at K=3, plan-audit-caught; this
     form audits at 4 scans / K exchanges)."""
-    base, ms = _timed_matchable_sets(events, steps, max_gaps_s,
-                                     user_col, ts_col, type_col,
-                                     carry_chains=True)
+    base, ms = _timed_matchable_sets(
+        events.where(F.col(user_col).isNotNull()), steps, max_gaps_s,
+        user_col, ts_col, type_col, carry_chains=True)
     k = len(steps)
     chain_cols = [f"_c{j}" for j in range(k - 1)]
     # earliest completion per user; tied final rows carry identical

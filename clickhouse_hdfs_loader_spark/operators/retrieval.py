@@ -156,8 +156,10 @@ def ranking_metrics(df: DataFrame, query_col: str = "query_id",
 
     Gains are validated loudly (the ONE shared integral validator —
     fractional/negative/NaN raise; NULL-gain rows are excluded like
-    NULL scores/ids/queries); gains beyond 9·10⁹ and DCG sums beyond
-    9·10¹² raise NAMED errors before any silent int64 wrap.
+    NULL scores/ids/queries); gains beyond ``min(9·10⁹, 9·10¹²/k)``
+    (the k-term DCG-sum bound — so the named raise fires before any
+    generic ANSI sum overflow) and DCG values beyond 9·10¹² at the
+    ndcg product raise NAMED errors, never a silent int64 wrap.
 
     Plan: two rank windows over ONE query-key exchange (same
     partitioning, Spark only re-sorts — the r13 subsumption rule),
@@ -181,7 +183,10 @@ def ranking_metrics(df: DataFrame, query_col: str = "query_id",
             .select(F.col(query_col).alias("_q"),
                     F.col(score_col).alias("_sc"),
                     F.col(id_col).alias("_id"),
-                    _integral_weight_expr("ranking_metrics", rel_col)
+                    _integral_weight_expr(
+                        "ranking_metrics", rel_col,
+                        noun="relevance gain",
+                        neg_reason="is not a valid graded relevance")
                     .alias("_rel")))
     wr = Window.partitionBy("_q").orderBy(F.col("_sc").desc(),
                                           F.col("_id").asc())
@@ -193,10 +198,17 @@ def ranking_metrics(df: DataFrame, query_col: str = "query_id",
               .withColumn("_i1", F.col("_irnk") + 1))
     ranked = with_ilog2_milli(ranked, "_r1", "_lg")
     ranked = with_ilog2_milli(ranked, "_i1", "_ilg")
-    gain = ("CASE WHEN _rel > 9000000000 THEN "
-            "raise_error('ranking_metrics: gains beyond 9e9 exceed "
-            "the exact e6 integer bound — rescale the relevance "
-            "grades') ELSE (_rel * 1000000000) div {lg} END")
+    # per-term: rel·1e9 < 2^63 needs rel <= 9e9; the k-term DCG sum
+    # (each term <= rel·1e6) needs rel <= 9e12/k — bound BOTH here so
+    # the named raise fires before any generic ANSI sum overflow
+    # (review-caught r14: a flat 9e9 bound let k >= ~1024 overflow
+    # inside the aggregate first)
+    bound = min(9_000_000_000, 9_000_000_000_000 // k)
+    gain = (f"CASE WHEN _rel > {bound} THEN "
+            f"raise_error('ranking_metrics: gains beyond {bound} "
+            f"overflow the exact e6 DCG sum at k={k} — rescale the "
+            f"relevance grades or reduce k') "
+            "ELSE (_rel * 1000000000) div {lg} END")
     scored = (ranked
               .withColumn("_dc", F.expr(gain.format(lg="_lg")))
               .withColumn("_ic", F.expr(gain.format(lg="_ilg"))))

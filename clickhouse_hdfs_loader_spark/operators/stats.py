@@ -1854,8 +1854,7 @@ TREND_ICEPT_SQL = (
 
 def trend_update(state: "DataFrame | None", batch: DataFrame,
                  group_col: str = "event_type", ts_col: str = "ts",
-                 value_col: str = "value",
-                 op: str = "trend_update") -> DataFrame:
+                 value_col: str = "value") -> DataFrame:
     """Fold a batch into the per-group linear-regression moment state
     ``group, n, _sx, _sy, _sxy, _sxx`` (n BIGINT; sums DECIMAL(38,0))
     — an int-sum MONOID, so per-batch folding ≡ one-shot for ANY
@@ -1925,6 +1924,5 @@ def linear_trend(events: DataFrame, group_col: str = "event_type",
 
     Returns ``group, n, slope_e6, icept_e4``."""
     return trend_from_state(
-        trend_update(None, events, group_col, ts_col, value_col,
-                     op="linear_trend"),
+        trend_update(None, events, group_col, ts_col, value_col),
         group_col)

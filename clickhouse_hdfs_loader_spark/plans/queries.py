@@ -6824,8 +6824,11 @@ def _timed_events_ladder_sql(steps: list, gaps_s: list) -> str:
     gap by construction)."""
     ctes = _timed_dp_ctes(steps, gaps_s)
     k = len(steps)
+    # NULL users never emit chains (mirrors the operator's up-front
+    # exclusion; without this a K=1 ladder would keep a NULL GROUP BY
+    # row the equality joins of K>=2 silently drop — review-caught)
     ctes.append(f"c{k - 1} AS (SELECT user_id, min(us) AS t{k - 1} "
-                f"FROM m{k - 1} GROUP BY 1)")
+                f"FROM m{k - 1} WHERE user_id IS NOT NULL GROUP BY 1)")
     for i in range(k - 2, -1, -1):
         carried = ", ".join(f"c.t{j}" for j in range(i + 1, k))
         ctes.append(

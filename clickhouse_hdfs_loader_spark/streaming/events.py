@@ -562,8 +562,13 @@ def stream_two_proportion(spark: SparkSession,
     state: list = []
 
     def fold(bdf: DataFrame, _epoch: int) -> None:
+        # NULL group keys out, mirroring the graded oracle's
+        # event_type IS NOT NULL (review-caught r14: the batch twin
+        # filters in its registry wrapper; a stream twin has no
+        # wrapper, so the exclusion lives here — the r9 drift stance)
         sided = (bdf.where(F.col("user_id").isNotNull()
-                           & F.col("event_id").isNotNull())
+                           & F.col("event_id").isNotNull()
+                           & F.col("event_type").isNotNull())
                  .withColumn("side", F.pmod(F.col("user_id"),
                                             F.lit(2)))
                  .withColumn("flag", F.pmod(F.col("event_id"),

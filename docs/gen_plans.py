@@ -49,7 +49,8 @@ def _operator_picks(spark, sf):
         interval_length_sum, max_intersections)
     from clickhouse_hdfs_loader_spark.operators.linkage import fuzzy_join
     from clickhouse_hdfs_loader_spark.operators.prune import bloom_semi_join
-    from clickhouse_hdfs_loader_spark.operators.retrieval import bm25_topk
+    from clickhouse_hdfs_loader_spark.operators.retrieval import (
+        bm25_topk, ranking_metrics)
     from clickhouse_hdfs_loader_spark.operators.stats import (
         anova_f, arg_min_max_by_group, avg_weighted, categorical_iv,
         cramers_v, cramers_v_bias_corrected,
@@ -68,15 +69,12 @@ def _operator_picks(spark, sf):
         histogram_adaptive, histogram_equi_depth, kaplan_meier,
         quantile_timing, quantile_timing_weighted, quantile_update,
         quantiles_from_state, runs_test, seasonal_decompose,
-        sequence_match_multi, sequence_match_timed)
+        sequence_match_events, sequence_match_multi,
+        sequence_match_timed)
     from clickhouse_hdfs_loader_spark.operators.stats import (
         autocorr_lag, brown_forsythe, cohens_d,
         exponential_time_decayed, linear_trend, series_period_detect,
         two_proportion_z)
-    from clickhouse_hdfs_loader_spark.operators.analytics import (
-        sequence_match_events)
-    from clickhouse_hdfs_loader_spark.operators.retrieval import (
-        ranking_metrics)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         tukey_outliers)
     from clickhouse_hdfs_loader_spark.operators.features import (

@@ -1316,6 +1316,14 @@ def test_sequence_match_events_oracle_and_hand_cases(spark, sf_dir):
     # K = 1 degenerates to the earliest step-0 event
     assert run([(1, "A", 50), (1, "A", 10)], ["A"], []) == {
         (1, 0): ("A", 10)}
+    # NULL users never emit chains — excluded up-front AND mirrored in
+    # the twin's ladder (K=1 exercises the GROUP BY path the K>=2
+    # equality joins would mask; review-caught r14)
+    nulls = spark.createDataFrame(
+        [(None, "A", t0), (1, "A", t0)],
+        "user_id long, event_type string, ts timestamp")
+    got_n = sequence_match_events(nulls, ["A"], []).collect()
+    assert [(r["user_id"], r["step_idx"]) for r in got_n] == [(1, 0)]
     # validation inherited from the shared DP
     with pytest.raises(ValueError, match="len\\(steps\\) - 1"):
         sequence_match_events(ev, steps, [3600])

@@ -3322,13 +3322,23 @@ def test_ranking_metrics_oracle_and_hand_cases(spark, sf_dir):
     with pytest.raises(ValueError, match="k must be"):
         ranking_metrics(ev, "event_type", "value", "rel", "event_id",
                         k=0)
-    for bad, msg in ((0.5, "integral counts"), (-1.0, "negative")):
+    for bad, msg in ((0.5, "integral counts"),
+                     (-1.0, "negative relevance gain")):
         df = spark.createDataFrame([("q", 1.0, 1, float(bad))],
                                    "q string, score double, "
                                    "doc_id long, rel double")
         with pytest.raises(Exception, match=msg):
             ranking_metrics(df, "q", "score", "rel",
                             "doc_id").collect()
+    # the gain bound is k-AWARE (review-caught r14): at k=2000 the cap
+    # tightens to 9e12//2000 = 4.5e9 so the k-term DCG sum can never
+    # hit a generic ANSI overflow — the raise is named
+    big = spark.createDataFrame([("q", 1.0, 1, 5_000_000_000)],
+                                "q string, score double, "
+                                "doc_id long, rel long")
+    with pytest.raises(Exception, match="overflow the exact e6 DCG"):
+        ranking_metrics(big, "q", "score", "rel", "doc_id",
+                        k=2000).collect()
 
 
 def test_damerau_levenshtein_udf_duckdb_parity(spark, sf_dir):

@@ -530,7 +530,8 @@ def test_stream_two_proportion_matches_batch_any_partition(spark,
 
     ev = (read_table(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull()
-                 & F.col("event_id").isNotNull())
+                 & F.col("event_id").isNotNull()
+                 & F.col("event_type").isNotNull())
           .withColumn("side", F.pmod(F.col("user_id"), F.lit(2)))
           .withColumn("flag", F.pmod(F.col("event_id"), F.lit(2))))
     want = sorted(map(tuple, two_proportion_z(
