@@ -3449,3 +3449,84 @@ def test_byte_jaccard_e6_udf_duckdb_parity(spark, sf_dir):
           AND length(a.text) > 0 AND length(b.text) > 0
     """).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_ranking_metrics_hypothesis_vs_replay(spark):
+    """Property: ranking_metrics equals a pure-Python replay of the
+    documented contract (score-desc/id-asc rank, rel-desc ideal, the
+    milli-log2 gain quantization, full-ranking MRR) on arbitrary small
+    inputs with heavy score/rel ties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.retrieval import (
+        ranking_metrics)
+
+    def pylg(x):
+        e = x.bit_length() - 1
+        return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
+
+    def replay(rows, k):
+        # rows: [(doc_id, score, rel)] for one query
+        byscore = sorted(rows, key=lambda r: (-r[1], r[0]))
+        byrel = sorted(rows, key=lambda r: (-r[2], r[0]))
+        n = len(rows)
+        hits = sum(1 for i, r in enumerate(byscore[:k]) if r[2] > 0)
+        first = next((i + 1 for i, r in enumerate(byscore)
+                      if r[2] > 0), None)
+        rr = None if first is None else 1_000_000 // first
+        dcg = sum((r[2] * 10**9) // pylg(i + 2)
+                  for i, r in enumerate(byscore[:k]))
+        idcg = sum((r[2] * 10**9) // pylg(i + 2)
+                   for i, r in enumerate(byrel[:k]))
+        ndcg = None if idcg == 0 else (dcg * 10**6) // idcg
+        return (n, hits, rr, dcg, idcg, ndcg)
+
+    @given(st.lists(st.tuples(st.integers(0, 3),     # score bucket
+                              st.integers(0, 2)),    # rel
+                    min_size=1, max_size=10),
+           st.sampled_from([1, 2, 5]))
+    @settings(max_examples=6, deadline=None)
+    def check(pairs, k):
+        rows = [(i, float(sc), rel) for i, (sc, rel) in enumerate(pairs)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, rel long")
+        df = df.withColumn("q", F.lit("q"))
+        r = ranking_metrics(df, "q", "score", "rel", "doc_id",
+                            k=k).collect()[0]
+        got = (r["n"], r["hits_k"], r["rr_e6"], r["dcg_e6"],
+               r["idcg_e6"], r["ndcg_e6"])
+        assert got == replay(rows, k)
+
+    check()
+
+
+def test_damerau_levenshtein_hypothesis_vs_duckdb(spark):
+    """Property: the Lowrance-Wagner DP equals DuckDB's native
+    damerau_levenshtein on arbitrary short strings over a tiny
+    alphabet (maximizing transposition/repeat collisions)."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.functions.text import (
+        damerau_levenshtein_udf)
+
+    dl = damerau_levenshtein_udf()
+    con = duckdb.connect()
+
+    @given(st.lists(st.tuples(st.text(alphabet="abc", max_size=6),
+                              st.text(alphabet="abc", max_size=6)),
+                    min_size=1, max_size=8))
+    @settings(max_examples=6, deadline=None)
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        got = [r["d"] for r in
+               df.select(dl("a", "b").alias("d")).collect()]
+        want = [con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+            for a, b in pairs]
+        assert got == want
+
+    check()
