@@ -7489,9 +7489,17 @@ def feature_hashing_summary_q(spark, sf_dir):
 #        byte_jaccard_e6_udf (DuckDB-NATIVE twins —
 #        damerau_levenshtein / floor(jaccard*1e6+0.5), the capped-pair
 #        shapes in tests/test_llm_operators.py); then rotate the
-#        r4-era staleness tail (ann_lsh_*, text_* family, sessionize,
-#        range_join_events, session_window_agg — 19 names,
-#        latest-green r4), oldest first; second-confirm the r13
+#        r4-era staleness tail (ann_lsh_near_dup, ann_lsh_topk,
+#        chunk_documents, contamination_check, dedup_levenshtein,
+#        profile_documents, range_join_events, scalar_functions,
+#        session_window_agg, sessionize, stratified_sample,
+#        streaming_hourly_windows, text_fingerprint, text_langid,
+#        text_quality, text_repetition, text_token_counts,
+#        window_functions_sampler, winnow_fingerprint — the 19 names
+#        judge-style-recomputed from CORRECTNESS_r01..r13, latest-green
+#        r4; ALL 19 pre-verified hash-exact at sf0.1 late in the r14
+#        session AND green at sf0.01 in the full r14 contract drive),
+#        oldest first; second-confirm the r13
 #        first-grade trio (quantile_timing, sequence_match_multi,
 #        heavy_hitters_decayed) and start the r12 second-confirmation
 #        batch (27 promotions + curate_report) as slots allow.
