@@ -1860,12 +1860,16 @@ def trend_update(state: "DataFrame | None", batch: DataFrame,
     — an int-sum MONOID, so per-batch folding ≡ one-shot for ANY
     partition of the rows (the prop_update contract). x = epoch
     SECONDS via truncating div (Spark ``div`` ≡ DuckDB ``//``, both
-    toward zero — r10); y = milli-quantized value; NULL ts and
-    NULL/NaN/±Inf values excluded up-front per batch. State is
-    O(|groups|) rows; raw history is never rescanned."""
+    toward zero — r10); y = milli-quantized value; NULL group keys,
+    NULL ts, and NULL/NaN/±Inf values excluded up-front per batch
+    (ADVICE r14: the stream twin filters NULL groups per micro-batch,
+    so the batch/stream identity must not depend on callers
+    pre-filtering). State is O(|groups|) rows; raw history is never
+    rescanned."""
     vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
     base = (batch.where(_quantizable_col(value_col)
-                        & F.col(ts_col).isNotNull())
+                        & F.col(ts_col).isNotNull()
+                        & F.col(group_col).isNotNull())
             .select(F.col(group_col),
                     F.expr(f"unix_micros({ts_col}) div 1000000")
                     .alias("_x"),

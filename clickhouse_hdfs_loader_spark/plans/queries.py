@@ -28,10 +28,12 @@ from ..functions.vectors import cosine
 from ..operators.analytics import TIMING_BUCKET_DUCK, TIMING_CLAMP_DUCK
 from ..operators import dedup as DD
 from ..operators.stats import (ANOVA_F_SQL, AVG_WEIGHTED_SQL,
-                               CONTINGENCY_SQL, CRAMERS_V_BC_SQL,
-                               CRAMERS_V_SQL, KS_D_SQL, KURT_SQL,
-                               PROP_Z_SQL, RANK_CORR_SQL, SKEW_SQL,
-                               STUDENT_T_SQL, WELCH_T_SQL, mean_z_sql)
+                               COHENS_D_SQL, CONTINGENCY_SQL,
+                               CRAMERS_V_BC_SQL, CRAMERS_V_SQL,
+                               KS_D_SQL, KURT_SQL, PROP_Z_SQL,
+                               RANK_CORR_SQL, SKEW_SQL, STUDENT_T_SQL,
+                               TREND_ICEPT_SQL, TREND_SLOPE_SQL,
+                               WELCH_T_SQL, mean_z_sql)
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import transform as T
@@ -7332,6 +7334,290 @@ def feature_hashing_summary_q(spark, sf_dir):
         .alias("sum_doc_w"))
 
 
+# --- r15 promotions: the eight r14-built operators (VERDICT r14 item
+# 2). SQL moved verbatim from the in-test oracles named in the r15
+# rotation comment; the only edits are the both-sides drift hardenings
+# noted per entry (the ranking_metrics distinctness guard — ADVICE
+# r14).
+
+@query("cohens_d", oracle=f"""{_MOMENTS_CTE}
+    SELECT event_type, n1, n2, sum1, sum2, sumsq1, sumsq2,
+           {COHENS_D_SQL} AS d_e4
+    FROM a
+""")
+def cohens_d_q(spark, sf_dir):
+    """Cohen's d effect size per group — the student_ttest's
+    significance question completed with magnitude: exact integer
+    six-moment base (the shared _MOMENTS_CTE preamble), ONE verbatim
+    COHENS_D_SQL float finish (pooled s_p; n1+n2 < 3 and zero pooled
+    variance NULL, never a trap). SQL verbatim from the r14 in-test
+    oracle (tests/test_stats_operators.py). operators/stats.py:cohens_d."""
+    from ..operators.stats import cohens_d as _cd
+    return _cd(_sided_events(spark, sf_dir), "event_type", "value",
+               "side")
+
+
+_TREND_ORACLE = f"""
+    WITH b AS (SELECT event_type AS g,
+                      epoch_us(ts) // 1000000 AS x,
+                      CAST(floor(value * 1000) AS BIGINT) AS y
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_type IS NOT NULL),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS _sx,
+                 sum(CAST(y AS HUGEINT)) AS _sy,
+                 sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS _sxy,
+                 sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS _sxx
+          FROM b GROUP BY 1)
+    SELECT g AS event_type, n, {TREND_SLOPE_SQL} AS slope_e6,
+           {TREND_ICEPT_SQL} AS icept_e4
+    FROM a
+"""
+
+
+@query("linear_trend", oracle=_TREND_ORACLE)
+def linear_trend_q(spark, sf_dir):
+    """ClickHouse ``simpleLinearRegression`` per group: least-squares
+    slope (milli-units/second, e6) and intercept-at-epoch-0 (e4) from
+    exact 128-bit integer moments (Spark DECIMAL(38,0) twins DuckDB
+    HUGEINT — r14), x kept ABSOLUTE so the five-moment state is an
+    int-sum monoid; verbatim TREND_*_SQL finishes both sides. NULL
+    group keys excluded inside trend_update (ADVICE r14), mirrored by
+    the twin's WHERE. SQL verbatim from the r14 in-test oracle
+    (tests/test_stats_operators.py). operators/stats.py:linear_trend."""
+    from ..operators.stats import linear_trend as _lt
+    return _lt(_t(spark, sf_dir, "events"))
+
+
+@query("stream_linear_trend", oracle=_TREND_ORACLE)
+def stream_linear_trend_q(spark, sf_dir):
+    """Streaming regression monitor: foreachBatch folds each
+    micro-batch into the per-group five-moment monoid (trend_update);
+    the report derives from the O(|groups|) state alone — graded
+    against the SAME batch oracle (the stream_two_proportion
+    precedent; batch identity and partition invariance pinned in
+    tests). streaming/events.py:stream_linear_trend."""
+    from ..streaming.events import stream_linear_trend as _slt
+    return _slt(spark, sf_dir)
+
+
+# exponential_time_decayed promotion golden (the EMA golden-ladder
+# recipe, r14): per-group (n, last_ts_us, floor(dsum·1e6),
+# floor(dcnt·1e6), floor(dmax·1e6)) at sf0.01, RE-DERIVED Spark-free
+# (duckdb parquet read + the same-order pure-Python IEEE triple fold
+# the bitwise-replay test pins — tests/test_stats_operators.py:
+# test_etd_summary_golden_rederivation imports THIS list); guards
+# carry the ema_summary content checksums verbatim (same fixture,
+# same drift surface).
+ETD_GOLDEN = [
+    ("click", 2006, 1706657894262777, 163356186, 3158554, 51365661),
+    ("error", 2014, 1706657023175093, 259265649, 7276007, 126656702),
+    ("purchase", 1981, 1706657097667294, 312650140, 5342840, 97280000),
+    ("signup", 2017, 1706657349826961, 266038390, 6307363, 62709293),
+    ("view", 1982, 1706659032194062, 268527140, 5954857, 142608456),
+]
+
+ETD_GOLDEN_ORACLE = ("""
+    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
+           CAST(c2 AS BIGINT) AS last_ts_us,
+           CAST(c3 AS BIGINT) AS dsum_micro,
+           CAST(c4 AS BIGINT) AS dcnt_micro,
+           CAST(c5 AS BIGINT) AS dmax_micro
+    FROM (VALUES """ + ", ".join(
+    f"('{g}', {n}, {us}, {s}, {c}, {m})"
+    for g, n, us, s, c, m in ETD_GOLDEN) + """) AS t(c0, c1, c2, c3,
+                                                     c4, c5)
+    WHERE (SELECT CASE WHEN
+      count(*) = 10000 AND sum(event_id) = 49995000
+      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+          AS BIGINT) = 496306483
+      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+          = 431800558548676
+      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+          = 197374857
+      THEN 1 ELSE error(
+      'exponential_time_decayed golden pinned at sf0.01 (events '
+      || 'count/value/ts checksums) — re-derive via '
+      || 'test_etd_summary_golden_rederivation for this sf')
+      END FROM events) = 1
+""")
+
+
+@query("etd_summary", tags=("golden-sf0.01",), oracle=ETD_GOLDEN_ORACLE)
+def etd_summary_q(spark, sf_dir):
+    """exponential_time_decayed promotion golden (the ema_summary
+    golden-ladder recipe): the sequential IEEE triple fold
+    (decayed sum/count/max, half-life 3600 s) is bitwise-replayable,
+    so floor(x·1e6) of each terminal is a STABLE integer summary —
+    pinned as sf0.01 literals re-derived 100% Spark-free, with count +
+    value + ts content checksums guarding fixture drift.
+    operators/stats.py:exponential_time_decayed."""
+    from ..operators.stats import exponential_time_decayed as _etd
+    out = _etd(_t(spark, sf_dir, "events"), half_life_s=3600.0)
+    return out.select(
+        "event_type", "n", "last_ts_us",
+        F.floor(F.col("dsum") * F.lit(1_000_000.0)).cast("long")
+        .alias("dsum_micro"),
+        F.floor(F.col("dcnt") * F.lit(1_000_000.0)).cast("long")
+        .alias("dcnt_micro"),
+        F.floor(F.col("dmax") * F.lit(1_000_000.0)).cast("long")
+        .alias("dmax_micro"))
+
+
+@query("sequence_match_events",
+       oracle=_timed_events_ladder_sql(_SEQ_TIMED_STEPS,
+                                       _SEQ_TIMED_GAPS))
+def sequence_match_events_q(spark, sf_dir):
+    """ClickHouse ``sequenceMatchEvents`` — the witness CHAIN behind
+    sequence_match_timed's boolean: K rows per matched user with the
+    canonical chain (earliest final matchable; per step down, the
+    admitting running-marker max, which the DP gap-checked — so every
+    gap holds by construction). Chains ride the DP as the running
+    max's struct payload (3 scans / 2 exchanges at K=3; the
+    backward-join reconstruction re-planned the ladder to 18 and was
+    plan-audit-killed — r14). Oracle = the shared
+    _timed_events_ladder_sql backward-reconstruction ladder.
+    operators/analytics.py:sequence_match_events."""
+    from ..operators.analytics import sequence_match_events as _sme
+    return _sme(_t(spark, sf_dir, "events"), _SEQ_TIMED_STEPS,
+                _SEQ_TIMED_GAPS)
+
+
+_RANKM_FILTERS = ("value IS NOT NULL AND isfinite(value) "
+                  "AND event_id IS NOT NULL AND user_id IS NOT NULL "
+                  "AND event_type IS NOT NULL")
+
+_RANKM_LG = _ILOG2.format(x="(rnk + 1)")
+_RANKM_ILG = _ILOG2.format(x="(irnk + 1)")
+
+
+@query("ranking_metrics", oracle=f"""
+    WITH b AS (SELECT event_type AS g, value AS sc, event_id AS id,
+                      ((user_id % 3 + 3) % 3) AS rel
+               FROM events
+               WHERE ({_RANKM_FILTERS})
+                 -- uniqueness guard (ADVICE r14, the kendall pair
+                 -- pattern): rank determinism rests on per-group id
+                 -- uniqueness — a drifted fixture with duplicate
+                 -- event_ids WITHIN a group would make the
+                 -- (sc DESC, id) row_number order engine-arbitrary
+                 -- and silently hash-diverge; raise a named error.
+                 -- Per-GROUP uniqueness is the exact precondition
+                 -- (cross-group duplicates are harmless)
+                 AND (SELECT CASE WHEN count(*) =
+                      count(DISTINCT (event_type, event_id)) THEN 1
+                      ELSE error('ranking_metrics oracle: duplicate '
+                                 || 'event_id within a group — the '
+                                 || '(score DESC, id) rank tie-break '
+                                 || 'would be engine-arbitrary')
+                      END FROM events WHERE {_RANKM_FILTERS}) = 1),
+    r AS (SELECT g, rel,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY sc DESC, id) AS rnk,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY rel DESC, id) AS irnk
+          FROM b),
+    l AS (SELECT g, rel, rnk, irnk,
+                 {_RANKM_LG} AS lgv, {_RANKM_ILG} AS ilgv
+          FROM r),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN rel > 0 AND rnk <= 10
+                      THEN 1 ELSE 0 END) AS BIGINT) AS hits_k,
+                 min(CASE WHEN rel > 0 THEN rnk END) AS _mr,
+                 CAST(sum(CASE WHEN rnk <= 10
+                      THEN (rel * 1000000000) // lgv ELSE 0 END)
+                      AS BIGINT) AS dcg_e6,
+                 CAST(sum(CASE WHEN irnk <= 10
+                      THEN (rel * 1000000000) // ilgv ELSE 0 END)
+                      AS BIGINT) AS idcg_e6
+          FROM l GROUP BY 1)
+    SELECT g AS event_type, n, hits_k,
+           CAST(CASE WHEN _mr IS NULL THEN NULL
+                ELSE 1000000 // _mr END AS BIGINT) AS rr_e6,
+           dcg_e6, idcg_e6,
+           CAST(CASE WHEN idcg_e6 = 0 THEN NULL
+                ELSE (dcg_e6 * 1000000) // idcg_e6 END
+                AS BIGINT) AS ndcg_e6
+    FROM a
+""")
+def ranking_metrics_q(spark, sf_dir):
+    """Retrieval-evaluation metrics (NDCG@10 / MRR / hits@10) per
+    group under the exact integer contract: milli-log2 gains, two rank
+    windows on ONE query-key exchange (the r13 subsumption rule),
+    full-ranking MRR. Graded relevance derives from user_id mod 3. SQL
+    verbatim from the r14 in-test oracle (tests/test_llm_operators.py)
+    plus the per-group id-distinctness guard (ADVICE r14).
+    operators/retrieval.py:ranking_metrics."""
+    from ..operators.retrieval import ranking_metrics as _rm
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("rel", F.pmod(F.col("user_id"), F.lit(3))))
+    return _rm(ev, "event_type", "value", "rel", "event_id", k=10)
+
+
+@query("damerau_pairs", oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(damerau_levenshtein(substr(a.text, 1, 32),
+                                    substr(b.text, 1, 32))
+                AS BIGINT) AS d
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 24 AND b.doc_id < 24
+""")
+def damerau_pairs_q(spark, sf_dir):
+    """FULL Damerau-Levenshtein (Lowrance-Wagner 1975; edits allowed
+    inside a transposed pair) over UTF-8 BYTES on capped document-
+    prefix pairs — the linkage-stage verify shape (bounded pair set,
+    never corpus-wide; the Arrow-batched UDF carries a loud 2000-byte
+    O(ab)-DP bound). Byte semantics are DELIBERATE: DuckDB's native
+    ``damerau_levenshtein`` is the oracle, no replay needed. SQL
+    verbatim from the r14 in-test parity shape
+    (tests/test_llm_operators.py).
+    functions/text.py:damerau_levenshtein_udf."""
+    from ..functions.text import damerau_levenshtein_udf
+    dl = damerau_levenshtein_udf()
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 24)
+            .select("doc_id", F.substring("text", 1, 32).alias("p")))
+    return (docs.alias("a")
+            .join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    dl(F.col("a.p"), F.col("b.p")).alias("d")))
+
+
+@query("byte_jaccard_pairs", oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(jaccard(substr(a.text, 1, 48),
+                              substr(b.text, 1, 48))
+                * 1000000 + 0.5) AS BIGINT) AS s
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 40 AND b.doc_id < 40
+      AND length(a.text) > 0 AND length(b.text) > 0
+""")
+def byte_jaccard_pairs_q(spark, sf_dir):
+    """Byte-SET Jaccard at half-up e6 (ClickHouse
+    ``stringJaccardIndex`` semantics) on capped document-prefix pairs:
+    DuckDB's native ``jaccard`` under floor(x·1e6 + 0.5) is the oracle
+    (exact for all byte-set unions ≤ 256 — the only exact-.5
+    boundaries have power-of-two denominators, exact in double — r14).
+    Empty strings are NULL-excluded on BOTH sides (DuckDB's jaccard
+    raises on them). SQL verbatim from the r14 in-test parity shape
+    (tests/test_llm_operators.py). functions/text.py:byte_jaccard_e6_udf."""
+    from ..functions.text import byte_jaccard_e6_udf
+    bj = byte_jaccard_e6_udf()
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 40) & (F.length("text") > 0))
+            .select("doc_id", F.substring("text", 1, 48).alias("p")))
+    return (docs.alias("a")
+            .join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    bj(F.col("a.p"), F.col("b.p")).alias("s")))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -7471,7 +7757,30 @@ def feature_hashing_summary_q(spark, sf_dir):
 #        events_hourly_windows, window_rank_functions, stats_agg,
 #        sql_api_q6, asof_join_events, ann_ivf_topk,
 #        dedup_connected_components.
-#   r15: FIRST grade the two r3-era deferrals (multimodal_decode,
+#   r15 EXECUTED (this window): the two r3-era deferrals graded FIRST
+#        (multimodal_decode, corpus_prep_pipeline — closes the r3 era
+#        entirely); the eight r14-built operators promoted (cohens_d,
+#        linear_trend + stream_linear_trend on the shared batch
+#        oracle, etd_summary golden-sf0.01, sequence_match_events,
+#        ranking_metrics with the ADVICE-r14 per-group id-distinctness
+#        guard, damerau_pairs + byte_jaccard_pairs on DuckDB-NATIVE
+#        twins); the full r4-era staleness 19 rotated (all
+#        pre-verified hash-exact at sf0.1 in r14); and 2
+#        second-confirmations of the r13 first-grade trio
+#        (quantile_timing, sequence_match_multi —
+#        heavy_hitters_decayed defers to r16 and leads its
+#        re-confirmation queue).
+#   r16 queue: promote THIS round's new operators (see the r16 list
+#        appended below as they land, with in-test oracle locations);
+#        second-confirm heavy_hitters_decayed; rotate the r5-era
+#        staleness tail (judge-style-recompute the latest-green list
+#        from CORRECTNESS_r01..r15 — the r5 cohort is ~19 names:
+#        the loader goldens aside, expect seeded_shuffle,
+#        sequence_count, bpe_merges, pagerank_summary and the r5
+#        first-grade batch); start the r12 27-promotion +
+#        curate_report second-confirmation batch as slots allow.
+#   r15 PLANNED (kept for the audit trail):
+#        FIRST grade the two r3-era deferrals (multimodal_decode,
 #        corpus_prep_pipeline — the last ten-round-stale names); then
 #        promote the r14-built batch (promotion-ready in-test DuckDB
 #        oracles, registry standard): cohens_d (COHENS_D_SQL over
@@ -7522,33 +7831,31 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- r14 first-grades: the eleven r13-built operators (VERDICT
-    # r13 item 1 — oracles promoted verbatim from the in-test copies
+    # --- the two r3-era deferrals graded FIRST (VERDICT r14 item 1 —
+    # the last ten-round-stale grades; closes the r3 era entirely)
+    "multimodal_decode", "corpus_prep_pipeline",
+    # --- r15 first-grades: the eight r14-built operators (VERDICT
+    # r14 item 2 — oracles promoted verbatim from the in-test copies
     # named in the rotation comment; registration-same-round rule)
-    "quantile_timing_weighted", "sequence_match_timed",
-    "group_array_moving_avg", "tukey_outliers", "brown_forsythe",
-    "autocorr_lag", "series_period_detect", "two_proportion_z",
-    "stream_two_proportion", "seasonal_decompose",
-    "feature_hashing_summary",
-    # --- re-grades: oracle surface changed this round — the kendall
-    # pair CTE's uniqueness guard narrowed to per-(group, id)
-    # distinctness (ADVICE r13; the changed-surface rule)
-    "kendall_tau", "mann_kendall_trend",
-    # --- the deferred backlog trio (r10-era, deferred from r13 —
-    # VERDICT r13 item 3)
-    "pii_scrub", "embedding_quantize", "limit_offset",
-    # --- THE STALENESS ROTATION (VERDICT r13 item 2): the r3-era
-    # tail — the OLDEST latest-green grades in the registry, ten
-    # rounds stale, predating the fixture-drift era. 15 of the 17
-    # fit; multimodal_decode + corpus_prep_pipeline defer to r15
-    # (their families carry fresher sibling grades —
-    # multimodal_header_decode r11, curate_report r12) and LEAD the
-    # r15 queue.
-    "join_semi", "join_anti", "broadcast_join_agg", "orderby_topk",
-    "window_topk_per_customer", "count_distinct_exact",
-    "approx_count_distinct", "rollup_agg", "events_hourly_windows",
-    "window_rank_functions", "stats_agg", "sql_api_q6",
-    "asof_join_events", "ann_ivf_topk", "dedup_connected_components",
+    "cohens_d", "linear_trend", "stream_linear_trend", "etd_summary",
+    "sequence_match_events", "ranking_metrics", "damerau_pairs",
+    "byte_jaccard_pairs",
+    # --- THE STALENESS ROTATION (VERDICT r14 item 3): the r4-era
+    # tail — the oldest latest-green grades left after the r3 close-
+    # out; ALL 19 pre-verified hash-exact at sf0.1 late in the r14
+    # session (commit 7fc1ec6) and green at sf0.01 in the full r14
+    # contract drive.
+    "ann_lsh_near_dup", "ann_lsh_topk", "chunk_documents",
+    "contamination_check", "dedup_levenshtein", "profile_documents",
+    "range_join_events", "scalar_functions", "session_window_agg",
+    "sessionize", "stratified_sample", "streaming_hourly_windows",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_repetition", "text_token_counts", "window_functions_sampler",
+    "winnow_fingerprint",
+    # --- second-confirmations of the r13 first-grade trio (VERDICT
+    # r14 item 4; heavy_hitters_decayed defers to r16 and leads its
+    # re-confirmation queue)
+    "quantile_timing", "sequence_match_multi",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

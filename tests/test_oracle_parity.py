@@ -143,17 +143,13 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r14: the eleven r13-built operators, promoted verbatim from
-        # their in-test oracles (VERDICT r13 item 1)
-        "quantile_timing_weighted", "sequence_match_timed",
-        "group_array_moving_avg", "tukey_outliers", "brown_forsythe",
-        "autocorr_lag", "series_period_detect", "two_proportion_z",
-        "stream_two_proportion", "seasonal_decompose",
-        "feature_hashing_summary",
-        # + the kendall re-grades (pair CTE's uniqueness guard
-        # narrowed to per-group distinctness — ADVICE r13,
-        # changed-surface rule)
-        "kendall_tau", "mann_kendall_trend",
+        # r15: the eight r14-built operators, promoted verbatim from
+        # their in-test oracles (VERDICT r14 item 2; ranking_metrics
+        # additionally gained the ADVICE-r14 per-group id-distinctness
+        # guard, linear_trend the NULL-group-key fold filter)
+        "cohens_d", "linear_trend", "stream_linear_trend",
+        "etd_summary", "sequence_match_events", "ranking_metrics",
+        "damerau_pairs", "byte_jaccard_pairs",
     }
     missing = added_this_round - window
     assert not missing, (

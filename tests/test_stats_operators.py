@@ -2221,45 +2221,13 @@ def test_stream_linear_trend_matches_batch_any_partition(spark, sf_dir):
     check()
 
 
-# exponential_time_decayed promotion golden (r15 queue): per-group
-# (n, last_ts_us, floor(dsum·1e6), floor(dcnt·1e6), floor(dmax·1e6))
-# at sf0.01, RE-DERIVED Spark-free (duckdb parquet read + the
-# same-order pure-Python IEEE triple fold the bitwise-replay test pins)
-# — the EMA golden-ladder recipe; guards carry the ema_summary content
-# checksums verbatim (same fixture, same drift surface).
-ETD_GOLDEN = [
-    ("click", 2006, 1706657894262777, 163356186, 3158554, 51365661),
-    ("error", 2014, 1706657023175093, 259265649, 7276007, 126656702),
-    ("purchase", 1981, 1706657097667294, 312650140, 5342840, 97280000),
-    ("signup", 2017, 1706657349826961, 266038390, 6307363, 62709293),
-    ("view", 1982, 1706659032194062, 268527140, 5954857, 142608456),
-]
-
-ETD_GOLDEN_ORACLE = ("""
-    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
-           CAST(c2 AS BIGINT) AS last_ts_us,
-           CAST(c3 AS BIGINT) AS dsum_micro,
-           CAST(c4 AS BIGINT) AS dcnt_micro,
-           CAST(c5 AS BIGINT) AS dmax_micro
-    FROM (VALUES """ + ", ".join(
-    f"('{g}', {n}, {us}, {s}, {c}, {m})"
-    for g, n, us, s, c, m in ETD_GOLDEN) + """) AS t(c0, c1, c2, c3,
-                                                     c4, c5)
-    WHERE (SELECT CASE WHEN
-      count(*) = 10000 AND sum(event_id) = 49995000
-      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
-               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
-          AS BIGINT) = 496306483
-      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
-          = 431800558548676
-      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
-          = 197374857
-      THEN 1 ELSE error(
-      'exponential_time_decayed golden pinned at sf0.01 (events '
-      || 'count/value/ts checksums) — re-derive via '
-      || 'test_etd_summary_golden_rederivation for this sf')
-      END FROM events) = 1
-""")
+# The exponential_time_decayed promotion golden PROMOTED r15: the ONE
+# copy of the pinned literals + guarded oracle now lives at
+# plans/queries.py (ETD_GOLDEN / ETD_GOLDEN_ORACLE, the etd_summary
+# registry entry); these tests import it so the literals the registry
+# grades are exactly the ones re-derived Spark-free here.
+from clickhouse_hdfs_loader_spark.plans.queries import (  # noqa: E402
+    ETD_GOLDEN, ETD_GOLDEN_ORACLE)
 
 
 def test_etd_summary_golden_rederivation():
