@@ -2107,7 +2107,8 @@ def sequence_match_timed(events: DataFrame, steps: list,
 def _timed_matchable_sets(events: DataFrame, steps: list,
                           max_gaps_s: list, user_col: str,
                           ts_col: str, type_col: str,
-                          carry_chains: bool = False):
+                          carry_chains: bool = False,
+                          id_col: "str | None" = None):
     """The ONE copy of the per-step-gap existence DP (shared by
     sequence_match_timed and sequence_match_events): validates inputs,
     then builds per step i the set of i-MATCHABLE events — candidates
@@ -2126,8 +2127,20 @@ def _timed_matchable_sets(events: DataFrame, steps: list,
     callers leave it off — the scalar running max shuffles K fewer
     longs per row.
 
+    With ``id_col`` (requires ``carry_chains``) each row additionally
+    carries witness EVENT IDS under the canonical rule "the MIN id
+    among events at the witness (user, time, type)": a marker's own
+    id rides the payload NEGATED and LAST, so the running MAX resolves
+    tied-us markers to the min id, and every carried field stays a
+    function of the marker's us (the struct-max induction above
+    extends verbatim — time fields first, id fields after, only the
+    final negated own-id field ever differs at a tie). NULL-id rows
+    are excluded up-front (the r9 NULL-key stance; mirror in twins) —
+    the time chain may therefore differ from an id-less call on
+    inputs that HAVE NULL ids.
+
     Returns ``(base, [m_0 .. m_{K-1}])``; each ``m_i`` is
-    ``(user, _us[, _c0 .. _c{i-1}])``."""
+    ``(user, _us[, _c0 .. _c{i-1}][, _id, _i0 .. _i{i-1}])``."""
     from pyspark.sql import Window
 
     if not steps:
@@ -2140,21 +2153,38 @@ def _timed_matchable_sets(events: DataFrame, steps: list,
         if g is not None and (not isinstance(g, int) or g <= 0):
             raise ValueError(f"max_gaps_s entries must be positive "
                              f"integer seconds or None, got {g!r}")
+    if id_col is not None and not carry_chains:
+        raise ValueError("id_col requires carry_chains")
+    id_sel = []
+    if id_col is not None:
+        # integral ids only (the payload negates them for the min-id
+        # tie rule); NULL ids excluded up-front — documented above
+        events = events.where(F.col(id_col).isNotNull())
+        id_sel = [F.col(id_col).cast("long").alias("_id")]
     base = (events.where(F.col(ts_col).isNotNull())
             .select(user_col, F.col(type_col).alias("_ty"),
-                    F.unix_micros(F.col(ts_col)).alias("_us")))
-    m = base.where(F.col("_ty") == steps[0]).select(user_col, "_us")
+                    F.unix_micros(F.col(ts_col)).alias("_us"), *id_sel))
+    mcols = ["_us"] + (["_id"] if id_col is not None else [])
+    m = base.where(F.col("_ty") == steps[0]).select(user_col, *mcols)
     ms = [m]
-    chain: list = []
+    chain: list = []     # carried witness-time columns _c0..
+    idchain: list = []   # carried witness-id columns _i0.. (positive)
     w = (Window.partitionBy(user_col).orderBy("_us", "_k")
          .rowsBetween(Window.unboundedPreceding, 0))
     for idx, (s, gap) in enumerate(zip(steps[1:], max_gaps_s), start=1):
         cand = (base.where(F.col("_ty") == s)
-                .select(user_col, "_us", F.lit(0).alias("_k")))
+                .select(user_col, *mcols, F.lit(0).alias("_k")))
         if carry_chains:
-            pay = F.struct(F.col("_us").alias("_mus"),
-                           *[F.col(c) for c in chain])
-            mark = m.select(user_col, "_us", F.lit(1).alias("_k"),
+            # field order is load-bearing: _mus first (the real key),
+            # then the function-of-us time/id prefixes (equal whenever
+            # _mus ties), then the NEGATED own id (so max == min id)
+            pay_fields = [F.col("_us").alias("_mus"),
+                          *[F.col(c) for c in chain],
+                          *[F.col(c) for c in idchain]]
+            if id_col is not None:
+                pay_fields.append((-F.col("_id")).alias("_negid"))
+            pay = F.struct(*pay_fields)
+            mark = m.select(user_col, *mcols, F.lit(1).alias("_k"),
                             pay.alias("_pay"))
             cand = cand.withColumn(
                 "_pay", F.lit(None).cast(mark.schema["_pay"].dataType))
@@ -2176,10 +2206,16 @@ def _timed_matchable_sets(events: DataFrame, steps: list,
                          <= F.lit(int(gap) * 1_000_000))
         if carry_chains:
             nxt = f"_c{idx - 1}"
-            m = uni.where(flt).select(
-                user_col, "_us",
-                *[F.col(f"_rm.{c}").alias(c) for c in chain],
-                F.col("_rm._mus").alias(nxt))
+            keep = [user_col, "_us",
+                    *[F.col(f"_rm.{c}").alias(c) for c in chain],
+                    F.col("_rm._mus").alias(nxt)]
+            if id_col is not None:
+                nxti = f"_i{idx - 1}"
+                keep += ["_id",
+                         *[F.col(f"_rm.{c}").alias(c) for c in idchain],
+                         (-F.col("_rm._negid")).alias(nxti)]
+                idchain = idchain + [nxti]
+            m = uni.where(flt).select(*keep)
             chain = chain + [nxt]
         else:
             m = uni.where(flt).select(user_col, "_us")
@@ -2191,7 +2227,8 @@ def sequence_match_events(events: DataFrame, steps: list,
                           max_gaps_s: list,
                           user_col: str = "user_id",
                           ts_col: str = "ts",
-                          type_col: str = "event_type") -> DataFrame:
+                          type_col: str = "event_type",
+                          id_col: "str | None" = None) -> DataFrame:
     """ClickHouse ``sequenceMatchEvents``: for every user the timed
     pattern matches, return ONE canonical witness chain — the
     timestamps of K events realizing the pattern — instead of just the
@@ -2216,6 +2253,19 @@ def sequence_match_events(events: DataFrame, steps: list,
     NULL-key stance). Returns ``user, step_idx, step, t_us`` (epoch
     µs — never raw timestamps), K rows per matched user.
 
+    With ``id_col`` (ClickHouse's ``sequenceMatchEvents`` returns the
+    matched events, not just their times) each chain row additionally
+    carries the witness EVENT ID under the canonical rule "the MIN id
+    among events at the witness (user, time, type)" — deterministic
+    under tied timestamps on every engine, and SQL-replayable as a
+    per-(user, type, time) ``min(id)`` join in the twin. The ids ride
+    the SAME payload (negated under the running max, positive under
+    the final min — both resolve to min id; see
+    _timed_matchable_sets), so the plan shape is unchanged. NULL-id
+    rows are excluded up-front when ids are requested (mirror in
+    twins). Output gains an ``event_id`` column (the id cast to
+    BIGINT).
+
     Scale: the chains ride THROUGH the DP as the running max's struct
     payload (``carry_chains`` — identical chains on tied markers make
     the struct max well-defined; see _timed_matchable_sets), so the
@@ -2226,28 +2276,39 @@ def sequence_match_events(events: DataFrame, steps: list,
     form audits at 3 scans / 2 exchanges at K=3, see docs/PLANS.md)."""
     base, ms = _timed_matchable_sets(
         events.where(F.col(user_col).isNotNull()), steps, max_gaps_s,
-        user_col, ts_col, type_col, carry_chains=True)
+        user_col, ts_col, type_col, carry_chains=True, id_col=id_col)
     k = len(steps)
     chain_cols = [f"_c{j}" for j in range(k - 1)]
+    id_cols = [f"_i{j}" for j in range(k - 1)] if id_col else []
     # earliest completion per user; tied final rows carry identical
-    # chains, so min over the struct never actually tie-breaks
+    # chains (every field below the leading _us is a function of us —
+    # except the own id, where min IS the canonical rule), so min over
+    # the struct is the documented pick, never an arbitrary tie-break
+    pick_fields = [F.col("_us"), *[F.col(c) for c in chain_cols],
+                   *[F.col(c) for c in id_cols]]
+    if id_col:
+        pick_fields.append(F.col("_id"))
     pick = (ms[-1].groupBy(user_col)
-            .agg(F.min(F.struct(F.col("_us"),
-                                *[F.col(c) for c in chain_cols]))
-                 .alias("_w")))
+            .agg(F.min(F.struct(*pick_fields)).alias("_w")))
     times = chain_cols + ["_us"]   # step i -> _c{i}, last step -> _us
+    ids = id_cols + ["_id"]        # step i -> _i{i}, last step -> _id
     # ONE posexplode, not a K-way union — each union branch would
     # re-plan the pick subtree (the same class as the backward-join
     # cut this operator replaced)
     steps_arr = F.array(*[
         F.struct(F.lit(steps[i]).alias("step"),
-                 F.col(f"_w.{times[i]}").alias("t_us"))
+                 F.col(f"_w.{times[i]}").alias("t_us"),
+                 *([F.col(f"_w.{ids[i]}").alias("event_id")]
+                   if id_col else []))
         for i in range(k)])
+    out_cols = [user_col, "step_idx",
+                F.col("_sv.step").alias("step"),
+                F.col("_sv.t_us").alias("t_us")]
+    if id_col:
+        out_cols.append(F.col("_sv.event_id").alias("event_id"))
     return (pick.select(F.col(user_col),
                         F.posexplode(steps_arr).alias("step_idx", "_sv"))
-            .select(user_col, "step_idx",
-                    F.col("_sv.step").alias("step"),
-                    F.col("_sv.t_us").alias("t_us")))
+            .select(*out_cols))
 
 
 def heavy_hitters_decayed(events: DataFrame, col: str = "event_type",

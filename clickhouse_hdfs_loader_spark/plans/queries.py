@@ -6780,16 +6780,21 @@ def _seq_ladder_sql(name: str, steps: list) -> str:
     return f"(WITH {', '.join(ctes)} {sel})"
 
 
-def _timed_dp_ctes(steps: list, gaps_s: list) -> list:
+def _timed_dp_ctes(steps: list, gaps_s: list,
+                   require_id: bool = False) -> list:
     """The sequence_match_timed existence DP as DuckDB CTEs (the ONE
     construction, shared by the matched-flag and witness-chain
     ladders): per step, union markers (kind 1) into candidates
     (kind 0), running marker max ordered by (us, kind) — tied-ts
     markers sort after candidates, so strict '>' is structural — then
-    the inclusive gap filter."""
+    the inclusive gap filter. ``require_id`` mirrors the operator's
+    NULL-id up-front exclusion when witness ids are requested
+    (matchability itself can change — a NULL-id event no longer
+    serves as a marker)."""
     _assert_sql_literal_safe(*steps)
+    idf = " AND event_id IS NOT NULL" if require_id else ""
     ctes = ["ev AS (SELECT user_id, epoch_us(ts) AS us, event_type "
-            "FROM events WHERE ts IS NOT NULL)",
+            f"FROM events WHERE ts IS NOT NULL{idf})",
             f"m0 AS (SELECT user_id, us FROM ev "
             f"WHERE event_type = '{steps[0]}')"]
     for i, (s, g) in enumerate(zip(steps[1:], gaps_s), start=1):
@@ -6818,13 +6823,23 @@ def _timed_ladder_sql(steps: list, gaps_s: list) -> str:
             f"FROM events")
 
 
-def _timed_events_ladder_sql(steps: list, gaps_s: list) -> str:
+def _timed_events_ladder_sql(steps: list, gaps_s: list,
+                             with_ids: bool = False) -> str:
     """sequence_match_events' canonical witness chain over the shared
     DP CTEs: earliest final matchable, then per step down the
     admitting running-marker max (``t_i = max{u ∈ m_i : u < t_{i+1}}``
     — the exact value the DP gap-checked, so the chain satisfies every
-    gap by construction)."""
-    ctes = _timed_dp_ctes(steps, gaps_s)
+    gap by construction).
+
+    With ``with_ids`` the ladder replays the operator's canonical
+    witness-id rule — "the MIN id among events at the witness (user,
+    time, type)" — as a per-(user, type, time) ``min(event_id)`` join
+    onto the finished time chain (sound because matchability at a
+    level depends only on (user, us, type): every event at the
+    witness coordinate is equally matchable, so min over ALL of them
+    equals min over the matchable markers), with the DP itself
+    replayed under the NULL-id exclusion (require_id)."""
+    ctes = _timed_dp_ctes(steps, gaps_s, require_id=with_ids)
     k = len(steps)
     # NULL users never emit chains (mirrors the operator's up-front
     # exclusion; without this a K=1 ladder would keep a NULL GROUP BY
@@ -6838,9 +6853,21 @@ def _timed_events_ladder_sql(steps: list, gaps_s: list) -> str:
             f"FROM c{i + 1} c JOIN m{i} m ON m.user_id = c.user_id "
             f"AND m.us < c.t{i + 1} "
             f"GROUP BY c.user_id, {carried})")
+    if not with_ids:
+        sel = " UNION ALL ".join(
+            f"SELECT user_id, {i} AS step_idx, '{steps[i]}' AS step, "
+            f"t{i} AS t_us FROM c0" for i in range(k))
+        return "WITH " + ", ".join(ctes) + " " + sel
+    ctes.append("mid AS (SELECT user_id, event_type, epoch_us(ts) "
+                "AS us, CAST(min(event_id) AS BIGINT) AS mid "
+                "FROM events WHERE ts IS NOT NULL "
+                "AND event_id IS NOT NULL GROUP BY 1, 2, 3)")
     sel = " UNION ALL ".join(
-        f"SELECT user_id, {i} AS step_idx, '{steps[i]}' AS step, "
-        f"t{i} AS t_us FROM c0" for i in range(k))
+        f"SELECT c0.user_id, {i} AS step_idx, '{steps[i]}' AS step, "
+        f"t{i} AS t_us, m.mid AS event_id "
+        f"FROM c0 JOIN mid m ON m.user_id = c0.user_id "
+        f"AND m.event_type = '{steps[i]}' AND m.us = c0.t{i}"
+        for i in range(k))
     return "WITH " + ", ".join(ctes) + " " + sel
 
 

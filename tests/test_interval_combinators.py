@@ -1327,3 +1327,149 @@ def test_sequence_match_events_oracle_and_hand_cases(spark, sf_dir):
     # validation inherited from the shared DP
     with pytest.raises(ValueError, match="len\\(steps\\) - 1"):
         sequence_match_events(ev, steps, [3600])
+
+
+def test_sequence_match_events_ids_oracle_and_hand_cases(spark, sf_dir):
+    """sequence_match_events(id_col=...): in-test DuckDB oracle
+    (registry standard, r16 queue) — the witness-id rule "min id among
+    events at the witness (user, time, type)" replays via the
+    _timed_events_ladder_sql(with_ids=True) min-id join; hand cases
+    pin the tied-timestamp min-id pick at BOTH a chain slot and the
+    final slot, the NULL-id exclusion changing matchability, and
+    time-chain coherence with the id-less sibling."""
+    import datetime as dt
+
+    import duckdb
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match_events)
+    from clickhouse_hdfs_loader_spark.plans.queries import (
+        _timed_events_ladder_sql)
+
+    ev = read_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    gaps = [21600, 86400]
+    out = sequence_match_events(ev, steps, gaps, id_col="event_id")
+    got = sorted(map(tuple, out.collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = sorted(map(tuple, con.execute(
+        _timed_events_ladder_sql(steps, gaps,
+                                 with_ids=True)).fetchall()))
+    assert got == want and len(got) > 0
+
+    # the fixture has no NULL event_ids, so the time chain must equal
+    # the id-less sibling's exactly (coherence)
+    bare = sorted(map(tuple, sequence_match_events(
+        ev, steps, gaps).collect()))
+    assert [(u, i, s, t) for u, i, s, t, _id in got] == bare
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(rows, steps, gaps):
+        df = spark.createDataFrame(
+            [(u, ty, t0 + dt.timedelta(seconds=s), i)
+             for u, ty, s, i in rows],
+            "user_id long, event_type string, ts timestamp, "
+            "event_id long")
+        return {(r["user_id"], r["step_idx"]):
+                (r["step"], r["event_id"])
+                for r in sequence_match_events(
+                    df, steps, gaps, id_col="event_id").collect()}
+
+    # tied timestamps at BOTH slots: min id wins at each (ids 7/9 tie
+    # at the A slot -> 7; ids 4/2 tie at the final B slot -> 2)
+    rows = [(1, "A", 10, 9), (1, "A", 10, 7),
+            (1, "B", 20, 4), (1, "B", 20, 2)]
+    assert run(rows, ["A", "B"], [3600]) == {
+        (1, 0): ("A", 7), (1, 1): ("B", 2)}
+    # NULL ids are excluded UP-FRONT when ids are requested: the only
+    # step-0 marker has a NULL id, so the id-carrying call does not
+    # match at all (while the id-less sibling would)
+    nulls = spark.createDataFrame(
+        [(1, "A", t0, None), (1, "B", t0 + dt.timedelta(seconds=5), 2)],
+        "user_id long, event_type string, ts timestamp, event_id long")
+    assert sequence_match_events(
+        nulls, ["A", "B"], [3600], id_col="event_id").count() == 0
+    assert sequence_match_events(
+        nulls, ["A", "B"], [3600]).count() == 2
+    # K = 1: earliest event, min id under a tie
+    rows = [(1, "A", 0, 5), (1, "A", 0, 3), (1, "A", 9, 1)]
+    assert run(rows, ["A"], []) == {(1, 0): ("A", 3)}
+    # the greedy-fail stream with ids: the witness is the LATER A
+    rows = [(1, "A", 0, 11), (1, "A", 18000, 12), (1, "B", 19800, 13)]
+    assert run(rows, ["A", "B"], [3600]) == {
+        (1, 0): ("A", 12), (1, 1): ("B", 13)}
+    # id_col without carry_chains is impossible through the public
+    # surface; the integral-cast contract still applies
+    with pytest.raises(ValueError, match="len\\(steps\\) - 1"):
+        sequence_match_events(ev, steps, [3600], id_col="event_id")
+
+
+def test_sequence_match_events_ids_hypothesis_vs_replay(spark):
+    """Property: the id-carrying chain equals a pure-Python replay of
+    the documented contract (existence DP over NULL-id-excluded rows;
+    earliest completion; per-slot admitting running-marker max; min id
+    at each witness coordinate) on arbitrary small inputs with heavy
+    ts/id ties."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_match_events)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def replay(rows, steps, gaps):
+        # rows: [(ty, sec, id)] for ONE user; mirrors the DP + min-id
+        evs = sorted([(s, ty, i) for ty, s, i in rows],
+                     key=lambda r: r[0])
+        m = [{s for s, ty, _i in evs if ty == steps[0]}]
+        for lvl in range(1, len(steps)):
+            cur = set()
+            for s, ty, _i in evs:
+                if ty != steps[lvl]:
+                    continue
+                prev = [u for u in m[lvl - 1] if u < s]
+                if prev and (gaps[lvl - 1] is None
+                             or s - max(prev) <= gaps[lvl - 1]):
+                    cur.add(s)
+            m.append(cur)
+        if not m[-1]:
+            return {}
+        chain = [min(m[-1])]
+        for lvl in range(len(steps) - 2, -1, -1):
+            chain.insert(0, max(u for u in m[lvl] if u < chain[0]))
+        out = {}
+        for idx, t in enumerate(chain):
+            mid = min(i for s, ty, i in evs
+                      if s == t and ty == steps[idx])
+            out[idx] = (steps[idx], t, mid)
+        return out
+
+    @given(st.lists(st.tuples(st.sampled_from(["A", "B", "C"]),
+                              st.integers(0, 8),      # seconds
+                              st.integers(0, 5)),     # id
+                    min_size=1, max_size=12),
+           st.sampled_from([(["A", "B"], [3]), (["A", "B"], [None]),
+                            (["A", "B", "C"], [3, 4])]))
+    @settings(max_examples=8, deadline=None)
+    def check(rows, pattern):
+        steps, gaps = pattern
+        df = spark.createDataFrame(
+            [(1, ty, t0 + dt.timedelta(seconds=s), i)
+             for ty, s, i in rows],
+            "user_id long, event_type string, ts timestamp, "
+            "event_id long")
+        got = {r["step_idx"]:
+               (r["step"],
+                (r["t_us"] - 1704067200 * 10**6) // 10**6,
+                r["event_id"])
+               for r in sequence_match_events(
+                   df, steps, gaps, id_col="event_id").collect()}
+        assert got == replay(rows, steps, gaps)
+
+    check()

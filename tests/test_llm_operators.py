@@ -2509,6 +2509,85 @@ def test_fuzzy_join_planted_recall_and_exactness(spark, sf_dir):
         assert r["jaccard_milli"] == max(peers)
 
 
+def test_fuzzy_join_damerau_oracle_and_hand_cases(spark, sf_dir):
+    """fuzzy_join_damerau: in-test DuckDB oracle (registry standard,
+    r16 queue) — exhaustive shared-shingle candidates (threshold 1
+    milli = any k-gram overlap, the fuzzy_join_exact definition) with
+    DuckDB-native damerau_levenshtein as the verify twin; hand cases
+    pin the planted-suffix distance (17 appends), the max_edit cut,
+    and the validation raise."""
+    import duckdb
+    import pytest
+
+    from clickhouse_hdfs_loader_spark.operators.linkage import (
+        fuzzy_join_damerau)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100).select("doc_id", "text"))
+    right = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzextra zzzmore")).alias("text"))
+    got = sorted(map(tuple, fuzzy_join_damerau(
+        docs, right, max_edit=40, threshold_milli=1,
+        exhaustive=True).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute("""
+        WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        r AS (SELECT doc_id + 100000 AS doc_id,
+                     text || ' zzzextra zzzmore' AS text FROM l),
+        uni AS (SELECT 'L' AS side, * FROM l
+                UNION ALL SELECT 'R', * FROM r),
+        ws AS (SELECT side, doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^a-z0-9]+'), w -> w <> '') AS w
+               FROM uni),
+        sh AS (SELECT DISTINCT side, doc_id,
+                      unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])) AS s
+               FROM ws WHERE len(w) >= 3),
+        sizes AS (SELECT side, doc_id, count(*) AS n FROM sh
+                  GROUP BY 1, 2),
+        shared AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+          FROM (SELECT * FROM sh WHERE side = 'L') a
+          JOIN (SELECT * FROM sh WHERE side = 'R') b ON a.s = b.s
+          GROUP BY 1, 2)
+        SELECT id_l AS left_doc_id, id_r AS right_doc_id,
+               CAST(shared AS BIGINT) AS shared,
+               CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+               CAST((shared * 1000)
+                    // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_milli,
+               CAST(damerau_levenshtein(la.text, ra.text)
+                    AS BIGINT) AS damerau
+        FROM shared
+        JOIN (SELECT * FROM sizes WHERE side = 'L') sa ON sa.doc_id = id_l
+        JOIN (SELECT * FROM sizes WHERE side = 'R') sb ON sb.doc_id = id_r
+        JOIN l la ON la.doc_id = id_l
+        JOIN r ra ON ra.doc_id = id_r
+        WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 1
+          AND damerau_levenshtein(la.text, ra.text) <= 40
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    # every planted twin (distance exactly 17 — the appended suffix)
+    # survives both stages; a tighter max_edit keeps exactly the
+    # sub-threshold subset (the fixture DOES contain near-identical
+    # cross pairs below 17, so the planted distance is not a floor)
+    by_pair = {(a, b): d for a, b, *_rest, d in got}
+    planted = {(i, i + 100000): 17 for i in range(100)
+               if (i, i + 100000) in by_pair}
+    assert planted and all(by_pair[p] == 17 for p in planted)
+    tight = fuzzy_join_damerau(docs, right, max_edit=16,
+                               threshold_milli=1, exhaustive=True)
+    assert {(r["left_doc_id"], r["right_doc_id"]): r["damerau"]
+            for r in tight.collect()} == {
+        p: d for p, d in by_pair.items() if d <= 16}
+    with pytest.raises(ValueError, match="max_edit"):
+        fuzzy_join_damerau(docs, right, max_edit=-1)
+
+
 def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
     """In-test DuckDB oracle for weighted exact quantiles on the real
     events table (event_id % 5 + 1 as a deterministic weight); with all
