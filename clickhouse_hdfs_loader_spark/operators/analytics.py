@@ -1097,6 +1097,60 @@ def bounding_ratio(events: DataFrame, group_col: str = "event_type",
             "END").alias("slope_milli_per_sec_e4"))
 
 
+def non_negative_derivative(events: DataFrame,
+                            group_col: str = "event_type",
+                            ts_col: str = "ts",
+                            value_col: str = "value",
+                            id_col: str = "event_id") -> DataFrame:
+    """ClickHouse's ``nonNegativeDerivative(metric, ts)`` window
+    function: per row, the rate of change vs the previous row in
+    (ts, id) order, clamped at zero — the gauge-to-rate transform
+    (bytes-counter → bytes/second) that tolerates counter resets.
+
+    Exact integer contract: values milli-quantize to int64 (the
+    delta_sum convention) and
+
+        rate_milli_per_s = greatest(0, (Δvm · 10⁶) div Δus)
+
+    — milli-units per second under truncating division (Spark ``div``
+    ≡ DuckDB ``//`` toward zero, r10; negative quotients clamp to 0
+    after truncation, identical on both engines). The first row of
+    each group and rows TIED on the ordering timestamp (Δus = 0) are
+    NULL via a guarded CASE — never an ANSI division trap (ClickHouse
+    leaves tied-ts behavior undefined; we pin NULL). NULL values,
+    NULL timestamps, and NULL ids (the ordering tie-break — the r13
+    moving-sum stance) are excluded up-front; mirror all three in
+    twins.
+
+    Scale: ONE shuffle on the group key; lag streams through each
+    sorted partition; output is one row per surviving input row.
+
+    Returns ``group, t_us, id, rate_milli_per_s``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("_tus", id_col)
+    base = (events
+            .where(_quantizable_col(value_col)
+                   & F.col(ts_col).isNotNull()
+                   & F.col(id_col).isNotNull())
+            .withColumn("_vm",
+                        F.floor(F.col(value_col).cast("double") * 1000)
+                        .cast("long"))
+            .withColumn("_tus", F.unix_micros(F.col(ts_col))))
+    rate = (F.when(F.col("_prev_us").isNull()
+                   | (F.col("_tus") == F.col("_prev_us")),
+                   F.lit(None).cast("long"))
+            .otherwise(F.greatest(
+                F.lit(0).cast("long"),
+                F.expr("((_vm - _prev_vm) * 1000000) "
+                       "div (_tus - _prev_us)"))))
+    return (base.withColumn("_prev_vm", F.lag("_vm").over(w))
+            .withColumn("_prev_us", F.lag("_tus").over(w))
+            .withColumn("rate_milli_per_s", rate)
+            .select(group_col, F.col("_tus").alias("t_us"),
+                    F.col(id_col), "rate_milli_per_s"))
+
+
 def sequence_next_node(events: DataFrame, steps: list[str],
                        user_col: str = "user_id", ts_col: str = "ts",
                        type_col: str = "event_type",

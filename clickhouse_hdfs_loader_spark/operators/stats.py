@@ -158,6 +158,120 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
                     .alias("u2")))
 
 
+# AUC = U₁/(n₁·n₂) = u2/(2·n₁·n₂) at exact e6 via the gini two-step
+# remainder identity (num ≤ den, so exact over the full range the
+# products cover). ONE copy per engine dialect (Spark `div` vs DuckDB
+# `//` — the r13 timing-sketch stance); the DuckDB copy is exported
+# for twins. Overflow: (u2·1000) needs u2 ≤ 9.2·10¹⁵, i.e.
+# n₁·n₂ ≤ 4.6·10¹⁵ (~1.4·10⁸ balanced rows/group) — beyond that the
+# ANSI product RAISES loudly (shard or sample the group), never wraps.
+ROC_AUC_E6_SPARK = (
+    "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE "
+    "((u2 * 1000) div (2 * n1 * n2)) * 1000 "
+    "+ (((u2 * 1000) % (2 * n1 * n2)) * 1000) div (2 * n1 * n2) END")
+ROC_AUC_E6_DUCK = (
+    "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE "
+    "((u2 * 1000) // (2 * n1 * n2)) * 1000 "
+    "+ (((u2 * 1000) % (2 * n1 * n2)) * 1000) // (2 * n1 * n2) END")
+
+
+def roc_auc(df: DataFrame, group_col: str, score_col: str,
+            label_col: str) -> DataFrame:
+    """ROC AUC per group, EXACT — the retrieval/classifier-eval
+    question "does the score rank positives above negatives?" (the
+    probabilistic reading: ``AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)``,
+    ties at half credit — the standard Mann-Whitney identity
+    ``AUC = U₁/(n₁·n₂)``). Rides :func:`mann_whitney_u` verbatim
+    (doubled integer midranks over milli-quantized scores — one
+    (group, score) aggregate + one cumulative window, never an O(n²)
+    pair join), then ONE integer finish at exact e6 via the two-step
+    remainder identity (`ROC_AUC_E6_SPARK`, DuckDB copy exported for
+    twins). Labels must be 0/1 (the ONE shared validator raises
+    loudly); single-class groups → NULL AUC, never a division trap.
+
+    Returns ``group, n1, n2, u2, auc_e6`` (n1 = positives; all
+    BIGINT)."""
+    u = mann_whitney_u(df, group_col, score_col, label_col)
+    return u.select(group_col, "n1", "n2", "u2",
+                    F.expr(ROC_AUC_E6_SPARK).cast("long")
+                    .alias("auc_e6"))
+
+
+def brier_score(df: DataFrame, group_col: str, prob_col: str,
+                label_col: str) -> DataFrame:
+    """Brier score per group under the repo's exact integer contract:
+    probabilities milli-quantize (``pm = floor(p·1000)``), labels are
+    0/1 (the ONE shared validator), and
+
+        brier_e6 = Σ (pm − 1000·y)² div n
+
+    — the mean squared error in milli² units IS the e6-scaled Brier,
+    so no float ever appears (each d² ≤ 10⁶; the sum holds to ~9·10¹²
+    rows/group). NULL/NaN/±Inf probabilities and NULL labels are
+    excluded up-front (mirror in twins).
+
+    Plan: ONE group-key aggregate with map-side combine.
+
+    Returns ``group, n, brier_e6``."""
+    base = _sided_base(df, group_col, prob_col, label_col,
+                       "brier_score")
+    d = F.col("_vm") - F.lit(1000).cast("long") * F.col("_s")
+    return (base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(d * d).alias("_sq"))
+            .select(group_col, "n",
+                    F.expr("_sq div n").alias("brier_e6")))
+
+
+def classification_report(df: DataFrame, group_col: str,
+                          pred_col: str, label_col: str) -> DataFrame:
+    """Binary-classification confusion counts + the exact e6 metrics
+    per group: tp/fp/fn/tn, then
+
+        precision_e6 = tp·10⁶ div (tp + fp)
+        recall_e6    = tp·10⁶ div (tp + fn)
+        f1_e6        = 2·tp·10⁶ div (2·tp + fp + fn)
+        accuracy_e6  = (tp + tn)·10⁶ div n
+
+    — every metric a single exact integer division (the harmonic-mean
+    F1 reduces to ``2tp/(2tp+fp+fn)`` algebraically, so no float
+    composition is ever needed), each guarded to NULL on a zero
+    denominator. Predictions AND labels must be 0/1 (the ONE shared
+    validator raises loudly); NULL rows in either column are excluded
+    up-front (mirror in twins).
+
+    Plan: ONE group-key aggregate with map-side combine.
+
+    Returns ``group, n, tp, fp, fn, tn, precision_e6, recall_e6,
+    f1_e6, accuracy_e6``."""
+    p = _zero_one_expr(pred_col, "classification_report", "pred_col",
+                       cast_to="BIGINT")
+    y = _zero_one_expr(label_col, "classification_report", "label_col",
+                       cast_to="BIGINT")
+    base = (df.where(F.col(pred_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .select(F.col(group_col), p.alias("_p"), y.alias("_y")))
+    agg = (base.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_p") * F.col("_y")).alias("tp"),
+                F.sum(F.col("_p") * (1 - F.col("_y"))).alias("fp"),
+                F.sum((1 - F.col("_p")) * F.col("_y")).alias("fn"),
+                F.sum((1 - F.col("_p")) * (1 - F.col("_y")))
+                .alias("tn")))
+    return agg.select(
+        group_col, "n", "tp", "fp", "fn", "tn",
+        F.expr("CASE WHEN tp + fp = 0 THEN NULL "
+               "ELSE (tp * 1000000) div (tp + fp) END")
+        .alias("precision_e6"),
+        F.expr("CASE WHEN tp + fn = 0 THEN NULL "
+               "ELSE (tp * 1000000) div (tp + fn) END")
+        .alias("recall_e6"),
+        F.expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL "
+               "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END")
+        .alias("f1_e6"),
+        F.expr("(tp + tn) * 1000000 div n").alias("accuracy_e6"))
+
+
 def _moments_by_side(base: DataFrame, group_col: str) -> DataFrame:
     """Per-side exact integer moments ``n, Σq, Σq²`` from a
     ``_sided_base`` frame — shared by the t-tests (order-free int64

@@ -177,6 +177,62 @@ def test_delta_sum_oracle_and_hand_case(spark, sf_dir):
     assert delta_sum(synth).first()["delta_sum_milli"] == 5000
 
 
+def test_non_negative_derivative_oracle_and_hand_cases(spark, sf_dir):
+    """non_negative_derivative: in-test DuckDB oracle (registry
+    standard, r16 queue) — the lag + guarded-div + clamp chain replays
+    verbatim (truncating `div` ≡ `//`, r10); hand cases pin the rate
+    arithmetic, the counter-reset clamp, the tied-ts NULL, and the
+    first-row NULL."""
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        non_negative_derivative)
+
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, non_negative_derivative(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH v AS (SELECT event_type, epoch_us(ts) AS tus, event_id,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          lag(CAST(floor(value * 1000) AS BIGINT)) OVER w
+                            AS pvm,
+                          lag(epoch_us(ts)) OVER w AS pus
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_id IS NOT NULL
+                   WINDOW w AS (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id))
+        SELECT event_type, CAST(tus AS BIGINT) AS t_us, event_id,
+               CAST(CASE WHEN pus IS NULL OR tus = pus THEN NULL
+                    ELSE greatest(0, ((vm - pvm) * 1000000)
+                                     // (tus - pus)) END
+                    AS BIGINT) AS rate_milli_per_s
+        FROM v
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    assert any(r[3] is not None and r[3] > 0 for r in got)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(rows):
+        df = spark.createDataFrame(
+            [(i, "g", t0 + dt.timedelta(seconds=s), v)
+             for i, s, v in rows],
+            "event_id long, event_type string, ts timestamp, "
+            "value double")
+        return [r["rate_milli_per_s"] for r in
+                non_negative_derivative(df)
+                .orderBy("t_us", "event_id").collect()]
+
+    # 1.0 -> 3.0 over 4 s: 2000 milli / 4 s = 500 milli-units/s;
+    # reset 3.0 -> 0.5 clamps to 0; 0.5 -> 0.75 over 1 s = 250
+    assert run([(1, 0, 1.0), (2, 4, 3.0), (3, 8, 0.5),
+                (4, 9, 0.75)]) == [None, 500, 0, 250]
+    # tied timestamps: the second row of the tie is NULL (defined),
+    # and the NEXT row differences against the tied row before it
+    assert run([(1, 0, 1.0), (2, 0, 2.0), (3, 2, 4.0)]) == [
+        None, None, 1000]
+    # truncating division both engines: 1000 milli over 3 s -> 333
+    assert run([(1, 0, 0.0), (2, 3, 1.0)]) == [None, 333]
+
+
 def test_bounding_ratio_oracle_and_hand_case(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.analytics import (
         bounding_ratio)

@@ -2221,6 +2221,177 @@ def test_stream_linear_trend_matches_batch_any_partition(spark, sf_dir):
     check()
 
 
+def test_roc_auc_oracle_and_hand_cases(spark, sf_dir):
+    """roc_auc: in-test DuckDB oracle (registry standard, r16 queue)
+    — the mann_whitney_u doubled-midrank CTE verbatim with the
+    ROC_AUC_E6_DUCK two-step exact-e6 finish; coherence with the
+    graded U statistic; hand cases pin perfect/reversed/tied AUC, the
+    single-class NULL, and the loud label validation."""
+    import duckdb
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        ROC_AUC_E6_DUCK, mann_whitney_u, roc_auc)
+
+    got = sorted(map(tuple, roc_auc(
+        _sided(spark, sf_dir), "event_type", "value", "side").collect()))
+    con = _duck(sf_dir)
+    want = sorted(map(tuple, con.execute(f"""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS vm,
+                          CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS s
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL),
+        pv AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(s) AS BIGINT) AS c1
+               FROM b GROUP BY 1, 2),
+        rk AS (SELECT event_type, vm, cnt, c1,
+                 coalesce(sum(cnt) OVER (PARTITION BY event_type
+                   ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS lt
+               FROM pv),
+        a AS (SELECT event_type,
+                     CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(cnt - c1) AS BIGINT) AS n2,
+                     CAST(sum(c1 * (2 * lt + cnt + 1))
+                          - sum(c1) * (sum(c1) + 1) AS BIGINT) AS u2
+              FROM rk GROUP BY 1)
+        SELECT event_type, n1, n2, u2,
+               CAST({ROC_AUC_E6_DUCK} AS BIGINT) AS auc_e6
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert all(r[4] is not None for r in got)
+    # coherence: auc_e6 derives from the SAME u2 the graded
+    # mann_whitney_u emits
+    u = {tuple(r)[:4] for r in mann_whitney_u(
+        _sided(spark, sf_dir), "event_type", "value", "side").collect()}
+    assert {t[:4] for t in got} == u
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "g string, score double, y int")
+        return roc_auc(df, "g", "score", "y").collect()[0]
+
+    # perfect separation -> exactly 1e6; reversed -> 0
+    r = run([("g", 3.0, 1), ("g", 2.0, 1), ("g", 1.0, 0)])
+    assert (r["n1"], r["n2"], r["auc_e6"]) == (2, 1, 1_000_000)
+    assert run([("g", 1.0, 1), ("g", 2.0, 0)])["auc_e6"] == 0
+    # all scores tied -> exactly 1/2
+    assert run([("g", 5.0, 1), ("g", 5.0, 0),
+                ("g", 5.0, 0)])["auc_e6"] == 500_000
+    # 2/3 concordant + the exact e6 of a non-terminating fraction
+    r = run([("g", 3.0, 1), ("g", 2.0, 0), ("g", 1.0, 1)])
+    assert r["auc_e6"] == 500_000     # (1 + 0)/2 pairs... u2=2 -> 2/4
+    # single-class group -> NULL, never a division trap
+    assert run([("g", 1.0, 1), ("g", 2.0, 1)])["auc_e6"] is None
+    # loud 0/1 validation (the ONE shared validator)
+    with pytest.raises(Exception, match="side_col must be 0 or 1"):
+        run([("g", 1.0, 2)])
+
+
+def test_brier_score_oracle_and_hand_cases(spark, sf_dir):
+    """brier_score: in-test DuckDB oracle (registry standard, r16
+    queue) — Σ(pm − 1000y)² div n replays verbatim; hand cases pin the
+    perfect/anti-perfect/coin-flip scores and the loud validation."""
+    from clickhouse_hdfs_loader_spark.operators.stats import brier_score
+
+    # raw value stands in for the probability — the operator contract
+    # only needs finiteness (quantization IS the contract)
+    got = sorted(map(tuple, brier_score(
+        _sided(spark, sf_dir), "event_type", "value", "side").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 1000) AS BIGINT) AS pm,
+                          CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND user_id IS NOT NULL)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((pm - 1000 * y) * (pm - 1000 * y))
+                    // count(*) AS BIGINT) AS brier_e6
+        FROM b GROUP BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 5
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, p double, y int")
+        return brier_score(df, "g", "p", "y").collect()[0]
+
+    assert run([("g", 1.0, 1), ("g", 0.0, 0)])["brier_e6"] == 0
+    assert run([("g", 0.0, 1)])["brier_e6"] == 1_000_000
+    assert run([("g", 0.5, 1), ("g", 0.5, 0)])["brier_e6"] == 250_000
+    with pytest.raises(Exception, match="side_col must be 0 or 1"):
+        run([("g", 0.5, 7)])
+
+
+def test_classification_report_oracle_and_hand_cases(spark, sf_dir):
+    """classification_report: in-test DuckDB oracle (registry
+    standard, r16 queue) — confusion counts + four exact e6 integer
+    metrics, each a single guarded division; hand cases pin a known
+    confusion matrix, every zero-denominator NULL, and the loud
+    validation on BOTH columns."""
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        classification_report)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .withColumn("pred", F.pmod(F.col("event_id"), F.lit(2)))
+          .withColumn("label", F.pmod(F.col("user_id"), F.lit(2))))
+    got = sorted(map(tuple, classification_report(
+        ev, "event_type", "pred", "label").collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute("""
+        WITH b AS (SELECT event_type,
+                          CAST(((event_id % 2 + 2) % 2) AS BIGINT) AS p,
+                          CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS y
+                   FROM events
+                   WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(p * y) AS BIGINT) AS tp,
+                     CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+                     CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+                     CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+              FROM b GROUP BY 1)
+        SELECT event_type, n, tp, fp, fn, tn,
+               CAST(CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE (tp * 1000000) // (tp + fp) END AS BIGINT)
+                 AS precision_e6,
+               CAST(CASE WHEN tp + fn = 0 THEN NULL
+                    ELSE (tp * 1000000) // (tp + fn) END AS BIGINT)
+                 AS recall_e6,
+               CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                    ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END
+                    AS BIGINT) AS f1_e6,
+               CAST((tp + tn) * 1000000 // n AS BIGINT) AS accuracy_e6
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    # the fixture exercises non-degenerate metrics
+    assert all(r[6] is not None and r[8] is not None for r in got)
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, p int, y int")
+        return classification_report(df, "g", "p", "y").collect()[0]
+
+    # known matrix: tp=2 fp=1 fn=1 tn=1 -> P=2/3, R=2/3, F1=2/3, A=3/5
+    r = run([("g", 1, 1), ("g", 1, 1), ("g", 1, 0), ("g", 0, 1),
+             ("g", 0, 0)])
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+    assert (r["precision_e6"], r["recall_e6"], r["f1_e6"],
+            r["accuracy_e6"]) == (666_666, 666_666, 666_666, 600_000)
+    # all-negative predictions AND labels: every ratio NULL but
+    # accuracy (tn = n)
+    r = run([("g", 0, 0), ("g", 0, 0)])
+    assert (r["precision_e6"], r["recall_e6"], r["f1_e6"],
+            r["accuracy_e6"]) == (None, None, None, 1_000_000)
+    # loud validation on BOTH columns
+    with pytest.raises(Exception, match="pred_col must be 0 or 1"):
+        run([("g", 3, 1)])
+    with pytest.raises(Exception, match="label_col must be 0 or 1"):
+        run([("g", 1, -1)])
+
+
 # The exponential_time_decayed promotion golden PROMOTED r15: the ONE
 # copy of the pinned literals + guarded oracle now lives at
 # plans/queries.py (ETD_GOLDEN / ETD_GOLDEN_ORACLE, the etd_summary
