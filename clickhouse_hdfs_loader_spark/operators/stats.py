@@ -1262,6 +1262,57 @@ def pearson_corr(df: DataFrame, group_col: str, x_col: str,
                       F.expr(RANK_CORR_SQL).alias("corr_e4"))
 
 
+def rolling_corr(df: DataFrame, group_col: str, x_col: str,
+                 y_col: str, n: int = 20, ts_col: str = "ts",
+                 id_col: str = "event_id") -> DataFrame:
+    """Rolling Pearson correlation over a trailing ``n``-row frame per
+    group in (ts, id) order — "are these two series locally moving
+    together RIGHT NOW?" (the windowed companion to
+    :func:`pearson_corr`; with y = lagged x it is the rolling
+    autocorrelation drift monitor). Both columns milli-quantize to
+    int64; the six moment sums run as WINDOW aggregates over ``ROWS
+    BETWEEN n−1 PRECEDING AND CURRENT ROW`` (int64 is exact here —
+    per-frame Σq² ≤ n·10¹⁰, so any sensible window is far inside
+    range; the unbounded-n DECIMAL escalation of pearson_corr is not
+    needed), then the SAME verbatim float finish (:data:`RANK_CORR_SQL`
+    — warm-up frames with fewer than 2 rows or a locally-constant
+    column are NULL through its existing guards, never a trap).
+
+    NULL/NaN/±Inf in either column and NULL ordering keys (ts, id —
+    the r13 moving-sum stance) drop the row up-front; mirror in twins.
+
+    Plan: ONE shuffle on the group key; all six sums share one window
+    frame over the same sort (a single Window physical node).
+
+    Returns ``group, t_us, id, n, corr_e4`` (one row per surviving
+    input row; n = actual frame row count)."""
+    if int(n) < 2:
+        raise ValueError(f"rolling_corr: n must be >= 2, got {n}")
+    qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
+    qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
+    base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col)
+                     & F.col(ts_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(group_col),
+                    F.unix_micros(F.col(ts_col)).alias("_tus"),
+                    F.col(id_col), qx.alias("_qx"), qy.alias("_qy")))
+    w = (Window.partitionBy(group_col).orderBy("_tus", id_col)
+         .rowsBetween(-(int(n) - 1), 0))
+    framed = (base
+              .withColumn("n", F.count(F.lit(1)).over(w))
+              .withColumn("_sx", F.sum("_qx").over(w))
+              .withColumn("_sy", F.sum("_qy").over(w))
+              .withColumn("_sxx", F.sum(F.col("_qx") * F.col("_qx"))
+                          .over(w))
+              .withColumn("_syy", F.sum(F.col("_qy") * F.col("_qy"))
+                          .over(w))
+              .withColumn("_sxy", F.sum(F.col("_qx") * F.col("_qy"))
+                          .over(w)))
+    return framed.select(group_col, F.col("_tus").alias("t_us"),
+                         F.col(id_col), "n",
+                         F.expr(RANK_CORR_SQL).alias("corr_e4"))
+
+
 def mean_z_test(df: DataFrame, group_col: str, value_col: str,
                 side_col: str, var1: float, var2: float) -> DataFrame:
     """ClickHouse ``meanZTest``: two-sample z with KNOWN population

@@ -2290,6 +2290,84 @@ def test_roc_auc_oracle_and_hand_cases(spark, sf_dir):
         run([("g", 1.0, 2)])
 
 
+def test_rolling_corr_oracle_and_hand_cases(spark, sf_dir):
+    """rolling_corr: in-test DuckDB oracle (registry standard, r16
+    queue) — six int64 moment sums over one trailing ROWS frame with
+    the verbatim RANK_CORR_SQL finish (rolling autocorrelation shape:
+    y = lagged value); hand cases pin the ±1 perfect frames, the
+    warm-up NULL, the locally-constant NULL, and the validation."""
+    from pyspark.sql import Window
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        RANK_CORR_SQL, rolling_corr)
+
+    wlag = Window.partitionBy("event_type").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id"))
+    ev = (read_table(spark, sf_dir, "events")
+          .withColumn("vlag", F.lag("value").over(wlag)))
+    got = sorted(map(tuple, rolling_corr(
+        ev, "event_type", "value", "vlag", n=10).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH l AS (SELECT event_type, epoch_us(ts) AS tus, event_id,
+                          value,
+                          lag(value) OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts), event_id) AS vlag
+                   FROM events),
+        b AS (SELECT event_type, tus, event_id,
+                     CAST(floor(value * 1000) AS BIGINT) AS qx,
+                     CAST(floor(vlag * 1000) AS BIGINT) AS qy
+              FROM l
+              WHERE value IS NOT NULL AND isfinite(value)
+                AND vlag IS NOT NULL AND isfinite(vlag)
+                AND tus IS NOT NULL AND event_id IS NOT NULL),
+        f AS (SELECT event_type, tus, event_id,
+                     CAST(count(*) OVER w AS BIGINT) AS n,
+                     CAST(sum(qx) OVER w AS BIGINT) AS _sx,
+                     CAST(sum(qy) OVER w AS BIGINT) AS _sy,
+                     CAST(sum(qx * qx) OVER w AS BIGINT) AS _sxx,
+                     CAST(sum(qy * qy) OVER w AS BIGINT) AS _syy,
+                     CAST(sum(qx * qy) OVER w AS BIGINT) AS _sxy
+              FROM b
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY tus, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        SELECT event_type, CAST(tus AS BIGINT) AS t_us, event_id, n,
+               {RANK_CORR_SQL} AS corr_e4
+        FROM f
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    assert any(r[4] is not None for r in got)
+
+    import datetime as _dt
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def run(pairs, n=3):
+        df = spark.createDataFrame(
+            [(i, "g", t0 + _dt.timedelta(seconds=i), x, y)
+             for i, (x, y) in enumerate(pairs)],
+            "event_id long, event_type string, ts timestamp, "
+            "x double, y double")
+        return [r["corr_e4"] for r in rolling_corr(
+            df, "event_type", "x", "y", n=n).orderBy("t_us").collect()]
+
+    # y = x: warm-up row NULL (frame of 1), then exactly +1
+    assert run([(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]) == [
+        None, 1.0, 1.0]
+    # y = -x: exactly -1 after warm-up
+    assert run([(1.0, -1.0), (2.0, -2.0), (3.0, -3.0)]) == [
+        None, -1.0, -1.0]
+    # locally-constant y: NULL through the RANK_CORR_SQL guard
+    assert run([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)]) == [
+        None, None, None]
+    # the frame is TRAILING n rows: an anticorrelated tail flips the
+    # sign once the correlated head leaves the frame
+    r = run([(1.0, 1.0), (2.0, 2.0), (3.0, 2.0), (4.0, 1.0),
+             (5.0, 0.0)], n=2)
+    assert r[1] == 1.0 and r[4] == -1.0
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        rolling_corr(ev, "event_type", "value", "vlag", n=1)
+
+
 def test_brier_score_oracle_and_hand_cases(spark, sf_dir):
     """brier_score: in-test DuckDB oracle (registry standard, r16
     queue) — Σ(pm − 1000y)² div n replays verbatim; hand cases pin the
