@@ -436,6 +436,100 @@ def robust_scale(df: DataFrame, group_col: str, value_col: str,
                   "_rs_dev", "_rs_rd", "_rs_mad"))
 
 
+def js_divergence(df: DataFrame, group_col: str,
+                  cat_col: str) -> DataFrame:
+    """Jensen-Shannon divergence of each group's categorical
+    distribution vs the COMPLEMENT (all other groups) — the bounded
+    symmetric "is this source unusual?" screen beside
+    :func:`psi_drift`'s two-snapshot PSI, in milli-BITS (base-2 JSD
+    ∈ [0, 1] bit, so the output lives in [0, 1000]).
+
+    INTEGER-EXACT contract via the shared milli-log2 (the theils_u /
+    MI rollup family): with per-category counts p (group) and
+    q = total − p (complement), np/nq the side totals, every log
+    argument is an integer —
+
+        lg2(p̂/m) = lg2(2·p·nq) − lg2(p·nq + q·np)
+
+    — so with L = milli-log2,
+
+        A = Σ_supp p·(L(2·p·nq) − L(p·nq + q·np))
+        B = Σ_supp q·(L(2·q·np) − L(p·nq + q·np))  (q ≥ 1 terms)
+            + 1000·(nq − Σ_supp q)
+        jsd_milli = (A·nq + B·np) div (2·np·nq)
+
+    The second B line folds every category ABSENT from the group
+    without a grid join (the benford missing-mass trick): there
+    q = total and the bracket is exactly L(2x) − L(x) = 1000
+    milli-bits (exact — the milli-log2's remainder scales with its
+    power). Two identical distributions give EXACTLY 0 and two
+    disjoint supports EXACTLY 1000 (the quantization cancels —
+    pinned by hand cases). Groups with an empty complement (a
+    single-group frame) are NULL, never a division trap. NULL
+    group/category rows are excluded (mirror in twins).
+
+    Overflow: log arguments reach 2·np·nq (< 2⁶² required by the
+    milli-log2) and the A·nq product reaches ~62000·np·nq — keep
+    group×complement products under ~1.4·10¹⁴ (≈10⁷ rows balanced) or
+    pre-aggregate; ANSI raises loudly, never wraps (the psi_drift
+    posture).
+
+    Scale: ONE (group, category) aggregate over the raw rows;
+    everything after runs on the |groups|·|categories| cell table
+    (two windows + one rollup + a broadcast 1-row total).
+
+    Returns ``group, n, n_rest, k, jsd_milli`` (k = support
+    categories)."""
+    from .retrieval import with_ilog2_milli
+
+    base = (df.where(F.col(group_col).isNotNull()
+                     & F.col(cat_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(cat_col).alias("_c")))
+    cnt = (base.groupBy("_g", "_c")
+           .agg(F.count(F.lit(1)).alias("_pc")))
+    wg = Window.partitionBy("_g")
+    wc = Window.partitionBy("_c")
+    tot = (cnt.withColumn("_np", F.sum("_pc").over(wg))
+           .withColumn("_ct", F.sum("_pc").over(wc)))
+    n_all = cnt.agg(F.sum("_pc").alias("_n"))
+    cells = (tot.crossJoin(F.broadcast(n_all))
+             .withColumn("_q", F.col("_ct") - F.col("_pc"))
+             .withColumn("_nq", F.col("_n") - F.col("_np"))
+             .withColumn("_a1", F.lit(2) * F.col("_pc") * F.col("_nq"))
+             .withColumn("_a2", F.col("_pc") * F.col("_nq")
+                         + F.col("_q") * F.col("_np"))
+             .withColumn("_a3", F.lit(2) * F.col("_q") * F.col("_np")))
+    # the milli-log2 needs args >= 1; rows of an empty complement
+    # (nq = 0) produce junk L values that the final NULL CASE discards,
+    # and q = 0 rows are gated before their L is used
+    cells = with_ilog2_milli(
+        cells.withColumn("_a1", F.greatest("_a1", F.lit(1))), "_a1",
+        "_l1")
+    cells = with_ilog2_milli(
+        cells.withColumn("_a2", F.greatest("_a2", F.lit(1))), "_a2",
+        "_l2")
+    cells = with_ilog2_milli(
+        cells.withColumn("_a3", F.greatest("_a3", F.lit(1))), "_a3",
+        "_l3")
+    aterm = F.col("_pc") * (F.col("_l1") - F.col("_l2"))
+    bterm = (F.when(F.col("_q") >= 1,
+                    F.col("_q") * (F.col("_l3") - F.col("_l2")))
+             .otherwise(F.lit(0).cast("long")))
+    agg = (cells.groupBy("_g")
+           .agg(F.first("_np").alias("n"),
+                F.first("_nq").alias("n_rest"),
+                F.count(F.lit(1)).alias("k"),
+                F.sum(aterm).alias("_A"),
+                F.sum(bterm).alias("_Bs"),
+                F.sum("_q").alias("_qs")))
+    return agg.select(
+        F.col("_g").alias(group_col), "n", "n_rest", "k",
+        F.expr("CASE WHEN n_rest = 0 THEN NULL ELSE "
+               "(_A * n_rest + (_Bs + 1000 * (n_rest - _qs)) * n) "
+               "div (2 * n * n_rest) END").alias("jsd_milli"))
+
+
 def psi_drift(df: DataFrame, group_col: str, cat_col: str,
               side_col: str) -> DataFrame:
     """Population stability index per group between a reference

@@ -1108,6 +1108,75 @@ def exponential_time_decayed(events: DataFrame,
     return out.withColumnRenamed("_g", group_col)
 
 
+def holt_linear(events: DataFrame, group_col: str = "event_type",
+                ts_col: str = "ts", value_col: str = "value",
+                id_col: str = "event_id",
+                alpha_milli: int = 300,
+                beta_milli: int = 100) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) per group —
+    the one-step-ahead forecaster beside :func:`linear_trend`'s global
+    fit and :func:`exponential_moving_average`'s level-only smoother:
+    in (ts, id) order over the OBSERVATION INDEX (Holt's method is
+    defined on regular series; irregular gaps do not rescale the
+    smoothing — documented, unlike the time-aware EMA),
+
+        l_0 = v_0,  b_0 = 0
+        l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    with α = alpha_milli/1000, β = beta_milli/1000 (integer params so
+    both sides construct the IDENTICAL doubles). The float path is a
+    same-order IEEE fold — the independent pure-Python replay asserts
+    BITWISE equality, and floor(x·1e6) of the terminals is the stable
+    golden summary (the EMA/ETD golden-ladder recipe; holt_summary is
+    the promotion shape). ``forecast1 = l_n + b_n`` is the
+    one-step-ahead point forecast. NULL ts and NULL/NaN/±Inf values
+    are excluded up-front; params outside (0, 1000] / [0, 1000] raise.
+
+    Scale: one shuffle on the series key, each series held whole
+    (the EMA/LTTB applyInPandas bound — pre-split very long series
+    upstream).
+
+    Returns ``group, n, last_ts_us, level, trend, forecast1`` (raw
+    doubles)."""
+    import pandas as pd
+
+    am, bm = int(alpha_milli), int(beta_milli)
+    if not 0 < am <= 1000:
+        raise ValueError(f"holt_linear: alpha_milli must be in "
+                         f"(0, 1000], got {alpha_milli}")
+    if not 0 <= bm <= 1000:
+        raise ValueError(f"holt_linear: beta_milli must be in "
+                         f"[0, 1000], got {beta_milli}")
+    base, g_ddl, _hl = _series_fold_base(
+        events, group_col, ts_col, value_col, id_col, 1.0,
+        "holt_linear")
+    a, b = am / 1000.0, bm / 1000.0
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _series_sorted(pdf)
+        lvl = tr = None
+        prev_us = None
+        for us, v in zip(pdf["_us"], pdf["_v"]):
+            if lvl is None:
+                lvl, tr = float(v), 0.0
+            else:
+                # same-order IEEE ops as the replay
+                prev = lvl
+                lvl = a * float(v) + (1.0 - a) * (lvl + tr)
+                tr = b * (lvl - prev) + (1.0 - b) * tr
+            prev_us = int(us)
+        return pd.DataFrame({
+            "_g": [pdf["_g"].iloc[0]], "n": [len(pdf)],
+            "last_ts_us": [prev_us], "level": [lvl], "trend": [tr],
+            "forecast1": [lvl + tr]})
+
+    out = base.groupBy("_g").applyInPandas(
+        fold, schema=f"_g {g_ddl}, n long, last_ts_us long, "
+                     f"level double, trend double, forecast1 double")
+    return out.withColumnRenamed("_g", group_col)
+
+
 # ClickHouse contingency(): sqrt(chi2/(chi2+n)) = sqrt(phi2/(phi2+1))
 # — shared verbatim (defined for any non-degenerate table; NULL only on
 # an empty group, which the operator never emits)

@@ -1034,3 +1034,76 @@ def test_runs_test_oracle_and_hand_cases(spark, sf_dir):
     # skipped tie row sits between two same-sign rows
     r = run([0, 9, 5, 9, 0])            # median 5; [−,+,(tie),+,−]
     assert (r["n_plus"], r["n_minus"], r["runs"]) == (2, 2, 3)
+
+
+def test_js_divergence_oracle_and_hand_cases(spark, sf_dir):
+    """js_divergence: in-test DuckDB oracle (registry standard, r16
+    queue) — the group-vs-complement JSD under the exact milli-log2
+    contract, missing categories folded algebraically (L(2x) − L(x) =
+    1000 exactly); hand cases pin the EXACT 0 of identical
+    distributions, the EXACT 1000 of disjoint supports, the
+    single-group NULL, and the [0, 1000] bound."""
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        js_divergence)
+    from clickhouse_hdfs_loader_spark.plans.queries import _ILOG2
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    got = sorted(map(tuple, js_divergence(
+        ev, "event_type", "user_id").collect()))
+    lg = {k: _ILOG2.format(x=f"greatest(1, {a})")
+          for k, a in (("l1", "2 * p * nq"),
+                       ("l2", "p * nq + q * np"),
+                       ("l3", "2 * q * np"))}
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type AS g, user_id AS c FROM events
+                   WHERE event_type IS NOT NULL
+                     AND user_id IS NOT NULL),
+        cnt AS (SELECT g, c, CAST(count(*) AS BIGINT) AS p
+                FROM b GROUP BY 1, 2),
+        t AS (SELECT g, c, p,
+                     CAST(sum(p) OVER (PARTITION BY g) AS BIGINT)
+                       AS np,
+                     CAST(sum(p) OVER (PARTITION BY c) AS BIGINT)
+                       AS ct,
+                     CAST((SELECT sum(p) FROM cnt) AS BIGINT) AS n
+              FROM cnt),
+        cells AS (SELECT g, p, np, ct - p AS q, n - np AS nq FROM t),
+        l AS (SELECT g, p, q, np, nq,
+                     {lg['l1']} AS l1, {lg['l2']} AS l2,
+                     {lg['l3']} AS l3
+              FROM cells),
+        a AS (SELECT g, max(np) AS n, max(nq) AS n_rest,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(p * (l1 - l2)) AS BIGINT) AS aa,
+                     CAST(sum(CASE WHEN q >= 1
+                          THEN q * (l3 - l2) ELSE 0 END) AS BIGINT)
+                       AS bs,
+                     CAST(sum(q) AS BIGINT) AS qs
+              FROM l GROUP BY 1)
+        SELECT g AS event_type, n, n_rest, k,
+               CAST(CASE WHEN n_rest = 0 THEN NULL ELSE
+                 (aa * n_rest + (bs + 1000 * (n_rest - qs)) * n)
+                 // (2 * n * n_rest) END AS BIGINT) AS jsd_milli
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) == 5
+    assert all(0 <= r[4] <= 1000 for r in got)
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, c string")
+        return {r["g"]: r["jsd_milli"] for r in
+                js_divergence(df, "g", "c").collect()}
+
+    # identical distributions: EXACTLY 0 (the quantization cancels)
+    same = [("a", c) for c in "xxyz"] + [("b", c) for c in "xxyz"]
+    assert run(same) == {"a": 0, "b": 0}
+    # disjoint supports: EXACTLY 1000 milli-bits (1 full bit)
+    disj = [("a", "x"), ("a", "y"), ("b", "u"), ("b", "v"),
+            ("b", "u")]
+    assert run(disj) == {"a": 1000, "b": 1000}
+    # a single-group frame has no complement: NULL, never a trap
+    assert run([("a", "x"), ("a", "y")]) == {"a": None}
+    # a partial overlap sits strictly inside the bound
+    mid = run([("a", "x"), ("a", "y"), ("b", "y"), ("b", "z")])
+    assert 0 < mid["a"] < 1000 and mid["a"] == mid["b"]

@@ -721,6 +721,181 @@ def test_exponential_time_decayed_bitwise_replay(spark, sf_dir):
         exponential_time_decayed(ev, half_life_s=-1.0)
 
 
+def test_holt_linear_bitwise_replay(spark, sf_dir):
+    """holt_linear: independent pure-Python replay of the level/trend
+    fold over the raw parquet — BITWISE equality (the EMA/ETD stance).
+    Hand cases pin the exact first-step arithmetic with decimal-exact
+    params, the b0 = 0 init, the index-based (gap-blind) smoothing,
+    and the param validation."""
+    from clickhouse_hdfs_loader_spark.operators.stats import holt_linear
+
+    ev = read_table(spark, sf_dir, "events")
+    got = {r["event_type"]: (r["n"], r["last_ts_us"], r["level"],
+                             r["trend"], r["forecast1"]) for r in
+           holt_linear(ev).collect()}
+
+    rows = _duck(sf_dir).execute(
+        "SELECT event_type, epoch_us(ts) AS us, CAST(value AS DOUBLE) "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) ORDER BY event_type, us, event_id"
+    ).fetchall()
+    a, b = 0.3, 0.1
+    series: dict = {}
+    for g, us, v in rows:
+        series.setdefault(g, []).append((us, v))
+    want = {}
+    for g, pts in series.items():
+        lvl = tr = prev = None
+        for us, v in pts:
+            if lvl is None:
+                lvl, tr = float(v), 0.0
+            else:
+                p = lvl
+                lvl = a * float(v) + (1.0 - a) * (lvl + tr)
+                tr = b * (lvl - p) + (1.0 - b) * tr
+            prev = int(us)
+        want[g] = (len(pts), prev, lvl, tr, lvl + tr)
+    assert got == want and len(got) == 5   # bitwise: == on doubles
+
+    # partitioning invariance (one shuffle on the series key)
+    repart = {r["event_type"]: (r["level"], r["trend"]) for r in
+              holt_linear(ev.repartition(13)).collect()}
+    assert repart == {g: (l, t) for g, (_n, _us, l, t, _f)
+                      in want.items()}
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, event_type string, ts timestamp, "
+              "value double")
+
+    def run(rows, **kw):
+        df = spark.createDataFrame(rows, schema)
+        return holt_linear(df, **kw).collect()[0]
+
+    # α = 0.5, β = 0.5 (decimal-exact doubles): v = [4, 8] ->
+    # l1 = 0.5·8 + 0.5·(4 + 0) = 6; b1 = 0.5·(6 − 4) + 0.5·0 = 1;
+    # forecast1 = 7
+    r = run([(1, "g", t0, 4.0),
+             (2, "g", t0 + dt.timedelta(seconds=60), 8.0)],
+            alpha_milli=500, beta_milli=500)
+    assert (r["level"], r["trend"], r["forecast1"]) == (6.0, 1.0, 7.0)
+    # single observation: level = v, trend = 0 (the b0 init)
+    r = run([(1, "g", t0, 9.0)])
+    assert (r["n"], r["level"], r["trend"]) == (1, 9.0, 0.0)
+    # index-based smoothing is GAP-BLIND: stretching the gaps changes
+    # nothing (the documented contrast with the time-aware EMA)
+    near = run([(1, "g", t0, 4.0),
+                (2, "g", t0 + dt.timedelta(seconds=1), 8.0),
+                (3, "g", t0 + dt.timedelta(seconds=2), 2.0)],
+               alpha_milli=500, beta_milli=500)
+    far = run([(1, "g", t0, 4.0),
+               (2, "g", t0 + dt.timedelta(days=10), 8.0),
+               (3, "g", t0 + dt.timedelta(days=40), 2.0)],
+              alpha_milli=500, beta_milli=500)
+    assert (near["level"], near["trend"]) == (far["level"],
+                                              far["trend"])
+    with pytest.raises(ValueError, match="alpha_milli"):
+        holt_linear(ev, alpha_milli=0)
+    with pytest.raises(ValueError, match="beta_milli"):
+        holt_linear(ev, beta_milli=2000)
+
+
+# holt_linear promotion golden (r16 queue — the EMA/ETD golden-ladder
+# recipe): per-group (n, last_ts_us, floor(level·1e6), floor(trend·1e6),
+# floor(forecast1·1e6)) at sf0.01 under the default α=0.3/β=0.1,
+# RE-DERIVED Spark-free below; guards carry the ema/etd_summary content
+# checksums verbatim (same fixture, same drift surface). Moves to
+# plans/queries.py on promotion (the etd_summary single-source lesson).
+HOLT_GOLDEN = [
+    ("click", 2006, 1706657894262777, 57391917, 412788, 57804706),
+    ("error", 2014, 1706657023175093, 28414509, -1847415, 26567094),
+    ("purchase", 1981, 1706657097667294, 64789181, 1673656, 66462838),
+    ("signup", 2017, 1706657349826961, 45827279, 164033, 45991312),
+    ("view", 1982, 1706659032194062, 35866407, -1480679, 34385728),
+]
+
+HOLT_GOLDEN_ORACLE = ("""
+    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
+           CAST(c2 AS BIGINT) AS last_ts_us,
+           CAST(c3 AS BIGINT) AS level_micro,
+           CAST(c4 AS BIGINT) AS trend_micro,
+           CAST(c5 AS BIGINT) AS forecast1_micro
+    FROM (VALUES """ + ", ".join(
+    f"('{g}', {n}, {us}, {l}, {t}, {f})"
+    for g, n, us, l, t, f in HOLT_GOLDEN) + """) AS t(c0, c1, c2, c3,
+                                                      c4, c5)
+    WHERE (SELECT CASE WHEN
+      count(*) = 10000 AND sum(event_id) = 49995000
+      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+          AS BIGINT) = 496306483
+      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+          = 431800558548676
+      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+          = 197374857
+      THEN 1 ELSE error(
+      'holt_linear golden pinned at sf0.01 (events '
+      || 'count/value/ts checksums) — re-derive via '
+      || 'test_holt_summary_golden_rederivation for this sf')
+      END FROM events) = 1
+""")
+
+
+def test_holt_summary_golden_rederivation():
+    """The holt_linear promotion golden, re-derived 100% Spark-free at
+    the grading scale: the pinned HOLT_GOLDEN literals must equal the
+    independent pure-Python fold."""
+    import math
+
+    con = _duck("/root/testdata/sf0.01")
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts) AS us, CAST(value AS DOUBLE) "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) ORDER BY event_type, us, event_id"
+    ).fetchall()
+    a, b = 0.3, 0.1
+    series: dict = {}
+    for g, us, v in rows:
+        series.setdefault(g, []).append((us, v))
+    derived = []
+    for g in sorted(series):
+        lvl = tr = prev = None
+        for us, v in series[g]:
+            if lvl is None:
+                lvl, tr = float(v), 0.0
+            else:
+                p = lvl
+                lvl = a * float(v) + (1.0 - a) * (lvl + tr)
+                tr = b * (lvl - p) + (1.0 - b) * tr
+            prev = int(us)
+        derived.append((g, len(series[g]), prev,
+                        math.floor(lvl * 1e6), math.floor(tr * 1e6),
+                        math.floor((lvl + tr) * 1e6)))
+    assert derived == HOLT_GOLDEN
+
+
+def test_holt_summary_golden_vs_operator(spark):
+    """The golden's promotion-ready twin runs end-to-end at sf0.01:
+    the operator's floor(x·1e6) projection equals the guarded literal
+    oracle exactly (registry standard, r16 queue — tag golden-sf0.01
+    on promotion)."""
+    from clickhouse_hdfs_loader_spark.operators.stats import holt_linear
+
+    sf01 = "/root/testdata/sf0.01"
+    ev = read_table(spark, sf01, "events")
+    out = holt_linear(ev)
+    got = sorted(map(tuple, out.select(
+        "event_type", "n", "last_ts_us",
+        F.floor(F.col("level") * F.lit(1_000_000.0)).cast("long")
+        .alias("level_micro"),
+        F.floor(F.col("trend") * F.lit(1_000_000.0)).cast("long")
+        .alias("trend_micro"),
+        F.floor(F.col("forecast1") * F.lit(1_000_000.0)).cast("long")
+        .alias("forecast1_micro")).collect()))
+    want = sorted(map(tuple,
+                      _duck(sf01).execute(HOLT_GOLDEN_ORACLE).fetchall()))
+    assert got == want and len(got) == 5
+
+
 def test_ema_summary_golden_rederivation():
     """The ema_summary driver golden, re-derived 100% Spark-free at the
     grading scale (duckdb parquet read + the same-order pure-Python
