@@ -72,7 +72,13 @@ def triangle_count(pairs: DataFrame, a_col: str = "id_a",
     Plan: one dedup shuffle, one degree aggregate joined back onto
     both endpoints (|V| rows — broadcast when small), one wedge
     self-join on the source key, one closure join on the (v, w) pair;
-    output is ONE row.
+    output is ONE row. The oriented-edge subtree is referenced three
+    times (both wedge sides + the closure probe) — the wedge sides
+    and the dedup/degree exchanges are canonically identical and
+    dedupe at runtime (16 ReusedExchange nodes measured in the
+    executed plan at sf0.01, the r11 verification rule); only the
+    closure probe's differently-keyed shuffle re-maps the oriented
+    rows.
 
     Returns ``nodes, edges, triangles`` (all BIGINT)."""
     e = (pairs.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()

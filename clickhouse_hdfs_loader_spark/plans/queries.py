@@ -7797,8 +7797,22 @@ def byte_jaccard_pairs_q(spark, sf_dir):
 #        (quantile_timing, sequence_match_multi —
 #        heavy_hitters_decayed defers to r16 and leads its
 #        re-confirmation queue).
-#   r16 queue: promote THIS round's new operators (see the r16 list
-#        appended below as they land, with in-test oracle locations);
+#   r16 queue: promote THIS round's new operators (all with
+#        promotion-ready in-test DuckDB oracles at registry standard):
+#        roc_auc (mann_whitney CTE + ROC_AUC_E6_DUCK finish,
+#        tests/test_stats_operators.py), brier_score,
+#        classification_report, rolling_corr (RANK_CORR_SQL over one
+#        trailing frame — same file), non_negative_derivative +
+#        sequence_match_events_ids (_timed_events_ladder_sql
+#        with_ids=True — tests/test_interval_combinators.py),
+#        triangle_count (id-ordered 3-join twin,
+#        tests/test_components.py), js_divergence (milli-log2 ladder,
+#        tests/test_dispersion_operators.py), fuzzy_join_damerau
+#        (shingle-pair + native damerau twin,
+#        tests/test_llm_operators.py), holt_summary golden
+#        (HOLT_GOLDEN_ORACLE at tests/test_stats_operators.py — tag
+#        golden-sf0.01, move the literals to THIS file on promotion,
+#        the etd_summary single-source lesson);
 #        second-confirm heavy_hitters_decayed; rotate the r5-era
 #        staleness tail (judge-style-recompute the latest-green list
 #        from CORRECTNESS_r01..r15 — the r5 cohort is ~19 names:

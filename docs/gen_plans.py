@@ -287,6 +287,63 @@ def _operator_picks(spark, sf):
                      & F.col("event_type").isNotNull())
             .withColumn("rel", F.pmod(F.col("user_id"), F.lit(3))),
             "event_type", "value", "rel", "event_id", k=10),
+        # --- the r15-built batch (r16 promotion queue)
+        **_r15_picks(spark, sf, ev, docs, right, sided),
+    }
+
+
+def _r15_picks(spark, sf, ev, docs, right, sided):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        non_negative_derivative, sequence_match_events)
+    from clickhouse_hdfs_loader_spark.operators.components import (
+        triangle_count)
+    from clickhouse_hdfs_loader_spark.operators.dispersion import (
+        js_divergence)
+    from clickhouse_hdfs_loader_spark.operators.linkage import (
+        fuzzy_join_damerau)
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        brier_score, classification_report, holt_linear, roc_auc,
+        rolling_corr)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    wlag = Window.partitionBy("event_type").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id"))
+    lagged = ev.withColumn("vlag", F.lag("value").over(wlag))
+    labeled = (ev.where(F.col("user_id").isNotNull()
+                        & F.col("event_id").isNotNull())
+               .withColumn("pred", F.pmod(F.col("event_id"), F.lit(2)))
+               .withColumn("label", F.pmod(F.col("user_id"), F.lit(2))))
+    ps = (read_table(spark, sf, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    tri_pairs = (ps.alias("a").join(
+        ps.alias("b"),
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("id_a"),
+                F.col("b.l_suppkey").alias("id_b")))
+    return {
+        "roc_auc": roc_auc(sided, "event_type", "value", "side"),
+        "brier_score": brier_score(sided, "event_type", "value",
+                                   "side"),
+        "classification_report": classification_report(
+            labeled, "event_type", "pred", "label"),
+        "non_negative_derivative": non_negative_derivative(ev),
+        "rolling_corr": rolling_corr(lagged, "event_type", "value",
+                                     "vlag", n=10),
+        "js_divergence": js_divergence(
+            ev.where(F.col("user_id").isNotNull()), "event_type",
+            "user_id"),
+        "sequence_match_events_ids": sequence_match_events(
+            ev, ["view", "click", "purchase"], [21600, 86400],
+            id_col="event_id"),
+        "triangle_count": triangle_count(tri_pairs),
+        "fuzzy_join_damerau": fuzzy_join_damerau(
+            docs, right, max_edit=40, threshold_milli=1,
+            exhaustive=True),
+        "holt_linear": holt_linear(ev),
     }
 
 
