@@ -49,12 +49,16 @@ def _zero_one_expr(col: str, op: str, label: str,
 
 
 def _sided_base(df: DataFrame, group_col: str, value_col: str,
-                side_col: str, op: str) -> DataFrame:
+                side_col: str, op: str,
+                side_label: str = "side_col") -> DataFrame:
     """The ONE copy of the two-sample preamble (review-caught
     triplication): validate the 0/1 side column via
     :func:`_zero_one_expr` and milli-quantize the value with the
-    repo-wide finite guard. Returns ``group, _vm, _s``."""
-    side = _zero_one_expr(side_col, op, "side_col")
+    repo-wide finite guard. ``side_label`` names the caller's OWN
+    parameter in the raise (the r14 domain-specific-message rule —
+    a brier_score caller must not be told about a side_col it does
+    not have). Returns ``group, _vm, _s``."""
+    side = _zero_one_expr(side_col, op, side_label)
     vm = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
     return (df.where(_quantizable_col(value_col)
                      & F.col(side_col).isNotNull())
@@ -120,7 +124,8 @@ def arg_min_max_by_group(df: DataFrame, group_col: str, arg_col: str,
 
 
 def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
-                   side_col: str) -> DataFrame:
+                   side_col: str, _op: str = "mann_whitney_u",
+                   _side_label: str = "side_col") -> DataFrame:
     """ClickHouse ``mannWhitneyUTest``'s U statistic per group, exact:
     rank-sum of the ``side = 1`` sample with AVERAGE ranks for ties,
     carried as DOUBLED integers so no fraction ever appears —
@@ -135,9 +140,11 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     other values raise loudly inside the expression (never silently
     dropped).
 
-    Returns ``group, n1, n2, u2`` (u2 = 2·U₁, integer-exact)."""
-    base = _sided_base(df, group_col, value_col, side_col,
-                       "mann_whitney_u")
+    Returns ``group, n1, n2, u2`` (u2 = 2·U₁, integer-exact).
+    ``_op``/``_side_label`` let delegating callers (roc_auc) name
+    THEIR operator and parameter in the 0/1 raise."""
+    base = _sided_base(df, group_col, value_col, side_col, _op,
+                       side_label=_side_label)
     # per (group, value): total ties and side-1 count
     per_v = (base.groupBy(group_col, "_vm")
              .agg(F.count(F.lit(1)).alias("_cnt"),
@@ -191,7 +198,8 @@ def roc_auc(df: DataFrame, group_col: str, score_col: str,
 
     Returns ``group, n1, n2, u2, auc_e6`` (n1 = positives; all
     BIGINT)."""
-    u = mann_whitney_u(df, group_col, score_col, label_col)
+    u = mann_whitney_u(df, group_col, score_col, label_col,
+                       _op="roc_auc", _side_label="label_col")
     return u.select(group_col, "n1", "n2", "u2",
                     F.expr(ROC_AUC_E6_SPARK).cast("long")
                     .alias("auc_e6"))
@@ -214,7 +222,7 @@ def brier_score(df: DataFrame, group_col: str, prob_col: str,
 
     Returns ``group, n, brier_e6``."""
     base = _sided_base(df, group_col, prob_col, label_col,
-                       "brier_score")
+                       "brier_score", side_label="label_col")
     d = F.col("_vm") - F.lit(1000).cast("long") * F.col("_s")
     return (base.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n"),
@@ -1340,12 +1348,20 @@ def rolling_corr(df: DataFrame, group_col: str, x_col: str,
     :func:`pearson_corr`; with y = lagged x it is the rolling
     autocorrelation drift monitor). Both columns milli-quantize to
     int64; the six moment sums run as WINDOW aggregates over ``ROWS
-    BETWEEN n−1 PRECEDING AND CURRENT ROW`` (int64 is exact here —
-    per-frame Σq² ≤ n·10¹⁰, so any sensible window is far inside
-    range; the unbounded-n DECIMAL escalation of pearson_corr is not
-    needed), then the SAME verbatim float finish (:data:`RANK_CORR_SQL`
-    — warm-up frames with fewer than 2 rows or a locally-constant
-    column are NULL through its existing guards, never a trap).
+    BETWEEN n−1 PRECEDING AND CURRENT ROW``, then the SAME verbatim
+    float finish (:data:`RANK_CORR_SQL` — warm-up frames with fewer
+    than 2 rows or a locally-constant column are NULL through its
+    existing guards, never a trap).
+
+    Overflow is n-AWARE and NAMED (the ranking_metrics k-aware rule;
+    review-caught r15 — the first draft claimed int64 safety it did
+    not have): the per-frame Σq² bound needs
+    ``|q| ≤ floor(sqrt(9·10¹⁸ / n))`` (≈ 6.7·10⁸ milli-units at
+    n = 20, i.e. |value| ≲ 6.7·10⁵), enforced by a raise inside the
+    quantize so the named error always fires before a generic ANSI
+    sum overflow; window sums stay int64 (the unbounded-n DECIMAL
+    escalation of pearson_corr is deliberately not paid per frame —
+    rescale the values or shrink the window instead).
 
     NULL/NaN/±Inf in either column and NULL ordering keys (ts, id —
     the r13 moving-sum stance) drop the row up-front; mirror in twins.
@@ -1357,14 +1373,24 @@ def rolling_corr(df: DataFrame, group_col: str, x_col: str,
     input row; n = actual frame row count)."""
     if int(n) < 2:
         raise ValueError(f"rolling_corr: n must be >= 2, got {n}")
-    qx = F.floor(F.col(x_col).cast("double") * 1000).cast("long")
-    qy = F.floor(F.col(y_col).cast("double") * 1000).cast("long")
+    qmax = int((9.0e18 / int(n)) ** 0.5)
+
+    def _q(col: str):
+        v = f"CAST(floor(CAST({col} AS DOUBLE) * 1000) AS BIGINT)"
+        return F.expr(
+            f"CASE WHEN abs({v}) > {qmax} THEN raise_error("
+            f"'rolling_corr: |{col}| beyond {qmax} milli-units "
+            f"overflows the int64 frame moments at n={int(n)} — "
+            f"rescale the values or shrink the window') "
+            f"ELSE {v} END")
+
     base = (df.where(_quantizable_col(x_col) & _quantizable_col(y_col)
                      & F.col(ts_col).isNotNull()
                      & F.col(id_col).isNotNull())
             .select(F.col(group_col),
                     F.unix_micros(F.col(ts_col)).alias("_tus"),
-                    F.col(id_col), qx.alias("_qx"), qy.alias("_qy")))
+                    F.col(id_col), _q(x_col).alias("_qx"),
+                    _q(y_col).alias("_qy")))
     w = (Window.partitionBy(group_col).orderBy("_tus", id_col)
          .rowsBetween(-(int(n) - 1), 0))
     framed = (base

@@ -311,7 +311,9 @@ def _r15_picks(spark, sf, ev, docs, right, sided):
 
     wlag = Window.partitionBy("event_type").orderBy(
         F.unix_micros(F.col("ts")), F.col("event_id"))
-    lagged = ev.withColumn("vlag", F.lag("value").over(wlag))
+    lagged = (ev.where(F.col("ts").isNotNull()
+                       & F.col("event_id").isNotNull())
+              .withColumn("vlag", F.lag("value").over(wlag)))
     labeled = (ev.where(F.col("user_id").isNotNull()
                         & F.col("event_id").isNotNull())
                .withColumn("pred", F.pmod(F.col("event_id"), F.lit(2)))

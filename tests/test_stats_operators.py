@@ -2460,8 +2460,10 @@ def test_roc_auc_oracle_and_hand_cases(spark, sf_dir):
     assert r["auc_e6"] == 500_000     # (1 + 0)/2 pairs... u2=2 -> 2/4
     # single-class group -> NULL, never a division trap
     assert run([("g", 1.0, 1), ("g", 2.0, 1)])["auc_e6"] is None
-    # loud 0/1 validation (the ONE shared validator)
-    with pytest.raises(Exception, match="side_col must be 0 or 1"):
+    # loud 0/1 validation, named for THIS operator's parameter (the
+    # r14 domain-specific-message rule)
+    with pytest.raises(Exception,
+                       match="roc_auc: label_col must be 0 or 1"):
         run([("g", 1.0, 2)])
 
 
@@ -2476,9 +2478,14 @@ def test_rolling_corr_oracle_and_hand_cases(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.stats import (
         RANK_CORR_SQL, rolling_corr)
 
+    # the lag preamble excludes NULL ordering keys BEFORE the lag on
+    # BOTH sides (the r9 window-ordered-oracle rule — Spark sorts NULL
+    # keys FIRST, DuckDB LAST, so fixture drift would shift every lag
+    # neighbor; review-caught r15)
     wlag = Window.partitionBy("event_type").orderBy(
         F.unix_micros(F.col("ts")), F.col("event_id"))
     ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
           .withColumn("vlag", F.lag("value").over(wlag)))
     got = sorted(map(tuple, rolling_corr(
         ev, "event_type", "value", "vlag", n=10).collect()))
@@ -2487,7 +2494,8 @@ def test_rolling_corr_oracle_and_hand_cases(spark, sf_dir):
                           value,
                           lag(value) OVER (PARTITION BY event_type
                             ORDER BY epoch_us(ts), event_id) AS vlag
-                   FROM events),
+                   FROM events
+                   WHERE ts IS NOT NULL AND event_id IS NOT NULL),
         b AS (SELECT event_type, tus, event_id,
                      CAST(floor(value * 1000) AS BIGINT) AS qx,
                      CAST(floor(vlag * 1000) AS BIGINT) AS qy
@@ -2541,6 +2549,14 @@ def test_rolling_corr_oracle_and_hand_cases(spark, sf_dir):
     assert r[1] == 1.0 and r[4] == -1.0
     with pytest.raises(ValueError, match="n must be >= 2"):
         rolling_corr(ev, "event_type", "value", "vlag", n=1)
+    # the n-aware moment-overflow guard raises NAMED, before any
+    # generic ANSI sum overflow (review-caught r15)
+    big = spark.createDataFrame(
+        [(1, "g", dt.datetime(2024, 1, 1), 4.0e9, 1.0)],
+        "event_id long, event_type string, ts timestamp, "
+        "x double, y double")
+    with pytest.raises(Exception, match="overflows the int64 frame"):
+        rolling_corr(big, "event_type", "x", "y", n=3).collect()
 
 
 def test_brier_score_oracle_and_hand_cases(spark, sf_dir):
@@ -2574,7 +2590,8 @@ def test_brier_score_oracle_and_hand_cases(spark, sf_dir):
     assert run([("g", 1.0, 1), ("g", 0.0, 0)])["brier_e6"] == 0
     assert run([("g", 0.0, 1)])["brier_e6"] == 1_000_000
     assert run([("g", 0.5, 1), ("g", 0.5, 0)])["brier_e6"] == 250_000
-    with pytest.raises(Exception, match="side_col must be 0 or 1"):
+    with pytest.raises(Exception,
+                       match="brier_score: label_col must be 0 or 1"):
         run([("g", 0.5, 7)])
 
 
