@@ -231,6 +231,61 @@ def brier_score(df: DataFrame, group_col: str, prob_col: str,
                     F.expr("_sq div n").alias("brier_e6")))
 
 
+def clsrep_update(state: "DataFrame | None", batch: DataFrame,
+                  group_col: str = "event_type",
+                  pred_col: str = "pred",
+                  label_col: str = "label") -> DataFrame:
+    """Fold a batch into the per-group confusion-count state
+    ``group, n, tp, fp, fn, tn`` — an int-sum MONOID, so per-batch
+    folding ≡ one-shot for ANY partition of the rows (the
+    prop_update contract). Predictions AND labels must be 0/1 (the
+    ONE shared validator, named for each column); NULL group keys and
+    NULL pred/label rows are excluded up-front per batch (the stream
+    twin has no registry wrapper — exclusions live in the fold, the
+    r14 rule). State is O(|groups|) rows."""
+    p = _zero_one_expr(pred_col, "classification_report", "pred_col",
+                       cast_to="BIGINT")
+    y = _zero_one_expr(label_col, "classification_report", "label_col",
+                       cast_to="BIGINT")
+    base = (batch.where(F.col(pred_col).isNotNull()
+                        & F.col(label_col).isNotNull()
+                        & F.col(group_col).isNotNull())
+            .select(F.col(group_col), p.alias("_p"), y.alias("_y")))
+    fresh = (base.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("_p") * F.col("_y")).alias("tp"),
+                  F.sum(F.col("_p") * (1 - F.col("_y"))).alias("fp"),
+                  F.sum((1 - F.col("_p")) * F.col("_y")).alias("fn"),
+                  F.sum((1 - F.col("_p")) * (1 - F.col("_y")))
+                  .alias("tn")))
+    if state is None:
+        return fresh
+    return (state.unionByName(fresh).groupBy(group_col)
+            .agg(F.sum("n").alias("n"), F.sum("tp").alias("tp"),
+                 F.sum("fp").alias("fp"), F.sum("fn").alias("fn"),
+                 F.sum("tn").alias("tn")))
+
+
+def clsrep_from_state(state: DataFrame,
+                      group_col: str = "event_type") -> DataFrame:
+    """Derive the classification metrics from the O(|groups|)
+    confusion state alone — each one exact integer division, guarded
+    to NULL on a zero denominator (see
+    :func:`classification_report`)."""
+    return state.select(
+        group_col, "n", "tp", "fp", "fn", "tn",
+        F.expr("CASE WHEN tp + fp = 0 THEN NULL "
+               "ELSE (tp * 1000000) div (tp + fp) END")
+        .alias("precision_e6"),
+        F.expr("CASE WHEN tp + fn = 0 THEN NULL "
+               "ELSE (tp * 1000000) div (tp + fn) END")
+        .alias("recall_e6"),
+        F.expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL "
+               "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END")
+        .alias("f1_e6"),
+        F.expr("(tp + tn) * 1000000 div n").alias("accuracy_e6"))
+
+
 def classification_report(df: DataFrame, group_col: str,
                           pred_col: str, label_col: str) -> DataFrame:
     """Binary-classification confusion counts + the exact e6 metrics
@@ -245,39 +300,22 @@ def classification_report(df: DataFrame, group_col: str,
     F1 reduces to ``2tp/(2tp+fp+fn)`` algebraically, so no float
     composition is ever needed), each guarded to NULL on a zero
     denominator. Predictions AND labels must be 0/1 (the ONE shared
-    validator raises loudly); NULL rows in either column are excluded
+    validator raises loudly); NULL group/pred/label rows are excluded
     up-front (mirror in twins).
+
+    Implemented as :func:`clsrep_from_state` over
+    :func:`clsrep_update` (the trend_update shape) — the confusion
+    counts are an int-sum monoid, so the streaming twin
+    (``streaming.events.stream_classification_report``) grades
+    against the SAME batch oracle.
 
     Plan: ONE group-key aggregate with map-side combine.
 
     Returns ``group, n, tp, fp, fn, tn, precision_e6, recall_e6,
     f1_e6, accuracy_e6``."""
-    p = _zero_one_expr(pred_col, "classification_report", "pred_col",
-                       cast_to="BIGINT")
-    y = _zero_one_expr(label_col, "classification_report", "label_col",
-                       cast_to="BIGINT")
-    base = (df.where(F.col(pred_col).isNotNull()
-                     & F.col(label_col).isNotNull())
-            .select(F.col(group_col), p.alias("_p"), y.alias("_y")))
-    agg = (base.groupBy(group_col)
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("_p") * F.col("_y")).alias("tp"),
-                F.sum(F.col("_p") * (1 - F.col("_y"))).alias("fp"),
-                F.sum((1 - F.col("_p")) * F.col("_y")).alias("fn"),
-                F.sum((1 - F.col("_p")) * (1 - F.col("_y")))
-                .alias("tn")))
-    return agg.select(
-        group_col, "n", "tp", "fp", "fn", "tn",
-        F.expr("CASE WHEN tp + fp = 0 THEN NULL "
-               "ELSE (tp * 1000000) div (tp + fp) END")
-        .alias("precision_e6"),
-        F.expr("CASE WHEN tp + fn = 0 THEN NULL "
-               "ELSE (tp * 1000000) div (tp + fn) END")
-        .alias("recall_e6"),
-        F.expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL "
-               "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END")
-        .alias("f1_e6"),
-        F.expr("(tp + tn) * 1000000 div n").alias("accuracy_e6"))
+    return clsrep_from_state(
+        clsrep_update(None, df, group_col, pred_col, label_col),
+        group_col)
 
 
 def _moments_by_side(base: DataFrame, group_col: str) -> DataFrame:

@@ -7801,7 +7801,10 @@ def byte_jaccard_pairs_q(spark, sf_dir):
 #        promotion-ready in-test DuckDB oracles at registry standard):
 #        roc_auc (mann_whitney CTE + ROC_AUC_E6_DUCK finish,
 #        tests/test_stats_operators.py), brier_score,
-#        classification_report, rolling_corr (RANK_CORR_SQL over one
+#        classification_report + stream_classification_report (the
+#        clsrep monoid twin — grades against the SAME batch oracle,
+#        the stream_two_proportion precedent),
+#        rolling_corr (RANK_CORR_SQL over one
 #        trailing frame — same file), non_negative_derivative +
 #        sequence_match_events_ids (_timed_events_ladder_sql
 #        with_ids=True — tests/test_interval_combinators.py),

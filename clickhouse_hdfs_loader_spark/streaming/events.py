@@ -695,3 +695,44 @@ def stream_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not state:
         raise RuntimeError("stream produced no batches")
     return trend_from_state(state[0])
+
+
+def stream_classification_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming classifier-quality monitor twin: each micro-batch
+    derives pred = event_id parity and label = user parity (the batch
+    twin's derivation) and folds into the per-group confusion-count
+    state via ``stats.clsrep_update`` inside ``foreachBatch`` (an
+    int-sum monoid — order-insensitive, the stream_two_proportion
+    contract; NULL user/event_id rows excluded HERE and NULL groups
+    inside the fold — a stream twin has no registry wrapper, the r14
+    rule); precision/recall/F1/accuracy derive from the O(|groups|)
+    state alone through ``stats.clsrep_from_state``. Matches the
+    batch ``classification_report`` exactly by test."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import clsrep_from_state, clsrep_update
+
+    stream = events_stream(spark, sf_dir)   # ts-drift-safe events read
+    state: list = []
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        labeled = (bdf.where(F.col("user_id").isNotNull()
+                             & F.col("event_id").isNotNull())
+                   .withColumn("pred", F.pmod(F.col("event_id"),
+                                              F.lit(2)))
+                   .withColumn("label", F.pmod(F.col("user_id"),
+                                               F.lit(2))))
+        nxt = clsrep_update(state[0] if state else None, labeled) \
+            .localCheckpoint(eager=True)
+        if state:
+            state[0].unpersist()
+        state[:] = [nxt]
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .start())
+    _run_to_completion(q)
+    if not state:
+        raise RuntimeError("stream produced no batches")
+    return clsrep_from_state(state[0])

@@ -2616,7 +2616,11 @@ def test_classification_report_oracle_and_hand_cases(spark, sf_dir):
                           CAST(((event_id % 2 + 2) % 2) AS BIGINT) AS p,
                           CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS y
                    FROM events
-                   WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+                   WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                     -- the fold drops NULL group keys (mirror — the
+                     -- r9 drift stance; the stream twin shares this
+                     -- WHERE by construction)
+                     AND event_type IS NOT NULL),
         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(p * y) AS BIGINT) AS tp,
                      CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
@@ -2660,6 +2664,60 @@ def test_classification_report_oracle_and_hand_cases(spark, sf_dir):
         run([("g", 3, 1)])
     with pytest.raises(Exception, match="label_col must be 0 or 1"):
         run([("g", 1, -1)])
+
+
+def test_stream_classification_report_matches_batch_any_partition(
+        spark, sf_dir):
+    """The foreachBatch classifier-monitor twin reproduces the batch
+    classification_report exactly, and folding ANY random partition of
+    the rows equals the one-shot report (the confusion counts are an
+    int-sum monoid — registry standard, r16 queue, graded against the
+    batch oracle per the stream_two_proportion precedent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        classification_report, clsrep_from_state, clsrep_update)
+    from clickhouse_hdfs_loader_spark.streaming.events import (
+        stream_classification_report)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .withColumn("pred", F.pmod(F.col("event_id"), F.lit(2)))
+          .withColumn("label", F.pmod(F.col("user_id"), F.lit(2))))
+    want = sorted(map(tuple, classification_report(
+        ev, "event_type", "pred", "label").collect()))
+    got = sorted(map(tuple, stream_classification_report(
+        spark, sf_dir).collect()))
+    assert got == want and len(got) == 5
+
+    schema = "event_type string, pred int, label int"
+
+    @given(st.lists(st.tuples(st.integers(0, 1),    # group
+                              st.integers(0, 1),    # pred
+                              st.integers(0, 1)),   # label
+                    min_size=1, max_size=14),
+           st.lists(st.integers(0, 2), min_size=1, max_size=14))
+    @settings(max_examples=5, deadline=None)
+    def check(rows_in, assignment):
+        rows = [(f"g{g}", p, y) for g, p, y in rows_in]
+        full = spark.createDataFrame(rows, schema)
+        one_shot = sorted(map(tuple, clsrep_from_state(
+            clsrep_update(None, full)).collect()))
+        parts: dict = {}
+        for i, r in enumerate(rows):
+            parts.setdefault(assignment[i % len(assignment)],
+                             []).append(r)
+        state = None
+        for _k, chunk in sorted(parts.items(), reverse=True):
+            bdf = spark.createDataFrame(chunk, schema)
+            state = clsrep_update(state, bdf).localCheckpoint(
+                eager=True)
+        got2 = sorted(map(tuple, clsrep_from_state(state).collect()))
+        assert got2 == one_shot
+
+    check()
 
 
 # The exponential_time_decayed promotion golden PROMOTED r15: the ONE
