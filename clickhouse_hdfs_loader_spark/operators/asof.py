@@ -203,6 +203,51 @@ def ohlc_resample(events: DataFrame, ts_col: str = "ts",
                     "open", "high", "low", "close", "ticks"))
 
 
+def vwap_resample(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "event_type",
+                  price_col: str = "value",
+                  vol_col: str = "vol") -> DataFrame:
+    """Volume-weighted average price per (series, hour) — the OHLC
+    bar's trading-volume companion (every market-data store reports
+    VWAP next to the bars): per bucket,
+
+        vwap_e4 = (Σ vol·price_milli) / (Σ vol)      (knife-edge e4)
+
+    under the avg_weighted contract verbatim — prices milli-quantize,
+    volumes must be non-negative integers (the ONE shared integral
+    validator, named for THIS operator's volume), both sums are int64
+    monoids, and the final ratio is the SAME shared
+    :data:`~..operators.stats.AVG_WEIGHTED_SQL` float finish
+    (zero-volume buckets → NULL, never a division trap). NULL
+    price/ts/volume rows are excluded up-front (mirror in twins).
+    Overflow: Σ vol·|pm| < 2⁶³ (the avg_weighted bound).
+
+    One shuffle on (series × hour); map-side partial sums.
+
+    Returns ``key, hour_epoch, wsum, wvsum_milli, vwap_e4``."""
+    from .analytics import _integral_weight_expr, _quantizable_col
+    from .stats import AVG_WEIGHTED_SQL
+
+    w = _integral_weight_expr(
+        "vwap_resample", vol_col, noun="volume",
+        neg_reason="is not a valid trade volume")
+    pm = F.floor(F.col(price_col).cast("double") * 1000).cast("long")
+    h = F.date_trunc("hour", F.col(ts_col))
+    return (events
+            .where(_quantizable_col(price_col)
+                   & F.col(ts_col).isNotNull()
+                   & F.col(vol_col).isNotNull())
+            .select(F.col(key_col), h.alias("_h"), pm.alias("_pm"),
+                    w.alias("_w"))
+            .groupBy(key_col, "_h")
+            .agg(F.sum("_w").alias("wsum"),
+                 F.sum(F.col("_w") * F.col("_pm"))
+                 .alias("wvsum_milli"))
+            .select(key_col, F.unix_timestamp("_h").alias("hour_epoch"),
+                    "wsum", "wvsum_milli",
+                    F.expr(AVG_WEIGHTED_SQL).alias("vwap_e4")))
+
+
 def time_weighted_avg(events: DataFrame, ts_col: str = "ts",
                       key_col: str = "event_type",
                       value_col: str = "value",

@@ -7805,7 +7805,8 @@ def byte_jaccard_pairs_q(spark, sf_dir):
 #        clsrep monoid twin — grades against the SAME batch oracle,
 #        the stream_two_proportion precedent),
 #        rolling_corr (RANK_CORR_SQL over one
-#        trailing frame — same file), non_negative_derivative +
+#        trailing frame — same file), vwap_resample (AVG_WEIGHTED_SQL
+#        per (series, hour) — same file), non_negative_derivative +
 #        sequence_match_events_ids (_timed_events_ladder_sql
 #        with_ids=True — tests/test_interval_combinators.py),
 #        triangle_count (id-ordered 3-join twin,

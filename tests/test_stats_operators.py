@@ -2666,6 +2666,66 @@ def test_classification_report_oracle_and_hand_cases(spark, sf_dir):
         run([("g", 1, -1)])
 
 
+def test_vwap_resample_oracle_and_hand_cases(spark, sf_dir):
+    """vwap_resample: in-test DuckDB oracle (registry standard, r16
+    queue) — the avg_weighted contract per (series, hour) bucket with
+    the verbatim AVG_WEIGHTED_SQL finish; hand cases pin the weighted
+    crossing, the zero-volume-bucket NULL, and the loud volume
+    validation named for THIS operator."""
+    from clickhouse_hdfs_loader_spark.operators.asof import (
+        vwap_resample)
+    from clickhouse_hdfs_loader_spark.operators.stats import (
+        AVG_WEIGHTED_SQL)
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("vol", F.pmod(F.col("event_id"), F.lit(5))))
+    got = sorted(map(tuple, vwap_resample(ev).collect()))
+    want = sorted(map(tuple, _duck(sf_dir).execute(f"""
+        WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                          CAST(floor(value * 1000) AS BIGINT) AS pm,
+                          CAST(((event_id % 5 + 5) % 5) AS BIGINT) AS w
+                   FROM events
+                   WHERE value IS NOT NULL AND isfinite(value)
+                     AND ts IS NOT NULL AND event_id IS NOT NULL),
+        a AS (SELECT event_type,
+                     CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+                     CAST(sum(w) AS BIGINT) AS wsum,
+                     CAST(sum(w * pm) AS BIGINT) AS wvsum_milli
+              FROM b GROUP BY 1, 2)
+        SELECT event_type, hour_epoch, wsum, wvsum_milli,
+               {AVG_WEIGHTED_SQL} AS vwap_e4
+        FROM a
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    assert any(r[4] is not None for r in got)
+
+    t0 = dt.datetime(2024, 1, 1, 9, 30)
+    schema = ("event_type string, ts timestamp, value double, "
+              "vol long")
+
+    def run(rows):
+        df = spark.createDataFrame(rows, schema)
+        return vwap_resample(df).collect()
+
+    # volume pulls the average toward the heavy trade:
+    # (10·1 + 20·3) / 4 = 17.5
+    r = run([("g", t0, 10.0, 1), ("g", t0, 20.0, 3)])
+    assert (r[0]["wsum"], r[0]["vwap_e4"]) == (4, 17.5)
+    # an all-zero-volume bucket is NULL, never a division trap
+    r = run([("g", t0, 10.0, 0)])
+    assert r[0]["vwap_e4"] is None and r[0]["wsum"] == 0
+    # loud validation, named for vwap's volume
+    for bad, msg in ((0.5, "integral counts"),
+                     (-2.0, "not a valid trade volume")):
+        df = spark.createDataFrame(
+            [("g", t0, 1.0, float(bad))],
+            "event_type string, ts timestamp, value double, "
+            "vol double")
+        with pytest.raises(Exception, match=msg):
+            vwap_resample(df).collect()
+
+
 def test_stream_classification_report_matches_batch_any_partition(
         spark, sf_dir):
     """The foreachBatch classifier-monitor twin reproduces the batch
