@@ -1060,17 +1060,20 @@ def exponential_moving_average(events: DataFrame,
 
 def _series_fold_base(events: DataFrame, group_col: str, ts_col: str,
                       value_col: str, id_col: str,
-                      half_life_s: float, op: str):
+                      half_life_s: "float | None", op: str):
     """The ONE copy of the sequential-series-fold scaffold (the
     r13 _zero_one_expr drift class, applied to the EMA/decayed pair):
-    validate the half-life loudly, derive the group column's INPUT
-    type for the applyInPandas output schema (ADVICE r10), and project
-    the quantizable-value / non-NULL-ts series rows. Returns
-    ``(base, group_ddl, half_life)``."""
-    hl = float(half_life_s)
-    if not hl > 0:
-        raise ValueError(
-            f"{op}: half_life_s must be > 0, got {half_life_s}")
+    validate the half-life loudly (``None`` skips it — for folds like
+    holt_linear that have no time constant; review-caught r15), derive
+    the group column's INPUT type for the applyInPandas output schema
+    (ADVICE r10), and project the quantizable-value / non-NULL-ts
+    series rows. Returns ``(base, group_ddl, half_life)``."""
+    hl = None
+    if half_life_s is not None:
+        hl = float(half_life_s)
+        if not hl > 0:
+            raise ValueError(
+                f"{op}: half_life_s must be > 0, got {half_life_s}")
     g_ddl = events.schema[group_col].dataType.simpleString()
     base = (events.where(_quantizable_col(value_col)
                          & F.col(ts_col).isNotNull())
@@ -1195,7 +1198,7 @@ def holt_linear(events: DataFrame, group_col: str = "event_type",
         raise ValueError(f"holt_linear: beta_milli must be in "
                          f"[0, 1000], got {beta_milli}")
     base, g_ddl, _hl = _series_fold_base(
-        events, group_col, ts_col, value_col, id_col, 1.0,
+        events, group_col, ts_col, value_col, id_col, None,
         "holt_linear")
     a, b = am / 1000.0, bm / 1000.0
 

@@ -302,6 +302,8 @@ def _r15_picks(spark, sf, ev, docs, right, sided):
         triangle_count)
     from clickhouse_hdfs_loader_spark.operators.dispersion import (
         js_divergence)
+    from clickhouse_hdfs_loader_spark.operators.asof import (
+        vwap_resample)
     from clickhouse_hdfs_loader_spark.operators.linkage import (
         fuzzy_join_damerau)
     from clickhouse_hdfs_loader_spark.operators.stats import (
@@ -346,6 +348,9 @@ def _r15_picks(spark, sf, ev, docs, right, sided):
             docs, right, max_edit=40, threshold_milli=1,
             exhaustive=True),
         "holt_linear": holt_linear(ev),
+        "vwap_resample": vwap_resample(
+            ev.where(F.col("event_id").isNotNull())
+            .withColumn("vol", F.pmod(F.col("event_id"), F.lit(5)))),
     }
 
 
