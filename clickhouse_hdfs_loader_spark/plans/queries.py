@@ -7817,13 +7817,20 @@ def byte_jaccard_pairs_q(spark, sf_dir):
 #        (HOLT_GOLDEN_ORACLE at tests/test_stats_operators.py — tag
 #        golden-sf0.01, move the literals to THIS file on promotion,
 #        the etd_summary single-source lesson);
-#        second-confirm heavy_hitters_decayed; rotate the r5-era
-#        staleness tail (judge-style-recompute the latest-green list
-#        from CORRECTNESS_r01..r15 — the r5 cohort is ~19 names:
-#        the loader goldens aside, expect seeded_shuffle,
-#        sequence_count, bpe_merges, pagerank_summary and the r5
-#        first-grade batch); start the r12 27-promotion +
-#        curate_report second-confirmation batch as slots allow.
+#        then rotate the r5-era staleness tail — PRE-COMPUTED at r15
+#        end (latest-green recomputed from CORRECTNESS_r01..r14 with
+#        the r15 window assumed green; re-verify against the actual
+#        CORRECTNESS_r15): EXACTLY 19 names — ann_ivf_trained_topk,
+#        correlated_exists, cube_agg, custdist_two_level_agg,
+#        embedding_label_centroids, events_forward_fill,
+#        events_gap_fill, from_json_struct, grouping_sets,
+#        multimodal_frame_sample, not_in_subquery, pack_token_budget,
+#        q10_returned_items, q7_volume_shipping, scalar_subquery_agg,
+#        streaming_dedup, streaming_static_join, train_val_test_split,
+#        unpivot_doc_metrics. 19 pinned + 12 promotions + these 19
+#        = EXACTLY 50 — heavy_hitters_decayed's second confirmation
+#        and the r12 batch slide to r17 (the r8-era 24-name cohort is
+#        r17's staleness tail).
 #   r15 PLANNED (kept for the audit trail):
 #        FIRST grade the two r3-era deferrals (multimodal_decode,
 #        corpus_prep_pipeline — the last ten-round-stale names); then
