@@ -3098,11 +3098,27 @@ def q2_min_cost_supplier(spark, sf_dir):
     return spark.sql(_Q2_SQL)
 
 
-@query("q9_product_profit", oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+# q9's profit amount at exact integer CENTS, shared VERBATIM by the
+# operator (F.expr) and the oracle: the per-row product chain builds
+# the IDENTICAL double on both engines (same expression order; every
+# literal CAST — the r9/r10 DECIMAL traps), half-up cent quantization
+# is then per-row deterministic, and the int64 cent sum is order-FREE —
+# the r15 full-registry sf0.1 sweep caught the old round(sum(double))
+# form one cent off in ONE group (engine summation order crossed a
+# rounding boundary; the knife-edge class finally hit a sum-of-money).
+_Q9_AMOUNT_CENTS = (
+    "CAST(floor((l_extendedprice"
+    " * (CAST(1 AS DOUBLE) - l_discount)"
+    " - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity)"
+    " * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+
+
+@query("q9_product_profit", oracle=f"""
+    SELECT nation, o_year,
+           CAST(sum(cents) AS DOUBLE) / CAST(100 AS DOUBLE)
+             AS sum_profit
     FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-                 l_extendedprice * (1 - l_discount)
-                   - 0.1 * p_retailprice * l_quantity AS amount
+                 {_Q9_AMOUNT_CENTS} AS cents
           FROM lineitem JOIN part ON p_partkey = l_partkey
           JOIN supplier ON s_suppkey = l_suppkey
           JOIN orders ON o_orderkey = l_orderkey
@@ -3118,23 +3134,28 @@ def q9_product_profit(spark, sf_dir):
     two big sides and meet in the single shuffle-worthy join — at 100 TB
     the plan is one fact-fact shuffle join plus broadcasts, and the
     '%gear%' filter prunes lineitem FIRST through the broadcast part
-    join, before the orders shuffle."""
+    join, before the orders shuffle.
+
+    Profit is summed as EXACT integer cents (_Q9_AMOUNT_CENTS, shared
+    verbatim with the twin) — a float sum here is order-dependent
+    across engines and went one cent off at sf0.1 (r15 sweep); the
+    per-row half-up cent quantization IS the contract, and the final
+    /100 is exact for any realistic total."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
     return (li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
             .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
             .join(o, o.o_orderkey == li.l_orderkey)
             .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
             .select(F.col("n_name").alias("nation"),
                     F.year("o_orderdate").alias("o_year"),
-                    amount.alias("amount"))
+                    F.expr(_Q9_AMOUNT_CENTS).alias("cents"))
             .groupBy("nation", "o_year")
-            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+            .agg(F.expr("CAST(sum(cents) AS DOUBLE) "
+                        "/ CAST(100 AS DOUBLE)").alias("sum_profit")))
 
 
 _Q11_SQL = """
@@ -7827,10 +7848,16 @@ def byte_jaccard_pairs_q(spark, sf_dir):
 #        multimodal_frame_sample, not_in_subquery, pack_token_budget,
 #        q10_returned_items, q7_volume_shipping, scalar_subquery_agg,
 #        streaming_dedup, streaming_static_join, train_val_test_split,
-#        unpivot_doc_metrics. 19 pinned + 12 promotions + these 19
-#        = EXACTLY 50 — heavy_hitters_decayed's second confirmation
-#        and the r12 batch slide to r17 (the r8-era 24-name cohort is
-#        r17's staleness tail).
+#        unpivot_doc_metrics. PLUS the q9_product_profit
+#        changed-surface RE-GRADE (late r15: the full-registry sf0.1
+#        sweep caught round(sum(double)) one cent off — engine
+#        summation order crossed a rounding boundary; the oracle and
+#        operator now share the exact-cents _Q9_AMOUNT_CENTS contract,
+#        verified hash-exact at sf0.01 AND sf0.1). 19 pinned + 12
+#        promotions + the re-grade + 18 of the r5-era 19 = EXACTLY 50
+#        — events_gap_fill, heavy_hitters_decayed's second
+#        confirmation, and the r12 batch slide to r17 (the r8-era
+#        24-name cohort is r17's staleness tail).
 #   r15 PLANNED (kept for the audit trail):
 #        FIRST grade the two r3-era deferrals (multimodal_decode,
 #        corpus_prep_pipeline — the last ten-round-stale names); then
