@@ -3106,6 +3106,10 @@ def q2_min_cost_supplier(spark, sf_dir):
 # the r15 full-registry sf0.1 sweep caught the old round(sum(double))
 # form one cent off in ONE group (engine summation order crossed a
 # rounding boundary; the knife-edge class finally hit a sum-of-money).
+# floor(x·100 + 0.5) is half-toward-+INFINITY (NOT HALF_UP: -234.5
+# cents -> -234, where away-from-zero would give -235 — the fixture
+# HAS such rows; any Spark-free replay must use this exact rule, not
+# decimal ROUND_HALF_UP).
 _Q9_AMOUNT_CENTS = (
     "CAST(floor((l_extendedprice"
     " * (CAST(1 AS DOUBLE) - l_discount)"
@@ -3139,8 +3143,10 @@ def q9_product_profit(spark, sf_dir):
     Profit is summed as EXACT integer cents (_Q9_AMOUNT_CENTS, shared
     verbatim with the twin) — a float sum here is order-dependent
     across engines and went one cent off at sf0.1 (r15 sweep); the
-    per-row half-up cent quantization IS the contract, and the final
-    /100 is exact for any realistic total."""
+    per-row half-toward-+inf cent quantization IS the contract (see
+    the constant's rounding note), and the final /100 yields the
+    IDENTICAL correctly-rounded double on both engines (not the exact
+    decimal — cents/100 is generally unrepresentable in binary)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     s = _t(spark, sf_dir, "supplier")
