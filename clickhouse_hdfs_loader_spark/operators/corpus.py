@@ -147,11 +147,15 @@ def contamination_check(docs: DataFrame, probe: DataFrame, k: int = 3,
            .select("id", F.xxhash64("s").alias("h")))
     p_h = (probe.select(F.explode(sh(F.col(text_col))).alias("s"))
            .select(F.xxhash64("s").alias("h")).distinct())
-    sizes = c_h.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (c_h.join(F.broadcast(p_h), "h")
-            .groupBy("id").agg(F.count(F.lit(1)).alias("hits")))
-    out = (sizes.join(hits, "id", "left")
-           .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0))))
+    # ONE corpus pass: broadcast-left-join the distinct probe set (join
+    # multiplicity is exactly 1), then count total and hits in the SAME
+    # per-doc aggregate — the old sizes/hits branches re-planned the
+    # corpus shingle UDF twice and paid an extra id-keyed join (r15).
+    out = (c_h.join(F.broadcast(p_h.withColumn("_hit", F.lit(1))),
+                    "h", "left")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("hits")))
     frac = (F.floor(F.col("hits").cast("double") / F.col("n_shingles")
                     * F.lit(1000000.0) + F.lit(0.5)).cast("double")
             / F.lit(1000000.0))

@@ -78,15 +78,33 @@ def _explode_ordered_pairs(grouped: DataFrame) -> DataFrame:
             .where(F.col("id_a") < F.col("id_b")))
 
 
-def _pairs_from_posting_lists(sh: DataFrame, max_bucket: int = 1000) -> DataFrame:
-    """(id_a, id_b, shared) via inverted-index posting lists: ONE pass over
-    the shingle rows (groupBy h → collect ids → explode ordered pairs)
-    instead of a self-join that computes the exploded side twice. Posting
-    lists over ``max_bucket`` are dropped — boilerplate-shingle skew
-    control at scale."""
-    grouped = (sh.groupBy("h").agg(F.collect_list("id").alias("ids"))
-               .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
-    return (_explode_ordered_pairs(grouped)
+def _posting_lists(sh: DataFrame) -> DataFrame:
+    """(h, ids) inverted-index posting lists: ONE ``groupBy(h)`` exchange
+    that every downstream consumer (pair generation, per-doc sizes, df
+    caps) hangs off. The consumers re-plan canonically identical subtrees,
+    which dedupe to ReusedExchange at runtime — so the scan + shingle UDF
+    + map-side partial collect run exactly once per query (r15: the
+    previous shape, with sizes counted off a second ``sh`` branch,
+    re-planned the scan+UDF three times — measured 3 ArrowEvalPython scans
+    in the dedup_ngram_jaccard plan)."""
+    return sh.groupBy("h").agg(F.collect_list("id").alias("ids"))
+
+
+def _sizes_from_posting_lists(grouped: DataFrame) -> DataFrame:
+    """(id, n) per-doc shingle counts derived from the posting lists
+    instead of a fresh pass over the shingle rows: exploding ``ids``
+    reproduces the (h, id) row multiset exactly, so the count per id is
+    identical — but the subtree shares the posting-list exchange."""
+    return (grouped.select(F.explode("ids").alias("id"))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _pairs_from_posting_lists(grouped: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b, shared) from (h, ids) posting lists via explode ordered
+    pairs. Posting lists over ``max_bucket`` are dropped —
+    boilerplate-shingle skew control at scale."""
+    capped = grouped.where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    return (_explode_ordered_pairs(capped)
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared")))
 
@@ -226,12 +244,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     skew control — at 100 TB this is what keeps the pair explosion from
     going quadratic on boilerplate).
     """
-    sh = _shingle_hashes(docs, text_col, id_col, k)
+    grouped = _posting_lists(_shingle_hashes(docs, text_col, id_col, k))
     if max_df is not None:
-        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(df_counts.where(F.col("df") <= max_df).select("h"), "h")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    shared = _pairs_from_posting_lists(sh)
+        # df(h) == size(ids): the cap filters posting lists directly —
+        # no second groupBy(h) pass, and sizes below see post-cap rows
+        # exactly as the old join-then-recount shape did
+        grouped = grouped.where(F.size("ids") <= max_df)
+    sizes = _sizes_from_posting_lists(grouped)
+    shared = _pairs_from_posting_lists(grouped)
     out = (shared
            .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
            .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
@@ -262,12 +282,11 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     ``floor(x*1e6 + 0.5)/1e6`` (CLAUDE.md: Spark HALF_UP vs DuckDB
     float round() disagree on exact .5 products); the threshold
     compares the UNROUNDED ratio."""
-    sh = _shingle_hashes(docs, text_col, id_col, k)
+    grouped = _posting_lists(_shingle_hashes(docs, text_col, id_col, k))
     if max_df is not None:
-        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(df_counts.where(F.col("df") <= max_df).select("h"), "h")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    shared = _pairs_from_posting_lists(sh)
+        grouped = grouped.where(F.size("ids") <= max_df)
+    sizes = _sizes_from_posting_lists(grouped)
+    shared = _pairs_from_posting_lists(grouped)
     return (shared
             .join(sizes.select(F.col("id").alias("id_a"),
                                F.col("n").alias("n_a")), "id_a")

@@ -63,13 +63,26 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
         .select(F.col("id").alias("_lid"), "h")
     rs = _shingle_hashes(right, text_col, right_id, k) \
         .select(F.col("id").alias("_rid"), "h")
-    lsz = ls.groupBy("_lid").agg(F.count(F.lit(1)).alias("na"))
-    rsz = rs.groupBy("_rid").agg(F.count(F.lit(1)).alias("nb"))
+    # per-side posting lists: sizes AND the intersection join both hang
+    # off the same groupBy(h) exchange (ReusedExchange at runtime), so
+    # the shingle UDF runs once per side — counting sizes off a second
+    # ``ls``/``rs`` branch re-planned the scan+UDF per consumer (r15)
+    lpost = ls.groupBy("h").agg(F.collect_list("_lid").alias("_lids"))
+    rpost = rs.groupBy("h").agg(F.collect_list("_rid").alias("_rids"))
+    lsz = (lpost.select(F.explode("_lids").alias("_lid"))
+           .groupBy("_lid").agg(F.count(F.lit(1)).alias("na")))
+    rsz = (rpost.select(F.explode("_rids").alias("_rid"))
+           .groupBy("_rid").agg(F.count(F.lit(1)).alias("nb")))
 
     if exhaustive:
-        # one-pass intersection count straight off the shingle join —
-        # blocking and verification collapse into the same aggregate
-        shared = (ls.join(rs, "h")
+        # intersection counts straight off the posting-list join — the
+        # exploded (h, _lid, _rid) triples are exactly the row-level
+        # shingle equi-join's, with the h-keyed shuffle shared with the
+        # size aggregates above; no bucket cap here: "shares ≥ 1 k-gram"
+        # IS the exactness contract
+        shared = (lpost.join(rpost, "h")
+                  .select(F.explode("_lids").alias("_lid"), "_rids")
+                  .select("_lid", F.explode("_rids").alias("_rid"))
                   .groupBy("_lid", "_rid")
                   .agg(F.count(F.lit(1)).alias("shared")))
     else:
@@ -92,8 +105,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
                  .select(F.explode("_lids").alias("_lid"), "_rids")
                  .select("_lid", F.explode("_rids").alias("_rid"))
                  .distinct())
-        shared = (cands.join(ls, "_lid")
-                  .join(rs, ["_rid", "h"])
+        # verify against the posting-list EXPLODED views, not ls/rs —
+        # their subtrees share lpost/rpost's exchanges with the size
+        # aggregates instead of re-planning the shingle UDF a third time
+        ls_x = lpost.select("h", F.explode("_lids").alias("_lid"))
+        rs_x = rpost.select("h", F.explode("_rids").alias("_rid"))
+        shared = (cands.join(ls_x, "_lid")
+                  .join(rs_x, ["_rid", "h"])
                   .groupBy("_lid", "_rid")
                   .agg(F.count(F.lit(1)).alias("shared")))
     return (shared.join(lsz, "_lid").join(rsz, "_rid")
