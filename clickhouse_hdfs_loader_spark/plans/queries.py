@@ -1690,7 +1690,10 @@ def loader_throughput(spark, sf_dir):
     The sf0.1 fixture is ONE 40 MB parquet split; a 100 TB load arrives in
     thousands of splits with the routing UDF running per split. The
     repartition below restores that per-core parallelism locally so the
-    bench measures the hash path, not a single-worker artifact.
+    bench measures the hash path, not a single-worker artifact; the count
+    derives from the session's defaultParallelism (r15) so the driver's
+    lower-core-count scaling bench gets matching task counts instead of a
+    constant tuned for local[32].
 
     Oracle: ``rows`` and ``bytes_out`` are COMPUTED by DuckDB from the
     lineitem table (the serialized line re-modeled column-by-column in
@@ -1702,7 +1705,8 @@ def loader_throughput(spark, sf_dir):
     goldens in tests/test_murmur.py → inline cumulative-weight walk) and
     asserts it equals the 44219 in this oracle."""
     from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
-    li = _t(spark, sf_dir, "lineitem").repartition(32)
+    li = (_t(spark, sf_dir, "lineitem")
+          .repartition(spark.sparkContext.defaultParallelism))
     out = T.transform_pipeline(
         li, exclude=(1, 2), input_path="/data/lineitem/dt=2017-01-07",
         additional=("batch9",), target_width=11)
@@ -1737,7 +1741,8 @@ def loader_throughput_jvm(spark, sf_dir):
     all-codegen variant; the delta vs loader_throughput is the cost of
     Guava hash parity."""
     from ..operators.sharding import ClusterTopology, ShardNode, assign_shard
-    li = _t(spark, sf_dir, "lineitem").repartition(32)
+    li = (_t(spark, sf_dir, "lineitem")
+          .repartition(spark.sparkContext.defaultParallelism))
     out = T.transform_pipeline(
         li, exclude=(1, 2), input_path="/data/lineitem/dt=2017-01-07",
         additional=("batch9",), target_width=11)
