@@ -2089,30 +2089,58 @@ def sequence_match_multi(events: DataFrame, patterns: dict,
     name order so the plan (and any downstream sampling) is
     deterministic.
 
-    Scale: per pattern, len(steps) filtered |users|-row aggregates.
-    Each chain step is its own FILTER-PUSHED source scan (verified in
-    the executed plan: per-step ``PushedFilters`` on the type column,
-    so every scan reads only its step's slice — the graded funnel's
-    posture; only canonically identical subtrees reuse — measured ONE
-    ReusedExchange across 2 patterns, so do NOT count on exchange
-    reuse). At very large |events| pre-project and checkpoint the
-    (user, ts, type) slice upstream once for all patterns.
+    Scale (r15 rework): ALL patterns' chains ride ONE window frame over
+    the union of their step types — per-pattern conditions are
+    ``when()``-guarded, so sharing rows across patterns cannot change
+    any chain minimum (a non-matching type contributes NULL to the
+    min). Two scans total for any K (chain slice + user universe; the
+    previous per-pattern sequence_match union re-planned the events
+    scan per chain step — 10 static scans at K=3), one user-keyed
+    exchange, Σ|steps| window passes, one literal-struct explode.
 
     Returns ``user, pattern, matched`` — |users|·K rows."""
+    from pyspark.sql import Window
+
     if not patterns:
         raise ValueError("patterns must be a non-empty "
                          "{name: [step, ...]} dict")
     for name, steps in patterns.items():
         if not steps:
             raise ValueError(f"pattern {name!r} has no steps")
-    out = None
-    for name in sorted(patterns):
-        flag = sequence_match(events, list(patterns[name]), user_col,
-                              ts_col, type_col, within_hours)
-        tagged = flag.select(user_col, F.lit(name).alias("pattern"),
-                             "matched")
-        out = tagged if out is None else out.unionByName(tagged)
-    return out
+    names = sorted(patterns)
+    all_types = sorted({s for name in names for s in patterns[name]})
+    w = Window.partitionBy(user_col)
+    frame = (events.where(F.col(type_col).isin(all_types))
+             .select(user_col, ts_col, type_col))
+    for j, name in enumerate(names):
+        steps = list(patterns[name])
+        frame = frame.withColumn(
+            f"_p{j}_0", F.min(F.when(F.col(type_col) == steps[0],
+                                     F.col(ts_col))).over(w))
+        for i, s in enumerate(steps[1:], start=1):
+            cond = ((F.col(type_col) == s)
+                    & (F.col(ts_col) > F.col(f"_p{j}_{i - 1}"))
+                    & F.col(user_col).isNotNull())
+            if within_hours is not None:
+                cond = cond & (
+                    F.col(ts_col) <= F.col(f"_p{j}_0")
+                    + F.expr(f"INTERVAL {int(within_hours)} HOURS"))
+            frame = frame.withColumn(
+                f"_p{j}_{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+    lasts = [f"_p{j}_{len(patterns[name]) - 1}"
+             for j, name in enumerate(names)]
+    chain = (frame.groupBy(user_col)
+             .agg(*[F.min(last).alias(f"_m{j}")
+                    for j, last in enumerate(lasts)]))
+    users = events.select(user_col).distinct()
+    flags = users.join(chain, user_col, "left")
+    rows = F.array(*[
+        F.struct(F.lit(name).alias("pattern"),
+                 F.coalesce(F.col(f"_m{j}").isNotNull(), F.lit(False))
+                 .alias("matched"))
+        for j, name in enumerate(names)])
+    return (flags.select(user_col, F.explode(rows).alias("r"))
+            .select(user_col, "r.pattern", "r.matched"))
 
 
 def sequence_match_timed(events: DataFrame, steps: list,
