@@ -82,16 +82,30 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     Returns ``query_id, doc_id, score_micro, rank``.
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(words_array(F.col(text_col)))
-                       .alias("term"))
+    # the explicit isnotnull is a no-op (regexp tokens are never NULL)
+    # but matches the filter the term-join pushes into its branches, so
+    # every tf consumer's subtree stays canonically equal to the main
+    # one and reuses its exchange at runtime (r15: dl/stats branches
+    # lacked the pushed filter and re-ran the explode scan)
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(words_array(F.col(text_col)))
+                        .alias("term"))
+            .where(F.col("term").isNotNull()))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df written as count(tf >= 1) — always-true predicate, value equals
+    # count(*), but it stops Catalyst degenerating this branch's tf
+    # aggregate into a distinct (which broke canonical equality with the
+    # main tf subtree and forced a second explode scan; the tf_idf_topk
+    # ReusedExchange fix, r15)
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.when(F.col("tf") >= 1, True)).alias("df")))
     # corpus scalars as a lazy 1-row broadcast (token-less docs count
-    # toward N and add 0 to S) — no driver action inside the operator
+    # toward N and add 0 to S) — no driver action inside the operator.
+    # S = Σ tf ≡ |toks| exactly, but summing tf hangs the branch off the
+    # shared tf exchange instead of re-running the explode scan (r15)
     stats = (docs.agg(F.count(F.lit(1)).alias("n"))
-             .crossJoin(toks.agg(F.count(F.lit(1)).alias("s"))))
+             .crossJoin(tf.agg(F.sum("tf").alias("s"))))
 
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),

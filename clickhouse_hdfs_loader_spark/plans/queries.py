@@ -3305,7 +3305,16 @@ def tf_idf_topk(spark, sf_dir):
                      .alias("token"))
            .where(F.length("token") >= 3))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df = count of tf rows per token, written as count(tf >= 1): the
+    # predicate is always true (counts are >= 1) so the value is
+    # identical to count(*) — but Catalyst cannot prove that, so this
+    # branch's copy of the tf aggregate keeps its count column instead
+    # of degenerating to a distinct, the two tf subtrees stay
+    # canonically equal, and the (doc_id, token) exchange dedupes to a
+    # runtime ReusedExchange: the explode scan runs once, not twice
+    # (plain count(1)/count(tf) both measured 0 reuses; this form 1)
+    dfreq = (tf.groupBy("token")
+             .agg(F.count(F.when(F.col("tf") >= 1, True)).alias("df")))
     n = d.agg(F.count_distinct("doc_id").alias("n"))
     scored = (tf.join(dfreq, "token")
               .crossJoin(F.broadcast(n))
