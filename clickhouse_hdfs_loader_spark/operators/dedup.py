@@ -443,12 +443,22 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
     the numpy row-wise dot (functions/vectors.cosine_pairs_udf) instead
     of the interpreted fold — same output on the fixtures (pinned), same
     ULP caveat as every arrow kernel."""
-    from ..functions.vectors import cosine, cosine_pairs_udf
+    from ..functions.vectors import (as_double_array, cosine_pairs_udf,
+                                     dot, norm)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    scorer = (cosine_pairs_udf()(F.col("v_a"), F.col("v_b"))
-              if kernel == "arrow"
-              else cosine(F.col("v_a"), F.col("v_b")))
+    if kernel == "arrow":
+        scorer = cosine_pairs_udf()(F.col("v_a"), F.col("v_b"))
+    else:
+        # norm folds hoisted to per-side columns (computed once per
+        # input row, below the join) — dot/(nrm_a*nrm_b) is the exact
+        # expression tree of vectors.cosine, so values are bitwise
+        # identical while per-pair fold work drops 3× (r15)
+        a = a.withColumn("nrm_a", norm(as_double_array(F.col("v_a"))))
+        b = b.withColumn("nrm_b", norm(as_double_array(F.col("v_b"))))
+        scorer = (dot(as_double_array(F.col("v_a")),
+                      as_double_array(F.col("v_b")))
+                  / (F.col("nrm_a") * F.col("nrm_b")))
     return (a.crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", scorer)
@@ -640,13 +650,27 @@ def semantic_dedup(emb: DataFrame, centroids=None, m: int = 8,
         pairs = assigned.groupBy("centroid").applyInPandas(
             _pairs, schema="centroid int, id_a long, id_b long, cos double")
     elif pair_kernel == "expr":
-        a = assigned.select("centroid", F.col("id").alias("id_a"),
-                            F.col("v").alias("v_a"))
-        b = assigned.select("centroid", F.col("id").alias("id_b"),
-                            F.col("v").alias("v_b"))
+        from ..functions.vectors import as_double_array, dot, norm
+
+        # norm folds hoisted below the centroid join (computed once per
+        # assigned row, materialized through the exchange) —
+        # dot/(nrm_a*nrm_b) is vectors.cosine's exact expression tree,
+        # so values are bitwise identical while per-pair interpreted
+        # fold work drops 3× (r15; measured 78→~30 s at sf0.1)
+        withn = assigned.withColumn("_nrm",
+                                    norm(as_double_array(F.col("v"))))
+        a = withn.select("centroid", F.col("id").alias("id_a"),
+                         F.col("v").alias("v_a"),
+                         F.col("_nrm").alias("nrm_a"))
+        b = withn.select("centroid", F.col("id").alias("id_b"),
+                         F.col("v").alias("v_b"),
+                         F.col("_nrm").alias("nrm_b"))
         pairs = (a.join(b, "centroid")
                  .where(F.col("id_a") < F.col("id_b"))
-                 .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+                 .withColumn("cos",
+                             dot(as_double_array(F.col("v_a")),
+                                 as_double_array(F.col("v_b")))
+                             / (F.col("nrm_a") * F.col("nrm_b")))
                  .where(F.col("cos") >= threshold))
     else:
         raise ValueError(f"unknown pair_kernel {pair_kernel!r}")

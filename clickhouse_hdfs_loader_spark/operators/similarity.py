@@ -31,8 +31,20 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import (as_double_array, cosine, norm,
+from ..functions.vectors import (as_double_array, cosine, dot, norm,
                                  random_hyperplane_bits)
+
+
+def _cosine_precomputed(va: str, vb: str, nrm_a: str, nrm_b: str):
+    """``cosine(va, vb)`` with the two norm folds hoisted to per-vector
+    columns: ``dot / (nrm_a * nrm_b)`` reproduces the exact expression
+    tree of :func:`functions.vectors.cosine` (same sequential fold on
+    the same vector, same multiply/divide order), so results are
+    BITWISE identical — but each vector's norm is computed once per
+    row instead of once per candidate pair (3 interpreted 64-element
+    folds per pair → 1; r15)."""
+    return (dot(as_double_array(F.col(va)), as_double_array(F.col(vb)))
+            / (F.col(nrm_a) * F.col(nrm_b)))
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -46,10 +58,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the corpus.
     Ties broken by ascending corpus id for determinism."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("nrm_q", norm(as_double_array(F.col("qv")))))
+    c = (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .withColumn("nrm_v", norm(as_double_array(F.col("v")))))
+    # norms hoisted below the join (bitwise-identical — see
+    # _cosine_precomputed): 3 folds per (query, corpus) pair → 1
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("id"))
-              .withColumn("cos", cosine(F.col("qv"), F.col("v"))))
+              .withColumn("cos", _cosine_precomputed("qv", "v",
+                                                     "nrm_q", "nrm_v")))
     return _ranked_topk(scored, k)
 
 
@@ -79,28 +97,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         sig_of = lambda c: random_hyperplane_bits(c, planes)  # noqa: E731
         pair_cos = None
 
-    def with_bands(df: DataFrame, idc: str, vc: str, prefix: str) -> DataFrame:
-        sig = sig_of(F.col(vc))
-        out = df.select(F.col(idc).alias(f"{prefix}id"), F.col(vc).alias(f"{prefix}v"),
-                        sig.alias("sig"))
+    # r15 rework, same shape as lsh_near_dup_pairs: band join + dedup on
+    # ids only (no vector payloads through the shuffle), vectors and —
+    # on the expr kernel — hoisted per-vector norms attached after
+    def with_bands(df: DataFrame, idc: str, prefix: str) -> DataFrame:
+        sig = sig_of(F.col(vec_col))
+        out = df.select(F.col(idc).alias(f"{prefix}id"), sig.alias("sig"))
         bandcols = [F.struct(F.lit(b).alias("band"),
                              F.shiftrightunsigned("sig", b * rows)
                              .bitwiseAND(F.lit(mask)).alias("bh"))
                     for b in range(bands)]
-        return (out.select(f"{prefix}id", f"{prefix}v",
+        return (out.select(f"{prefix}id",
                            F.explode(F.array(*bandcols)).alias("bk"))
-                .select(f"{prefix}id", f"{prefix}v",
+                .select(f"{prefix}id",
                         F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")))
 
-    cb = with_bands(corpus, id_col, vec_col, "")
-    qb = with_bands(queries, id_col, vec_col, "q")
+    cb = with_bands(corpus, id_col, "")
+    qb = with_bands(queries, id_col, "q")
     cand = (cb.join(F.broadcast(qb), ["band", "bh"])
             .where(F.col("qid") != F.col("id"))
-            .select(F.col("qid").alias("query_id"), "id", "qv", F.col("v"))
+            .select(F.col("qid").alias("query_id"), "id")
             .distinct())
-    scorer = pair_cos(F.col("qv"), F.col("v")) if pair_cos is not None \
-        else cosine(F.col("qv"), F.col("v"))
-    scored = cand.withColumn("cos", scorer)
+    cvecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+    if pair_cos is None:
+        cvecs = cvecs.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
+        qvecs = qvecs.withColumn("nrm_q", norm(as_double_array(F.col("qv"))))
+        scorer = _cosine_precomputed("qv", "v", "nrm_q", "nrm_v")
+    else:
+        scorer = pair_cos(F.col("qv"), F.col("v"))
+    scored = (cand.join(F.broadcast(qvecs), "query_id").join(cvecs, "id")
+              .withColumn("cos", scorer))
     return _ranked_topk(scored, k)
 
 
@@ -120,18 +148,36 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     comparison semantics (Spark orders NaN above all doubles; IEEE says
     every NaN comparison is false — an expression fold would silently
     diverge between engines without the guard)."""
+    import math
+
+    # r15 hoists, both bitwise-identical to the original cosine fold:
+    # the vector's norm is computed ONCE as a lower-projection column
+    # (CollapseProject keeps multiply-referenced non-cheap aliases
+    # un-inlined) instead of once per centroid, and each centroid's
+    # norm is replayed driver-side with the same sequential x*x
+    # left-fold + correctly-rounded sqrt the Spark expression performs
+    # on the same literals — m·(dot+2 norms) folds per row → m dots + 1
+    # norm.
+    pre = corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"),
+                        norm(as_double_array(F.col(vec_col))).alias("_nv"))
     best_id, best_cos = F.lit(-1), F.lit(-2.0)
-    v = F.col(vec_col)
+    nv = F.col("_nv")
     for cid, cv in centroids:
         cvec = F.array(*[F.lit(float(x)) for x in cv])
-        cs = cosine(v, cvec)
+        acc = 0.0
+        for x in cv:
+            acc = acc + float(x) * float(x)
+        cnrm = math.sqrt(acc)
+        cs = (dot(as_double_array(F.col("v")), as_double_array(cvec))
+              / (nv * F.lit(cnrm)))
         improved = cs > best_cos
         best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
         best_cos = F.when(improved, cs).otherwise(best_cos)
-    assignable = norm(as_double_array(v)) > 0
-    return corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                         F.when(assignable, best_id).otherwise(F.lit(-1))
-                         .alias("centroid"))
+    assignable = nv > 0
+    return pre.select("id", "v",
+                      F.when(assignable, best_id).otherwise(F.lit(-1))
+                      .alias("centroid"))
 
 
 def ivf_assign_gemm(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -230,9 +276,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
                   F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe)))
               .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
 
-    cand = (assigned.join(F.broadcast(probes), "centroid")
+    # candidate scoring with hoisted norms (bitwise-identical — see
+    # _cosine_precomputed): corpus-side norm once per assigned row,
+    # query-side once per probe row, 1 fold per candidate pair
+    cand = (assigned.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
+            .join(F.broadcast(probes.withColumn(
+                "nrm_q", norm(as_double_array(F.col("qv"))))), "centroid")
             .where(F.col("query_id") != F.col("id")))
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    scored = cand.withColumn("cos", _cosine_precomputed("qv", "v",
+                                                        "nrm_q", "nrm_v"))
     return _ranked_topk(scored, k)
 
 
@@ -265,22 +317,38 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         pair_cos = None
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      sig.alias("sig"))
+    # r15 rework (guide §2.3/§8 "decide with small rows, move payloads
+    # once"): the band self-join and the candidate-dedup shuffle carry
+    # ONLY 8-byte ids — the previous shape shuffled and group-by'd two
+    # full vectors per candidate row. Vectors (and, on the expr kernel,
+    # their hoisted norms — bitwise-identical, see _cosine_precomputed)
+    # are attached once per side AFTER the distinct.
+    base = emb.select(F.col(id_col).alias("id"), sig.alias("sig"))
     bandcols = [F.struct(F.lit(b).alias("band"),
                          F.shiftrightunsigned("sig", b * rows)
                          .bitwiseAND(F.lit(mask)).alias("bh")) for b in range(bands)]
-    bucketed = (base.select("id", "v", F.explode(F.array(*bandcols)).alias("bk"))
-                .select("id", "v", F.col("bk.band").alias("band"),
+    bucketed = (base.select("id", F.explode(F.array(*bandcols)).alias("bk"))
+                .select("id", F.col("bk.band").alias("band"),
                         F.col("bk.bh").alias("bh")))
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bh")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bh")
+    a = bucketed.select(F.col("id").alias("id_a"), "band", "bh")
+    b = bucketed.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "v_a", "v_b").distinct())
-    scorer = pair_cos(F.col("v_a"), F.col("v_b")) if pair_cos is not None \
-        else cosine(F.col("v_a"), F.col("v_b"))
-    return (cand.withColumn("cos", scorer)
+            .select("id_a", "id_b").distinct())
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    if pair_cos is None:
+        vecs = vecs.withColumn("_nrm", norm(as_double_array(F.col("_vv"))))
+        scorer = _cosine_precomputed("v_a", "v_b", "nrm_a", "nrm_b")
+        va = vecs.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("v_a"),
+                         F.col("_nrm").alias("nrm_a"))
+        vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("v_b"),
+                         F.col("_nrm").alias("nrm_b"))
+    else:
+        scorer = pair_cos(F.col("v_a"), F.col("v_b"))
+        va = vecs.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("v_a"))
+        vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("v_b"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos", scorer)
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
@@ -457,9 +525,12 @@ def ivf_topk_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probes = (q.withColumn("probe", F.explode(
                   F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe)))
               .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
-    cand = (assigned.join(F.broadcast(probes), "centroid")
+    cand = (assigned.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
+            .join(F.broadcast(probes.withColumn(
+                "nrm_q", norm(as_double_array(F.col("qv"))))), "centroid")
             .where(F.col("query_id") != F.col("id")))
-    return _ranked_topk(cand.withColumn("cos", cosine(F.col("qv"), F.col("v"))), k)
+    return _ranked_topk(cand.withColumn(
+        "cos", _cosine_precomputed("qv", "v", "nrm_q", "nrm_v")), k)
 
 
 def build_ivf_index(corpus: DataFrame, path: str, m: int = 8,
@@ -506,10 +577,12 @@ def query_ivf_index(spark, path: str, cents: list[tuple[int, list[float]]],
                         probes.select("centroid").distinct().collect()})
     idx = (spark.read.parquet(path)
            .where(F.col("centroid").isin(probe_ids)))
-    cand = (idx.join(F.broadcast(probes), "centroid")
+    cand = (idx.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
+            .join(F.broadcast(probes.withColumn(
+                "nrm_q", norm(as_double_array(F.col("qv"))))), "centroid")
             .where(F.col("query_id") != F.col("id")))
-    return _ranked_topk(cand.withColumn("cos", cosine(F.col("qv"),
-                                                      F.col("v"))), k)
+    return _ranked_topk(cand.withColumn(
+        "cos", _cosine_precomputed("qv", "v", "nrm_q", "nrm_v")), k)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, path: str,
