@@ -2887,12 +2887,46 @@ def q21_waiting_supplier(spark, sf_dir):
     fixture's columns: 'late' is l_returnflag = 'R' (self-contained per
     line, like the classic receipt>commit compare), order must be
     finished ('F'); the answer is suppliers who were the ONLY problem
-    supplier in a multi-supplier order. Declared in SQL so Catalyst plans
-    the semi + anti join pair itself; deterministic top-100 via the
-    (numwait DESC, s_name) total order."""
-    from ..sources.tables import register_views
-    register_views(spark, sf_dir)
-    return spark.sql(_Q21_SQL)
+    supplier in a multi-supplier order.
+
+    r15 rework (guide §1.2 step 1): Catalyst's decorrelation of the
+    declared SQL scanned lineitem THREE times (l1 + semi + anti, each a
+    row-level shuffle by orderkey). The correlated pair is a function of
+    per-order supplier sets alone, so it folds into ONE pass: group by
+    (orderkey, suppkey) counting 'R' rows, then per-order window counts
+    ns = distinct suppliers, nr = distinct suppliers with an 'R' row.
+    EXISTS(other supplier)      ⟺ ns >= 2   (l1's suppkey is in the set)
+    NOT EXISTS(other 'R' supp.) ⟺ nr == 1   (l1 itself is 'R')
+    and numwait per (orderkey, suppkey) = its 'R'-row count, so the raw
+    l1 rows are never re-read. NULL suppkeys are excluded from ns/nr
+    (SQL <>'s UNKNOWN never satisfies either subquery) and a NULL-key
+    l1 row is dropped by the supplier equi-join on both sides. Orders/
+    supplier joins keep inner-join multiplicity semantics (no semi) so
+    hypothetical duplicate keys behave identically to the oracle.
+    Deterministic top-100 via the (numwait DESC, s_name) total order.
+    Plan: 1 lineitem scan (was 3), map-side-combined (ok, sk) aggregate,
+    window on the aggregated rows, dims broadcast at runtime."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = (li.groupBy("l_orderkey", "l_suppkey")
+           .agg(F.count(F.when(F.col("l_returnflag") == "R", True))
+                 .alias("_r_rows")))
+    w = Window.partitionBy("l_orderkey")
+    per = (per
+           .withColumn("_ns", F.count(F.when(
+               F.col("l_suppkey").isNotNull(), True)).over(w))
+           .withColumn("_nr", F.count(F.when(
+               F.col("l_suppkey").isNotNull()
+               & (F.col("_r_rows") >= 1), True)).over(w)))
+    qual = per.where((F.col("_r_rows") >= 1)
+                     & F.col("l_suppkey").isNotNull()
+                     & (F.col("_ns") >= 2) & (F.col("_nr") == 1))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (qual.join(o, qual.l_orderkey == o.o_orderkey)
+            .join(s, qual.l_suppkey == s.s_suppkey)
+            .groupBy("s_name").agg(F.sum("_r_rows").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name")).limit(100))
 
 
 @query("q15_top_supplier", oracle="""

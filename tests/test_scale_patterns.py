@@ -110,13 +110,15 @@ def test_q4_decorrelates_to_semi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
-    """Q21's EXISTS + NOT EXISTS pair (both correlated on lineitem l1)
-    must plan as one semi and one anti join — the hardest decorrelation
-    Catalyst does — with no cartesian/nested-loop fallback."""
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair is reworked (r15) into per-order
+    window counts over ONE (orderkey, suppkey) aggregate — lineitem must
+    be scanned exactly once (Catalyst's semi+anti decorrelation of the
+    declared SQL scanned it three times), with a Window node doing the
+    ns/nr counts and no cartesian/nested-loop fallback."""
     plan = _plan_of(spark, sf_dir, "q21_waiting_supplier")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
