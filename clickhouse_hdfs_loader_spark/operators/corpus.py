@@ -424,14 +424,20 @@ def bigram_likelihood(docs: DataFrame, model_docs: DataFrame = None,
 
     if model_docs is None:
         model_docs = docs
+    # The bg/w1 isnotnull pre-filters are row-wise no-ops (ngrams_udf
+    # joins non-null tokens; split_part of a non-null string is non-null)
+    # but they make the two mbg consumers' subtrees canonically equal:
+    # without them the dbg join pushes isnotnull(bg) into only the model
+    # branch and the duplicated aggregate plans a second corpus scan +
+    # Arrow eval instead of a ReusedExchange.
+    w1e = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     mbg = (model_docs.select(F.explode(ngrams_udf(2)(F.col(text_col)))
                              .alias("bg"))
+           .filter(F.col("bg").isNotNull() & w1e.isNotNull())
            .groupBy("bg").agg(F.count(F.lit(1)).alias("c2")))
-    uni = (mbg.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
-                                             F.lit(1)))
+    uni = (mbg.withColumn("w1", w1e)
            .groupBy("w1").agg(F.sum("c2").alias("c1")))
-    model = (mbg.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
-                                               F.lit(1)))
+    model = (mbg.withColumn("w1", w1e)
              .join(uni, "w1")
              .select("bg", F.floor(F.col("c2") * F.lit(1000000.0)
                                    / F.col("c1")).cast("long").alias("q")))
