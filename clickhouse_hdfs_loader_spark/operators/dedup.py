@@ -615,9 +615,18 @@ def semantic_dedup(emb: DataFrame, centroids=None, m: int = 8,
 
     if centroids is None:
         centroids = seed_centroids(emb, m, vec_col, id_col)
+    # drop_unassignable replaces the old .where(centroid >= 0) — the
+    # post-filter was pushed below the assignment projections and
+    # re-evaluated the whole argmax chain per row (see ivf_assign).
+    # The repartition makes the self-join's two branches hang off ONE
+    # exchange (assignment computes once, ReusedExchange — it re-planned
+    # per branch before) and distributes cluster-confined pair scoring
+    # across tasks instead of inheriting the input split count; the
+    # SMJ would shuffle by centroid anyway, so at scale this moves that
+    # shuffle below the fork rather than adding one.
     assigned = (ivf_assign(emb, centroids, vec_col, id_col,
-                           method=assign_method)
-                .where(F.col("centroid") >= 0))
+                           method=assign_method, drop_unassignable=True)
+                .repartition("centroid"))
     if pair_kernel == "gemm":
         import numpy as np
         import pandas as pd

@@ -133,7 +133,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
 
 
 def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
-                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    drop_unassignable: bool = False) -> DataFrame:
     """Assign each vector to its max-cosine centroid via a folded
     ``CASE WHEN`` chain (single scan, codegen, bit-exact left-fold
     arithmetic that the DuckDB oracle replays). First centroid wins exact
@@ -147,7 +148,26 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     explicitly, rather than leaving the outcome to engine-specific NaN
     comparison semantics (Spark orders NaN above all doubles; IEEE says
     every NaN comparison is false — an expression fold would silently
-    diverge between engines without the guard)."""
+    diverge between engines without the guard).
+
+    ``drop_unassignable=True`` replaces the caller-side
+    ``.where(centroid >= 0)`` post-filter. NEVER write that post-filter
+    on the expr path: predicate pushdown substitutes the whole argmax
+    chain into the filter condition through both projections (alias
+    inlining — the same 2^m blowup the column materialization below
+    avoids), and the filter then re-evaluates every cosine per row
+    interpreted (measured: 0.3 s → 5.8 s at sf0.1 for the filter
+    alone). The flag filters BELOW the cosine projection on the
+    equivalent cheap row predicate: for homogeneous d-length centroids,
+    centroid >= 0  ⟺  nv > 0 AND size(v) = d AND no NULL element —
+    (⇐) a winning centroid needs some non-NULL cs, so every product in
+    its dot is non-NULL (zip_with pads length mismatches with NULL);
+    (⇒) all-non-NULL products make every cs non-NULL, and a non-NULL
+    cs is > -2 under Spark semantics (|cs| ≲ 1 by Cauchy-Schwarz;
+    inf elements make nv inf/NaN so cs is NaN, which Spark orders
+    above all doubles), so the first centroid already improves. The
+    ``nv > 0`` conjunct is literally the fold's own ``assignable``
+    predicate, so NaN/NULL norms behave identically by construction."""
     import math
 
     # r15 hoists, both bitwise-identical to the original cosine fold:
@@ -161,9 +181,30 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     pre = corpus.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"),
                         norm(as_double_array(F.col(vec_col))).alias("_nv"))
-    best_id, best_cos = F.lit(-1), F.lit(-2.0)
+    if drop_unassignable:
+        lens = {len(cv) for _, cv in centroids}
+        if len(lens) == 1:
+            d = lens.pop()
+            pre = pre.where((F.col("_nv") > 0) & (F.size("v") == d)
+                            & ~F.exists("v", lambda x: x.isNull()))
+        else:
+            # heterogeneous/empty centroid set: the cheap predicate's
+            # equivalence proof needs one shared d — post-filter instead
+            return (ivf_assign_expr(corpus, centroids, vec_col, id_col)
+                    .where(F.col("centroid") >= 0))
+    # r15: each centroid's cosine is materialized as its own projection
+    # column BEFORE the argmax fold. Folding the raw cs expressions
+    # directly makes the when-chain embed each one exponentially
+    # (best_cos appears twice per level -> 2^m copies of cs_0), which is
+    # what actually made the m=8 assignment cost seconds per 2k rows —
+    # and is the m>32 codegen cliff. Referencing the aliased columns
+    # keeps the tree linear in m (CollapseProject never inlines
+    # multiply-referenced non-cheap aliases); the cs expressions and the
+    # fold's comparison sequence are unchanged, so assignments are
+    # bitwise identical. Measured at sf0.1: 5.5 s -> 0.5 s per pass.
     nv = F.col("_nv")
-    for cid, cv in centroids:
+    cs_cols = []
+    for idx, (cid, cv) in enumerate(centroids):
         cvec = F.array(*[F.lit(float(x)) for x in cv])
         acc = 0.0
         for x in cv:
@@ -171,6 +212,20 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
         cnrm = math.sqrt(acc)
         cs = (dot(as_double_array(F.col("v")), as_double_array(cvec))
               / (nv * F.lit(cnrm)))
+        # the original fold evaluated cs lazily inside the final
+        # CASE WHEN assignable guard, so nv = 0 rows never ran the
+        # division; a materialized projection column is eager and would
+        # raise ANSI DIVIDE_BY_ZERO on them. The when() keeps the lazy
+        # guard per column: nv > 0 rows get the identical cs expression
+        # (bitwise unchanged), nv <= 0 rows get NULL, which the strict->
+        # fold ignores and the outer sentinel guard overrides anyway.
+        # Spark orders NaN above all doubles, so nv = NaN still takes
+        # the cs branch exactly as the unguarded fold did.
+        cs_cols.append(F.when(nv > 0, cs).alias(f"_cs{idx}"))
+    pre = pre.select("id", "v", "_nv", *cs_cols)
+    best_id, best_cos = F.lit(-1), F.lit(-2.0)
+    for idx, (cid, cv) in enumerate(centroids):
+        cs = F.col(f"_cs{idx}")
         improved = cs > best_cos
         best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
         best_cos = F.when(improved, cs).otherwise(best_cos)
@@ -233,19 +288,31 @@ def ivf_assign_gemm(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
 
 def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
                vec_col: str = "embedding", id_col: str = "vec_id",
-               method: str = "auto") -> DataFrame:
+               method: str = "auto",
+               drop_unassignable: bool = False) -> DataFrame:
     """Assign each vector to its max-cosine centroid (single scan).
     ``centroids`` are driver-side constants: (centroid_id, vector).
 
     ``method='auto'`` keeps the oracle-replayable expression fold for
     small m (graded queries run m=8) and switches to the BLAS gemm-argmax
     once the centroid count would stress codegen — the 100 TB coarse
-    quantizers (m ≥ 1k) always take the gemm path."""
+    quantizers (m ≥ 1k) always take the gemm path.
+
+    ``drop_unassignable=True`` drops the centroid = -1 sentinel rows.
+    Callers must pass this instead of post-filtering ``centroid >= 0``
+    themselves: on the expr path that post-filter is pushed below the
+    projections and re-evaluates the whole argmax chain per row (see
+    ivf_assign_expr); the gemm path filters the materialized column
+    behind the mapInPandas barrier where it is cheap."""
     if method == "auto":
         method = "gemm" if len(centroids) > 32 else "expr"
     if method == "gemm":
-        return ivf_assign_gemm(corpus, centroids, vec_col, id_col)
-    return ivf_assign_expr(corpus, centroids, vec_col, id_col)
+        out = ivf_assign_gemm(corpus, centroids, vec_col, id_col)
+        if drop_unassignable:
+            out = out.where(F.col("centroid") >= 0)
+        return out
+    return ivf_assign_expr(corpus, centroids, vec_col, id_col,
+                           drop_unassignable=drop_unassignable)
 
 
 def seed_centroids(corpus: DataFrame, m: int = 8, vec_col: str = "embedding",
@@ -401,14 +468,19 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "id", F.round("cos", 4).alias("cos"), "rank"))
 
 
-def _kmeans_sums_explode(assigned: DataFrame):
+def _kmeans_sums_explode(assigned: DataFrame, prefiltered: bool = False):
     """Per-(centroid, dim) fixed-point sums via posexplode — simple, but
     the shuffle carries n·dim rows (64× inflation): fine at fixture
     scale, wrong at 100 TB. Unassignable rows (centroid = -1 sentinel,
     zero-norm/NULL vectors) are excluded — they must not pull any
-    centroid's mean."""
+    centroid's mean. Pass ``prefiltered=True`` when the caller already
+    dropped them via ivf_assign(drop_unassignable=True): even a NO-OP
+    ``centroid >= 0`` filter here would be pushed below the expr
+    assignment's projections and re-evaluate the argmax chain per row
+    (see ivf_assign_expr)."""
+    if not prefiltered:
+        assigned = assigned.where(F.col("centroid") >= 0)
     return (assigned
-            .where(F.col("centroid") >= 0)
             .select("centroid", F.posexplode(
                 F.transform("v", lambda x: x.cast("double")))
                 .alias("dim", "x"))
@@ -488,11 +560,14 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     cents = seed_centroids(corpus, k, vec_col, id_col)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, id_col,
-                              method=assign_method)
+                              method=assign_method,
+                              drop_unassignable=(agg_method != "partial"))
         if agg_method == "partial":
+            # keeps every row; the numpy kernel masks the -1 sentinel
+            # itself (and guards ids >= k) before np.add.at
             per_dim = _kmeans_sums_partial(assigned, k)
         else:
-            per_dim = _kmeans_sums_explode(assigned)
+            per_dim = _kmeans_sums_explode(assigned, prefiltered=True)
         rows = (per_dim.groupBy("centroid")
                 .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n")))
                      .alias("dims"))
