@@ -32,13 +32,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def random_hyperplane_bits(vec: Column, planes: list[list[float]]) -> Column:
+def random_hyperplane_bits(vec: Column, planes: list[list[float]],
+                           pre_cast: bool = False) -> Column:
     """LSH signature: one sign bit per fixed hyperplane, packed to a long.
 
     ``planes`` are driver-side constants (deterministic, seeded), inlined as
     literal arrays — the comparison is pure codegen, no shuffle, no UDF.
-    """
-    v = as_double_array(vec)
+
+    ``pre_cast=True`` promises ``vec`` is ALREADY a double array (a
+    materialized ``as_double_array`` projection column). Without it the
+    cast transform is inlined into every plane's dot fold — one
+    interpreted 64-element cast pass PER PLANE per row (r15: callers
+    materialize the cast once; bit values are identical because the
+    cast produces the same doubles either way)."""
+    v = vec if pre_cast else as_double_array(vec)
     bit_terms = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])

@@ -445,20 +445,31 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
     ULP caveat as every arrow kernel."""
     from ..functions.vectors import (as_double_array, cosine_pairs_udf,
                                      dot, norm)
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     if kernel == "arrow":
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
         scorer = cosine_pairs_udf()(F.col("v_a"), F.col("v_b"))
     else:
-        # norm folds hoisted to per-side columns (computed once per
-        # input row, below the join) — dot/(nrm_a*nrm_b) is the exact
-        # expression tree of vectors.cosine, so values are bitwise
-        # identical while per-pair fold work drops 3× (r15)
-        a = a.withColumn("nrm_a", norm(as_double_array(F.col("v_a"))))
-        b = b.withColumn("nrm_b", norm(as_double_array(F.col("v_b"))))
-        scorer = (dot(as_double_array(F.col("v_a")),
-                      as_double_array(F.col("v_b")))
+        # norm folds AND double casts hoisted to per-side columns
+        # (computed once per input row, below the join) — dot over the
+        # materialized double arrays / (nrm_a*nrm_b) is the exact value
+        # sequence of vectors.cosine (the cast yields the same doubles
+        # either way), so results are bitwise identical while per-pair
+        # interpreted fold passes drop 4 → 2 (r15; norms first, casts
+        # this round)
+        pa = emb.select(F.col(id_col).alias("id_a"),
+                        as_double_array(F.col(vec_col)).alias("v_a"))
+        a = pa.select("id_a", "v_a", norm(F.col("v_a")).alias("nrm_a"))
+        pb = emb.select(F.col(id_col).alias("id_b"),
+                        as_double_array(F.col(vec_col)).alias("v_b"))
+        b = pb.select("id_b", "v_b", norm(F.col("v_b")).alias("nrm_b"))
+        scorer = (dot(F.col("v_a"), F.col("v_b"))
                   / (F.col("nrm_a") * F.col("nrm_b")))
+    # the streamed side of the nested-loop join inherits the input split
+    # count — ONE task scores all n²/2 pairs on a single-split input
+    # (the r6 lesson). Round-robin to the session's parallelism: pair
+    # set and per-pair math are unchanged (measured 8× at sf0.1)
+    a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     return (a.crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", scorer)
@@ -618,16 +629,17 @@ def semantic_dedup(emb: DataFrame, centroids=None, m: int = 8,
     # drop_unassignable replaces the old .where(centroid >= 0) — the
     # post-filter was pushed below the assignment projections and
     # re-evaluated the whole argmax chain per row (see ivf_assign).
-    # The repartition makes the self-join's two branches hang off ONE
-    # exchange (assignment computes once, ReusedExchange — it re-planned
-    # per branch before) and distributes cluster-confined pair scoring
-    # across tasks instead of inheriting the input split count; the
-    # SMJ would shuffle by centroid anyway, so at scale this moves that
-    # shuffle below the fork rather than adding one.
-    assigned = (ivf_assign(emb, centroids, vec_col, id_col,
-                           method=assign_method, drop_unassignable=True)
-                .repartition("centroid"))
+    # Each pair kernel then repartitions by centroid so the self-join's
+    # two branches hang off ONE exchange (assignment computes once,
+    # ReusedExchange — it re-planned per branch before) and
+    # cluster-confined pair scoring is distributed across tasks instead
+    # of inheriting the input split count; the SMJ would shuffle by
+    # centroid anyway, so at scale this moves that shuffle below the
+    # fork rather than adding one.
+    assigned = ivf_assign(emb, centroids, vec_col, id_col,
+                          method=assign_method, drop_unassignable=True)
     if pair_kernel == "gemm":
+        assigned = assigned.repartition("centroid")
         import numpy as np
         import pandas as pd
 
@@ -661,24 +673,29 @@ def semantic_dedup(emb: DataFrame, centroids=None, m: int = 8,
     elif pair_kernel == "expr":
         from ..functions.vectors import as_double_array, dot, norm
 
-        # norm folds hoisted below the centroid join (computed once per
-        # assigned row, materialized through the exchange) —
-        # dot/(nrm_a*nrm_b) is vectors.cosine's exact expression tree,
-        # so values are bitwise identical while per-pair interpreted
-        # fold work drops 3× (r15; measured 78→~30 s at sf0.1)
-        withn = assigned.withColumn("_nrm",
-                                    norm(as_double_array(F.col("v"))))
+        # norm folds AND double casts hoisted BELOW the repartition
+        # (computed once per assigned row and materialized through the
+        # shared exchange both self-join branches reuse) — dot over the
+        # materialized double arrays / (nrm_a*nrm_b) is vectors.cosine's
+        # exact value sequence (the cast yields the same doubles either
+        # way), so results are bitwise identical while per-pair
+        # interpreted fold passes drop 4 → 2 (r15; norms first, casts
+        # this round)
+        pre = assigned.select("centroid", "id",
+                              as_double_array(F.col("v")).alias("_vd"))
+        withn = (pre.select("centroid", "id", "_vd",
+                            norm(F.col("_vd")).alias("_nrm"))
+                 .repartition("centroid"))
         a = withn.select("centroid", F.col("id").alias("id_a"),
-                         F.col("v").alias("v_a"),
+                         F.col("_vd").alias("v_a"),
                          F.col("_nrm").alias("nrm_a"))
         b = withn.select("centroid", F.col("id").alias("id_b"),
-                         F.col("v").alias("v_b"),
+                         F.col("_vd").alias("v_b"),
                          F.col("_nrm").alias("nrm_b"))
         pairs = (a.join(b, "centroid")
                  .where(F.col("id_a") < F.col("id_b"))
                  .withColumn("cos",
-                             dot(as_double_array(F.col("v_a")),
-                                 as_double_array(F.col("v_b")))
+                             dot(F.col("v_a"), F.col("v_b"))
                              / (F.col("nrm_a") * F.col("nrm_b")))
                  .where(F.col("cos") >= threshold))
     else:

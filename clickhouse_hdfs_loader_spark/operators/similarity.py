@@ -36,15 +36,49 @@ from ..functions.vectors import (as_double_array, cosine, dot, norm,
 
 
 def _cosine_precomputed(va: str, vb: str, nrm_a: str, nrm_b: str):
-    """``cosine(va, vb)`` with the two norm folds hoisted to per-vector
-    columns: ``dot / (nrm_a * nrm_b)`` reproduces the exact expression
-    tree of :func:`functions.vectors.cosine` (same sequential fold on
-    the same vector, same multiply/divide order), so results are
-    BITWISE identical — but each vector's norm is computed once per
-    row instead of once per candidate pair (3 interpreted 64-element
-    folds per pair → 1; r15)."""
-    return (dot(as_double_array(F.col(va)), as_double_array(F.col(vb)))
-            / (F.col(nrm_a) * F.col(nrm_b)))
+    """``cosine(va, vb)`` with the norm folds AND the double casts
+    hoisted to per-vector columns: ``va``/``vb`` must be MATERIALIZED
+    ``as_double_array`` columns (see :func:`_vec_side`). ``dot /
+    (nrm_a * nrm_b)`` then reproduces the exact expression tree of
+    :func:`functions.vectors.cosine` — the cast transform yields the
+    same double array whether computed inline per pair or once per row,
+    and the zip_with/aggregate fold over those arrays is the same
+    sequential multiply/add/divide order — so results are BITWISE
+    identical, while per-pair interpreted fold passes drop 4 → 2
+    (r15: norms first, casts this round)."""
+    return dot(F.col(va), F.col(vb)) / (F.col(nrm_a) * F.col(nrm_b))
+
+
+def _vec_side(df: DataFrame, id_in: str, vec_in: str, id_out: str,
+              vd_out: str, nrm_out: str) -> DataFrame:
+    """One side of a pairwise-cosine join: id, the vector materialized
+    as a DOUBLE array, and its norm computed FROM that materialized
+    column. Two projection layers so the double array is
+    multiply-referenced (norm here + the pair dot above) and
+    CollapseProject keeps it materialized instead of re-inlining the
+    cast per consumer (the r15 ivf_assign lesson)."""
+    pre = df.select(F.col(id_in).alias(id_out),
+                    as_double_array(F.col(vec_in)).alias(vd_out))
+    return pre.select(id_out, vd_out, norm(F.col(vd_out)).alias(nrm_out))
+
+
+def _ivf_cand_side(assigned: DataFrame) -> DataFrame:
+    """Corpus side of an IVF probe join: ``v`` re-materialized as a
+    double array (two layers — see :func:`_vec_side`) plus its norm,
+    keyed by centroid, ready for :func:`_cosine_precomputed`."""
+    pre = assigned.select("id", "centroid",
+                          as_double_array(F.col("v")).alias("v"))
+    return pre.select("id", "centroid", "v", norm(F.col("v")).alias("nrm_v"))
+
+
+def _ivf_probe_side(probes: DataFrame) -> DataFrame:
+    """Query side of an IVF probe join: ``qv`` as a materialized double
+    array plus its norm (same bitwise-identity argument as
+    :func:`_vec_side`)."""
+    pre = probes.select("query_id", "centroid",
+                        as_double_array(F.col("qv")).alias("qv"))
+    return pre.select("query_id", "centroid", "qv",
+                      norm(F.col("qv")).alias("nrm_q"))
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -58,13 +92,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the corpus.
     Ties broken by ascending corpus id for determinism."""
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"))
-         .withColumn("nrm_q", norm(as_double_array(F.col("qv")))))
-    c = (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-         .withColumn("nrm_v", norm(as_double_array(F.col("v")))))
-    # norms hoisted below the join (bitwise-identical — see
-    # _cosine_precomputed): 3 folds per (query, corpus) pair → 1
+    # norms AND double casts hoisted below the join (bitwise-identical —
+    # see _cosine_precomputed): 4 folds per (query, corpus) pair → 2
+    q = _vec_side(queries, id_col, vec_col, "query_id", "qv", "nrm_q")
+    c = _vec_side(corpus, id_col, vec_col, "id", "v", "nrm_v")
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("id"))
               .withColumn("cos", _cosine_precomputed("qv", "v",
                                                      "nrm_q", "nrm_v")))
@@ -94,15 +125,26 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         sig_of = hyperplane_bits_udf(planes)
         pair_cos = cosine_pairs_udf()
     else:
-        sig_of = lambda c: random_hyperplane_bits(c, planes)  # noqa: E731
+        sig_of = None
         pair_cos = None
 
     # r15 rework, same shape as lsh_near_dup_pairs: band join + dedup on
     # ids only (no vector payloads through the shuffle), vectors and —
     # on the expr kernel — hoisted per-vector norms attached after
     def with_bands(df: DataFrame, idc: str, prefix: str) -> DataFrame:
-        sig = sig_of(F.col(vec_col))
-        out = df.select(F.col(idc).alias(f"{prefix}id"), sig.alias("sig"))
+        if sig_of is not None:
+            out = df.select(F.col(idc).alias(f"{prefix}id"),
+                            sig_of(F.col(vec_col)).alias("sig"))
+        else:
+            # expr kernel: materialize the double cast once — inlined,
+            # it runs one interpreted 64-element cast pass PER PLANE
+            # per row (see random_hyperplane_bits pre_cast; bit values
+            # identical — the cast yields the same doubles either way)
+            pre = df.select(F.col(idc).alias(f"{prefix}id"),
+                            as_double_array(F.col(vec_col)).alias("_vd"))
+            out = pre.select(f"{prefix}id",
+                             random_hyperplane_bits(F.col("_vd"), planes,
+                                                    pre_cast=True).alias("sig"))
         bandcols = [F.struct(F.lit(b).alias("band"),
                              F.shiftrightunsigned("sig", b * rows)
                              .bitwiseAND(F.lit(mask)).alias("bh"))
@@ -118,14 +160,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
             .where(F.col("qid") != F.col("id"))
             .select(F.col("qid").alias("query_id"), "id")
             .distinct())
-    cvecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    qvecs = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("qv"))
     if pair_cos is None:
-        cvecs = cvecs.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
-        qvecs = qvecs.withColumn("nrm_q", norm(as_double_array(F.col("qv"))))
+        cvecs = _vec_side(corpus, id_col, vec_col, "id", "v", "nrm_v")
+        qvecs = _vec_side(queries, id_col, vec_col, "query_id", "qv", "nrm_q")
         scorer = _cosine_precomputed("qv", "v", "nrm_q", "nrm_v")
     else:
+        cvecs = corpus.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("v"))
+        qvecs = queries.select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).alias("qv"))
         scorer = pair_cos(F.col("qv"), F.col("v"))
     scored = (cand.join(F.broadcast(qvecs), "query_id").join(cvecs, "id")
               .withColumn("cos", scorer))
@@ -178,9 +221,15 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     # left-fold + correctly-rounded sqrt the Spark expression performs
     # on the same literals — m·(dot+2 norms) folds per row → m dots + 1
     # norm.
-    pre = corpus.select(F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("v"),
-                        norm(as_double_array(F.col(vec_col))).alias("_nv"))
+    # the double cast materializes ONCE (`_vd`, two projection layers so
+    # it is multiply-referenced and never re-inlined) — inlined, it runs
+    # one interpreted 64-element cast pass per CENTROID per row; the
+    # norm and every cs fold read the same doubles, so values are
+    # bitwise unchanged (r15)
+    pre0 = corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"),
+                         as_double_array(F.col(vec_col)).alias("_vd"))
+    pre = pre0.select("id", "v", "_vd", norm(F.col("_vd")).alias("_nv"))
     if drop_unassignable:
         lens = {len(cv) for _, cv in centroids}
         if len(lens) == 1:
@@ -210,8 +259,10 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
         for x in cv:
             acc = acc + float(x) * float(x)
         cnrm = math.sqrt(acc)
-        cs = (dot(as_double_array(F.col("v")), as_double_array(cvec))
-              / (nv * F.lit(cnrm)))
+        # cvec's elements are already double literals — the identity
+        # cast transform is dropped along with v's per-centroid cast
+        # (same doubles into the same zip_with/aggregate fold)
+        cs = dot(F.col("_vd"), cvec) / (nv * F.lit(cnrm))
         # the original fold evaluated cs lazily inside the final
         # CASE WHEN assignable guard, so nv = 0 rows never ran the
         # division; a materialized projection column is eager and would
@@ -222,7 +273,7 @@ def ivf_assign_expr(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
         # Spark orders NaN above all doubles, so nv = NaN still takes
         # the cs branch exactly as the unguarded fold did.
         cs_cols.append(F.when(nv > 0, cs).alias(f"_cs{idx}"))
-    pre = pre.select("id", "v", "_nv", *cs_cols)
+    pre = pre.select("id", "v", "_nv", *cs_cols)  # _vd consumed here
     best_id, best_cos = F.lit(-1), F.lit(-2.0)
     for idx, (cid, cv) in enumerate(centroids):
         cs = F.col(f"_cs{idx}")
@@ -343,12 +394,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
                   F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe)))
               .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
 
-    # candidate scoring with hoisted norms (bitwise-identical — see
-    # _cosine_precomputed): corpus-side norm once per assigned row,
-    # query-side once per probe row, 1 fold per candidate pair
-    cand = (assigned.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
-            .join(F.broadcast(probes.withColumn(
-                "nrm_q", norm(as_double_array(F.col("qv"))))), "centroid")
+    # candidate scoring with hoisted norms AND double casts
+    # (bitwise-identical — see _cosine_precomputed): corpus-side
+    # cast+norm once per assigned row, query-side once per probe row,
+    # 2 fold passes per candidate pair (was 4)
+    cand = (_ivf_cand_side(assigned).join(
+                F.broadcast(_ivf_probe_side(probes)), "centroid")
             .where(F.col("query_id") != F.col("id")))
     scored = cand.withColumn("cos", _cosine_precomputed("qv", "v",
                                                         "nrm_q", "nrm_v"))
@@ -377,10 +428,20 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     mask = (1 << rows) - 1
     if kernel == "arrow":
         from ..functions.vectors import cosine_pairs_udf, hyperplane_bits_udf
-        sig = hyperplane_bits_udf(planes)(F.col(vec_col))
+        sig_base = emb.select(F.col(id_col).alias("id"),
+                              hyperplane_bits_udf(planes)(F.col(vec_col))
+                              .alias("sig"))
         pair_cos = cosine_pairs_udf()
     elif kernel == "expr":
-        sig = random_hyperplane_bits(F.col(vec_col), planes)
+        # materialize the double cast once — inlined, it runs one
+        # interpreted 64-element cast pass PER PLANE per row (bit
+        # values identical; see random_hyperplane_bits pre_cast)
+        pre = emb.select(F.col(id_col).alias("id"),
+                         as_double_array(F.col(vec_col)).alias("_vd"))
+        sig_base = pre.select("id",
+                              random_hyperplane_bits(F.col("_vd"), planes,
+                                                     pre_cast=True)
+                              .alias("sig"))
         pair_cos = None
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -390,28 +451,33 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     # full vectors per candidate row. Vectors (and, on the expr kernel,
     # their hoisted norms — bitwise-identical, see _cosine_precomputed)
     # are attached once per side AFTER the distinct.
-    base = emb.select(F.col(id_col).alias("id"), sig.alias("sig"))
     bandcols = [F.struct(F.lit(b).alias("band"),
                          F.shiftrightunsigned("sig", b * rows)
                          .bitwiseAND(F.lit(mask)).alias("bh")) for b in range(bands)]
-    bucketed = (base.select("id", F.explode(F.array(*bandcols)).alias("bk"))
+    bucketed = (sig_base.select("id", F.explode(F.array(*bandcols)).alias("bk"))
                 .select("id", F.col("bk.band").alias("band"),
-                        F.col("bk.bh").alias("bh")))
+                        F.col("bk.bh").alias("bh"))
+                # pre-shuffle by the join key so BOTH self-join branches
+                # hang off ONE exchange (ReusedExchange): the signature
+                # scan+fold runs once, not once per side. The band join
+                # would shuffle each side by (band, bh) anyway, so this
+                # moves that shuffle below the fork rather than adding
+                # one (key cardinality bands·2^rows is inherent to the
+                # band config, unchanged from the join's own keys).
+                .repartition("band", "bh"))
     a = bucketed.select(F.col("id").alias("id_a"), "band", "bh")
     b = bucketed.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
     if pair_cos is None:
-        vecs = vecs.withColumn("_nrm", norm(as_double_array(F.col("_vv"))))
         scorer = _cosine_precomputed("v_a", "v_b", "nrm_a", "nrm_b")
-        va = vecs.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("v_a"),
-                         F.col("_nrm").alias("nrm_a"))
-        vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("v_b"),
-                         F.col("_nrm").alias("nrm_b"))
+        va = _vec_side(emb, id_col, vec_col, "id_a", "v_a", "nrm_a")
+        vb = _vec_side(emb, id_col, vec_col, "id_b", "v_b", "nrm_b")
     else:
         scorer = pair_cos(F.col("v_a"), F.col("v_b"))
+        vecs = emb.select(F.col(id_col).alias("_vid"),
+                          F.col(vec_col).alias("_vv"))
         va = vecs.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("v_a"))
         vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("v_b"))
     return (cand.join(va, "id_a").join(vb, "id_b")
@@ -600,9 +666,8 @@ def ivf_topk_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probes = (q.withColumn("probe", F.explode(
                   F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe)))
               .select("query_id", "qv", F.col("probe.centroid").alias("centroid")))
-    cand = (assigned.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
-            .join(F.broadcast(probes.withColumn(
-                "nrm_q", norm(as_double_array(F.col("qv"))))), "centroid")
+    cand = (_ivf_cand_side(assigned).join(
+                F.broadcast(_ivf_probe_side(probes)), "centroid")
             .where(F.col("query_id") != F.col("id")))
     return _ranked_topk(cand.withColumn(
         "cos", _cosine_precomputed("qv", "v", "nrm_q", "nrm_v")), k)
@@ -652,9 +717,8 @@ def query_ivf_index(spark, path: str, cents: list[tuple[int, list[float]]],
                         probes.select("centroid").distinct().collect()})
     idx = (spark.read.parquet(path)
            .where(F.col("centroid").isin(probe_ids)))
-    cand = (idx.withColumn("nrm_v", norm(as_double_array(F.col("v"))))
-            .join(F.broadcast(probes.withColumn(
-                "nrm_q", norm(as_double_array(F.col("qv"))))), "centroid")
+    cand = (_ivf_cand_side(idx).join(
+                F.broadcast(_ivf_probe_side(probes)), "centroid")
             .where(F.col("query_id") != F.col("id")))
     return _ranked_topk(cand.withColumn(
         "cos", _cosine_precomputed("qv", "v", "nrm_q", "nrm_v")), k)

@@ -2754,19 +2754,36 @@ def embedding_quantize(spark, sf_dir):
     order in the oracle — see CLAUDE.md round() note). Output checksums
     (scale in micro-units, quantized sum, max |q|) pin the whole quantized
     vector without emitting 64 columns. Pure native HOF expressions: one
-    scan, zero shuffles at any scale."""
+    scan, zero shuffles at any scale.
+
+    r15: each stage (cast array, scale, quantized array) materializes as
+    its own multiply-referenced projection column — inlined, ``scale``
+    (which contains a full array_max pass) lands INSIDE q's per-element
+    lambda, making per-row work O(d²), and ``q`` is substituted into
+    both checksum folds on top (the ivf_assign alias-inlining class;
+    measured 1.8 → 0.45 s warm / 10.0 → 1.2 s cold at sf0.1). Values
+    are bitwise unchanged —
+    identical expressions, evaluated once instead of per element."""
     e = _t(spark, sf_dir, "embeddings")
-    xd = F.transform("embedding", lambda x: x.cast("double"))
-    scale = F.lit(127.0) / F.greatest(
-        F.array_max(F.transform(xd, F.abs)), F.lit(1e-30))
-    q = F.transform(xd, lambda x: F.floor(x * scale + F.lit(0.5)))
-    return e.select(
+    l0 = e.select("vec_id",
+                  F.transform("embedding", lambda x: x.cast("double"))
+                  .alias("_xd"))
+    l1 = l0.select("vec_id", "_xd",
+                   (F.lit(127.0) / F.greatest(
+                       F.array_max(F.transform(F.col("_xd"), F.abs)),
+                       F.lit(1e-30))).alias("_scale"))
+    l2 = l1.select("vec_id", "_scale",
+                   F.transform(F.col("_xd"),
+                               lambda x: F.floor(x * F.col("_scale")
+                                                 + F.lit(0.5))).alias("_q"))
+    return l2.select(
         "vec_id",
-        F.floor(scale * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        F.floor(F.col("_scale") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
          .alias("scale_micro"),
-        F.aggregate(q, F.lit(0.0), lambda a, x: a + x).cast("long")
+        F.aggregate(F.col("_q"), F.lit(0.0), lambda a, x: a + x).cast("long")
          .alias("q_sum"),
-        F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max_abs"))
+        F.array_max(F.transform(F.col("_q"), F.abs)).cast("int")
+         .alias("q_max_abs"))
 
 
 @query("q12_priority_shipping", oracle="""
