@@ -207,14 +207,22 @@ def profile_columns_approx(df: DataFrame, cols: "list[str] | None" = None,
     pass, constant memory per column vs count_distinct's Expand
     blow-up)."""
     cols = cols or df.columns
-    aggs = []
+    # the exact/null aggregates and the HLL sketches run as TWO one-row
+    # aggregates cross-joined: mixing n count_distinct's (Expand ×(n+1)
+    # row replication) with HLL object-aggregation buffers in ONE agg
+    # forces every replicated row through the object-hash path — 9.6 s
+    # vs 0.9 s at sf0.1 (r15). Results identical: each aggregate is
+    # unchanged, HLL merges are per-bucket max (order-free), and the
+    # cross join of two 1-row frames is a constant
+    exact_aggs, approx_aggs = [], []
     for c in cols:
-        aggs += [
+        exact_aggs += [
             F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__exact"),
-            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__approx"),
         ]
-    one = df.agg(*aggs)
+        approx_aggs.append(
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__approx"))
+    one = df.agg(*exact_aggs).crossJoin(df.agg(*approx_aggs))
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__exact, {c}__approx" for c in cols)
     long = one.select(F.expr(

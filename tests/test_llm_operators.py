@@ -3608,3 +3608,26 @@ def test_damerau_levenshtein_hypothesis_vs_duckdb(spark):
         assert got == want
 
     check()
+
+
+def test_profile_columns_approx_matches_exact_recompute(spark, sf_dir):
+    """profile_columns_approx's r15 split (exact/null aggregates and the
+    HLL sketches as two cross-joined one-row aggs — the single mixed agg
+    put the HLL buffers on the count_distinct Expand replication) must
+    not change any output: null counts equal a direct recompute and
+    every contract flag still certifies (the fixture columns are all
+    well within the 5-sigma band)."""
+    from clickhouse_hdfs_loader_spark.operators.corpus import (
+        profile_columns_approx)
+    from clickhouse_hdfs_loader_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    out = {r["column_name"]: r for r in
+           profile_columns_approx(ev, cols).collect()}
+    assert sorted(out) == sorted(cols)
+    exact = ev.agg(*[F.sum(F.isnull(c).cast("long")).alias(c)
+                     for c in cols]).collect()[0]
+    for c in cols:
+        assert out[c]["n_nulls"] == exact[c]
+        assert out[c]["distinct_ok"] == 1
