@@ -445,8 +445,17 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
     ULP caveat as every arrow kernel."""
     from ..functions.vectors import (as_double_array, cosine_pairs_udf,
                                      dot, norm)
+    # the streamed side of the nested-loop join inherits the input split
+    # count — ONE task scores all n²/2 pairs on a single-split input
+    # (the r6 lesson). Round-robin the RAW side to the session's
+    # parallelism (floats cross the shuffle; the cast/norm columns
+    # compute after it — half the bytes, same once-per-row compute):
+    # pair set and per-pair math are unchanged (measured 8× at sf0.1)
+    a_raw = (emb.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+             .repartition(emb.sparkSession.sparkContext.defaultParallelism))
     if kernel == "arrow":
-        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        a = a_raw.select("id_a", F.col("_va").alias("v_a"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
         scorer = cosine_pairs_udf()(F.col("v_a"), F.col("v_b"))
     else:
@@ -457,19 +466,13 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
         # either way), so results are bitwise identical while per-pair
         # interpreted fold passes drop 4 → 2 (r15; norms first, casts
         # this round)
-        pa = emb.select(F.col(id_col).alias("id_a"),
-                        as_double_array(F.col(vec_col)).alias("v_a"))
+        pa = a_raw.select("id_a", as_double_array(F.col("_va")).alias("v_a"))
         a = pa.select("id_a", "v_a", norm(F.col("v_a")).alias("nrm_a"))
         pb = emb.select(F.col(id_col).alias("id_b"),
                         as_double_array(F.col(vec_col)).alias("v_b"))
         b = pb.select("id_b", "v_b", norm(F.col("v_b")).alias("nrm_b"))
         scorer = (dot(F.col("v_a"), F.col("v_b"))
                   / (F.col("nrm_a") * F.col("nrm_b")))
-    # the streamed side of the nested-loop join inherits the input split
-    # count — ONE task scores all n²/2 pairs on a single-split input
-    # (the r6 lesson). Round-robin to the session's parallelism: pair
-    # set and per-pair math are unchanged (measured 8× at sf0.1)
-    a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     return (a.crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", scorer)
