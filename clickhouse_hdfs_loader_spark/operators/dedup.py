@@ -473,7 +473,13 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
         b = pb.select("id_b", "v_b", norm(F.col("v_b")).alias("nrm_b"))
         scorer = (dot(F.col("v_a"), F.col("v_b"))
                   / (F.col("nrm_a") * F.col("nrm_b")))
-    return (a.crossJoin(b)
+    # pin the BUILD side explicitly: narrowing `a` to raw floats made it
+    # the planner's size-estimate pick for the broadcast, which wasted
+    # a's repartition AND streamed `b` at the raw split count (one task
+    # scored every pair again). broadcast(b) keeps `a` the streamed side
+    # deterministically — the nested-loop join must broadcast one full
+    # side either way (this is the labeled O(n²) baseline).
+    return (a.crossJoin(F.broadcast(b))
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", scorer)
             .where(F.col("cos") >= threshold)
