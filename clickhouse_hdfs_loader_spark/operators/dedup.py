@@ -419,12 +419,33 @@ def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
     (``lev / max(len_a, len_b)``) is ≤ ``max_norm_dist``.
 
     Scale: candidates are tiny relative to the corpus (LSH keeps them
-    near-linear), so the two text joins shuffle only candidate rows plus
-    one pass over doc texts; ``F.levenshtein`` is JVM-native codegen —
-    O(len²) per pair but pairs are bounded by the generator."""
-    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
-    return (pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    near-linear), so the text fetch is ONE full pass over ``docs`` (the
+    guide-§8 shape: decide with small rows, move big rows once) — the
+    candidate id set is broadcast-semi-joined against the corpus once,
+    and the resulting candidate-text table is broadcast into BOTH pair
+    sides hashed by the same ``doc_id`` key, so the two build sides share
+    one BroadcastExchange (the naive per-side text joins each re-scanned
+    the full text column). ``pairs`` is eagerly localCheckpoint-ed first:
+    its two consumers (the id set and the verify join) would otherwise
+    re-plan the whole blocking pipeline. Candidate TEXTS are assumed to
+    fit a broadcast (bounded pair count is the generator's contract); if
+    a corpus breaks that, fall back to shuffling the semi-joined text
+    table instead of broadcasting it — still one full corpus read.
+    ``F.levenshtein`` is JVM-native codegen — O(len²) per pair but pairs
+    are bounded by the generator."""
+    p = pairs.select("id_a", "id_b").localCheckpoint()
+    ids = (p.select(F.col("id_a").alias(id_col))
+           .union(p.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    txt = (docs.select(F.col(id_col), F.col(text_col))
+           .join(F.broadcast(ids), id_col, "left_semi"))
+    ta, tb = txt.alias("_ta"), txt.alias("_tb")
+    return (p.join(F.broadcast(ta),
+                   F.col("id_a") == F.col(f"_ta.{id_col}"))
+            .join(F.broadcast(tb),
+                  F.col("id_b") == F.col(f"_tb.{id_col}"))
+            .withColumn("t_a", F.col(f"_ta.{text_col}"))
+            .withColumn("t_b", F.col(f"_tb.{text_col}"))
             .withColumn("lev", F.levenshtein("t_a", "t_b"))
             .withColumn("norm_lev",
                         F.round(F.col("lev") /
