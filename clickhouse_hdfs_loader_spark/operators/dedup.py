@@ -425,15 +425,18 @@ def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
     and the resulting candidate-text table is broadcast into BOTH pair
     sides hashed by the same ``doc_id`` key, so the two build sides share
     one BroadcastExchange (the naive per-side text joins each re-scanned
-    the full text column). ``pairs`` is eagerly localCheckpoint-ed first:
-    its two consumers (the id set and the verify join) would otherwise
-    re-plan the whole blocking pipeline. Candidate TEXTS are assumed to
-    fit a broadcast (bounded pair count is the generator's contract); if
-    a corpus breaks that, fall back to shuffling the semi-joined text
-    table instead of broadcasting it — still one full corpus read.
+    the full text column). ``pairs`` is consumed twice (the id set and
+    the verify join) as canonically identical subtrees, so its final
+    aggregate exchange dedupes to ReusedExchange at runtime — measured:
+    the whole query executes exactly TWO input-reading stages at sf0.1
+    (one shingle scan, one text scan), with 9 reused-exchange refs in
+    the executed plan. Candidate TEXTS are assumed to fit a broadcast
+    (bounded pair count is the generator's contract); if a corpus breaks
+    that, fall back to shuffling the semi-joined text table instead of
+    broadcasting it — still one full corpus read.
     ``F.levenshtein`` is JVM-native codegen — O(len²) per pair but pairs
     are bounded by the generator."""
-    p = pairs.select("id_a", "id_b").localCheckpoint()
+    p = pairs.select("id_a", "id_b")
     ids = (p.select(F.col("id_a").alias(id_col))
            .union(p.select(F.col("id_b").alias(id_col)))
            .distinct())
@@ -447,9 +450,19 @@ def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
             .withColumn("t_a", F.col(f"_ta.{text_col}"))
             .withColumn("t_b", F.col(f"_tb.{text_col}"))
             .withColumn("lev", F.levenshtein("t_a", "t_b"))
+            # zero-denominator guard (two empty texts): Spark 4 ANSI
+            # raises on ANY division by zero while the DuckDB twin yields
+            # NULL (dropped by the <= filter) — the lazy when() mirrors
+            # the twin exactly and leaves every non-degenerate value
+            # untouched. No fixture produces the case today (shingle
+            # candidates need >= 3 words); this is drift-proofing.
             .withColumn("norm_lev",
-                        F.round(F.col("lev") /
-                                F.greatest(F.length("t_a"), F.length("t_b")), 6))
+                        F.round(F.when(
+                            F.greatest(F.length("t_a"),
+                                       F.length("t_b")) > 0,
+                            F.col("lev") /
+                            F.greatest(F.length("t_a"),
+                                       F.length("t_b"))), 6))
             .where(F.col("norm_lev") <= max_norm_dist)
             .select("id_a", "id_b", "lev", "norm_lev"))
 
@@ -497,9 +510,13 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
     # pin the BUILD side explicitly: narrowing `a` to raw floats made it
     # the planner's size-estimate pick for the broadcast, which wasted
     # a's repartition AND streamed `b` at the raw split count (one task
-    # scored every pair again). broadcast(b) keeps `a` the streamed side
-    # deterministically — the nested-loop join must broadcast one full
-    # side either way (this is the labeled O(n²) baseline).
+    # scored every pair again — measured 12.6 s vs 1.0 s at sf0.1).
+    # broadcast(b) keeps `a` the streamed, repartitioned side
+    # deterministically. Trade, stated honestly: the hint removes the
+    # planner's shuffle-CartesianProduct fallback, so an input past the
+    # broadcast cap fails fast instead of running as a (n² and therefore
+    # already infeasible) cartesian — acceptable for this labeled
+    # correctness baseline; lsh_near_dup_pairs is the scale path.
     return (a.crossJoin(F.broadcast(b))
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", scorer)
