@@ -701,42 +701,74 @@ def sequence_count(events: DataFrame, steps: list[str],
     not counted, matching ClickHouse's restart semantics (the a-a-b-b
     hand case pins 1).
 
-    An iterative per-row automaton is genuinely outside DataFrame
-    algebra (the brief's escalation ladder: composition → Arrow UDF),
-    so this is an ``applyInPandas`` per user group — Arrow-batched, one
-    shuffle on the user key, per-group cost linear in that user's
-    events. Verified against an independent pure-Python replay (the
-    bpe_train oracle pattern) plus hand cases; ``sequence_match``
-    coherence: matches >= 1 iff the ordered subsequence exists*
-    (*modulo the conversion window, which this operator does not
-    apply).
+    The automaton is a SEQUENTIAL fold with O(1) state (waiting index,
+    last accepted time, count), so it needs no Python boundary (guide
+    §4.1): collect each user's step-typed events into a sorted array
+    and run the fold as one JVM ``aggregate()`` higher-order expression
+    — ONE scan, ONE user-keyed exchange, zero BatchEvalPython nodes
+    (r16; the r15 form was an ``applyInPandas`` per-user pandas loop —
+    same shuffle, plus the Arrow transfer and a Python worker pass).
+    CLAUDE.md's HOF caution is about per-element WORK (shingle-set
+    construction lost 7×); this fold does three comparisons per
+    element, and measured 4.5× faster than the pandas automaton at
+    sf0.1 (§ OPTIMIZATION_r16.md).
+
+    Exact-parity details, all pinned by the replay test and hand cases:
+    the sort key is ``(ts NULLS LAST, id NULLS LAST)`` — pandas
+    ``sort_values`` puts NaT/NaN last, so the array sort coalesces the
+    time key to ``Long.MAX`` and orders NULL ids after non-NULL via an
+    ``isNull`` boolean field (struct sort is lexicographic by field
+    order); a NULL-ts row can be accepted at step 0 (no time check
+    there) and then blocks the chain forever (``us > NULL`` is never
+    true — pandas' ``ts > NaT`` is ``False``); non-step-typed rows are
+    automaton no-ops, dropped inside ``collect_list`` via ``when()``
+    (collect_list skips NULLs) so the per-user output row survives for
+    users with zero step-typed events — the user set is every user
+    with ≥1 event of ANY type, exactly the applyInPandas contract.
+
+    Per-group memory is the user's step-typed events collected into
+    one aggregation buffer — the same order-of-magnitude bound the
+    pandas form had (whole group materialized per task).
 
     Returns one row per user with ≥1 event: ``user, matches``."""
-    import pandas as pd
-
     step_list = list(steps)
-    key_type = events.schema[user_col].dataType.simpleString()
+    if not step_list:
+        raise ValueError("steps must be a non-empty list")
+    k = len(step_list)
+    maxl = (1 << 63) - 1
+    us = F.unix_micros(F.col(ts_col))
+    ev = F.struct(
+        F.coalesce(us, F.lit(maxl)).alias("_k1"),
+        F.col(id_col).isNull().alias("_kn"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        F.col(type_col).alias("_ty"))
+    arr = F.sort_array(F.collect_list(
+        F.when(F.col(type_col).isin(step_list), ev)))
+    steps_lit = F.array(*[F.lit(s) for s in step_list])
+    init = F.struct(F.lit(0).alias("idx"),
+                    F.lit(None).cast("long").alias("last"),
+                    F.lit(0).cast("long").alias("n"))
+    reset_last = F.lit(None).cast("long")
 
-    def count_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values([ts_col, id_col])
-        idx = 0
-        n = 0
-        last_ts = None
-        for t, ts in zip(pdf[type_col], pdf[ts_col]):
-            if t == step_list[idx] and (idx == 0 or ts > last_ts):
-                last_ts = ts
-                idx += 1
-                if idx == len(step_list):
-                    n += 1
-                    idx = 0
-                    last_ts = None
-        return pd.DataFrame({user_col: [pdf[user_col].iloc[0]],
-                             "matches": [n]})
+    def _step(acc, x):
+        ty_ok = x["_ty"] == F.element_at(steps_lit, acc["idx"] + 1)
+        ts_ok = (acc["idx"] == 0) | (x["_us"].isNotNull()
+                                     & (x["_us"] > acc["last"]))
+        complete = F.struct(F.lit(0).alias("idx"),
+                            reset_last.alias("last"),
+                            (acc["n"] + 1).alias("n"))
+        partial = F.struct((acc["idx"] + 1).alias("idx"),
+                           x["_us"].alias("last"),
+                           acc["n"].alias("n"))
+        return (F.when(ty_ok & ts_ok,
+                       F.when(acc["idx"] + 1 == k, complete)
+                       .otherwise(partial))
+                .otherwise(acc))
 
-    return (events.select(user_col, ts_col, id_col, type_col)
-            .groupBy(user_col)
-            .applyInPandas(count_fn,
-                           f"{user_col} {key_type}, matches long"))
+    return (events.groupBy(user_col)
+            .agg(F.aggregate(arr, init, _step,
+                             lambda acc: acc["n"]).alias("matches")))
 
 
 def retention_flags(events: DataFrame, conds: list[str],
@@ -2201,33 +2233,58 @@ def _timed_matchable_sets(events: DataFrame, steps: list,
                           id_col: "str | None" = None):
     """The ONE copy of the per-step-gap existence DP (shared by
     sequence_match_timed and sequence_match_events): validates inputs,
-    then builds per step i the set of i-MATCHABLE events — candidates
+    then marks per step i the set of i-MATCHABLE events — candidates
     whose running marker max (the latest (i−1)-matchable event
-    strictly before them, ties excluded structurally via the
-    ``(ts, kind)`` sort) lies within the inclusive gap.
+    strictly before them) lies within the inclusive gap.
 
-    With ``carry_chains`` each matchable row additionally carries the
-    witness times of its admitting prefix (``_c0 .. _c{i-1}``): the
-    running max becomes a max over ``struct(us, chain…)`` — markers
-    tied on us provably carry IDENTICAL chains (a row's chain is a
-    function of its us through the same running-max rule), so the
-    struct tie-break never actually chooses, and the carried chain
-    equals the backward reconstruction
-    ``t_{i-1} = max{u ∈ m_{i-1} : u < t_i}`` by induction. Existence
-    callers leave it off — the scalar running max shuffles K fewer
-    longs per row.
+    SINGLE-FRAME form (r16; the r15 form unioned each step's candidate
+    slice with the previous matchable set — K filtered scans of the
+    input and K−1 union exchanges): ONE scan of the step-typed rows,
+    ONE user-keyed exchange + sort, and K−1 dependent Window nodes over
+    the SAME ``(user) ORDER BY _us`` spec (the _chain_frame subsumption
+    shape). Each step's matchability is a flag column
+
+        _f0  = (_ty = steps[0])
+        _fi  = (_ty = steps[i]) AND _rmi IS NOT NULL
+                               AND (_us − gate_i <= gap_i·1e6)
+        _rmi = max(CASE WHEN _f{i−1} THEN _us END)
+                 OVER (PARTITION BY user ORDER BY _us
+                       RANGE UNBOUNDED PRECEDING TO -1)
+
+    The RANGE frame ending at −1 contains exactly the rows with
+    ``_us < current _us`` (``_us`` is integral µs), so "strictly
+    before, tied timestamps never gate" is structural and DETERMINISTIC
+    regardless of how Spark orders tied rows — it replaces the r15
+    ``(ts, kind)`` sort trick. Equivalence with the r15 ladder: both
+    compute ``max{u ∈ m_{i−1} : u < t}`` per candidate t; the union
+    form materialized m_{i−1} as marker rows, this form marks them
+    in place. Rows whose type is not in ``steps`` can never be
+    matchable and never contribute to any marker max, so the frame
+    pre-filters to step types (narrows the one shuffle; mirrors the
+    r15 candidate slices).
+
+    With ``carry_chains`` each i-matchable row additionally carries the
+    witness times of its admitting prefix as a payload struct ``_pi``:
+    the running max becomes a max over ``struct(_mus, chain…)``. Tied
+    markers provably carry IDENTICAL chains — STRUCTURALLY here: a
+    RANGE frame depends only on the ``_us`` value, so two markers tied
+    on ``_us`` see the same frame, hence the same ``_rm``, hence
+    byte-equal payload prefixes — and the carried chain equals the
+    backward reconstruction ``t_{i−1} = max{u ∈ m_{i−1} : u < t_i}``
+    by induction. Existence callers leave it off — the scalar running
+    max keeps the per-row state K longs narrower.
 
     With ``id_col`` (requires ``carry_chains``) each row additionally
     carries witness EVENT IDS under the canonical rule "the MIN id
     among events at the witness (user, time, type)": a marker's own
     id rides the payload NEGATED and LAST, so the running MAX resolves
-    tied-us markers to the min id, and every carried field stays a
-    function of the marker's us (the struct-max induction above
-    extends verbatim — time fields first, id fields after, only the
-    final negated own-id field ever differs at a tie). NULL-id rows
-    are excluded up-front (the r9 NULL-key stance; mirror in twins) —
-    the time chain may therefore differ from an id-less call on
-    inputs that HAVE NULL ids.
+    tied-us markers to the min id, and every carried field above it
+    stays a function of the marker's us (the struct-max argument above
+    — time fields first, id fields after, only the final negated
+    own-id field ever differs at a tie). NULL-id rows are excluded
+    up-front (the r9 NULL-key stance; mirror in twins) — the time
+    chain may therefore differ from an id-less call on inputs that
+    HAVE NULL ids.
 
     Returns ``(base, [m_0 .. m_{K-1}])``; each ``m_i`` is
     ``(user, _us[, _c0 .. _c{i-1}][, _id, _i0 .. _i{i-1}])``."""
@@ -2255,61 +2312,68 @@ def _timed_matchable_sets(events: DataFrame, steps: list,
             .select(user_col, F.col(type_col).alias("_ty"),
                     F.unix_micros(F.col(ts_col)).alias("_us"), *id_sel))
     mcols = ["_us"] + (["_id"] if id_col is not None else [])
-    m = base.where(F.col("_ty") == steps[0]).select(user_col, *mcols)
-    ms = [m]
+    # strict-before, tie-excluded: RANGE frame to -1 over integral µs
+    w_prev = (Window.partitionBy(user_col).orderBy("_us")
+              .rangeBetween(Window.unboundedPreceding, -1))
+    frame = (base.where(F.col("_ty").isin(sorted(set(steps))))
+             .withColumn("_f0", F.col("_ty") == F.lit(steps[0])))
+    if carry_chains:
+        pay0 = [F.col("_us").alias("_mus")]
+        if id_col is not None:
+            pay0.append((-F.col("_id")).alias("_negid"))
+        frame = frame.withColumn(
+            "_p0", F.when(F.col("_f0"), F.struct(*pay0)))
     chain: list = []     # carried witness-time columns _c0..
     idchain: list = []   # carried witness-id columns _i0.. (positive)
-    w = (Window.partitionBy(user_col).orderBy("_us", "_k")
-         .rowsBetween(Window.unboundedPreceding, 0))
+    ms = [frame.where(F.col("_f0")).select(user_col, *mcols)]
     for idx, (s, gap) in enumerate(zip(steps[1:], max_gaps_s), start=1):
-        cand = (base.where(F.col("_ty") == s)
-                .select(user_col, *mcols, F.lit(0).alias("_k")))
+        rm = f"_rm{idx}"
         if carry_chains:
-            # field order is load-bearing: _mus first (the real key),
-            # then the function-of-us time/id prefixes (equal whenever
-            # _mus ties), then the NEGATED own id (so max == min id)
-            pay_fields = [F.col("_us").alias("_mus"),
-                          *[F.col(c) for c in chain],
-                          *[F.col(c) for c in idchain]]
-            if id_col is not None:
-                pay_fields.append((-F.col("_id")).alias("_negid"))
-            pay = F.struct(*pay_fields)
-            mark = m.select(user_col, *mcols, F.lit(1).alias("_k"),
-                            pay.alias("_pay"))
-            cand = cand.withColumn(
-                "_pay", F.lit(None).cast(mark.schema["_pay"].dataType))
-            uni = (cand.unionByName(mark)
-                   .withColumn("_rm", F.max(
-                       F.when(F.col("_k") == 1, F.col("_pay")))
-                       .over(w)))
-            gate = F.col("_rm._mus")
+            # _p{idx-1} is already NULL on non-matchable rows
+            frame = frame.withColumn(
+                rm, F.max(F.col(f"_p{idx - 1}")).over(w_prev))
+            gate = F.col(f"{rm}._mus")
         else:
-            mark = m.select(user_col, "_us", F.lit(1).alias("_k"))
-            uni = (cand.unionByName(mark)
-                   .withColumn("_rm", F.max(
-                       F.when(F.col("_k") == 1, F.col("_us")))
-                       .over(w)))
-            gate = F.col("_rm")
-        flt = (F.col("_k") == 0) & F.col("_rm").isNotNull()
+            frame = frame.withColumn(
+                rm, F.max(F.when(F.col(f"_f{idx - 1}"),
+                                 F.col("_us"))).over(w_prev))
+            gate = F.col(rm)
+        flt = (F.col("_ty") == F.lit(s)) & gate.isNotNull()
         if gap is not None:
             flt = flt & (F.col("_us") - gate
                          <= F.lit(int(gap) * 1_000_000))
+        frame = frame.withColumn(f"_f{idx}", flt)
         if carry_chains:
             nxt = f"_c{idx - 1}"
-            keep = [user_col, "_us",
-                    *[F.col(f"_rm.{c}").alias(c) for c in chain],
-                    F.col("_rm._mus").alias(nxt)]
+            # witness columns materialized from the admitting marker's
+            # payload; field order is load-bearing: _mus first (the
+            # real key), then the function-of-us time/id prefixes
+            # (equal whenever _mus ties), then the NEGATED own id
+            # (so max == min id)
+            proj = {c: F.col(f"{rm}.{c}") for c in chain}
+            proj[nxt] = F.col(f"{rm}._mus")
             if id_col is not None:
                 nxti = f"_i{idx - 1}"
-                keep += ["_id",
-                         *[F.col(f"_rm.{c}").alias(c) for c in idchain],
-                         (-F.col("_rm._negid")).alias(nxti)]
+                for c in idchain:
+                    proj[c] = F.col(f"{rm}.{c}")
+                proj[nxti] = -F.col(f"{rm}._negid")
                 idchain = idchain + [nxti]
-            m = uni.where(flt).select(*keep)
             chain = chain + [nxt]
+            frame = frame.withColumns(proj) if proj else frame
+            pay = [F.col("_us").alias("_mus"),
+                   *[F.col(c) for c in chain],
+                   *[F.col(c) for c in idchain]]
+            if id_col is not None:
+                pay.append((-F.col("_id")).alias("_negid"))
+            frame = frame.withColumn(
+                f"_p{idx}", F.when(F.col(f"_f{idx}"), F.struct(*pay)))
+            ms.append(frame.where(F.col(f"_f{idx}"))
+                      .select(user_col, "_us", *chain,
+                              *(["_id", *idchain]
+                                if id_col is not None else [])))
         else:
-            m = uni.where(flt).select(user_col, "_us")
-        ms.append(m)
+            ms.append(frame.where(F.col(f"_f{idx}"))
+                      .select(user_col, "_us"))
     return base, ms
 
 

@@ -411,7 +411,8 @@ def simhash_dropped_buckets(docs: DataFrame, text_col: str = "text",
 
 def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
                              text_col: str = "text", id_col: str = "doc_id",
-                             max_norm_dist: float = 0.4) -> DataFrame:
+                             max_norm_dist: float = 0.4,
+                             broadcast_texts: bool = True) -> DataFrame:
     """Exact edit-distance verification of candidate near-dup pairs — the
     standard second stage after a cheap candidate generator (LSH banding /
     shingle jaccard): join texts back onto the (id_a, id_b) candidates and
@@ -432,10 +433,12 @@ def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
     (one shingle scan, one text scan), with 9 reused-exchange refs in
     the executed plan. Candidate TEXTS are assumed to fit a broadcast
     (bounded pair count is the generator's contract); if a corpus breaks
-    that, fall back to shuffling the semi-joined text table instead of
-    broadcasting it — still one full corpus read.
+    that, pass ``broadcast_texts=False`` (ADVICE r15) to skip the hints
+    and let the planner shuffle the semi-joined text table instead —
+    identical semantics, still one full corpus read.
     ``F.levenshtein`` is JVM-native codegen — O(len²) per pair but pairs
     are bounded by the generator."""
+    bc = F.broadcast if broadcast_texts else (lambda df: df)
     p = pairs.select("id_a", "id_b")
     ids = (p.select(F.col("id_a").alias(id_col))
            .union(p.select(F.col("id_b").alias(id_col)))
@@ -443,9 +446,9 @@ def levenshtein_verify_pairs(docs: DataFrame, pairs: DataFrame,
     txt = (docs.select(F.col(id_col), F.col(text_col))
            .join(F.broadcast(ids), id_col, "left_semi"))
     ta, tb = txt.alias("_ta"), txt.alias("_tb")
-    return (p.join(F.broadcast(ta),
+    return (p.join(bc(ta),
                    F.col("id_a") == F.col(f"_ta.{id_col}"))
-            .join(F.broadcast(tb),
+            .join(bc(tb),
                   F.col("id_b") == F.col(f"_tb.{id_col}"))
             .withColumn("t_a", F.col(f"_ta.{text_col}"))
             .withColumn("t_b", F.col(f"_tb.{text_col}"))
@@ -514,9 +517,11 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
     # broadcast(b) keeps `a` the streamed, repartitioned side
     # deterministically. Trade, stated honestly: the hint removes the
     # planner's shuffle-CartesianProduct fallback, so an input past the
-    # broadcast cap fails fast instead of running as a (n² and therefore
-    # already infeasible) cartesian — acceptable for this labeled
-    # correctness baseline; lsh_near_dup_pairs is the scale path.
+    # broadcast cap fails (8 GB broadcast limit / driver memory — not
+    # necessarily fast or cheap, Spark attempts the build first) instead
+    # of running an infeasible n² cartesian — acceptable for this
+    # labeled correctness baseline; lsh_near_dup_pairs is the scale
+    # path. (ADVICE r15: don't rely on a clean early error here.)
     return (a.crossJoin(F.broadcast(b))
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", scorer)

@@ -3631,3 +3631,70 @@ def test_profile_columns_approx_matches_exact_recompute(spark, sf_dir):
     for c in cols:
         assert out[c]["n_nulls"] == exact[c]
         assert out[c]["distinct_ok"] == 1
+
+
+def test_sequence_count_fold_matches_automaton_hypothesis(spark):
+    """r16: sequence_count's JVM aggregate() fold vs a pure-Python
+    greedy automaton with the pandas semantics the applyInPandas form
+    had — (ts NULLS LAST, id) order, strict '>' between accepted steps,
+    NULL-ts rows acceptable at step 0 only (ts > NaT is False), restart
+    on completion — hypothesis-driven over random logs with tied
+    timestamps and NULL ts. Ids are unique per log (full (ts, id) ties
+    across DIFFERENT types were input-order-dependent in the pandas
+    form — not a pinnable behavior)."""
+    import datetime as dt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from clickhouse_hdfs_loader_spark.operators.analytics import (
+        sequence_count)
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ["a", "b"]
+    types = ["a", "b", "c"]
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    def ref(rows):
+        # rows: (id, user, ty, us_or_None) — the pandas-exact automaton
+        out = {}
+        byu: dict = {}
+        for r in rows:
+            byu.setdefault(r[1], []).append(r)
+        big = 1 << 62
+        for u, evs in byu.items():
+            evs = sorted(evs, key=lambda r: (
+                r[3] if r[3] is not None else big, r[0]))
+            idx, last, n = 0, None, 0
+            for rid, _, ty, us in evs:
+                if ty != steps[idx]:
+                    continue
+                if idx == 0 or (us is not None and last is not None
+                                and us > last):
+                    last = us
+                    idx += 1
+                    if idx == len(steps):
+                        n += 1
+                        idx, last = 0, None
+            out[u] = n
+        return out
+
+    @given(st.lists(st.tuples(st.integers(0, 2),            # user
+                              st.integers(0, 2),            # type index
+                              st.one_of(st.none(),
+                                        st.integers(0, 4))),  # tick
+                    min_size=1, max_size=24))
+    @settings(max_examples=8, deadline=None)
+    def run(log):
+        rows = [(i, u, types[t],
+                 None if tick is None else t0 + dt.timedelta(seconds=tick),
+                 1.0)
+                for i, (u, t, tick) in enumerate(log)]
+        df = spark.createDataFrame(rows, schema)
+        got = {r["user_id"]: r["matches"]
+               for r in sequence_count(df, steps).collect()}
+        ref_rows = [(i, u, ty,
+                     None if ts is None else int(ts.timestamp() * 1_000_000))
+                    for (i, u, ty, ts, _) in rows]
+        assert got == ref(ref_rows)
+
+    run()

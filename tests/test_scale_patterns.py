@@ -459,3 +459,67 @@ def test_bloom_semi_join_identity_and_pruning(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "element_at(_bm" in plan
     assert plan.count("partial_bit_or") == 1
+
+
+def _executed_plan_after_run(spark, sf_dir, name: str) -> str:
+    """Run the query, then read the EXECUTED plan: runtime exchange
+    dedup (ReusedExchange) only appears in the final adaptive plan — the
+    static text overcounts duplicated subtrees (the r15 lesson)."""
+    from clickhouse_hdfs_loader_spark.plans.queries import REGISTRY
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_retrieval_family_reuses_aggregate_exchange(spark, sf_dir):
+    """The r15 reuse unlocks (tf_idf/bm25: count(when(tf >= 1)) stops
+    aggregate degeneration, S = sum(tf) rides the tf exchange; bigram:
+    symmetric null pre-filters restore canonical equality of the model
+    aggregate; ngram-jaccard: sizes derived from the ONE posting-list
+    exchange) all depend on Catalyst NOT simplifying the shapes apart —
+    a smarter future optimizer could silently re-degenerate a branch
+    and bring a second scan back with no test failing (VERDICT r15
+    items 3-4). Pin runtime ReusedExchange >= 1 for each."""
+    for name in ("tf_idf_topk", "bm25_topk", "bigram_likelihood",
+                 "dedup_ngram_jaccard"):
+        plan = _executed_plan_after_run(spark, sf_dir, name)
+        assert "ReusedExchange" in plan, f"{name} lost its exchange reuse"
+
+
+def test_levenshtein_one_text_broadcast_serves_both_sides(spark, sf_dir):
+    """dedup_levenshtein's candidate-text table is broadcast into BOTH
+    pair sides keyed by the same column — one BroadcastExchange, the
+    second build must dedupe to ReusedExchange at runtime (r15 §8
+    one-corpus-pass shape)."""
+    plan = _executed_plan_after_run(spark, sf_dir, "dedup_levenshtein")
+    assert "ReusedExchange" in plan
+
+
+def test_embedding_near_dup_build_side_stays_pinned(spark, sf_dir):
+    """d3849de pinned F.broadcast(b) after a narrowing change silently
+    flipped the planner's build side (12.6 s vs 1.0 s at sf0.1 — the
+    streamed side must stay the repartitioned one). Pin BuildRight on
+    the cross join (VERDICT r15 item 4)."""
+    plan = _plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_dp_family_single_frame(spark, sf_dir):
+    """r16: the per-step-gap DP is a single window frame — events
+    scanned ONCE in the witness query (plus the contract-required
+    distinct-users scan in the matched-flag query), no unions (the r15
+    ladder unioned marker sets per step: 3-4 scans), and sequence_count
+    runs its automaton as a JVM aggregate() fold — zero Python-boundary
+    nodes (guide §4.1)."""
+    plan = _plan_of(spark, sf_dir, "sequence_match_events")
+    assert plan.count("events.parquet") == 1
+    assert "Union" not in plan
+    plan = _plan_of(spark, sf_dir, "sequence_match_timed")
+    assert plan.count("events.parquet") == 2
+    assert "Union" not in plan
+    plan = _plan_of(spark, sf_dir, "sequence_count")
+    assert plan.count("events.parquet") == 1
+    for node in ("FlatMapGroupsInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in plan
