@@ -31,9 +31,9 @@ from ..operators.stats import (ANOVA_F_SQL, AVG_WEIGHTED_SQL,
                                COHENS_D_SQL, CONTINGENCY_SQL,
                                CRAMERS_V_BC_SQL, CRAMERS_V_SQL,
                                KS_D_SQL, KURT_SQL, PROP_Z_SQL,
-                               RANK_CORR_SQL, SKEW_SQL, STUDENT_T_SQL,
-                               TREND_ICEPT_SQL, TREND_SLOPE_SQL,
-                               WELCH_T_SQL, mean_z_sql)
+                               RANK_CORR_SQL, ROC_AUC_E6_DUCK, SKEW_SQL,
+                               STUDENT_T_SQL, TREND_ICEPT_SQL,
+                               TREND_SLOPE_SQL, WELCH_T_SQL, mean_z_sql)
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import transform as T
@@ -2204,13 +2204,28 @@ def q18_large_orders(spark, sf_dir):
                     "total_qty"))
 
 
-@query("q10_returned_items", oracle="""
+# Exact integer cents for the revenue product (the r15 q9 recipe —
+# _Q9_AMOUNT_CENTS' sibling): round(sum(double)) is engine-summation-
+# order-dependent and went one cent off at sf0.1 on q9; per-row
+# half-toward-+inf cent quantization summed as int64 is order-free and
+# shared VERBATIM between each operator and its twin. Converted WITH
+# q7/q10's r16 staleness re-grade slots (VERDICT r15 item 9).
+_REV_CENTS = (
+    "CAST(floor(l_extendedprice"
+    " * (CAST(1 AS DOUBLE) - l_discount)"
+    " * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+
+_CENTS_TO_REV = "CAST(sum(cents) AS DOUBLE) / CAST(100 AS DOUBLE)"
+
+
+@query("q10_returned_items", oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
+           {_CENTS_TO_REV} AS revenue
+    FROM (SELECT c_custkey, c_name, n_name, {_REV_CENTS} AS cents
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R') t
     GROUP BY c_custkey, c_name, n_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
@@ -2218,7 +2233,10 @@ def q18_large_orders(spark, sf_dir):
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape (returned-item reporting): flag filter pushed to
     the lineitem scan, nation broadcast, top-20 by revenue with the
-    deterministic c_custkey tie-break the oracle contract requires."""
+    deterministic c_custkey tie-break the oracle contract requires.
+    Revenue sums as EXACT integer cents (_REV_CENTS, shared verbatim
+    with the twin — the q9 recipe; the final /100 is the identical
+    correctly-rounded double on both engines)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -2227,21 +2245,21 @@ def q10_returned_items(spark, sf_dir):
             .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation),
                   cust.c_nationkey == nation.n_nationkey)
+            .select("c_custkey", "c_name", "n_name",
+                    F.expr(_REV_CENTS).alias("cents"))
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.round(F.sum(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
-                2).alias("revenue"))
+            .agg(F.expr(_CENTS_TO_REV).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(20))
 
 
-@query("q7_volume_shipping", oracle="""
+@query("q7_volume_shipping", oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           {_CENTS_TO_REV} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {_REV_CENTS} AS cents
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -2256,7 +2274,8 @@ def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape (volume shipping between two nations): five-way
     join where both nation dims broadcast and the disjunctive pair
     predicate filters after the dim joins — fact tables shuffle once on
-    their join keys, dims never shuffle."""
+    their join keys, dims never shuffle. Revenue sums as EXACT integer
+    cents (_REV_CENTS, shared verbatim with the twin — the q9 recipe)."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
@@ -2276,11 +2295,11 @@ def q7_volume_shipping(spark, sf_dir):
                      | ((F.col("supp_nation") == "NATION_2")
                         & (F.col("cust_nation") == "NATION_1"))))
     return (joined
-            .groupBy("supp_nation", "cust_nation",
-                     F.year("l_shipdate").alias("l_year"))
-            .agg(F.round(F.sum(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
-                2).alias("revenue")))
+            .select("supp_nation", "cust_nation",
+                    F.year("l_shipdate").alias("l_year"),
+                    F.expr(_REV_CENTS).alias("cents"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.expr(_CENTS_TO_REV).alias("revenue")))
 
 
 @query("profile_documents", oracle="""
@@ -7737,6 +7756,469 @@ def byte_jaccard_pairs_q(spark, sf_dir):
                     bj(F.col("a.p"), F.col("b.p")).alias("s")))
 
 
+# --- r16 promotions: the r15-built operators, SQL verbatim from their
+# in-test DuckDB oracles (named in the rotation comment; the r12/r14
+# promotion recipe — re-run every string FROM THE REGISTRY after the
+# move, never trust the pre-move test copy).
+
+@query("roc_auc", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      CAST({_SIDE_SQL} AS BIGINT) AS s
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL),
+    pv AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(s) AS BIGINT) AS c1
+           FROM b GROUP BY 1, 2),
+    rk AS (SELECT event_type, vm, cnt, c1,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type
+               ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS lt
+           FROM pv),
+    a AS (SELECT event_type,
+                 CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(cnt - c1) AS BIGINT) AS n2,
+                 CAST(sum(c1 * (2 * lt + cnt + 1))
+                      - sum(c1) * (sum(c1) + 1) AS BIGINT) AS u2
+          FROM rk GROUP BY 1)
+    SELECT event_type, n1, n2, u2,
+           CAST({ROC_AUC_E6_DUCK} AS BIGINT) AS auc_e6
+    FROM a
+""")
+def roc_auc_q(spark, sf_dir):
+    """Exact ROC AUC per group (AUC = U₁/(n₁·n₂), ties at half credit)
+    — rides the graded mann_whitney_u doubled-midrank CTE verbatim,
+    then ONE integer finish at exact e6 via the two-step remainder
+    identity (shared ROC_AUC_E6_DUCK/_SPARK pair). Single-class groups
+    are NULL, never a division trap. SQL verbatim from the r15 in-test
+    oracle (tests/test_stats_operators.py). operators/stats.py:roc_auc."""
+    from ..operators.stats import roc_auc as _ra
+    return _ra(_sided_events(spark, sf_dir), "event_type", "value",
+               "side")
+
+
+@query("brier_score", oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1000) AS BIGINT) AS pm,
+                      CAST({_SIDE_SQL} AS BIGINT) AS y
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND user_id IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((pm - 1000 * y) * (pm - 1000 * y))
+                // count(*) AS BIGINT) AS brier_e6
+    FROM b GROUP BY 1
+""")
+def brier_score_q(spark, sf_dir):
+    """Brier score per group under the exact integer contract:
+    Σ(pm − 1000·y)² div n — mean squared error in milli² units IS the
+    e6-scaled Brier, no float ever appears (raw value stands in for
+    the probability; the quantization IS the contract). SQL verbatim
+    from the r15 in-test oracle (tests/test_stats_operators.py).
+    operators/stats.py:brier_score."""
+    from ..operators.stats import brier_score as _bs
+    return _bs(_sided_events(spark, sf_dir), "event_type", "value",
+               "side")
+
+
+# ONE oracle for the classification_report pair: the stream twin folds
+# per micro-batch into the SAME int-sum confusion-count monoid, so it
+# grades against the batch SQL verbatim (the stream_two_proportion /
+# stream_linear_trend precedent).
+_CLSREP_ORACLE = """
+    WITH b AS (SELECT event_type,
+                      CAST(((event_id % 2 + 2) % 2) AS BIGINT) AS p,
+                      CAST(((user_id % 2 + 2) % 2) AS BIGINT) AS y
+               FROM events
+               WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                 -- the fold drops NULL group keys (mirror — the r9
+                 -- drift stance; the stream twin shares this WHERE by
+                 -- construction)
+                 AND event_type IS NOT NULL),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(p * y) AS BIGINT) AS tp,
+                 CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+                 CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+                 CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+          FROM b GROUP BY 1)
+    SELECT event_type, n, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp = 0 THEN NULL
+                ELSE (tp * 1000000) // (tp + fp) END AS BIGINT)
+             AS precision_e6,
+           CAST(CASE WHEN tp + fn = 0 THEN NULL
+                ELSE (tp * 1000000) // (tp + fn) END AS BIGINT)
+             AS recall_e6,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END
+                AS BIGINT) AS f1_e6,
+           CAST((tp + tn) * 1000000 // n AS BIGINT) AS accuracy_e6
+    FROM a
+"""
+
+
+@query("classification_report", oracle=_CLSREP_ORACLE)
+def classification_report_q(spark, sf_dir):
+    """Binary-classification confusion counts + four exact e6 metrics
+    per group, each ONE guarded integer division (F1 reduces to
+    2tp/(2tp+fp+fn) algebraically). pred = event_id parity, label =
+    user parity. SQL verbatim from the r15 in-test oracle
+    (tests/test_stats_operators.py). operators/stats.py:
+    classification_report."""
+    from ..operators.stats import classification_report as _cr
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .withColumn("pred", F.pmod(F.col("event_id"), F.lit(2)))
+          .withColumn("label", F.pmod(F.col("user_id"), F.lit(2))))
+    return _cr(ev, "event_type", "pred", "label")
+
+
+@query("stream_classification_report", oracle=_CLSREP_ORACLE)
+def stream_classification_report_q(spark, sf_dir):
+    """foreachBatch classifier-quality monitor: each micro-batch folds
+    into the per-group confusion-count state via clsrep_update (an
+    int-sum monoid — order-insensitive, any batch split equals the
+    one-shot report by construction + hypothesis test); metrics derive
+    from the O(|groups|) state alone. Graded against the SAME batch
+    oracle. streaming/events.py:stream_classification_report."""
+    from ..streaming.events import stream_classification_report as _scr
+    return _scr(spark, sf_dir)
+
+
+@query("rolling_corr", oracle=f"""
+    WITH l AS (SELECT event_type, epoch_us(ts) AS tus, event_id,
+                      value,
+                      lag(value) OVER (PARTITION BY event_type
+                        ORDER BY epoch_us(ts), event_id) AS vlag
+               FROM events
+               WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+    b AS (SELECT event_type, tus, event_id,
+                 CAST(floor(value * 1000) AS BIGINT) AS qx,
+                 CAST(floor(vlag * 1000) AS BIGINT) AS qy
+          FROM l
+          WHERE value IS NOT NULL AND isfinite(value)
+            AND vlag IS NOT NULL AND isfinite(vlag)
+            AND tus IS NOT NULL AND event_id IS NOT NULL),
+    f AS (SELECT event_type, tus, event_id,
+                 CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(qx) OVER w AS BIGINT) AS _sx,
+                 CAST(sum(qy) OVER w AS BIGINT) AS _sy,
+                 CAST(sum(qx * qx) OVER w AS BIGINT) AS _sxx,
+                 CAST(sum(qy * qy) OVER w AS BIGINT) AS _syy,
+                 CAST(sum(qx * qy) OVER w AS BIGINT) AS _sxy
+          FROM b
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY tus, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT event_type, CAST(tus AS BIGINT) AS t_us, event_id, n,
+           {RANK_CORR_SQL} AS corr_e4
+    FROM f
+""")
+def rolling_corr_q(spark, sf_dir):
+    """Rolling Pearson correlation over a trailing 10-row frame (y =
+    lagged value — the rolling autocorrelation drift monitor): six
+    int64 moment sums over ONE window frame, the verbatim
+    RANK_CORR_SQL float finish. The lag preamble excludes NULL
+    ordering keys BEFORE the lag on BOTH sides (the r9 window-ordered
+    rule). SQL verbatim from the r15 in-test oracle
+    (tests/test_stats_operators.py). operators/stats.py:rolling_corr."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.stats import rolling_corr as _rc
+    wlag = _W.partitionBy("event_type").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id"))
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+          .withColumn("vlag", F.lag("value").over(wlag)))
+    return _rc(ev, "event_type", "value", "vlag", n=10)
+
+
+@query("vwap_resample", oracle=f"""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                      CAST(floor(value * 1000) AS BIGINT) AS pm,
+                      CAST(((event_id % 5 + 5) % 5) AS BIGINT) AS w
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_id IS NOT NULL),
+    a AS (SELECT event_type,
+                 CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+                 CAST(sum(w) AS BIGINT) AS wsum,
+                 CAST(sum(w * pm) AS BIGINT) AS wvsum_milli
+          FROM b GROUP BY 1, 2)
+    SELECT event_type, hour_epoch, wsum, wvsum_milli,
+           {AVG_WEIGHTED_SQL} AS vwap_e4
+    FROM a
+""")
+def vwap_resample_q(spark, sf_dir):
+    """Volume-weighted average price per (series, hour) — the
+    avg_weighted contract verbatim per bucket (volume = event_id mod
+    5 via the shared integral validator; zero-volume buckets NULL
+    through AVG_WEIGHTED_SQL's guard). One shuffle on (series × hour),
+    map-side partial sums. SQL verbatim from the r15 in-test oracle
+    (tests/test_stats_operators.py). operators/asof.py:vwap_resample."""
+    from ..operators.asof import vwap_resample as _vw
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .withColumn("vol", F.pmod(F.col("event_id"), F.lit(5))))
+    return _vw(ev)
+
+
+@query("non_negative_derivative", oracle="""
+    WITH v AS (SELECT event_type, epoch_us(ts) AS tus, event_id,
+                      CAST(floor(value * 1000) AS BIGINT) AS vm,
+                      lag(CAST(floor(value * 1000) AS BIGINT)) OVER w
+                        AS pvm,
+                      lag(epoch_us(ts)) OVER w AS pus
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)
+                 AND ts IS NOT NULL AND event_id IS NOT NULL
+               WINDOW w AS (PARTITION BY event_type
+                            ORDER BY epoch_us(ts), event_id))
+    SELECT event_type, CAST(tus AS BIGINT) AS t_us, event_id,
+           CAST(CASE WHEN pus IS NULL OR tus = pus THEN NULL
+                ELSE greatest(0, ((vm - pvm) * 1000000)
+                                 // (tus - pus)) END
+                AS BIGINT) AS rate_milli_per_s
+    FROM v
+""")
+def non_negative_derivative_q(spark, sf_dir):
+    """ClickHouse ``nonNegativeDerivative``: per-row rate of change vs
+    the previous row in (ts, id) order, clamped at zero (the
+    gauge-to-rate transform tolerating counter resets) — lag + ONE
+    guarded truncating division (`div` ≡ `//`, r10), tied-ts rows
+    NULL by contract. SQL verbatim from the r15 in-test oracle
+    (tests/test_interval_combinators.py). operators/analytics.py:
+    non_negative_derivative."""
+    from ..operators.analytics import non_negative_derivative as _nn
+    return _nn(_t(spark, sf_dir, "events"))
+
+
+@query("sequence_match_events_ids",
+       oracle=_timed_events_ladder_sql(_SEQ_TIMED_STEPS,
+                                       _SEQ_TIMED_GAPS, with_ids=True))
+def sequence_match_events_ids_q(spark, sf_dir):
+    """sequence_match_events with witness EVENT IDS: each chain slot
+    additionally carries "the MIN id among events at the witness
+    (user, time, type)" — the id rides the DP payload negated and
+    last, so the running max resolves tied-us markers to the min id
+    (NULL-id rows excluded up-front, mirrored into the DP CTEs via
+    require_id). Oracle = the shared ladder with the per-(user, type,
+    time) min(event_id) join. operators/analytics.py:
+    sequence_match_events."""
+    from ..operators.analytics import sequence_match_events as _sme
+    return _sme(_t(spark, sf_dir, "events"), _SEQ_TIMED_STEPS,
+                _SEQ_TIMED_GAPS, id_col="event_id")
+
+
+@query("triangle_count", oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+          FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+           AND a.l_suppkey < b.l_suppkey),
+    n AS (SELECT count(DISTINCT id) AS nodes FROM
+          (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+          FROM e e1
+          JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+          JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+    SELECT CAST(n.nodes AS BIGINT) AS nodes, m.edges, t.triangles
+    FROM n, m, t
+""")
+def triangle_count_q(spark, sf_dir):
+    """Exact triangle census of the supplier co-supply graph via
+    degree-ordered orientation (out-degree O(√m); wedges from ordered
+    out-neighbor pairs; closure = the oriented edge itself — the
+    oriented subtree dedupes to ReusedExchange at runtime). Oracle =
+    the plain id-ordered 3-way self-join, verbatim from the r15
+    in-test copy (tests/test_components.py). operators/components.py:
+    triangle_count."""
+    from ..operators.components import triangle_count as _tc
+    ps = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    pairs = (ps.alias("a").join(
+        ps.alias("b"),
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("id_a"),
+                F.col("b.l_suppkey").alias("id_b")))
+    return _tc(pairs)
+
+
+_JSD_LG = {k: _ILOG2.format(x=f"greatest(1, {a})")
+           for k, a in (("l1", "2 * p * nq"),
+                        ("l2", "p * nq + q * np"),
+                        ("l3", "2 * q * np"))}
+
+
+@query("js_divergence", oracle=f"""
+    WITH b AS (SELECT event_type AS g, user_id AS c FROM events
+               WHERE event_type IS NOT NULL
+                 AND user_id IS NOT NULL),
+    cnt AS (SELECT g, c, CAST(count(*) AS BIGINT) AS p
+            FROM b GROUP BY 1, 2),
+    t AS (SELECT g, c, p,
+                 CAST(sum(p) OVER (PARTITION BY g) AS BIGINT)
+                   AS np,
+                 CAST(sum(p) OVER (PARTITION BY c) AS BIGINT)
+                   AS ct,
+                 CAST((SELECT sum(p) FROM cnt) AS BIGINT) AS n
+          FROM cnt),
+    cells AS (SELECT g, p, np, ct - p AS q, n - np AS nq FROM t),
+    l AS (SELECT g, p, q, np, nq,
+                 {_JSD_LG['l1']} AS l1, {_JSD_LG['l2']} AS l2,
+                 {_JSD_LG['l3']} AS l3
+          FROM cells),
+    a AS (SELECT g, max(np) AS n, max(nq) AS n_rest,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(p * (l1 - l2)) AS BIGINT) AS aa,
+                 CAST(sum(CASE WHEN q >= 1
+                      THEN q * (l3 - l2) ELSE 0 END) AS BIGINT)
+                   AS bs,
+                 CAST(sum(q) AS BIGINT) AS qs
+          FROM l GROUP BY 1)
+    SELECT g AS event_type, n, n_rest, k,
+           CAST(CASE WHEN n_rest = 0 THEN NULL ELSE
+             (aa * n_rest + (bs + 1000 * (n_rest - qs)) * n)
+             // (2 * n * n_rest) END AS BIGINT) AS jsd_milli
+    FROM a
+""")
+def js_divergence_q(spark, sf_dir):
+    """Jensen-Shannon divergence of each group's categorical
+    distribution vs its complement, in milli-bits — integer-exact via
+    the shared milli-log2, with missing categories folded
+    ALGEBRAICALLY (L(2x) − L(x) = 1000 exactly, so absent-category
+    mass is 1000·(n_rest − qs) — no grid join, the benford class).
+    SQL verbatim from the r15 in-test oracle
+    (tests/test_dispersion_operators.py). operators/dispersion.py:
+    js_divergence."""
+    from ..operators.dispersion import js_divergence as _js
+    return _js(_t(spark, sf_dir, "events")
+               .where(F.col("user_id").isNotNull()),
+               "event_type", "user_id")
+
+
+@query("fuzzy_join_damerau", oracle="""
+    WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    r AS (SELECT doc_id + 100000 AS doc_id,
+                 text || ' zzzextra zzzmore' AS text FROM l),
+    uni AS (SELECT 'L' AS side, * FROM l
+            UNION ALL SELECT 'R', * FROM r),
+    ws AS (SELECT side, doc_id,
+                  list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), w -> w <> '') AS w
+           FROM uni),
+    sh AS (SELECT DISTINCT side, doc_id,
+                  unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(w) - 2)])) AS s
+           FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh
+              GROUP BY 1, 2),
+    shared AS (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+      FROM (SELECT * FROM sh WHERE side = 'L') a
+      JOIN (SELECT * FROM sh WHERE side = 'R') b ON a.s = b.s
+      GROUP BY 1, 2)
+    SELECT id_l AS left_doc_id, id_r AS right_doc_id,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+           CAST((shared * 1000)
+                // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_milli,
+           CAST(damerau_levenshtein(la.text, ra.text)
+                AS BIGINT) AS damerau
+    FROM shared
+    JOIN (SELECT * FROM sizes WHERE side = 'L') sa ON sa.doc_id = id_l
+    JOIN (SELECT * FROM sizes WHERE side = 'R') sb ON sb.doc_id = id_r
+    JOIN l la ON la.doc_id = id_l
+    JOIN r ra ON ra.doc_id = id_r
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 1
+      AND damerau_levenshtein(la.text, ra.text) <= 40
+""")
+def fuzzy_join_damerau_q(spark, sf_dir):
+    """Edit-distance-VERIFIED record linkage: fuzzy_join's exhaustive
+    k-gram blocking (threshold 1 milli = any shared shingle — the
+    fuzzy_join_exact definition) re-verified by the FULL
+    Damerau-Levenshtein UDF on the original texts (byte semantics;
+    DuckDB's native damerau_levenshtein is the twin — no replay
+    needed). Right side = planted suffix twins of the left. SQL
+    verbatim from the r15 in-test oracle (tests/test_llm_operators.py).
+    operators/linkage.py:fuzzy_join_damerau."""
+    from ..operators.linkage import fuzzy_join_damerau as _fjd
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100).select("doc_id", "text"))
+    right = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzextra zzzmore"))
+        .alias("text"))
+    return _fjd(docs, right, max_edit=40, threshold_milli=1,
+                exhaustive=True)
+
+
+# holt_linear promotion golden (the EMA/ETD golden-ladder recipe): the
+# level/trend fold is same-order IEEE and bitwise-replayable, so
+# floor(x·1e6) of the terminals is a STABLE integer summary — pinned
+# as sf0.01 literals RE-DERIVED Spark-free
+# (tests/test_stats_operators.py:test_holt_summary_golden_rederivation
+# imports THIS list — single-source, the etd_summary lesson); guards
+# carry the ema/etd content checksums verbatim (same fixture, same
+# drift surface). Default α = 0.3 / β = 0.1.
+HOLT_GOLDEN = [
+    ("click", 2006, 1706657894262777, 57391917, 412788, 57804706),
+    ("error", 2014, 1706657023175093, 28414509, -1847415, 26567094),
+    ("purchase", 1981, 1706657097667294, 64789181, 1673656, 66462838),
+    ("signup", 2017, 1706657349826961, 45827279, 164033, 45991312),
+    ("view", 1982, 1706659032194062, 35866407, -1480679, 34385728),
+]
+
+HOLT_GOLDEN_ORACLE = ("""
+    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
+           CAST(c2 AS BIGINT) AS last_ts_us,
+           CAST(c3 AS BIGINT) AS level_micro,
+           CAST(c4 AS BIGINT) AS trend_micro,
+           CAST(c5 AS BIGINT) AS forecast1_micro
+    FROM (VALUES """ + ", ".join(
+    f"('{g}', {n}, {us}, {l}, {t}, {f})"
+    for g, n, us, l, t, f in HOLT_GOLDEN) + """) AS t(c0, c1, c2, c3,
+                                                      c4, c5)
+    WHERE (SELECT CASE WHEN
+      count(*) = 10000 AND sum(event_id) = 49995000
+      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+          AS BIGINT) = 496306483
+      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+          = 431800558548676
+      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+          = 197374857
+      THEN 1 ELSE error(
+      'holt_linear golden pinned at sf0.01 (events '
+      || 'count/value/ts checksums) — re-derive via '
+      || 'test_holt_summary_golden_rederivation for this sf')
+      END FROM events) = 1
+""")
+
+
+@query("holt_summary", tags=("golden-sf0.01",), oracle=HOLT_GOLDEN_ORACLE)
+def holt_summary_q(spark, sf_dir):
+    """Holt double-exponential-smoothing promotion golden (the
+    ema_summary/etd_summary golden-ladder recipe): the level + trend
+    fold is a same-order IEEE sequential fold — the replay test
+    asserts bitwise equality — so floor(x·1e6) of the terminals is a
+    stable integer summary, pinned as sf0.01 literals re-derived 100%
+    Spark-free with count + value + ts content checksums guarding
+    fixture drift. operators/stats.py:holt_linear."""
+    from ..operators.stats import holt_linear as _hl
+    out = _hl(_t(spark, sf_dir, "events"))
+    return out.select(
+        "event_type", "n", "last_ts_us",
+        F.floor(F.col("level") * F.lit(1_000_000.0)).cast("long")
+        .alias("level_micro"),
+        F.floor(F.col("trend") * F.lit(1_000_000.0)).cast("long")
+        .alias("trend_micro"),
+        F.floor(F.col("forecast1") * F.lit(1_000_000.0)).cast("long")
+        .alias("forecast1_micro"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round driver grades the FIRST 50 entries (in
 # registration order) against their oracles. Curate that window explicitly —
@@ -7889,7 +8371,18 @@ def byte_jaccard_pairs_q(spark, sf_dir):
 #        (quantile_timing, sequence_match_multi —
 #        heavy_hitters_decayed defers to r16 and leads its
 #        re-confirmation queue).
-#   r16 queue: promote THIS round's new operators (all with
+#   r16 EXECUTED as pre-computed (this round): 19 pinned + the 12
+#        promotions below + the q9 exact-cents re-grade + 18 of the
+#        r5-era 19 (events_gap_fill defers to r17). q7_volume_shipping
+#        and q10_returned_items converted to exact cents WITH their
+#        re-grade slots (VERDICT r15 item 9, the q9 recipe — operator
+#        and oracle share _REV_CENTS). r17 queue: the r8-era 24-name
+#        staleness cohort + events_gap_fill + heavy_hitters_decayed's
+#        second confirmation + the r12 second-confirmation batch as
+#        slots allow; convert the remaining round(sum(double)) TPC-H
+#        queries (q1/q3/q5/q8/q11/q15/q20) to exact cents WITH their
+#        own re-grade slots, not en masse.
+#   r16 queue WAS (kept for the audit trail): promote THIS round's new operators (all with
 #        promotion-ready in-test DuckDB oracles at registry standard):
 #        roc_auc (mann_whitney CTE + ROC_AUC_E6_DUCK finish,
 #        tests/test_stats_operators.py), brier_score,
@@ -7981,31 +8474,30 @@ _GRADING_WINDOW = [
     "orc_stringly_decode",
     # loader end-to-end (golden; the reference's actual workload)
     "loader_throughput", "loader_throughput_jvm",
-    # --- the two r3-era deferrals graded FIRST (VERDICT r14 item 1 —
-    # the last ten-round-stale grades; closes the r3 era entirely)
-    "multimodal_decode", "corpus_prep_pipeline",
-    # --- r15 first-grades: the eight r14-built operators (VERDICT
-    # r14 item 2 — oracles promoted verbatim from the in-test copies
+    # --- r16 first-grades: the twelve r15-built operators (VERDICT
+    # r15 item 5 — oracles promoted verbatim from the in-test copies
     # named in the rotation comment; registration-same-round rule)
-    "cohens_d", "linear_trend", "stream_linear_trend", "etd_summary",
-    "sequence_match_events", "ranking_metrics", "damerau_pairs",
-    "byte_jaccard_pairs",
-    # --- THE STALENESS ROTATION (VERDICT r14 item 3): the r4-era
-    # tail — the oldest latest-green grades left after the r3 close-
-    # out; ALL 19 pre-verified hash-exact at sf0.1 late in the r14
-    # session (commit 7fc1ec6) and green at sf0.01 in the full r14
-    # contract drive.
-    "ann_lsh_near_dup", "ann_lsh_topk", "chunk_documents",
-    "contamination_check", "dedup_levenshtein", "profile_documents",
-    "range_join_events", "scalar_functions", "session_window_agg",
-    "sessionize", "stratified_sample", "streaming_hourly_windows",
-    "text_fingerprint", "text_langid", "text_quality",
-    "text_repetition", "text_token_counts", "window_functions_sampler",
-    "winnow_fingerprint",
-    # --- second-confirmations of the r13 first-grade trio (VERDICT
-    # r14 item 4; heavy_hitters_decayed defers to r16 and leads its
-    # re-confirmation queue)
-    "quantile_timing", "sequence_match_multi",
+    "roc_auc", "brier_score", "classification_report",
+    "stream_classification_report", "rolling_corr", "vwap_resample",
+    "non_negative_derivative", "sequence_match_events_ids",
+    "triangle_count", "js_divergence", "fuzzy_join_damerau",
+    "holt_summary",
+    # --- the q9 exact-cents changed-surface RE-GRADE (late r15: the
+    # full-registry sf0.1 sweep caught round(sum(double)) one cent off;
+    # operator and oracle now share _Q9_AMOUNT_CENTS)
+    "q9_product_profit",
+    # --- THE STALENESS ROTATION (VERDICT r15 item 5): the r5-era tail
+    # — 18 of the pre-computed 19 (events_gap_fill defers to r17 with
+    # the r8-era cohort); all green at sf0.01 in the full r16-start
+    # contract drive, q7/q10 additionally converted to exact cents
+    # WITH this re-grade slot (VERDICT r15 item 9, the q9 recipe).
+    "ann_ivf_trained_topk", "correlated_exists", "cube_agg",
+    "custdist_two_level_agg", "embedding_label_centroids",
+    "events_forward_fill", "from_json_struct", "grouping_sets",
+    "multimodal_frame_sample", "not_in_subquery", "pack_token_budget",
+    "q10_returned_items", "q7_volume_shipping", "scalar_subquery_agg",
+    "streaming_dedup", "streaming_static_join", "train_val_test_split",
+    "unpivot_doc_metrics",
 ]
 
 _missing = [n for n in _GRADING_WINDOW if n not in REGISTRY]

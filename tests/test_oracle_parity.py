@@ -143,13 +143,13 @@ def test_grading_window_registry_discipline():
     alongside _GRADING_WINDOW."""
     window = set(list(REGISTRY)[:50])
     added_this_round = {
-        # r15: the eight r14-built operators, promoted verbatim from
-        # their in-test oracles (VERDICT r14 item 2; ranking_metrics
-        # additionally gained the ADVICE-r14 per-group id-distinctness
-        # guard, linear_trend the NULL-group-key fold filter)
-        "cohens_d", "linear_trend", "stream_linear_trend",
-        "etd_summary", "sequence_match_events", "ranking_metrics",
-        "damerau_pairs", "byte_jaccard_pairs",
+        # r16: the twelve r15-built operators, promoted verbatim from
+        # their in-test oracles (VERDICT r15 item 5)
+        "roc_auc", "brier_score", "classification_report",
+        "stream_classification_report", "rolling_corr",
+        "vwap_resample", "non_negative_derivative",
+        "sequence_match_events_ids", "triangle_count",
+        "js_divergence", "fuzzy_join_damerau", "holt_summary",
     }
     missing = added_this_round - window
     assert not missing, (

@@ -799,45 +799,14 @@ def test_holt_linear_bitwise_replay(spark, sf_dir):
         holt_linear(ev, beta_milli=2000)
 
 
-# holt_linear promotion golden (r16 queue — the EMA/ETD golden-ladder
-# recipe): per-group (n, last_ts_us, floor(level·1e6), floor(trend·1e6),
-# floor(forecast1·1e6)) at sf0.01 under the default α=0.3/β=0.1,
-# RE-DERIVED Spark-free below; guards carry the ema/etd_summary content
-# checksums verbatim (same fixture, same drift surface). Moves to
-# plans/queries.py on promotion (the etd_summary single-source lesson).
-HOLT_GOLDEN = [
-    ("click", 2006, 1706657894262777, 57391917, 412788, 57804706),
-    ("error", 2014, 1706657023175093, 28414509, -1847415, 26567094),
-    ("purchase", 1981, 1706657097667294, 64789181, 1673656, 66462838),
-    ("signup", 2017, 1706657349826961, 45827279, 164033, 45991312),
-    ("view", 1982, 1706659032194062, 35866407, -1480679, 34385728),
-]
-
-HOLT_GOLDEN_ORACLE = ("""
-    SELECT CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS BIGINT) AS n,
-           CAST(c2 AS BIGINT) AS last_ts_us,
-           CAST(c3 AS BIGINT) AS level_micro,
-           CAST(c4 AS BIGINT) AS trend_micro,
-           CAST(c5 AS BIGINT) AS forecast1_micro
-    FROM (VALUES """ + ", ".join(
-    f"('{g}', {n}, {us}, {l}, {t}, {f})"
-    for g, n, us, l, t, f in HOLT_GOLDEN) + """) AS t(c0, c1, c2, c3,
-                                                      c4, c5)
-    WHERE (SELECT CASE WHEN
-      count(*) = 10000 AND sum(event_id) = 49995000
-      AND CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
-               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
-          AS BIGINT) = 496306483
-      AND CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
-          = 431800558548676
-      AND CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
-          = 197374857
-      THEN 1 ELSE error(
-      'holt_linear golden pinned at sf0.01 (events '
-      || 'count/value/ts checksums) — re-derive via '
-      || 'test_holt_summary_golden_rederivation for this sf')
-      END FROM events) = 1
-""")
+# The holt_linear promotion golden PROMOTED r16: the ONE copy of the
+# pinned literals + guarded oracle now lives at plans/queries.py
+# (HOLT_GOLDEN / HOLT_GOLDEN_ORACLE, the holt_summary registry entry —
+# the etd_summary single-source lesson); these tests import it so the
+# literals the registry grades are exactly the ones re-derived
+# Spark-free here.
+from clickhouse_hdfs_loader_spark.plans.queries import (  # noqa: E402
+    HOLT_GOLDEN, HOLT_GOLDEN_ORACLE)
 
 
 def test_holt_summary_golden_rederivation():
