@@ -38,7 +38,13 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     identical results). These helpers always start from a FRESH implicit
     checkpoint, so re-pinning the count per run is safe; a long-lived
     production stream would instead size the count once to match its
-    state volume and keep it for the checkpoint's lifetime."""
+    state volume and keep it for the checkpoint's lifetime. The local
+    default is overridable without code via
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` (r16, guide §2.5: scale-dependent
+    widths stay parameterised — at production state volumes this is
+    sized to state, not cores)."""
+    import os
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", n))
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(n))
