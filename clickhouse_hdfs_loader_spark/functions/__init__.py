@@ -30,7 +30,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType, LongType
 
-    from .fingerprint import winnow
+    from .fingerprint import winnow_batch
     from .murmur_np import guava_shard_codes
 
     @F.pandas_udf(LongType())
@@ -44,7 +44,8 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     @F.pandas_udf(IntegerType())
     def _winnow_size(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: len(winnow(t or ""))).astype("int32")
+        fps = winnow_batch(texts.tolist())
+        return pd.Series([len(f) for f in fps], dtype="int32")
 
     spark.udf.register("guava_shard_code", _code)
     spark.udf.register("guava_shard", _slot)

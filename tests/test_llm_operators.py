@@ -138,6 +138,45 @@ def test_winnow_determinism_and_locality():
     assert winnow("tiny") == []   # shorter than k
 
 
+def test_winnow_batch_parity(sf_dir):
+    """The vectorized numpy winnow (r16, the UDF's kernel) is bit-exact
+    the scalar reference on the full fixture corpus, boundary lengths,
+    unicode (incl. lowercase length changes and astral-plane code
+    points), and randomized k/w — per-doc lists compare ==, no
+    tolerance."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_hdfs_loader_spark.functions.fingerprint import (
+        winnow_batch,
+    )
+
+    texts = (pq.read_table(f"{sf_dir}/documents.parquet")
+             .column("text").to_pylist())
+    assert winnow_batch(texts) == [winnow(t or "") for t in texts]
+
+    edges = ["", "a", "abcdefg", "abcdefgh", "abcdefghij", "abcdefghijk",
+             "aaaaaaaaaaaaaaaa", "ABCdefGHİxyzw", "İ" * 12,
+             "\U0001F600" * 15, "héllo wörld mixed 中文 text here",
+             None, "x" * 10, "x" * 11, "\x00" * 20,
+             "ab\ncd\tef gh ij kl mn"]
+    assert winnow_batch(edges) == [winnow(t or "") for t in edges]
+    assert winnow_batch([]) == []
+
+    rng = random.Random(7)
+    pool = [chr(rng.randrange(1, 0x110000)) for _ in range(500)]
+    pool = [c for c in pool if not (0xD800 <= ord(c) < 0xE000)]
+    for _ in range(10):
+        k, w = rng.randint(2, 8), rng.randint(1, 6)
+        docs = ["".join(rng.choice(pool)
+                        for _ in range(rng.randint(0, 60)))
+                for _ in range(40)]
+        assert winnow_batch(docs, k, w) == [winnow(d, k, w) for d in docs]
+    with pytest.raises(ValueError, match="k must be <= 8"):
+        winnow_batch(["abcdefghijkl"], k=9)
+
+
 def test_multimodal_decode_stub_and_frames(spark):
     df = spark.createDataFrame([(1, "hello world"), (2, "x" * 200)],
                                ["doc_id", "text"])
@@ -3477,6 +3516,58 @@ def test_damerau_levenshtein_udf_duckdb_parity(spark, sf_dir):
         WHERE a.doc_id < 24 AND b.doc_id < 24
     """).fetchall()))
     assert got == want and len(got) == 276
+
+
+def test_damerau_numpy_kernel_scalar_parity():
+    """The row-vectorized numpy Lowrance-Wagner kernel (r16, the UDF's
+    engine) equals the scalar cell-loop reference on randomized byte
+    strings — Spark-free fuzz, exact integers, no tolerance."""
+    import random
+
+    from clickhouse_hdfs_loader_spark.functions.text import (
+        damerau_levenshtein_bytes)
+
+    def ref(x, y):
+        s1, s2 = x.encode("utf-8"), y.encode("utf-8")
+        la, lb = len(s1), len(s2)
+        if la == 0:
+            return lb
+        if lb == 0:
+            return la
+        inf = la + lb
+        last: dict = {}
+        d = [[inf] * (lb + 2) for _ in range(la + 2)]
+        for i in range(la + 1):
+            d[i + 1][1] = i
+        for j in range(lb + 1):
+            d[1][j + 1] = j
+        for i in range(1, la + 1):
+            db = 0
+            for j in range(1, lb + 1):
+                i1, j1 = last.get(s2[j - 1], 0), db
+                if s1[i - 1] == s2[j - 1]:
+                    cost, db = 0, j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                    d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1))
+            last[s1[i - 1]] = i
+        return d[la + 1][lb + 1]
+
+    rng = random.Random(13)
+    for _ in range(1500):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        x = "".join(rng.choice("abcdef") for _ in range(n1))
+        y = "".join(rng.choice("abcdef") for _ in range(n2))
+        assert damerau_levenshtein_bytes(x, y) == ref(x, y), (x, y)
+    pool = "abcdéü中𝄞 xyz"
+    for _ in range(150):
+        x = "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        y = "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        assert damerau_levenshtein_bytes(x, y) == ref(x, y), (x, y)
+    assert damerau_levenshtein_bytes(None, "x") is None
+    assert damerau_levenshtein_bytes("x", None) is None
 
 
 def test_byte_jaccard_e6_udf_duckdb_parity(spark, sf_dir):
