@@ -43,17 +43,46 @@ def with_ilog2_milli(df: DataFrame, x_col: str, out_col: str) -> DataFrame:
     column ``x_col``: ``e*1000 + ((x - 2^e) * 1000) div 2^e`` with
     ``e = bitlength(x) - 1``. Monotone in x, pure integer ops, and
     SQL-replayable (DuckDB: ``length(ltrim(bin(x),'0'))-1`` and
-    ``1::BIGINT << e``). Valid for 1 <= x < 2^62 (the *1000 product
-    stays under 2^63)."""
+    ``1::BIGINT << e``). Valid for 1 <= x < 2^54: the interior product
+    ``(x - 2^e)*1000`` reaches ``(2^e - 1)*1000``, which crosses 2^63
+    at e = 54 and ANSI-raises (a pre-r16 docstring claimed 2^62 —
+    wrong by the same arithmetic on the same formula; every caller
+    passes counts/ranks or e6-scaled ratios well under 2^53).
+
+    The exponent comes from ``floor(log2(x))`` corrected by one
+    shift-compare in each direction (r16 — 3x cheaper per row than the
+    previous ``conv(x, 10, 2)`` string round-trip). Exactness: for
+    1 <= x < 2^62 the computed double log2 is within ~1e-13 of the
+    truth, so its floor is within +-1 of the true exponent, and the two
+    CASE corrections are exact integer comparisons against 2^e0 / 2^e0+1
+    (the e0 = 62 edge resolves in the FIRST branch, so the lazily-
+    evaluated second shift never sees 63). Rows with x < 1 keep the old
+    conv() branch so out-of-domain behaviour is unchanged (x = 0 still
+    yields -1000, negatives still fail the ANSI power cast, NULL stays
+    NULL); every caller's domain is counts >= 1, so the hot path never
+    evaluates it."""
+    e_fast = (f"CASE WHEN shiftleft(CAST(1 AS BIGINT), CAST(_e0 AS INT))"
+              f" > {x_col} THEN _e0 - 1 "
+              f"WHEN shiftleft(CAST(1 AS BIGINT), CAST(_e0 AS INT) + 1)"
+              f" <= {x_col} THEN _e0 + 1 ELSE _e0 END")
     return (df
-            .withColumn("_e", (F.length(F.conv(F.col(x_col), 10, 2)) - 1)
-                        .cast("long"))
-            # 2^e: powers of two are exact in double for any e <= 62
-            .withColumn("_p", F.pow(F.lit(2.0), F.col("_e")).cast("long"))
+            .withColumn("_e0", F.expr(
+                f"CASE WHEN {x_col} >= 1 THEN "
+                f"CAST(floor(log2(CAST({x_col} AS DOUBLE))) AS BIGINT) "
+                f"ELSE CAST(length(conv({x_col}, 10, 2)) - 1 AS BIGINT) "
+                f"END"))
+            .withColumn("_e", F.expr(
+                f"CASE WHEN {x_col} >= 1 THEN {e_fast} ELSE _e0 END"))
+            # 2^e: exact for e <= 61 (shift) / e <= 62 (double pow on
+            # the degenerate branch, matching the pre-r16 behaviour)
+            .withColumn("_p", F.expr(
+                f"CASE WHEN {x_col} >= 1 THEN "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(_e AS INT)) "
+                f"ELSE CAST(pow(CAST(2.0 AS DOUBLE), _e) AS BIGINT) END"))
             .withColumn(out_col,
                         F.col("_e") * 1000
                         + F.expr(f"(({x_col} - _p) * 1000) div _p"))
-            .drop("_e", "_p"))
+            .drop("_e0", "_e", "_p"))
 
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,

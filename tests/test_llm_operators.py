@@ -1771,6 +1771,37 @@ def test_event_transitions_oracle_and_tiebreak(spark, sf_dir):
     assert rows == {("a", "b"): (1, 1000), ("b", "c"): (1, 1000)}
 
 
+def test_ilog2_milli_exponent_edges(spark):
+    """with_ilog2_milli's r16 log2+shift-correction exponent equals the
+    bit-length truth on every power-of-two boundary of the documented
+    domain (1 <= x < 2^54; beyond it the interior *1000 product
+    ANSI-raises, pre-r16 behaviour included) — the exact values where
+    the double log2 could floor one off — plus the out-of-domain
+    contract (x = 0 keeps the historical -1000, NULL stays NULL)."""
+    from clickhouse_hdfs_loader_spark.operators.retrieval import (
+        with_ilog2_milli)
+
+    xs = [1, 2, 3]
+    for e in range(1, 54):
+        xs += [(1 << e) - 1, 1 << e, (1 << e) + 1]
+    xs = sorted({x for x in xs if x < (1 << 54)})
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r["x"]: r["lg"]
+           for r in with_ilog2_milli(df, "x", "lg").collect()}
+
+    def truth(x):
+        e = x.bit_length() - 1
+        return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
+
+    for x in xs:
+        assert got[x] == truth(x), (x, got[x], truth(x))
+
+    degen = spark.createDataFrame([(0,), (None,)], "x long")
+    vals = {r["x"]: r["lg"]
+            for r in with_ilog2_milli(degen, "x", "lg").collect()}
+    assert vals[0] == -1000 and vals[None] is None
+
+
 def test_bm25_topk_oracle_and_ranking(spark, sf_dir):
     """In-test DuckDB oracle for quantized-rational BM25 top-k on the
     real documents table (full pipeline: tokenize -> postings ->
