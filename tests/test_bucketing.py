@@ -25,6 +25,7 @@ def warehouse_spark(tmp_path_factory):
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_exchange(warehouse_spark, sf_dir):
     spark = warehouse_spark
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhouse_hdfs_loader_spark.operators.cdc import cdc_apply, merge_upsert
@@ -104,6 +106,7 @@ def test_stream_cdc_merge_matches_batch(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+@pytest.mark.slow
 def test_cdc_incremental_equals_one_shot_any_in_order_split(spark):
     """For ANY op log and ANY in-order batch split, per-batch collapse +
     sequential merge equals the one-shot collapse — the stream_cdc_merge

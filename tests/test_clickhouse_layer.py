@@ -73,6 +73,7 @@ def test_retry_ladder_exhausts(mocks):
                      max_tries=3, backoff_scale=0.001)
 
 
+@pytest.mark.slow
 def test_write_direct_batches_and_routes(spark, mocks):
     """W1/W2: every row lands on exactly one shard (non-replicated,
     single-replica shards), payload under an INSERT header, flush at
@@ -94,6 +95,7 @@ def test_write_direct_batches_and_routes(spark, mocks):
     assert total == 200
 
 
+@pytest.mark.slow
 def test_write_direct_routing_matches_reference_hash(spark, mocks):
     """Rows land on the shard the Guava murmur3 walk picks."""
     from clickhouse_hdfs_loader_spark.functions.murmur import guava_shard_code

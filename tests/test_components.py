@@ -3,6 +3,8 @@ isolated nodes."""
 
 from __future__ import annotations
 
+import pytest
+
 from clickhouse_hdfs_loader_spark.operators.components import (
     connected_components,
     dedup_components,
@@ -39,6 +41,7 @@ def test_dedup_components_keeps_isolated_docs(spark):
     assert sorted(set(out.values())) == [0, 1, 2, 4]
 
 
+@pytest.mark.slow
 def test_triangle_count_oracle_and_hand_cases(spark, sf_dir):
     """triangle_count: in-test DuckDB oracle (registry standard, r16
     queue) — the degree-oriented wedge count equals the plain

@@ -516,6 +516,7 @@ def test_entropy_by_group_oracle_and_hand_cases(spark, sf_dir):
     assert rows == {"u": (4, 2000), "k": (3, 0), "s": (4, 875)}
 
 
+@pytest.mark.slow
 def test_stream_entropy_matches_batch_any_partition(spark, sf_dir):
     """The foreachBatch entropy twin reproduces the batch operator
     exactly, and folding ANY random partition of the rows (order-free —
@@ -620,6 +621,7 @@ def test_lttb_downsample_guards(spark):
     assert [(r["x"], r["y"], r["pos"]) for r in rows] == [(1.0, 1.0, 0)]
 
 
+@pytest.mark.slow
 def test_stream_exact_quantiles_matches_batch_any_partition(
         spark, sf_dir):
     """The foreachBatch exact-quantile twin equals the batch operator
@@ -1129,6 +1131,7 @@ def test_sequence_match_timed_oracle_and_hand_cases(spark, sf_dir):
         _seq_ladder_sql("p", ["A", "b' OR 1=1"])
 
 
+@pytest.mark.slow
 def test_sequence_match_timed_hypothesis_vs_bruteforce(spark):
     """Property: the running-max DP equals literal brute-force
     existence (all type-A/B/C triples checked against the strict-order
@@ -1204,6 +1207,7 @@ def test_quantile_timing_hypothesis_vs_replay(spark):
     check()
 
 
+@pytest.mark.slow
 def test_heavy_hitters_decayed_oracle_and_hand_cases(spark, sf_dir):
     """heavy_hitters_decayed: in-test DuckDB oracle (registry standard,
     r13 queue) — the integer half-life decay (shiftright once per FULL

@@ -88,6 +88,7 @@ def test_simhash_near_pair_and_distance(spark):
     assert (3, 4) not in pairs       # unrelated pair excluded
 
 
+@pytest.mark.slow
 def test_simhash_hot_band_bucket_cap(spark):
     """Degenerate band values (many near-identical docs hashing to the
     same 16-bit band) must NOT square: with max_bucket below the hot
@@ -105,6 +106,7 @@ def test_simhash_hot_band_bucket_cap(spark):
     assert not any(a < n and b < n for a, b in got)  # hot bucket dropped
 
 
+@pytest.mark.slow
 def test_lsh_topk_recall_vs_brute(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3)
@@ -116,6 +118,7 @@ def test_lsh_topk_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall {recall}"
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3)
@@ -281,6 +284,7 @@ def test_numpy_topk_matches_native(spark, sf_dir):
     assert native == blas
 
 
+@pytest.mark.slow
 def test_kmeans_deterministic_and_improves_recall_path(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     c1 = SIM.kmeans_fit(emb, k=4, iters=2)
@@ -331,6 +335,7 @@ def test_levenshtein_verify_pairs(planted_docs, spark):
     assert (0, 3) not in out  # unrelated text: rejected
 
 
+@pytest.mark.slow
 def test_shingles_udf_matches_expression_random_texts(spark):
     """Property check over adversarial text: unicode, punctuation runs,
     delimiters, empties — the UDF and expression shingle sets must agree."""
@@ -597,6 +602,7 @@ def test_minhash_dropped_buckets_diagnostic(spark):
     assert DD.minhash_dropped_buckets(df, max_bucket=30).count() == 0
 
 
+@pytest.mark.slow
 def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
     """build_ivf_index → query_ivf_index: the persisted index must (a)
     return EXACTLY ivf_topk_trained's answer for the same centroids (same
@@ -633,6 +639,7 @@ def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
         "PartitionFilters", 1)[1][:200]
 
 
+@pytest.mark.slow
 def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     """append_to_ivf_index must make new vectors servable without
     rebuilding: build on 80% of the corpus, append the held-out 20%, and
@@ -740,6 +747,7 @@ def test_semantic_dedup_drops_higher_id_and_skips_unassignable(spark):
     assert out[0]["cos"] > 0.99
 
 
+@pytest.mark.slow
 def test_incremental_minhash_dedup_statuses(spark):
     """Fuzzy incremental ingest against a persisted band index: an exact
     copy of a store doc is a store candidate; a batch-internal duplicate
@@ -767,6 +775,7 @@ def test_incremental_minhash_dedup_statuses(spark):
                    12: "dup_batch"}
 
 
+@pytest.mark.slow
 def test_incremental_minhash_dedup_contains_full_corpus_pairs(spark, sf_dir):
     """Containment vs the full-corpus LSH: any cross (store, batch)
     candidate pair found by minhash_lsh_pairs over the WHOLE corpus must
@@ -792,6 +801,7 @@ def test_incremental_minhash_dedup_contains_full_corpus_pairs(spark, sf_dir):
     assert cross and cross <= flagged
 
 
+@pytest.mark.slow
 def test_stream_incremental_minhash_matches_batch(spark, sf_dir):
     """The foreachBatch streaming twin classifies every batch doc with
     the same status as the batch operator (store index static on both
@@ -973,6 +983,7 @@ def test_media_header_webp_and_flac():
 
 @pytest.mark.parametrize("grade_dir", ["/root/testdata/sf0.001",
                                        "/root/testdata/sf0.01"])
+@pytest.mark.slow
 def test_lsh_near_dup_arrow_kernel_parity(spark, grade_dir):
     """The arrow kernel (gemm signatures + numpy pair verification) must
     reproduce the expression kernel's pair set EXACTLY on both fixture
@@ -1305,6 +1316,7 @@ def test_stream_rollup_matches_batch(spark, sf_dir):
     assert br == sr
 
 
+@pytest.mark.slow
 def test_curate_pipeline_accounting_and_invariants(spark, sf_dir):
     """Composition test for the end-to-end curation pipeline (each stage
     is oracle-verified on its own): stage accounting sums to the input,
@@ -2093,6 +2105,7 @@ def test_stream_event_transitions_matches_batch(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+@pytest.mark.slow
 def test_transitions_incremental_equals_one_shot_any_in_order_split(spark):
     """For ANY event log and ANY in-order batch split, folding batches
     through transitions_update (with the carried last-event boundary
@@ -2422,6 +2435,7 @@ def test_key_skew_report_oracle_and_salting_advice(spark, sf_dir):
     assert r["suggested_salts"] == 4
 
 
+@pytest.mark.slow
 def test_review_fixes_degenerate_paths(spark):
     """Regression pins for the r7 review findings: (a) as-of must return
     the NEAREST right row's NULL value, not skip to a farther row — and
@@ -2494,6 +2508,7 @@ def test_review_fixes_degenerate_paths(spark):
     assert out[1][2] == 0 and out[2][2] == 1000
 
 
+@pytest.mark.slow
 def test_fuzzy_join_planted_recall_and_exactness(spark, sf_dir):
     """Cross-table fuzzy join: plant perturbed copies of real documents
     as the right table; every emitted pair must appear in a DuckDB
@@ -2737,6 +2752,7 @@ def test_exact_weighted_quantiles_oracle_and_consistency(spark, sf_dir):
         exact_weighted_quantiles_by_group(nan, "g", "v", "w").collect()
 
 
+@pytest.mark.slow
 def test_sequence_count_python_replay_and_coherence(spark, sf_dir):
     """sequence_count vs an independent Spark-free pure-Python replay
     over the raw parquet (the bpe_train oracle pattern), plus coherence
@@ -2847,6 +2863,7 @@ def test_retention_flags_oracle_and_anchor_semantics(spark, sf_dir):
         == {0: 0, 1: 0}
 
 
+@pytest.mark.slow
 def test_stream_funnel_matches_batch_and_split_space(spark, sf_dir):
     """The foreachBatch funnel twin reproduces the batch funnel exactly
     (with and without the conversion window), and folding ANY in-order
@@ -2909,6 +2926,7 @@ def test_stream_funnel_matches_batch_and_split_space(spark, sf_dir):
     check()
 
 
+@pytest.mark.slow
 def test_stream_retention_matches_batch_any_partition(spark, sf_dir):
     """The foreachBatch retention twin reproduces the batch operator
     exactly, and folding ANY random partition of the events (order-free
@@ -2958,6 +2976,7 @@ def test_stream_retention_matches_batch_any_partition(spark, sf_dir):
     check()
 
 
+@pytest.mark.slow
 def test_anomaly_from_incremental_hourly_state(spark, sf_dir):
     """Anomaly detection served from incrementally-maintained hourly
     state equals the one-shot detector for ANY partition of the events
@@ -3013,6 +3032,7 @@ def test_anomaly_from_incremental_hourly_state(spark, sf_dir):
     check()
 
 
+@pytest.mark.slow
 def test_heavy_hitters_weighted_oracle_certificate_and_guards(spark, sf_dir):
     """topKWeighted twin: two-pass weighted Misra-Gries equals the exact
     full-shuffle weighted top-k (DuckDB oracle); unit weights degenerate

@@ -160,6 +160,7 @@ def test_hive_partition_and_additional_cols_load(spark, tmp_path, cluster):
     assert all(line.endswith("\t2017-01-07\tbatch7") for line in rows)
 
 
+@pytest.mark.slow
 def test_orc_input_direct_load(spark, tmp_path, cluster):
     """S2+T2 through the CLI: ORC source decoded stringly (every field
     coerced to string, OrcRecordDecoder.java:32-45 semantics), excluded

@@ -136,6 +136,7 @@ def test_pagerank_rejects_zero_iters(spark):
         pagerank(e, iters=0)
 
 
+@pytest.mark.slow
 def test_quantize_paths_exclude_nonfinite_values(spark):
     """ADVICE r9: the floor-milli quantize operators must drop NaN/±Inf
     value rows up-front — under ANSI, floor(NaN·1000) is silently 0 and

@@ -327,6 +327,7 @@ def test_compact_parquet_refuses_partitioned_store(spark, sf_dir, tmp_path):
         compact_parquet(spark, path)
 
 
+@pytest.mark.slow
 def test_compact_partitioned_preserves_ivf_serving(spark, sf_dir, tmp_path):
     """Fragment the persisted IVF index with repeated appends, compact it
     per-partition, and the serve path must return the IDENTICAL top-k

@@ -161,6 +161,7 @@ def test_welch_ttest_oracle_and_degenerates(spark, sf_dir):
     assert t == pytest.approx(-4.9193, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_stats_nonfinite_and_null_exclusion(spark):
     """NaN/±Inf/NULL value rows are dropped identically by every stats
     operator (the _quantizable_col stance)."""
@@ -464,6 +465,7 @@ def test_rrf_fuse_oracle_and_hand_case(spark, sf_dir):
         rrf_fuse(bad, "q", "doc", "rank").collect()
 
 
+@pytest.mark.slow
 def test_stream_ab_test_matches_batch_any_partition(spark, sf_dir):
     """The foreachBatch A/B twin reproduces the batch t-tests exactly,
     and folding ANY random partition of the rows (order-free — the
@@ -512,6 +514,7 @@ def test_stream_ab_test_matches_batch_any_partition(spark, sf_dir):
     check()
 
 
+@pytest.mark.slow
 def test_stream_two_proportion_matches_batch_any_partition(spark,
                                                            sf_dir):
     """The foreachBatch conversion-rate twin reproduces the batch
@@ -566,6 +569,7 @@ def test_stream_two_proportion_matches_batch_any_partition(spark,
     check()
 
 
+@pytest.mark.slow
 def test_exponential_moving_average_bitwise_replay(spark, sf_dir):
     """Independent pure-Python replay of the EMA fold over the raw
     parquet (duckdb read, same (ts, id) order, same-order IEEE ops) —
@@ -974,6 +978,7 @@ def test_rank_corr_oracle_and_hand_cases(spark, sf_dir):
     assert rank_corr(const, "g", "x", "y").collect()[0]["rho_e4"] is None
 
 
+@pytest.mark.slow
 def test_stats_symmetry_properties(spark):
     """Structural identities over random frames (hypothesis): swapping
     the two samples negates both t statistics and leaves the KS D
@@ -2028,6 +2033,7 @@ def test_kendall_tau_oracle_and_hand_cases(spark, sf_dir):
     assert r["n1"] == 3 and r["tau_b_e4"] is None
 
 
+@pytest.mark.slow
 def test_kendall_tau_hypothesis_vs_brute(spark):
     """Property: the full operator (quantization aside — integer
     inputs) equals the O(n²) definition on arbitrary small tied
@@ -2057,6 +2063,7 @@ def test_kendall_tau_hypothesis_vs_brute(spark):
     check()
 
 
+@pytest.mark.slow
 def test_stream_mutual_information_matches_batch_any_partition(
         spark, sf_dir):
     """The foreachBatch MI twin reproduces the batch operator exactly
@@ -2314,6 +2321,7 @@ def test_linear_trend_oracle_and_hand_cases(spark, sf_dir):
     assert (r["n"], r["slope_e6"], r["icept_e4"]) == (1, None, None)
 
 
+@pytest.mark.slow
 def test_stream_linear_trend_matches_batch_any_partition(spark, sf_dir):
     """The foreachBatch regression twin reproduces the batch
     linear_trend exactly, and folding ANY random partition of the rows
@@ -2695,6 +2703,7 @@ def test_vwap_resample_oracle_and_hand_cases(spark, sf_dir):
             vwap_resample(df).collect()
 
 
+@pytest.mark.slow
 def test_stream_classification_report_matches_batch_any_partition(
         spark, sf_dir):
     """The foreachBatch classifier-monitor twin reproduces the batch

@@ -50,6 +50,7 @@ def test_covariance_stats_oracle(spark, sf_dir):
     assert len(got) == d * (d + 1) // 2
 
 
+@pytest.mark.slow
 def test_covariance_stats_partition_invariance_and_guards(spark, sf_dir):
     from clickhouse_hdfs_loader_spark.operators.features import (
         covariance_stats)
@@ -76,6 +77,7 @@ def test_covariance_stats_partition_invariance_and_guards(spark, sf_dir):
         covariance_stats(empty)
 
 
+@pytest.mark.slow
 def test_pca_whiten_bitwise_replay_and_contracts(spark, sf_dir):
     """Replay the driver combine (python ints -> eigh -> sign fix) and
     the sequential projection fold in pure Python: results must be
@@ -157,6 +159,7 @@ def test_covariance_stats_dims_path_empty_and_ragged(spark):
         covariance_stats(ragged, dims=2).collect()
 
 
+@pytest.mark.slow
 def test_ols_fit_bitwise_replay_and_contracts(spark, sf_dir):
     """ols_fit (closed-form normal-equations OLS on the covariance
     gemm): bitwise Spark-free replay on the real embeddings (label as
@@ -381,6 +384,7 @@ def _pava_fraction_replay(points):
     return out
 
 
+@pytest.mark.slow
 def test_isotonic_fit_replay_and_contracts(spark, sf_dir):
     """isotonic_fit (PAVA): exact-Fraction Python replay on the real
     events (value vs user activity per type), the monotonicity and
