@@ -138,8 +138,18 @@ def triangle_count(pairs: DataFrame, a_col: str = "id_a",
                       F.col("y.dst").alias("_w")))
     closing = oriented.select(F.col("src").alias("_v"),
                               F.col("dst").alias("_w"))
-    tri = wedges.join(closing, ["_v", "_w"]).agg(
-        F.count(F.lit(1)).alias("triangles"))
+    # count wedges per (v, w) BEFORE the closure join (r16, guide §2.3
+    # "aggregate before you shuffle"): the raw wedge set is O(m^{3/2})
+    # rows, but distinct (v, w) pairs are <= the candidate pair count,
+    # so the map-side partial count collapses the exchange from
+    # |wedges| rows to <= |distinct pairs| per task and the closure
+    # join probes the aggregated table. Identical count: oriented
+    # edges are distinct, so the old per-row join count equals
+    # Σ_{(v,w) ∈ oriented} multiplicity(v, w).
+    wedge_counts = wedges.groupBy("_v", "_w").agg(
+        F.count(F.lit(1)).alias("_wc"))
+    tri = (wedge_counts.join(closing, ["_v", "_w"])
+           .agg(F.sum("_wc").alias("triangles")))
     nodes = deg.agg(F.count(F.lit(1)).alias("nodes"))
     ecnt = e.agg(F.count(F.lit(1)).alias("edges"))
     return (nodes.crossJoin(ecnt).crossJoin(tri)
