@@ -469,7 +469,15 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     b = bucketed.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b").distinct()
+            # distribute the verify stage (r16, the fuzzy-join verify
+            # pattern): candidate rows are 16 bytes, so AQE coalesces
+            # the distinct's exchange by BYTES — blind to the per-row
+            # cosine cost downstream (interpreted 64-element fold on
+            # the expr kernel). Width derives from the session, not a
+            # local constant; the extra exchange moves only id pairs
+            .repartition(emb.sparkSession.sparkContext
+                         .defaultParallelism))
     if pair_cos is None:
         scorer = _cosine_precomputed("v_a", "v_b", "nrm_a", "nrm_b")
         va = _vec_side(emb, id_col, vec_col, "id_a", "v_a", "nrm_a")
