@@ -94,9 +94,10 @@ def winnow_batch(texts: list, k: int = 8, w: int = 4) -> list:
     n_total = int(o.size)
     n_hash = n_total - k + 1           # k-gram positions (global)
     n_win = n_hash - w + 1             # window positions (global)
-    empty: list = []
     if n_win < 1:
-        return [empty for _ in lowered]
+        # fresh list per row (the main path returns fresh lists too;
+        # a shared [] would alias mutations across rows)
+        return [[] for _ in lowered]
     # --- k-gram hashes at every global position (in-place passes;
     # allocations per term: the two products and the rot mask only) ---
     _s30, _s31, _s61 = np.uint64(30), np.uint64(31), np.uint64(61)

@@ -54,16 +54,20 @@ def with_ilog2_milli(df: DataFrame, x_col: str, out_col: str) -> DataFrame:
     previous ``conv(x, 10, 2)`` string round-trip). Exactness: for
     1 <= x < 2^62 the computed double log2 is within ~1e-13 of the
     truth, so its floor is within +-1 of the true exponent, and the two
-    CASE corrections are exact integer comparisons against 2^e0 / 2^e0+1
-    (the e0 = 62 edge resolves in the FIRST branch, so the lazily-
-    evaluated second shift never sees 63). Rows with x < 1 keep the old
-    conv() branch so out-of-domain behaviour is unchanged (x = 0 still
-    yields -1000, negatives still fail the ANSI power cast, NULL stays
-    NULL); every caller's domain is counts >= 1, so the hot path never
-    evaluates it."""
+    CASE corrections are exact integer comparisons against 2^e0 /
+    2^e0+1. The up-correction is gated at _e0 < 62 so the second shift
+    never reaches 63 (shiftleft(1, 63) is INT64_MIN and its '<= x'
+    would be vacuously true — review-caught r16); beyond the domain
+    the gate keeps e = 62 for x >= 2^62, matching the old conv() path
+    (which also raised past 2^62 + ~9.2e15 on the interior product).
+    Rows with x < 1 keep the old conv() branch so out-of-domain
+    behaviour is unchanged (x = 0 still yields -1000, negatives still
+    fail the ANSI power cast, NULL stays NULL); every caller's domain
+    is counts >= 1, so the hot path never evaluates it."""
     e_fast = (f"CASE WHEN shiftleft(CAST(1 AS BIGINT), CAST(_e0 AS INT))"
               f" > {x_col} THEN _e0 - 1 "
-              f"WHEN shiftleft(CAST(1 AS BIGINT), CAST(_e0 AS INT) + 1)"
+              f"WHEN _e0 < 62 AND "
+              f"shiftleft(CAST(1 AS BIGINT), CAST(_e0 AS INT) + 1)"
               f" <= {x_col} THEN _e0 + 1 ELSE _e0 END")
     return (df
             .withColumn("_e0", F.expr(

@@ -1813,6 +1813,12 @@ def test_ilog2_milli_exponent_edges(spark):
             for r in with_ilog2_milli(degen, "x", "lg").collect()}
     assert vals[0] == -1000 and vals[None] is None
 
+    # the up-correction gate at _e0 = 62: x = 2^62 keeps e = 62 (the
+    # old conv() value) instead of wrapping shiftleft(1, 63) to
+    # INT64_MIN (review-caught r16)
+    top = spark.createDataFrame([(1 << 62,)], "x long")
+    assert with_ilog2_milli(top, "x", "lg").collect()[0]["lg"] == 62000
+
 
 def test_bm25_topk_oracle_and_ranking(spark, sf_dir):
     """In-test DuckDB oracle for quantized-rational BM25 top-k on the
