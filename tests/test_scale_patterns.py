@@ -506,6 +506,38 @@ def test_embedding_near_dup_build_side_stays_pinned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_verify_stages_stay_distributed(spark, sf_dir):
+    """r16: the tiny-in-bytes candidate tables feeding the quadratic
+    Damerau verify (fuzzy_join_damerau) and the interpreted cosine
+    verify (ann_lsh_near_dup) are round-robined to the session
+    parallelism — AQE coalesces their exchanges by BYTES, blind to the
+    per-row CPU downstream (measured: 1 partition / 10 partitions,
+    14.7 s / 6.0 s warm at sf0.1 before the fix). Pin the
+    RoundRobinPartitioning exchange so a future simplification can't
+    silently re-serialize the verify stage (the VERDICT-r15-item-2
+    pin stance)."""
+    for name in ("fuzzy_join_damerau", "ann_lsh_near_dup"):
+        plan = _plan_of(spark, sf_dir, name)
+        assert "RoundRobinPartitioning" in plan, \
+            f"{name} lost its verify-stage distribution"
+
+
+def test_triangle_closure_probes_aggregated_wedges(spark, sf_dir):
+    """r16: the triangle closure join consumes the (v, w) wedge-count
+    aggregate, never the raw O(m^1.5) wedge rows (166M at sf0.1 —
+    guide §2.3 aggregate-before-shuffle). Pin the partial count between
+    the wedge join and the closure join."""
+    import re
+
+    plan = _plan_of(spark, sf_dir, "triangle_count")
+    # the WEDGE aggregate specifically: keys (_v, _w) with a partial
+    # count — a bare 'partial_count' also matches the nodes/edges
+    # count aggregates and would pass on a revert
+    assert re.search(r"HashAggregate\(keys=\[_v#\d+L?, _w#\d+L?\], "
+                     r"functions=\[partial_count", plan), \
+        "triangle_count lost its wedge-count pre-aggregation"
+
+
 def test_sequence_dp_family_single_frame(spark, sf_dir):
     """r16: the per-step-gap DP is a single window frame — events
     scanned ONCE in the witness query (plus the contract-required
